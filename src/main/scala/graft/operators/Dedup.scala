@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` fixture — exact dedup,
+  * brute-force n-gram Jaccard, MinHash+LSH banding, and SimHash. The
+  * training-data-pipeline surface beyond the reference (SURVEY §2.4/§7.5).
+  *
+  * The fixture corpus has no duplicates (500 distinct texts at sf0.01), so
+  * each query first plants duplicates *deterministically in-query* with
+  * arithmetic both engines express identically:
+  *   - exact copies: `doc_id % 10 == 0` → same text at `doc_id + 200000`;
+  *   - near copies: `doc_id % 20 == 0` → first ⌊9n/10⌋ words at
+  *     `doc_id + 100000` (word-3-gram Jaccard vs the original ≈ 0.85).
+  *
+  * Scale story (the part that matters at 100 TB):
+  *   - exact dedup groups on `md5(text)` not `text` — the shuffle carries a
+  *     32-byte key instead of multi-KB documents;
+  *   - brute-force Jaccard is the O(n²) correctness baseline only;
+  *   - MinHash+LSH is the scale path: one explode+groupBy to build 64-hash
+  *     signatures (map-side combined), then a self-join on (band, hash) —
+  *     candidates ∝ true duplicates, not n². All hashing is `xxhash64`
+  *     (codegen'd Catalyst expression), no UDFs anywhere;
+  *   - SimHash packs the signature into four 16-bit bands; candidate pairs
+  *     must agree on one band (pigeonhole for hamming ≤ 3 over 64 bits).
+  */
+object Dedup {
+
+  private def sorted(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toSeq: _*)
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Distinct word-3-gram shingles of `text` (1-based `element_at`, same
+    * index arithmetic as the DuckDB oracle's list comprehension). */
+  private val shingles: Column = array_distinct(
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
+
+  /** documents ∪ exact copies of every 10th doc (keys shifted +200000). */
+  private def withExactDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ truncated (first ⌊9n/10⌋ words) copies of every 20th doc
+    * (keys shifted +100000). */
+  private def withNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val truncLen = floor((size(toks) * lit(9)).cast("double") / lit(10.0)).cast("int")
+    d.unionAll(d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), truncLen)).as("text")))
+  }
+
+  /** DuckDB CTEs mirroring [[withExactDups]] / [[withNearDups]]. */
+  private val exactDupsCte: String =
+    """d AS (SELECT doc_id, text FROM documents
+      |      UNION ALL
+      |      SELECT doc_id + 200000 AS doc_id, text FROM documents
+      |      WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val nearDupsCte: String =
+    """w0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |d AS (SELECT doc_id, text FROM documents
+      |      UNION ALL
+      |      SELECT doc_id + 100000 AS doc_id,
+      |             array_to_string(ws[1:(9 * len(ws)) // 10], ' ') AS text
+      |      FROM w0 WHERE doc_id % 20 = 0)""".stripMargin
+
+  private val shinglesCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+      |s AS (SELECT doc_id,
+      |             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                            for i in range(1, len(ws) - 1)]) AS sh
+      |      FROM w)""".stripMargin
+
+  private val jaccardSql: String =
+    """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      | / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)""".stripMargin
+
+  // --- exact dedup ---------------------------------------------------------
+
+  /** Exact dedup: one row per distinct text, keeping the minimum doc_id.
+    * Groups on md5(text) so at scale the shuffle key is 32 bytes, not the
+    * document body; partial aggregation collapses copies map-side. */
+  def exact(spark: SparkSession, dir: String): DataFrame = sorted(
+    withExactDups(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")))
+
+  val exactOracle: String =
+    s"""WITH $exactDupsCte
+       |SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+       |       count(*) AS n_copies
+       |FROM d GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
+
+  // --- brute-force n-gram Jaccard pairs ------------------------------------
+
+  /** All near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.6 —
+    * the O(n²) correctness baseline that [[minhashLsh]] must reproduce.
+    * Not in the bench headline set: at 100 TB you never run this; it exists
+    * to *prove* the LSH path exact on the fixtures. */
+  def jaccardBrute(spark: SparkSession, dir: String): DataFrame = {
+    val s = withNearDups(spark, dir)
+      .select(col("doc_id"), shingles.as("sh"))
+    val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+      size(array_union(col("a_sh"), col("b_sh"))).cast("double")
+    sorted(a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.6))
+  }
+
+  val jaccardBruteOracle: String =
+    s"""WITH $nearDupsCte,
+       |$shinglesCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       $jaccardSql AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE $jaccardSql >= 0.6
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // --- MinHash + LSH banding -----------------------------------------------
+
+  private val NumHashes = 64
+  private val NumBands = 16 // 4 rows/band → P(candidate | J=.85) ≈ 1 - 7e-6
+
+  /** MinHash signatures: explode shingles once, take 64 per-seed minima in
+    * a single groupBy (partial agg map-side — the shuffle carries 64 longs
+    * per doc, independent of document size). */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"), explode(shingles).as("sh"))
+    val mins = (0 until NumHashes).map(s =>
+      min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Near-dup pairs via MinHash+LSH banding, then *exact* Jaccard on the
+    * candidates only. Output is identical to [[jaccardBrute]] whenever the
+    * banding recalls every true pair (it does on the fixtures — verified
+    * against the same DuckDB oracle), but the join is on (band, bandHash):
+    * candidate count scales with the number of true duplicates, not n². */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withNearDups(spark, dir)
+    val sigs = signatures(docs)
+    val bands = sigs.select(col("doc_id"), posexplode(
+      array((0 until NumBands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * 4 + 1, 4))): _*))
+      .as(Seq("band", "bandHash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandHash") === col("y.bandHash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), shingles.as("sh"))
+    val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+      size(array_union(col("a_sh"), col("b_sh"))).cast("double")
+    sorted(cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.6))
+  }
+
+  // Oracle: the exact brute-force pair set — LSH must not miss a pair.
+  val minhashLshOracle: String = jaccardBruteOracle
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash packed as four 16-bit bands. Bit i of the signature is
+    * the sign of Σ_features (±1 depending on bit i of xxhash64(feature)).
+    * Features are word-3-gram shingles — single tokens don't discriminate
+    * on a small-vocabulary corpus (every doc uses most of the vocab).
+    * One explode + one groupBy; the 64 bit-sums are a single wide partial
+    * aggregate. */
+  private def simhashBands(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(shingles).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val withBits = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val band = (lo: Int) => (lo until lo + 16).map(i =>
+      when(col(s"b$i") > 0, lit(1L) * lit(1L << (i - lo))).otherwise(0L))
+      .reduce(_ + _)
+    withBits.select(col("doc_id"),
+      band(0).as("band0"), band(16).as("band1"),
+      band(32).as("band2"), band(48).as("band3"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of the four
+    * 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band identical), then an
+    * exact hamming ≤ 3 filter via bit_count(xor). xxhash64 is not
+    * expressible in the oracle → rows-only check + ScalaTest recall spec. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = simhashBands(withNearDups(spark, dir))
+    val byBand = bands.select(col("doc_id"), posexplode(array(
+        col("band0"), col("band1"), col("band2"), col("band3")))
+      .as(Seq("band", "val")))
+    val cand = byBand.as("x").join(byBand.as("y"),
+        col("x.band") === col("y.band") && col("x.val") === col("y.val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val a = bands.select(col("doc_id").as("a_id"), col("band0").as("a0"),
+      col("band1").as("a1"), col("band2").as("a2"), col("band3").as("a3"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band0").as("b0"),
+      col("band1").as("b1"), col("band2").as("b2"), col("band3").as("b3"))
+    val hamming = (0 until 4).map(i =>
+      bit_count(col(s"a$i").bitwiseXOR(col(s"b$i")))).reduce(_ + _)
+    sorted(cand.join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"), hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= 3))
+  }
+
+  // --- registry ------------------------------------------------------------
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_jaccard_brute" -> (jaccardBrute _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhashPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactOracle,
+    "dedup_jaccard_brute" -> jaccardBruteOracle,
+    "dedup_minhash_lsh" -> minhashLshOracle)
+}

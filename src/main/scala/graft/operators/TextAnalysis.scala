@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` fixture — the training-data
+  * pipeline surface beyond the reference's relational operators (SURVEY
+  * §2.4 / §7 phase 5): token statistics, quality scoring, n-gram-heuristic
+  * language ID, and document fingerprinting (md5 + Karp-Rabin-style
+  * polynomial rolling hash).
+  *
+  * Every expression here is codegen'd built-ins (`functions._` — no UDFs),
+  * and every query has a DuckDB oracle: the arithmetic is written so the
+  * same formula evaluates bit-identically in both engines (integer counts,
+  * double division in a fixed order, left-fold hashing in index order).
+  *
+  * Scale: all four queries are embarrassingly parallel single-pass scans —
+  * no shuffle at all (narrow select over the parquet scan), so they scale
+  * linearly with input splits on a 1000-executor cluster.
+  */
+object TextAnalysis {
+
+  private def sorted(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toSeq: _*)
+
+  /** Whitespace tokens. Fixture text is single-space separated; a plain
+    * space split keeps the oracle (`string_split(text, ' ')`) trivially
+    * identical. */
+  private val toks: Column = split(col("text"), " ")
+
+  private def countIn(words: Seq[String]): Column =
+    size(filter(toks, w => words.map(w === lit(_)).reduce(_ || _)))
+
+  // Marker stopwords per language for the n-gram/stopword heuristic.
+  private val EnWords = Seq("the", "a", "of", "is", "and")
+  private val FrWords = Seq("le", "la", "les", "et", "un")
+  private val DeWords = Seq("der", "die", "und", "ein", "ist")
+  private val EsWords = Seq("el", "los", "y", "una", "es")
+
+  private def sqlCount(words: Seq[String]): String = {
+    val pred = words.map(w => s"w = '$w'").mkString(" OR ")
+    s"len(list_filter(string_split(text, ' '), w -> $pred))"
+  }
+
+  /** Token statistics: counts, distinct ratio, average token length.
+    * Single narrow projection — Catalyst prunes the scan to (doc_id, text). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = sorted(
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(toks).cast("double")).as("avg_token_len")))
+
+  val tokenStatsOracle: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+      |FROM documents ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** Heuristic quality score: stopword ratio, lexical diversity, length
+    * saturation — the classic cheap pre-filters for a pretraining corpus.
+    * Formula (fixed evaluation order, both engines):
+    *   q = 0.4·stop_ratio + 0.3·distinct_ratio + 0.3·min(1, n_tokens/100). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val stopRatio = countIn(EnWords).cast("double") / nTok
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val lenNorm = least(lit(1.0), nTok / lit(100.0))
+    sorted(Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        (lit(0.4) * stopRatio + lit(0.3) * distinctRatio + lit(0.3) * lenNorm)
+          .as("quality")))
+  }
+
+  val qualityScoreOracle: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    s"""SELECT doc_id, n_chars,
+       |       0.4 * (CAST(${sqlCount(EnWords)} AS DOUBLE) / $nTok)
+       |     + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok)
+       |     + 0.3 * least(1.0, $nTok / 100.0) AS quality
+       |FROM documents ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** Stopword-marker language ID (the n-gram-heuristic family): count
+    * marker words per candidate language, argmax with a deterministic
+    * tie-break order (en > fr > de > es). Emits the label column too so a
+    * user can audit agreement. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val (cEn, cFr, cDe, cEs) =
+      (countIn(EnWords), countIn(FrWords), countIn(DeWords), countIn(EsWords))
+    sorted(Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        cEn.cast("long").as("c_en"), cFr.cast("long").as("c_fr"),
+        cDe.cast("long").as("c_de"), cEs.cast("long").as("c_es"),
+        when(cEn >= cFr && cEn >= cDe && cEn >= cEs, "en")
+          .when(cFr >= cDe && cFr >= cEs, "fr")
+          .when(cDe >= cEs, "de")
+          .otherwise("es").as("pred_lang")))
+  }
+
+  val langIdOracle: String = {
+    val (cEn, cFr, cDe, cEs) =
+      (sqlCount(EnWords), sqlCount(FrWords), sqlCount(DeWords), sqlCount(EsWords))
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |       $cEn AS c_en, $cFr AS c_fr, $cDe AS c_de, $cEs AS c_es,
+       |       CASE WHEN $cEn >= $cFr AND $cEn >= $cDe AND $cEn >= $cEs THEN 'en'
+       |            WHEN $cFr >= $cDe AND $cFr >= $cEs THEN 'fr'
+       |            WHEN $cDe >= $cEs THEN 'de'
+       |            ELSE 'es' END AS pred_lang
+       |FROM documents ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+  }
+
+  /** Document fingerprints: md5 of the raw text plus a Karp-Rabin-style
+    * polynomial rolling hash (base 31, mod 1e9+7) left-folded over the
+    * codepoints in index order — the exact same fold DuckDB's
+    * `list_reduce` performs, so the oracle is bit-identical. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => length(c) === 1)
+    val poly = aggregate(
+      transform(chars, c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
+    sorted(Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("md5_fp"), poly.as("poly_fp")))
+  }
+
+  val fingerprintOracle: String =
+    """SELECT doc_id, md5(text) AS md5_fp,
+      |       list_reduce(list_transform(string_split(text, ''),
+      |                                  c -> CAST(ord(c) AS BIGINT)),
+      |                   (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp
+      |FROM documents ORDER BY 1, 2, 3""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_quality_score" -> (qualityScore _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" -> tokenStatsOracle,
+    "text_quality_score" -> qualityScoreOracle,
+    "text_lang_id" -> langIdOracle,
+    "text_fingerprint" -> fingerprintOracle)
+}
