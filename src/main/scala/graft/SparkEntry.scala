@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.entries ++ TextAnalysis.entries ++ Dedup.entries
+    Relational.entries ++ TextAnalysis.entries ++ Dedup.entries ++
+      Similarity.entries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles
+    Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles
 }
