@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Event-time windowing over the `events` fixture — tumbling, sliding and
+  * session windows as *batch* queries with DuckDB oracles. The reference
+  * has no streaming surface at all (SURVEY §2.4); these are the
+  * Spark-native extension, and [[graft.streaming.StreamingEvents]] runs
+  * the same aggregations incrementally with watermarks over
+  * `readStream` (validated in the streaming spec — Structured Streaming
+  * results must equal these batch results on the same input).
+  *
+  * Determinism: double `value` sums go through decimal(18,6) (exact,
+  * order-independent) and back to double; window starts are computed on
+  * the 1800 s grid both engines share (Spark `window()` origin and DuckDB
+  * `time_bucket` origin are both 30-min aligned).
+  *
+  * Scale: tumbling/sliding aggs are partial-aggregated map-side before one
+  * shuffle on (window, type) — cardinality = #buckets × #types, tiny.
+  * Sessionization shuffles on user_id once; within a partition the
+  * gaps-and-islands window sort is linear after the sort — the same shape
+  * `flatMapGroupsWithState` has in the streaming variant.
+  */
+object Events {
+
+  private def sorted(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toSeq: _*)
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  private val dsumSql = "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Tumbling 1-hour aggregate by event type. */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame = sorted(
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value")))
+
+  val hourlyAggOracle: String =
+    s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       |       count(*) AS n_events,
+       |       count(DISTINCT user_id) AS n_users,
+       |       $dsumSql AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  /** Sliding 1-hour window every 30 minutes (each event lands in exactly
+    * two windows). Uses Spark's `window()`; the oracle enumerates the two
+    * member windows per event on the shared 30-min grid. */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame = sorted(
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value")))
+
+  val slidingAggOracle: String =
+    s"""WITH x AS (
+       |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE
+       |           AS window_start,
+       |         event_type, value
+       |  FROM events, range(0, 2) t(k))
+       |SELECT window_start, event_type, count(*) AS n_events,
+       |       $dsumSql AS total_value
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** Per-user session windows with a 4-hour inactivity gap — Spark's
+    * `session_window` (session = [first ts, last ts + gap)); the oracle is
+    * the classic gaps-and-islands rewrite (break when the gap to the
+    * previous event is ≥ the timeout). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = sorted(
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value")))
+
+  val sessionizeOracle: String =
+    s"""WITH m AS (
+       |  SELECT user_id, ts, value,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |g AS (
+       |  SELECT user_id, ts, value,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                        ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT user_id, min(ts) AS session_start,
+       |       max(ts) + INTERVAL 4 HOUR AS session_end,
+       |       count(*) AS n_events, $dsumSql AS total_value
+       |FROM g GROUP BY user_id, sid ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly_agg" -> (hourlyAgg _),
+    "events_sliding_agg" -> (slidingAgg _),
+    "events_sessionize" -> (sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "events_hourly_agg" -> hourlyAggOracle,
+    "events_sliding_agg" -> slidingAggOracle,
+    "events_sessionize" -> sessionizeOracle)
+}
