@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,24 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.entries ++ TextAnalysis.entries ++ Dedup.entries ++
-      Similarity.entries
+      Similarity.entries ++ Events.entries
+
+  /** O(n²) correctness baselines: they exist to prove the LSH/scale paths
+    * exact on the fixtures (run by Verify at sf0.01), but must not be
+    * *timed* at full n — at sf0.1 the three of them were 96% of the r2
+    * bench wall-clock while proving nothing about the scale paths. */
+  val baselineOnly: Set[String] = Set(
+    "dedup_jaccard_brute", "sim_cosine_topk", "sim_cosine_neardup")
+
+  /** The scale-path queries Bench times (everything except the O(n²)
+    * oracle baselines). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries -- baselineOnly
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++ Events.oracles
 }

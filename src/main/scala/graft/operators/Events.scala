@@ -9,10 +9,10 @@ import graft.sources.Tables
 /** Event-time windowing over the `events` fixture — tumbling, sliding and
   * session windows as *batch* queries with DuckDB oracles. The reference
   * has no streaming surface at all (SURVEY §2.4); these are the
-  * Spark-native extension, and [[graft.streaming.StreamingEvents]] runs
-  * the same aggregations incrementally with watermarks over
-  * `readStream` (validated in the streaming spec — Structured Streaming
-  * results must equal these batch results on the same input).
+  * Spark-native extension. [[graft.streaming.StreamingEvents]] runs the
+  * hourly aggregation incrementally over `readStream` with a watermark —
+  * its spec asserts the streaming result equals [[hourlyAgg]] on the same
+  * input.
   *
   * Determinism: double `value` sums go through decimal(18,6) (exact,
   * order-independent) and back to double; window starts are computed on
