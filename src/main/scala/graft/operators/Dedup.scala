@@ -35,11 +35,17 @@ object Dedup {
   private val toks: Column = split(col("text"), " ")
 
   /** Distinct word-3-gram shingles of `text` (1-based `element_at`, same
-    * index arithmetic as the DuckDB oracle's list comprehension). */
-  private val shingles: Column = array_distinct(
-    transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2))))
+    * index arithmetic as the DuckDB oracle's list comprehension). Documents
+    * with fewer than 3 tokens yield an empty shingle set — the `when` guard
+    * matches DuckDB's `range(1, len - 1)` returning empty for len < 3
+    * (an unguarded `sequence(1, size - 2)` would count *down* and then
+    * `element_at(toks, 0)` throws). */
+  private val shingles: Column = when(size(toks) >= 3,
+    array_distinct(
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))))
+    .otherwise(typedlit(Seq.empty[String]))
 
   /** documents ∪ exact copies of every 10th doc (keys shifted +200000). */
   private def withExactDups(spark: SparkSession, dir: String): DataFrame = {
@@ -178,18 +184,41 @@ object Dedup {
 
   // --- SimHash -------------------------------------------------------------
 
+  // Carter–Wegman affine family over the Karp–Rabin polynomial hash: all
+  // constants are small enough that `p * A_i + B_i` stays under 2^63 in
+  // both engines (p, A_i < M ≈ 1e9 → product < 1e18).
+  private val M = 1000000007L
+  private val HalfM = (M + 1) / 2 // 500000004
+
+  /** Karp–Rabin polynomial hash of a string's codepoints (base 31, mod
+    * 1e9+7), left-folded in index order — the identical fold DuckDB's
+    * `list_reduce` performs (fold-from-0 ≡ fold-from-first-element because
+    * 0·31 + c₁ = c₁), already proven hash-matching in
+    * [[TextAnalysis.fingerprint]]. */
+  private def polyHash(c: Column): Column = aggregate(
+    transform(filter(split(c, ""), ch => length(ch) === 1),
+      ch => ascii(ch).cast("long")),
+    lit(0L), (acc, ch) => (acc * lit(31L) + ch) % lit(M))
+
   /** 64-bit SimHash packed as four 16-bit bands. Bit i of the signature is
-    * the sign of Σ_features (±1 depending on bit i of xxhash64(feature)).
+    * the sign of Σ_features ±1, where feature f votes +1 on bit i iff
+    * h_i(f) = (A_i·poly(f) + B_i) mod M lands in the upper half of [0, M)
+    * — 64 independent affine hashes over one polynomial fingerprint, every
+    * step integer arithmetic DuckDB reproduces exactly (unlike the former
+    * `xxhash64`, which left this query oracle-less).
     * Features are word-3-gram shingles — single tokens don't discriminate
     * on a small-vocabulary corpus (every doc uses most of the vocab).
     * One explode + one groupBy; the 64 bit-sums are a single wide partial
     * aggregate. */
   private def simhashBands(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(shingles).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i"))
+      .withColumn("p", polyHash(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      val a = (1103515245L * i + 12345L) % M
+      val b = (1103515245L * (i + 64) + 12345L) % M
+      sum(when((col("p") * lit(a) + lit(b)) % lit(M) >= HalfM, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
     val withBits = tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
     val band = (lo: Int) => (lo until lo + 16).map(i =>
@@ -202,8 +231,9 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates share at least one of the four
     * 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band identical), then an
-    * exact hamming ≤ 3 filter via bit_count(xor). xxhash64 is not
-    * expressible in the oracle → rows-only check + ScalaTest recall spec. */
+    * exact hamming ≤ 3 filter via bit_count(xor). Every arithmetic step is
+    * integer-exact in both engines, so the DuckDB oracle below replays the
+    * identical algorithm and the result hash-matches. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val bands = simhashBands(withNearDups(spark, dir))
     val byBand = bands.select(col("doc_id"), posexplode(array(
@@ -225,6 +255,49 @@ object Dedup {
       .filter(col("hamming") <= 3))
   }
 
+  /** DuckDB replay of the SimHash pipeline: same polynomial fingerprint,
+    * same 64 affine bit-hashes, same band packing, same hamming filter. */
+  val simhashOracle: String =
+    s"""WITH $nearDupsCte,
+       |$shinglesCte,
+       |e AS (SELECT doc_id, unnest(sh) AS w FROM s),
+       |ph AS (SELECT doc_id,
+       |              list_reduce(list_transform(string_split(w, ''),
+       |                                         c -> CAST(ord(c) AS BIGINT)),
+       |                          (a, b) -> (a * 31 + b) % $M) AS p
+       |       FROM e),
+       |bits AS (SELECT doc_id, i,
+       |                SUM(CASE WHEN (p * ((1103515245 * i + 12345) % $M)
+       |                               + ((1103515245 * (i + 64) + 12345) % $M))
+       |                              % $M >= $HalfM
+       |                         THEN 1 ELSE -1 END) AS sgn
+       |         FROM ph CROSS JOIN range(0, 64) t(i) GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // 16 AS band,
+       |                 CAST(SUM(CASE WHEN sgn > 0
+       |                               THEN 1 << CAST(i % 16 AS INT)
+       |                               ELSE 0 END) AS BIGINT) AS val
+       |          FROM bits GROUP BY 1, 2),
+       |b4 AS (SELECT doc_id,
+       |              MAX(CASE WHEN band = 0 THEN val END) AS band0,
+       |              MAX(CASE WHEN band = 1 THEN val END) AS band1,
+       |              MAX(CASE WHEN band = 2 THEN val END) AS band2,
+       |              MAX(CASE WHEN band = 3 THEN val END) AS band3
+       |       FROM bands GROUP BY 1),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.val = y.val
+       |          AND x.doc_id < y.doc_id)
+       |SELECT c.a_id, c.b_id,
+       |       CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+       |          + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+       |            AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN b4 a ON c.a_id = a.doc_id
+       |JOIN b4 b ON c.b_id = b.doc_id
+       |WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+       |    + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -236,5 +309,6 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactOracle,
     "dedup_jaccard_brute" -> jaccardBruteOracle,
-    "dedup_minhash_lsh" -> minhashLshOracle)
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_simhash" -> simhashOracle)
 }

@@ -9,10 +9,7 @@ import graft.sources.Tables
 /** Event-time windowing over the `events` fixture — tumbling, sliding and
   * session windows as *batch* queries with DuckDB oracles. The reference
   * has no streaming surface at all (SURVEY §2.4); these are the
-  * Spark-native extension. [[graft.streaming.StreamingEvents]] runs the
-  * hourly aggregation incrementally over `readStream` with a watermark —
-  * its spec asserts the streaming result equals [[hourlyAgg]] on the same
-  * input.
+  * Spark-native extension.
   *
   * Determinism: double `value` sums go through decimal(18,6) (exact,
   * order-independent) and back to double; window starts are computed on

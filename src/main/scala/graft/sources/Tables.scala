@@ -25,6 +25,13 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session configs every graft entry point needs. The events fixture
+    * stores parquet INT64 TIMESTAMP(NANOS), which Spark 4.x refuses to read
+    * natively — `nanosAsLong` surfaces it as a long that [[events]]
+    * converts to a microsecond timestamp. */
+  val requiredConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
@@ -32,12 +39,24 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  /** `ts` arrives as long nanoseconds (see [[requiredConfs]]); convert to a
+    * microsecond timestamp with integer division (`DIV` — exact long
+    * arithmetic; a double division would round at 1e18 magnitudes), which
+    * truncates exactly like DuckDB's native TIMESTAMP_NS → TIMESTAMP read
+    * of the same file. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events").withColumn(
+      "ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** Register all fixture tables as temp views so `spark.sql` works over
-    * them (mini-SQL front end, SURVEY §2.3). */
+    * them (mini-SQL front end, SURVEY §2.3). `events` goes through the
+    * timestamp conversion above, not the raw long-nanos read. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
