@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Denorm, Events, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.entries ++ TextAnalysis.entries ++ Dedup.entries ++
-      Similarity.entries ++ Events.entries
+      Similarity.entries ++ Events.entries ++ Denorm.entries
 
   /** O(n²) correctness baselines: they exist to prove the LSH/scale paths
     * exact on the fixtures (run by Verify at sf0.01), but must not be
@@ -40,5 +40,5 @@ object SparkEntry {
     * rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Events.oracles
+      Similarity.oracles ++ Events.oracles ++ Denorm.oracles
 }

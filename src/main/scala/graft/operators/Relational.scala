@@ -37,12 +37,12 @@ object Relational {
   // Filter constants chosen (TESTDATA inspection) to return rows at every
   // scale factor, so smoke (sf0.001), correctness (sf0.01) and bench (sf0.1)
   // all exercise non-empty results.
-  private val Brand = "Brand#4"
+  private[operators] val Brand = "Brand#4"
   private val PartKey = 7L
   private val StockPart = 185L
   private val StockSupp = 1L
   private val ShipDate = "1995-01-02 00:00:00"
-  private val OrderKeyQ2 = 1149L
+  private[operators] val OrderKeyQ2 = 1149L
 
   private def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
