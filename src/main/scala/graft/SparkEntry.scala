@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.entries ++ TextAnalysis.entries ++ Dedup.entries ++
-      Similarity.entries ++ Events.entries ++ Denorm.entries
+      Similarity.entries ++ Events.entries ++ Denorm.entries ++
+      graft.plans.MiniSql.entries
 
   /** O(n²) correctness baselines: they exist to prove the LSH/scale paths
     * exact on the fixtures (run by Verify at sf0.01), but must not be
@@ -40,5 +41,6 @@ object SparkEntry {
     * rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Events.oracles ++ Denorm.oracles
+      Similarity.oracles ++ Events.oracles ++ Denorm.oracles ++
+      graft.plans.MiniSql.oracles
 }

@@ -113,8 +113,14 @@ object Dedup {
     * Not in the bench headline set: at 100 TB you never run this; it exists
     * to *prove* the LSH path exact on the fixtures. */
   def jaccardBrute(spark: SparkSession, dir: String): DataFrame = {
+    // Empty shingle sets (docs < 3 tokens) can never reach the J ≥ 0.6
+    // threshold — drop them before the pair join. The oracle keeps them:
+    // DuckDB yields NaN for 0/0 which fails the threshold; Spark's ANSI
+    // mode would instead raise DIVIDE_BY_ZERO, so the filter is the
+    // semantics-preserving guard.
     val s = withNearDups(spark, dir)
       .select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
     val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /

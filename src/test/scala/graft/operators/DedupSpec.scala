@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavioral specs for the dedup operators on a synthetic corpus,
+  * including the short-document edge case the fixtures never exercise
+  * (docs with < 3 tokens must yield an empty shingle set, matching
+  * DuckDB's `range(1, len - 1)` semantics, not throw). */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Writes a `documents.parquet` with the given texts into a temp dir so
+    * the operators' (spark, dir) contract is exercised unchanged. */
+  private def corpusDir(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dedup_corpus").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val base = Seq(
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "a completely different document about spark query engines and planning",
+    "the quick brown fox jumps over the lazy dog again and again tonight")
+
+  test("documents shorter than 3 tokens do not crash shingling (guard)") {
+    val dir = corpusDir(base ++ Seq("two tokens", "one", ""))
+    // jaccardBrute explodes/compares shingle sets — short docs simply have
+    // empty sets and can never reach the >= 0.6 threshold
+    val pairs = Dedup.jaccardBrute(spark, dir).collect()
+    assert(pairs.nonEmpty) // the two near-identical long docs still pair
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!ids.exists(id => id >= 3 && id < 100000)) // short docs pair-free
+  }
+
+  test("minhash LSH finds exactly the brute-force pair set (recall 1.0)") {
+    val dir = corpusDir(base)
+    val brute = Dedup.jaccardBrute(spark, dir).collect().toSeq
+    val lsh = Dedup.minhashLsh(spark, dir).collect().toSeq
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
+  }
+
+  test("simhash pairs identical docs (hamming 0) and isolates unrelated ones") {
+    // identical texts ⇒ identical shingle sets ⇒ hamming exactly 0; on a
+    // 13-token doc a one-word difference flips an EXPECTED ~8 of 64 bits,
+    // so only the identical pair is a deterministic ≤3 match here
+    val dir = corpusDir(Seq(base(0), base(1), base(0), "short doc"))
+    val pairs = Dedup.simhashPairs(spark, dir).collect()
+    val p02 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 2L)
+    assert(p02.nonEmpty && p02.get.getLong(2) == 0L)
+    assert(!pairs.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+  }
+
+  test("exact dedup keeps the minimum doc_id per distinct text") {
+    val dir = corpusDir(base)
+    val rows = Dedup.exact(spark, dir).collect()
+    // planted exact copy: doc_id 0 duplicated at 200000 by withExactDups
+    val dup = rows.find(_.getLong(2) == 2L)
+    assert(dup.nonEmpty && dup.get.getLong(1) == 0L)
+  }
+}
