@@ -21,11 +21,11 @@ import graft.sources.Tables
   * arithmetic (`(1103515245·k + 12345) mod 2³¹`), not a PRNG object, so
   * both engines derive identical planes.
   *
-  * Scale story: brute-force top-k is O(n²·d) and exists to validate the
-  * ANN path; the LSH variant joins on a bucket id (16 buckets here;
-  * #planes is a knob), so comparisons scale with bucket occupancy.
-  * At 100 TB you'd add an IVF-style repartition on bucket + per-partition
-  * top-k; the bucket join here already has that shuffle shape (hash
+  * Scale story: brute-force top-k and the cartesian near-dup are O(n²·d)
+  * and exist to validate the LSH paths. The LSH variants join on a bucket
+  * id whose width grows with the corpus ([[planesFor]]: #buckets ≈ n/50),
+  * so within-bucket work stays ~linear in n; near-dup adds radius-1
+  * multi-probe for recall. The bucket join is the IVF shuffle shape (hash
   * partition on bucket, AQE handles occupancy skew).
   */
 object Similarity {
@@ -128,9 +128,30 @@ object Similarity {
 
   // --- random-hyperplane LSH ANN -------------------------------------------
 
-  private val NumPlanes = 4 // 16 buckets
   private val Dim = 64
   private val AnnK = 3
+  /** Target vectors per bucket: #buckets scales as n/50, so within-bucket
+    * join work stays ~linear in n instead of O(n²/constant). */
+  private val TargetOccupancy = 50L
+  private val MaxPlanes = 20
+
+  /** Smallest p ≥ 4 with n ≤ 50·2^p — pure integer logic, so the DuckDB
+    * oracle derives the identical count from `count(*)` (a float log2
+    * could round differently across engines at powers of two). At sf0.01
+    * (2.5k vectors) this is 6 planes / 64 buckets; at sf0.1, 9 planes /
+    * 512 buckets; at 100 TB it keeps growing with log₂(n) while the
+    * per-bucket work stays bounded. */
+  private[operators] def planesFor(n: Long): Int = {
+    var p = 4
+    while (n > TargetOccupancy * (1L << p) && p < MaxPlanes) p += 1
+    p
+  }
+
+  /** DuckDB mirror of [[planesFor]]. */
+  private def planesSql(countFrom: String): String =
+    s"""np AS (SELECT MIN(p) AS mp FROM range(4, ${MaxPlanes + 1}) t(p)
+       |       WHERE (SELECT count(*) FROM $countFrom) <= $TargetOccupancy * (1 << p)
+       |          OR p = $MaxPlanes)""".stripMargin
 
   /** Deterministic hyperplane weights from the C-standard LCG — pure
     * integer arithmetic both engines reproduce exactly. */
@@ -140,19 +161,22 @@ object Similarity {
   private def planeWeights(p: Int): Seq[Double] =
     (0 until Dim).map(i => lcgWeight(p.toLong * Dim + i))
 
-  private def bucketExpr(v: Column): Column =
-    (0 until NumPlanes).map { p =>
+  private def bucketExpr(v: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
       when(dot(v, typedlit(planeWeights(p))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN top-k via random-hyperplane LSH: vectors meet only within their
-    * sign-pattern bucket. The oracle runs the identical algorithm (same
+    * sign-pattern bucket; the plane count (= log₂ #buckets) grows with the
+    * corpus via [[planesFor]] (one cheap driver-side `count()` against
+    * parquet metadata). The oracle runs the identical algorithm (same
     * planes, same folds), so this hash-matches even though ANN-vs-exact
     * recall is approximate by construction. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dvec.as("ev"))
-      .withColumn("bucket", bucketExpr(col("ev")))
+      .withColumn("bucket", bucketExpr(col("ev"), numPlanes))
     val a = v.select(col("vec_id"), col("ev").as("a_ev"), col("bucket"))
     val b = v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev"),
       col("bucket").as("b_bucket"))
@@ -170,11 +194,13 @@ object Similarity {
 
   val annLshOracle: String =
     s"""WITH $vCte,
+       |${planesSql("embeddings")},
        |pw AS (SELECT p,
        |          [CAST((1103515245 * (p * $Dim + i - 1) + 12345) % 2147483648 AS DOUBLE)
        |             / 2147483648.0 - 0.5
        |           for i in range(1, $Dim + 1)] AS w
-       |       FROM range(0, $NumPlanes) t(p)),
+       |       FROM range(0, $MaxPlanes) t(p)
+       |       WHERE p < (SELECT mp FROM np)),
        |vb AS (SELECT v.vec_id,
        |              CAST(sum(CASE WHEN ${sqlDot("v.ev", "pw.w")} > 0
        |                            THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
@@ -192,15 +218,89 @@ object Similarity {
        |SELECT vec_id, neighbor_id, bucket, rnk, cosine FROM r WHERE rnk <= $AnnK
        |ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  // --- LSH-pruned near-dup pairs (the scale path for cosineNearDup) --------
+
+  /** XOR masks for radius-2 multi-probe: the zero mask (own bucket), every
+    * single-bit flip, and every two-bit flip. A true pair is missed only
+    * when its sign patterns differ in ≥ 3 of the planes — for planted
+    * cosine-0.99 pairs (flip probability ≈ θ/π ≈ 4.5% per plane) that is
+    * ≲ 0.2% at 6 planes. */
+  private def probeMasks(numPlanes: Int): Seq[Long] =
+    Seq(0L) ++
+      (0 until numPlanes).map(i => 1L << i) ++
+      (for { i <- 0 until numPlanes; j <- (i + 1) until numPlanes }
+        yield (1L << i) | (1L << j))
+
+  /** Near-dup pairs via bucketed LSH with radius-2 multi-probe: side A
+    * probes its own bucket plus every bucket within hamming distance 2 of
+    * it; candidates then pass the exact cosine ≥ 0.9 filter. Replaces the
+    * O(n²·d) cartesian of [[cosineNearDup]] with work proportional to
+    * (#probes ≈ planes²/2) × bucket occupancy × n — the non-O(n²)
+    * near-dup path this file lacked. The oracle replays the identical
+    * algorithm, so the result hash-matches; recall vs the exact pair set
+    * is pinned by `SimilaritySpec`. */
+  def nearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
+    val v = withNearDupVecs(spark, dir)
+      .withColumn("bucket", bucketExpr(col("ev"), numPlanes))
+    val probes = v.select(col("vec_id"), col("ev"), explode(array(
+      probeMasks(numPlanes).map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+      .as("probe"))
+    val cand = probes.as("x").join(v.as("y"),
+        col("x.probe") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        col("x.ev").as("a_ev"), col("y.ev").as("b_ev"))
+      .dropDuplicates("a_id", "b_id")
+    sorted(cand
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_ev"), col("b_ev")).as("cosine"))
+      .filter(col("cosine") >= 0.9))
+  }
+
+  val nearDupLshOracle: String =
+    s"""WITH $nearDupVecsCte,
+       |${planesSql("embeddings")},
+       |pw AS (SELECT p,
+       |          [CAST((1103515245 * (p * $Dim + i - 1) + 12345) % 2147483648 AS DOUBLE)
+       |             / 2147483648.0 - 0.5
+       |           for i in range(1, $Dim + 1)] AS w
+       |       FROM range(0, $MaxPlanes) t(p)
+       |       WHERE p < (SELECT mp FROM np)),
+       |vb AS (SELECT v.vec_id,
+       |              CAST(sum(CASE WHEN ${sqlDot("v.ev", "pw.w")} > 0
+       |                            THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM v CROSS JOIN pw GROUP BY v.vec_id),
+       |vv AS (SELECT v.vec_id, v.ev, vb.bucket
+       |       FROM v JOIN vb ON v.vec_id = vb.vec_id),
+       |mk AS (SELECT DISTINCT
+       |              xor(CASE WHEN i = -1 THEN 0 ELSE 1 << i END,
+       |                  CASE WHEN j = -1 THEN 0 ELSE 1 << j END) AS mask
+       |       FROM range(-1, $MaxPlanes) t1(i), range(-1, $MaxPlanes) t2(j)
+       |       WHERE i <= j AND i < (SELECT mp FROM np)
+       |         AND j < (SELECT mp FROM np)),
+       |pr AS (SELECT vec_id, ev, xor(bucket, CAST(mask AS BIGINT)) AS probe
+       |       FROM vv CROSS JOIN mk),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM pr a JOIN vv b
+       |           ON a.probe = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT c.a_id, c.b_id, ${sqlCos("a.ev", "b.ev")} AS cosine
+       |FROM cand c
+       |JOIN vv a ON c.a_id = a.vec_id
+       |JOIN vv b ON c.b_id = b.vec_id
+       |WHERE ${sqlCos("a.ev", "b.ev")} >= 0.9
+       |ORDER BY 1, 2, 3""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
-    "sim_ann_lsh" -> (annLsh _))
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_neardup_lsh" -> (nearDupLsh _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_cosine_neardup" -> cosineNearDupOracle,
-    "sim_ann_lsh" -> annLshOracle)
+    "sim_ann_lsh" -> annLshOracle,
+    "sim_neardup_lsh" -> nearDupLshOracle)
 }
