@@ -9,7 +9,9 @@ import graft.sources.Tables
 /** Event-time windowing over the `events` fixture — tumbling, sliding and
   * session windows as *batch* queries with DuckDB oracles. The reference
   * has no streaming surface at all (SURVEY §2.4); these are the
-  * Spark-native extension.
+  * Spark-native extension. [[graft.streaming.StreamingEvents]] replays
+  * the same fixture through `readStream`; its spec asserts the streaming
+  * hourly aggregate equals the batch form bit-for-bit.
   *
   * Determinism: double `value` sums go through decimal(18,6) (exact,
   * order-independent) and back to double; window starts are computed on
