@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Denorm, Events, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Denorm, Events, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.entries ++ TextAnalysis.entries ++ Dedup.entries ++
       Similarity.entries ++ Events.entries ++ Denorm.entries ++
-      graft.plans.MiniSql.entries
+      Multimodal.entries ++ graft.plans.MiniSql.entries
 
   /** O(n²) correctness baselines: they exist to prove the LSH/scale paths
     * exact on the fixtures (run by Verify at sf0.01), but must not be
@@ -42,5 +42,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Events.oracles ++ Denorm.oracles ++
-      graft.plans.MiniSql.oracles
+      Multimodal.oracles ++ graft.plans.MiniSql.oracles
 }
