@@ -102,42 +102,52 @@ object HomeworkSim {
         val joinOverhead = model.ioCost(s"${query.name}:join_network",
           baseTotal.dataScannedGb, useNetwork = true,
           notes = List("Network shuffle for join"))
-        val grandTotal =
+        val grandTotal0 =
           model.aggregate(s"${query.name}:total", Seq(baseTotal, joinOverhead))
+        // reference `costs.py:110-113` — annotate the total with the join
+        // selectivity when declared
+        val grandTotal = query.joinSelectivity match {
+          case Some(js) => grandTotal0.copy(notes = grandTotal0.notes :+
+            f"Join selectivity (result fraction): $js%.4f")
+          case None => grandTotal0
+        }
         QueryCostResult(query, grandTotal, componentCosts, Some(joinOverhead))
       case other => throw new IllegalArgumentException(s"Unsupported query kind: $other")
     }
   }
 
-  /** The declared Q1–Q5 specs (reference `query_simulator/queries.py:9-125`). */
+  /** The declared Q1–Q5 specs (reference `query_simulator/queries.py:
+    * 9-125`; names/descriptions verbatim so the report sinks are
+    * byte-comparable with the reference CLI's output). */
   def defaultQueries: List[QuerySpec] = List(
     QuerySpec("Q1_stock_lookup", "filter",
       "Check stock for one product in one warehouse.",
       List(QueryComponent("Stock filter", "Stock", Stats.SelQ1Stock,
         "Product + warehouse filter on stock", targetedShard = true))),
     QuerySpec("Q2_brand_filter", "filter",
-      "Find products by brand.",
+      "Find Apple products by brand.",
       List(QueryComponent("Product brand filter", "Product", Stats.SelQ2Brand,
-        "Brand filter (50 products)", requiresNetwork = true))),
+        "Brand = Apple (50 products)", requiresNetwork = true))),
     QuerySpec("Q3_orders_by_date", "filter",
       "Fetch order lines placed on a specific date.",
       List(QueryComponent("OrderLine date filter", "OrderLine", Stats.SelQ3Date,
         "Order date = target day", requiresNetwork = true))),
     QuerySpec("Q4_brand_stock_join", "join",
-      "Join brand-filtered products with their per-warehouse stock.",
+      "Join Apple products with their per-warehouse stock.",
       List(
         QueryComponent("Product brand filter", "Product", Stats.SelQ2Brand,
-          "Brand filter", requiresNetwork = true),
+          "Brand = Apple", requiresNetwork = true),
         QueryComponent("Stock by product", "Stock", Stats.SelQ2Brand,
-          "Stock entries for filtered products", targetedShard = true)),
+          "Stock entries for Apple products", targetedShard = true)),
       joinSelectivity = Some(Stats.SelQ2Brand)),
     QuerySpec("Q5_orders_brand_client_join", "join",
-      "Orders on a target date joined with brand-filtered products and client info.",
+      "Orders on a target date joined with Apple products and client info " +
+        "for downstream personalization/analytics.",
       List(
         QueryComponent("OrderLine date filter", "OrderLine", Stats.SelQ3Date,
           "Order date = target day", requiresNetwork = true),
         QueryComponent("Product brand filter", "Product", Stats.SelQ2Brand,
-          "Brand filter", requiresNetwork = true),
+          "Brand = Apple", requiresNetwork = true),
         QueryComponent("Client lookup", "Client", 1.0 / Stats.NCl.toDouble,
           "Join to one client record per matching order", targetedShard = true)),
       joinSelectivity = Some(Stats.SelQ2Brand * Stats.SelQ3Date)))

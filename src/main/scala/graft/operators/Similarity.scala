@@ -243,15 +243,21 @@ object Similarity {
     val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val v = withNearDupVecs(spark, dir)
       .withColumn("bucket", bucketExpr(col("ev"), numPlanes))
-    val probes = v.select(col("vec_id"), col("ev"), explode(array(
+    // candidate generation and dedup carry ONLY the id pair — the 64-dim
+    // vectors rejoin after dropDuplicates, so the dedup shuffle moves two
+    // longs per candidate instead of two embeddings
+    val buckets = v.select(col("vec_id"), col("bucket"))
+    val probes = buckets.select(col("vec_id"), explode(array(
       probeMasks(numPlanes).map(m => col("bucket").bitwiseXOR(lit(m))): _*))
       .as("probe"))
-    val cand = probes.as("x").join(v.as("y"),
+    val cand = probes.as("x").join(buckets.as("y"),
         col("x.probe") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        col("x.ev").as("a_ev"), col("y.ev").as("b_ev"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val ev = v.select(col("vec_id"), col("ev"))
     sorted(cand
+      .join(ev.select(col("vec_id").as("a_id"), col("ev").as("a_ev")), "a_id")
+      .join(ev.select(col("vec_id").as("b_id"), col("ev").as("b_ev")), "b_id")
       .select(col("a_id"), col("b_id"),
         cosine(col("a_ev"), col("b_ev")).as("cosine"))
       .filter(col("cosine") >= 0.9))
