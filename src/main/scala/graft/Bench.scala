@@ -17,6 +17,10 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
+    // Warmup: JVM/codegen/scan initialization otherwise lands on whichever
+    // query runs first (~3 s of noise on its number).
+    try graft.sources.Tables.region(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // Times the scale-path set only; the O(n²) oracle baselines
     // (SparkEntry.baselineOnly) are correctness-gated by Verify, not timed.
     // A query that throws is recorded as -1.0 with its error message — a

@@ -144,13 +144,23 @@ object Dedup {
   private val NumHashes = 64
   private val NumBands = 16 // 4 rows/band → P(candidate | J=.85) ≈ 1 - 7e-6
 
-  /** MinHash signatures: explode shingles once, take 64 per-seed minima in
-    * a single groupBy (partial agg map-side — the shuffle carries 64 longs
-    * per doc, independent of document size). */
+  /** MinHash signatures: explode shingles once, take 64 per-function
+    * minima in a single groupBy (partial agg map-side — the shuffle
+    * carries 64 longs per doc, independent of document size).
+    *
+    * The 64 hash functions re-hash ONE `xxhash64` of the shingle under 64
+    * seeds: the variable-length string is hashed once and each per-seed
+    * hash runs over a fixed 8-byte long — this was the signature stage's
+    * dominant cost. (An affine `a_i·h + b_i` mix would be cheaper still,
+    * but Spark's ANSI mode faults on the intentional 64-bit wrap.) The
+    * hash family is not oracle-visible — correctness is gated on the
+    * FINAL pair set matching the brute-force Jaccard oracle exactly. */
   private def signatures(docs: DataFrame): DataFrame = {
     val exploded = docs.select(col("doc_id"), explode(shingles).as("sh"))
-    val mins = (0 until NumHashes).map(s =>
-      min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
+      .withColumn("h", xxhash64(col("sh")))
+    val mins = (0 until NumHashes).map { s =>
+      min(xxhash64(lit(s), col("h"))).as(s"h$s")
+    }
     exploded.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
