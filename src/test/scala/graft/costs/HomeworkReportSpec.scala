@@ -24,6 +24,10 @@ class HomeworkReportSpec extends AnyFunSuite {
     assert(ours + "\n" == golden("hw_report.json"))
   }
 
+  test("chapter5 full report is byte-identical to the reference CLI output") {
+    assert(Chapter5Report.fullReport() == golden("ch5_report.txt"))
+  }
+
   test("pyFloat matches CPython repr across formatting regimes") {
     assert(PyFormat.pyFloat(0.0) == "0.0")
     assert(PyFormat.pyFloat(5.0) == "5.0")
