@@ -39,8 +39,17 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
-  private def cosine(av: Column, bv: Column): Column =
+  /** Composable-HOF cosine — kept as the reference form the native
+    * expression is spec-checked against (`VectorExpressionsSpec`). */
+  private[graft] def cosineHof(av: Column, bv: Column): Column =
     dot(av, bv) / (sqrt(dot(av, av)) * sqrt(dot(bv, bv)))
+
+  /** Hot-path cosine: the fused native Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — one pass, no intermediate
+    * arrays, same left-fold accumulation order as [[cosineHof]] and the
+    * DuckDB oracles, so results are bit-identical. */
+  private[graft] def cosine(av: Column, bv: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(av, bv)
 
   /** DuckDB fragments mirroring the Spark folds (1-based indices). */
   private def sqlDot(a: String, b: String): String =

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The native cosine expression must be bit-identical to the composable
+  * HOF form (same fold order), in both the interpreted and the
+  * whole-stage-codegen path, across the real embedding fixtures. */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def pairs = {
+    val v = graft.sources.Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ev"))
+      .limit(80)
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        col("a.ev").as("x"), col("b.ev").as("y"))
+  }
+
+  test("native cosine is bit-identical to the HOF fold (codegen path)") {
+    val both = pairs.select(
+      graft.operators.Similarity.cosineHof(col("x"), col("y")).as("hof"),
+      VectorFunctions.cosine_similarity(col("x"), col("y")).as("native"))
+    val rows = both.collect()
+    assert(rows.length > 1000)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native cosine is bit-identical in the interpreted path") {
+    val both = spark.conf.get("spark.sql.codegen.wholeStage") match {
+      case _ =>
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try pairs.select(
+          graft.operators.Similarity.cosineHof(col("x"), col("y")).as("hof"),
+          VectorFunctions.cosine_similarity(col("x"), col("y")).as("native"))
+          .collect()
+        finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("type checking rejects non-array-of-double inputs") {
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      // Dataset analysis is eager — the type-check fires at select()
+      graft.sources.Tables.part(spark, TestSpark.sfDir)
+        .select(VectorFunctions.cosine_similarity(col("p_name"), col("p_name")))
+        .collect()
+    }
+  }
+}
