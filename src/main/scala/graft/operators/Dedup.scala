@@ -148,24 +148,19 @@ object Dedup {
     * minima in a single groupBy (partial agg map-side — the shuffle
     * carries 64 longs per doc, independent of document size).
     *
-    * The 64 hash functions re-hash ONE `xxhash64` of the shingle under 64
-    * seeds: the variable-length string is hashed once and each per-seed
-    * hash runs over a fixed 8-byte long — this was the signature stage's
-    * dominant cost. (An affine `a_i·h + b_i` mix would be cheaper still,
-    * but Spark's ANSI mode faults on the intentional 64-bit wrap.) The
-    * hash family is not oracle-visible — correctness is gated on the
-    * FINAL pair set matching the brute-force Jaccard oracle exactly. */
-  private def signatures(docs: DataFrame): DataFrame = {
-    val exploded = docs.select(col("doc_id"), explode(shingles).as("sh"))
+    * The signature is computed by [[graft.functions.MinHashSketch]], a
+    * native `TypedImperativeAggregate`: one `Array[Long]` buffer updated
+    * in a tight JVM loop (64 splitmix64-style mixes of the shingle's one
+    * `xxhash64`), instead of a 64-column generated aggregate whose JIT
+    * dominated local bench time. The hash family is not oracle-visible —
+    * correctness is gated on the FINAL pair set matching the brute-force
+    * Jaccard oracle exactly. */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
-    val mins = (0 until NumHashes).map { s =>
-      min(xxhash64(lit(s), col("h"))).as(s"h$s")
-    }
-    exploded.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SketchFunctions
+        .minhash_sketch(col("h"), NumHashes).as("sig"))
 
   /** Near-dup pairs via MinHash+LSH banding, then *exact* Jaccard on the
     * candidates only. Output is identical to [[jaccardBrute]] whenever the
@@ -224,26 +219,20 @@ object Dedup {
     * `xxhash64`, which left this query oracle-less).
     * Features are word-3-gram shingles — single tokens don't discriminate
     * on a small-vocabulary corpus (every doc uses most of the vocab).
-    * One explode + one groupBy; the 64 bit-sums are a single wide partial
-    * aggregate. */
-  private def simhashBands(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(shingles).as("w"))
+    * One explode + one groupBy; the 64 vote counters live in
+    * [[graft.functions.SimHashSketch]]'s buffer (which applies the SAME
+    * Carter–Wegman bit hashes the oracle replays), not in 64 generated
+    * aggregate columns. */
+  private def simhashBands(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles).as("w"))
       .withColumn("p", polyHash(col("w")))
-    val bitSums = (0 until 64).map { i =>
-      val a = (1103515245L * i + 12345L) % M
-      val b = (1103515245L * (i + 64) + 12345L) % M
-      sum(when((col("p") * lit(a) + lit(b)) % lit(M) >= HalfM, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val withBits = tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-    val band = (lo: Int) => (lo until lo + 16).map(i =>
-      when(col(s"b$i") > 0, lit(1L) * lit(1L << (i - lo))).otherwise(0L))
-      .reduce(_ + _)
-    withBits.select(col("doc_id"),
-      band(0).as("band0"), band(16).as("band1"),
-      band(32).as("band2"), band(48).as("band3"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SketchFunctions.simhash_sketch(col("p")).as("b4"))
+      .select(col("doc_id"),
+        element_at(col("b4"), 1).as("band0"),
+        element_at(col("b4"), 2).as("band1"),
+        element_at(col("b4"), 3).as("band2"),
+        element_at(col("b4"), 4).as("band3"))
 
   /** SimHash near-dup pairs: candidates share at least one of the four
     * 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band identical), then an

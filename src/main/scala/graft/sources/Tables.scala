@@ -25,12 +25,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Session configs every graft entry point needs. The events fixture
-    * stores parquet INT64 TIMESTAMP(NANOS), which Spark 4.x refuses to read
-    * natively — `nanosAsLong` surfaces it as a long that [[events]]
-    * converts to a microsecond timestamp. */
-  val requiredConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  /** Session configs every graft entry point needs.
+    *   - `nanosAsLong`: the events fixture stores parquet INT64
+    *     TIMESTAMP(NANOS), which Spark 4.x refuses to read natively —
+    *     surfaced as a long that [[events]] converts to a microsecond
+    *     timestamp.
+    *   - object-hash fallback threshold: the sketch aggregates
+    *     (`graft.functions.MinHashSketch`/`SimHashSketch`) run under
+    *     ObjectHashAggregateExec, whose default 128-key fallback degrades
+    *     to sort-based aggregation on any realistic group count; the
+    *     buffers are small (≤512 B/group), so hash aggregation stays the
+    *     right plan well past this bound. */
+  val requiredConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1000000")
 
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Direct specs for the TypedImperativeAggregate sketches: the MinHash
+  * min-property, partition invariance (exercising partial/merge/serde
+  * paths), and SimHash vote packing. */
+class SketchAggregatesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def features(n: Int) = {
+    import spark.implicits._
+    (0 until n).flatMap(d => Seq.tabulate(20)(i => (d.toLong, s"w${d}_$i")))
+      .toDF("id", "w").withColumn("h", xxhash64(col("w")))
+  }
+
+  test("minhash signature is the element-wise min over feature signatures") {
+    val df = features(1)
+    val groupSig = df.groupBy("id")
+      .agg(SketchFunctions.minhash_sketch(col("h"), 64).as("sig"))
+      .head().getSeq[Long](1)
+    // per-feature signatures (each feature alone in its group)
+    val perFeature = df.withColumn("id", monotonically_increasing_id())
+      .groupBy("id")
+      .agg(SketchFunctions.minhash_sketch(col("h"), 64).as("sig"))
+      .collect().map(_.getSeq[Long](1)).toSeq
+    val expected = perFeature.transpose.map(_.min)
+    assert(groupSig == expected)
+  }
+
+  test("sketches are invariant to input partitioning (merge/serde paths)") {
+    val df = features(16)
+    def sigs(parts: Int) = df.repartition(parts)
+      .groupBy("id")
+      .agg(SketchFunctions.minhash_sketch(col("h"), 64).as("sig"),
+        SketchFunctions.simhash_sketch(pmod(col("h"), lit(1000000007L))).as("b4"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2))))
+      .toMap
+    assert(sigs(1) == sigs(7))
+  }
+
+  test("simhash packs vote signs into four 16-bit bands") {
+    import spark.implicits._
+    // one feature with known poly hash p: every bit vote is decided by
+    // (A_i*p + B_i) % M >= (M+1)/2 — recompute expected bands in Scala
+    val p = 123456789L
+    val df = Seq((1L, p)).toDF("id", "p")
+    val bands = df.groupBy("id")
+      .agg(SketchFunctions.simhash_sketch(col("p")).as("b4"))
+      .head().getSeq[Long](1)
+    val M = 1000000007L
+    val expected = (0 until 4).map { k =>
+      (0 until 16).foldLeft(0L) { (acc, j) =>
+        val i = 16 * k + j
+        val a = (1103515245L * i + 12345L) % M
+        val b = (1103515245L * (i + 64) + 12345L) % M
+        if ((p * a + b) % M >= (M + 1) / 2) acc | (1L << j) else acc
+      }
+    }
+    assert(bands == expected)
+    assert(bands.forall(b => b >= 0 && b < (1L << 16)))
+  }
+}
