@@ -1,0 +1,72 @@
+package graft.costs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField}
+
+import ChallengeModel._
+
+/** Observability bridge between the executable engine and the cost layer
+  * (SURVEY §1.4): where the reference consults hand-written stats JSON,
+  * this derives the same `CollectionSchema`/`CollectionStats` from a REAL
+  * DataFrame — one aggregation pass computing the exact row count, an
+  * `approx_count_distinct` per requested field (HLL++, deterministic on a
+  * given dataset), and observed average byte widths for strings.
+  *
+  * The result plugs straight into [[ChallengePlanner]]/[[ChallengeSim]],
+  * so one SQL string can be planned, cost-estimated from live statistics,
+  * and executed ([[graft.plans.MiniSql]]) against the same tables —
+  * `StatsCollectorSpec` closes that loop and checks the estimates against
+  * actual row counts.
+  *
+  * Scale: a single `agg` over the table — partial-aggregated HLL sketches
+  * shuffle once; nothing driver-side beyond the final one-row collect.
+  */
+object StatsCollector {
+
+  /** Fixed-width sizes per Spark type; strings use the observed average
+    * (the reference's defaults table, `challenge/loader.py:22-27`, is the
+    * fallback when a column is all-null). */
+  private def fixedSize(f: StructField): Option[Long] = f.dataType match {
+    case StringType => None // measured
+    case _ => Some(8L)
+  }
+
+  /** Profile `df` into a collection model in ONE aggregation pass.
+    *
+    * @param statFields fields to gather distinct-value estimates for
+    *                   (grouping/filter/join candidates)
+    */
+  def profile(
+      name: String,
+      df: DataFrame,
+      primaryKey: String,
+      shardingKey: String,
+      indexes: List[String] = Nil,
+      statFields: Seq[String] = Seq.empty): CollectionModel = {
+    val fields = df.schema.fields.toSeq
+    val stringFields = fields.filter(_.dataType == StringType).map(_.name)
+
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        statFields.map(f => approx_count_distinct(col(f)).as(s"__d_$f")) ++
+        stringFields.map(f =>
+          ceil(avg(octet_length(col(f)))).cast("long").as(s"__w_$f"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    val nbDocuments = row.getAs[Long]("__n")
+    val distinct = statFields.map(f => f -> row.getAs[Long](s"__d_$f")).toMap
+    val widths = stringFields.map { f =>
+      f -> Option(row.getAs[Any](s"__w_$f")).map(_.asInstanceOf[Long])
+        .getOrElse(80L)
+    }.toMap
+
+    val schema = CollectionSchema(name, primaryKey, fields.map { f =>
+      val size = fixedSize(f).getOrElse(widths(f.name))
+      f.name -> FieldSpec(f.name, size)
+    })
+    CollectionModel(schema,
+      CollectionStats(nbDocuments, distinctValues = distinct),
+      CollectionConfig(shardingKey, indexes))
+  }
+}
