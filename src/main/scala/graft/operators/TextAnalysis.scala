@@ -119,6 +119,32 @@ object TextAnalysis {
        |FROM documents ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
   }
 
+  /** BPE-ish subword token counting: alongside the whitespace count, a
+    * byte-pair-encoding-flavored regex segmentation (letter runs, digit
+    * runs, single punctuation marks — the segmentation shape GPT-style
+    * tokenizers apply before merges). The pattern uses only literal
+    * classes so Java and DuckDB regex engines agree exactly. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    val pieces = regexp_extract_all(col("text"), lit(pattern), lit(0))
+    sorted(Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_ws_tokens"),
+        size(pieces).cast("long").as("n_bpe_tokens"),
+        (size(pieces).cast("double") / size(toks).cast("double"))
+          .as("bpe_per_word")))
+  }
+
+  val bpeTokensOracle: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_ws_tokens,
+      |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+      |         AS n_bpe_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE)
+      |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS bpe_per_word
+      |FROM documents ORDER BY 1, 2, 3, 4""".stripMargin
+
   /** Document fingerprints: md5 of the raw text plus a Karp-Rabin-style
     * polynomial rolling hash (base 31, mod 1e9+7) left-folded over the
     * codepoints in index order — the exact same fold DuckDB's
@@ -144,11 +170,13 @@ object TextAnalysis {
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,
-    "text_fingerprint" -> fingerprintOracle)
+    "text_fingerprint" -> fingerprintOracle,
+    "text_bpe_tokens" -> bpeTokensOracle)
 }
