@@ -202,3 +202,20 @@ object ChallengeRun {
     ChallengeReporting.writeArtifacts(
       args.headOption.getOrElse("target/challenge_out"))
 }
+
+/** `runMain graft.costs.HomeworkRun [--json]` — the reference's
+  * `main.py --db DB1 [--json]` stdout surface. */
+object HomeworkRun {
+  def main(args: Array[String]): Unit =
+    if (args.contains("--json"))
+      println(HomeworkReport.jsonReport(HomeworkSim.simulateQueries()))
+    else println(HomeworkReport.textReport())
+}
+
+/** `runMain graft.costs.Chapter5Run [DB…]` — the reference's
+  * `python -m chapter5 --dbs DB1 DB2` stdout surface. */
+object Chapter5Run {
+  def main(args: Array[String]): Unit =
+    print(Chapter5Report.fullReport(
+      if (args.nonEmpty) args.toSeq else Seq("DB1", "DB2")))
+}

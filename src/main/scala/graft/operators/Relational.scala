@@ -163,6 +163,23 @@ object Relational {
     """SELECT l_partkey, sum(l_quantity) AS total_quantity, count(*) AS n_lines
       |FROM lineitem GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
 
+  /** q6 under key-skew mitigation: salt the grouping key into 8 subkeys,
+    * aggregate partially per (key, salt), then merge per key — the
+    * classic two-stage rewrite that bounds any one reducer's share of a
+    * hot key at 1/8th. Results are identical to [[q6StockByProduct]]
+    * (integral-double sums are exact in either grouping), so it shares
+    * q6's oracle. At sf scale AQE's skew handling makes this unnecessary;
+    * the operator exists for deliberately skewed keys at 100 TB where a
+    * single group exceeds an executor. */
+  def q6Salted(spark: SparkSession, dir: String): DataFrame = sorted(
+    Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy(col("l_partkey"), col("salt"))
+      .agg(sum(col("l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("pq")).as("total_quantity"),
+        sum(col("pn")).cast("long").as("n_lines")))
+
   /** q7: group by a non-shard key (`tests/test_aggregate.py:46-64`) with a
     * deterministic revenue sum over fractional doubles. */
   def q7OrdersByDateAgg(spark: SparkSession, dir: String): DataFrame = sorted(
@@ -284,6 +301,7 @@ object Relational {
     "q4_brand_stock_join" -> (q4BrandStockJoin _),
     "q5_orders_brand_client_join" -> (q5OrdersBrandClientJoin _),
     "q6_stock_by_product" -> (q6StockByProduct _),
+    "q6_salted_skew" -> (q6Salted _),
     "q7_orders_by_date_agg" -> (q7OrdersByDateAgg _),
     "challenge_q1" -> (challengeQ1 _),
     "challenge_q2" -> (challengeQ2 _),
@@ -300,6 +318,7 @@ object Relational {
     "q4_brand_stock_join" -> q4Oracle,
     "q5_orders_brand_client_join" -> q5Oracle,
     "q6_stock_by_product" -> q6Oracle,
+    "q6_salted_skew" -> q6Oracle,
     "q7_orders_by_date_agg" -> q7Oracle,
     "challenge_q1" -> challengeQ1Oracle,
     "challenge_q2" -> challengeQ2Oracle,
