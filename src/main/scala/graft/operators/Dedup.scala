@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
@@ -32,20 +33,33 @@ object Dedup {
   private def sorted(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(col).toSeq: _*)
 
-  private val toks: Column = split(col("text"), " ")
-
-  /** Distinct word-3-gram shingles of `text` (1-based `element_at`, same
-    * index arithmetic as the DuckDB oracle's list comprehension). Documents
-    * with fewer than 3 tokens yield an empty shingle set — the `when` guard
-    * matches DuckDB's `range(1, len - 1)` returning empty for len < 3
-    * (an unguarded `sequence(1, size - 2)` would count *down* and then
-    * `element_at(toks, 0)` throws). */
-  private val shingles: Column = when(size(toks) >= 3,
+  /** Distinct word-3-gram shingles of a *materialized* token-array column
+    * (1-based `element_at`, same index arithmetic as the DuckDB oracle's
+    * list comprehension). Documents with fewer than 3 tokens yield an empty
+    * shingle set — the `when` guard matches DuckDB's `range(1, len - 1)`
+    * returning empty for len < 3 (an unguarded `sequence(1, size - 2)`
+    * would count *down* and then `element_at(ws, 0)` throws).
+    *
+    * `ws` MUST be a bound attribute (see [[withShingles]]), never the raw
+    * `split(text, " ")` expression: higher-order functions are interpreted,
+    * and an inlined `split` subtree is re-evaluated inside every
+    * `element_at` call — O(tokens²) per document. With a materialized
+    * array, `element_at` is an O(1) index. (Profiled: the inlined form was
+    * ~4.7 s for the 272k-shingle explode at sf0.1; materialized ≈ sub-second.) */
+  private def shinglesOf(ws: Column): Column = when(size(ws) >= 3,
     array_distinct(
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2)))))
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
     .otherwise(typedlit(Seq.empty[String]))
+
+  /** (doc_id, sh): per-document distinct shingle array, with the token
+    * array materialized in its own projection so `CollapseProject` keeps
+    * `split` evaluated once (it never duplicates a non-cheap expression
+    * referenced more than once). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), shinglesOf(col("ws")).as("sh"))
 
   /** documents ∪ exact copies of every 10th doc (keys shifted +200000). */
   private def withExactDups(spark: SparkSession, dir: String): DataFrame = {
@@ -58,10 +72,12 @@ object Dedup {
     * (keys shifted +100000). */
   private def withNearDups(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val truncLen = floor((size(toks) * lit(9)).cast("double") / lit(10.0)).cast("int")
+    val ws = col("ws")
+    val truncLen = floor((size(ws) * lit(9)).cast("double") / lit(10.0)).cast("int")
     d.unionAll(d.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select((col("doc_id") + 100000L).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), truncLen)).as("text")))
+        concat_ws(" ", slice(ws, lit(1), truncLen)).as("text")))
   }
 
   /** DuckDB CTEs mirroring [[withExactDups]] / [[withNearDups]]. */
@@ -118,8 +134,7 @@ object Dedup {
     // DuckDB yields NaN for 0/0 which fails the threshold; Spark's ANSI
     // mode would instead raise DIVIDE_BY_ZERO, so the filter is the
     // semantics-preserving guard.
-    val s = withNearDups(spark, dir)
-      .select(col("doc_id"), shingles.as("sh"))
+    val s = withShingles(withNearDups(spark, dir))
       .filter(size(col("sh")) > 0)
     val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
@@ -156,7 +171,7 @@ object Dedup {
     * correctness is gated on the FINAL pair set matching the brute-force
     * Jaccard oracle exactly. */
   private def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles).as("sh"))
+    withShingles(docs).select(col("doc_id"), explode(col("sh")).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SketchFunctions
@@ -170,17 +185,31 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = withNearDups(spark, dir)
     val sigs = signatures(docs)
+    // Persist the banded signatures: 16 (band, hash) rows of 3 longs per
+    // doc — tiny relative to the corpus at any scale — and the self-join
+    // below would otherwise evaluate the whole explode+sketch subtree once
+    // per side. (CacheManager dedups by canonicalized plan, so repeated
+    // calls share one entry; callers can `spark.catalog.clearCache()`.)
     val bands = sigs.select(col("doc_id"), posexplode(
       array((0 until NumBands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * 4 + 1, 4))): _*))
       .as(Seq("band", "bandHash")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bandHash") === col("y.bandHash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sh = docs.select(col("doc_id"), shingles.as("sh"))
+    // Exact-confirm shingles are recomputed ONLY for docs that appear in a
+    // candidate pair (a semi-join on the tiny candidate-id set, broadcast
+    // because candidates ∝ true duplicates) — at 100 TB this re-reads a
+    // pruned 2-column slice of the corpus for a few thousand docs instead
+    // of either persisting every document's shingle set or re-sh shingling
+    // the full corpus twice.
+    val candIds = cand.select(explode(array(col("a_id"), col("b_id")))
+      .as("doc_id")).distinct()
+    val sh = withShingles(docs.join(broadcast(candIds), "doc_id"))
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
       size(array_union(col("a_sh"), col("b_sh"))).cast("double")
     sorted(cand
@@ -224,7 +253,7 @@ object Dedup {
     * Carter–Wegman bit hashes the oracle replays), not in 64 generated
     * aggregate columns. */
   private def simhashBands(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles).as("w"))
+    withShingles(docs).select(col("doc_id"), explode(col("sh")).as("w"))
       .withColumn("p", polyHash(col("w")))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SketchFunctions.simhash_sketch(col("p")).as("b4"))
@@ -240,7 +269,13 @@ object Dedup {
     * integer-exact in both engines, so the DuckDB oracle below replays the
     * identical algorithm and the result hash-matches. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Persisted for the same reason as [[minhashLsh]]'s bands, and more so:
+    // this 5-longs-per-doc frame is referenced FOUR times below (both sides
+    // of the band self-join, then both sides of the hamming confirm), and
+    // its polynomial-hash subtree is the most expensive expression in the
+    // module.
     val bands = simhashBands(withNearDups(spark, dir))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val byBand = bands.select(col("doc_id"), posexplode(array(
         col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band", "val")))
