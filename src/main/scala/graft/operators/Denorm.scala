@@ -45,8 +45,12 @@ object Denorm {
     df.orderBy(df.columns.map(col).toSeq: _*)
 
   /** D2-style one-to-one embed: every lineitem row carries its part as a
-    * nested `product` struct. Fact ⋈ broadcast(dim) + struct — map-only at
-    * scale (reference `challenge/loader.py:109-128`, cardinality="one"). */
+    * nested `product` struct (reference `challenge/loader.py:109-128`,
+    * cardinality="one"). The dimension is unfiltered, so no `broadcast()`
+    * hint — size-based planning/AQE broadcasts while `part` fits (keeping
+    * the materialization map-only) and falls back to a shuffle join when
+    * the dimension scales past the threshold, instead of OOMing on an
+    * unconditional hint (`JoinPlanningSpec`). */
   def productEmbedded(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select(
       col("p_partkey"), col("p_name"), col("p_brand"),
@@ -54,7 +58,7 @@ object Denorm {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_quantity"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_quantity"),
         struct(col("p_name"), col("p_brand"), col("p_type"),

@@ -248,13 +248,18 @@ object Relational {
 
   /** ch5 Q3: movie ⋈ review co-partitioned join (`chapter5/planner.py:32-43`).
     * The reference's "no shuffle when join key == both sharding keys"
-    * (`chapter5/simulator.py:209-217`) maps to bucketed layouts; on flat
-    * parquet we broadcast the dimension so the fact side still never
-    * shuffles. */
+    * (`chapter5/simulator.py:209-217`) maps to bucketed layouts
+    * (`BucketedLayoutSpec`). On flat parquet the dimension is UNFILTERED,
+    * so it gets no `broadcast()` hint: a hint is unconditional, and a
+    * dimension that grows with the dataset would eventually OOM the
+    * driver. Size-based planning (autoBroadcastJoinThreshold + AQE)
+    * broadcasts while the dimension is genuinely small and degrades to a
+    * shuffle join when it is not — `JoinPlanningSpec` asserts both the
+    * absence of the hint and the size-chosen broadcast at test scale. */
   def ch5Q3MovieReviewJoin(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
     val l = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_quantity"))
-    sorted(l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    sorted(l.join(p, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("l_quantity")))
   }
 
