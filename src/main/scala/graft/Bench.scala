@@ -21,24 +21,36 @@ object Bench {
     // query runs first (~3 s of noise on its number).
     try graft.sources.Tables.region(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // Times the scale-path set only; the O(n²) oracle baselines
+    // Times the PRODUCTION registry (no oracle canonicalization sort) for
+    // the scale-path set only; the O(n²) oracle baselines
     // (SparkEntry.baselineOnly) are correctness-gated by Verify, not timed.
-    // A query that throws is recorded as -1.0 with its error message — a
-    // crash must never masquerade as a fast timing.
+    // Each query runs 3 times and reports the MIN — a single-shot run at
+    // local[32] carries ±0.5 s of JIT/GC noise that reads as phantom
+    // regressions. The DataFrame cache is cleared before every iteration,
+    // so queries that persist an intermediate (the LSH dedups) pay their
+    // full cache-build cost in every timed run — min-of-3 discounts JIT
+    // warm-up, never a warm cache. A query that throws is recorded as -1.0
+    // with its error message — a crash must never masquerade as a fast
+    // timing.
+    val Iterations = 3
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable =>
-                  Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isEmpty) secs else -1.0, err)
+      val runs = (1 to Iterations).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable =>
+                    Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val firstErr = runs.collectFirst { case (_, Some(e)) => e }
+      (name, if (firstErr.isEmpty) runs.map(_._1).min else -1.0, firstErr)
     }
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","agg":"min-of-$Iterations per query, cache cleared per run","registry":"production (no canonicalization sort)"}""")
     spark.stop()
   }
 }

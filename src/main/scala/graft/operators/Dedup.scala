@@ -30,9 +30,6 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  private def sorted(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(col).toSeq: _*)
-
   /** Distinct word-3-gram shingles of a *materialized* token-array column
     * (1-based `element_at`, same index arithmetic as the DuckDB oracle's
     * list comprehension). Documents with fewer than 3 tokens yield an empty
@@ -111,7 +108,7 @@ object Dedup {
   /** Exact dedup: one row per distinct text, keeping the minimum doc_id.
     * Groups on md5(text) so at scale the shuffle key is 32 bytes, not the
     * document body; partial aggregation collapses copies map-side. */
-  def exact(spark: SparkSession, dir: String): DataFrame = sorted(
+  def exact(spark: SparkSession, dir: String): DataFrame = (
     withExactDups(spark, dir)
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")))
@@ -140,7 +137,7 @@ object Dedup {
     val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
       size(array_union(col("a_sh"), col("b_sh"))).cast("double")
-    sorted(a.join(b, col("a_id") < col("b_id"))
+    (a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.6))
   }
@@ -212,7 +209,7 @@ object Dedup {
     val sh = withShingles(docs.join(broadcast(candIds), "doc_id"))
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
       size(array_union(col("a_sh"), col("b_sh"))).cast("double")
-    sorted(cand
+    (cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
@@ -290,7 +287,7 @@ object Dedup {
       col("band1").as("b1"), col("band2").as("b2"), col("band3").as("b3"))
     val hamming = (0 until 4).map(i =>
       bit_count(col(s"a$i").bitwiseXOR(col(s"b$i")))).reduce(_ + _)
-    sorted(cand.join(a, "a_id").join(b, "b_id")
+    (cand.join(a, "a_id").join(b, "b_id")
       .select(col("a_id"), col("b_id"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= 3))
   }

@@ -41,9 +41,6 @@ import graft.sources.Tables
   */
 object Denorm {
 
-  private def sorted(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(col).toSeq: _*)
-
   /** D2-style one-to-one embed: every lineitem row carries its part as a
     * nested `product` struct (reference `challenge/loader.py:109-128`,
     * cardinality="one"). The dimension is unfiltered, so no `broadcast()`
@@ -83,7 +80,7 @@ object Denorm {
   /** Embed materialization proof (one-to-one): build the nested layout,
     * then read the embedded fields back out — the oracle is the flat join,
     * so a hash-match proves the embed preserved every (row, field). */
-  def embedOne(spark: SparkSession, dir: String): DataFrame = sorted(
+  def embedOne(spark: SparkSession, dir: String): DataFrame = (
     productEmbedded(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("product.p_brand").as("p_brand"),
@@ -97,7 +94,7 @@ object Denorm {
   /** Embed materialization proof (one-to-many): build the array-of-structs
     * layout, explode it back flat; hash-match vs the flat join shows the
     * grouping lost/duplicated nothing. */
-  def embedMany(spark: SparkSession, dir: String): DataFrame = sorted(
+  def embedMany(spark: SparkSession, dir: String): DataFrame = (
     linesEmbedded(spark, dir)
       .select(col("p_partkey"), col("p_brand"), explode(col("lines")).as("ln"))
       .select(col("p_partkey"), col("p_brand"),
@@ -115,7 +112,7 @@ object Denorm {
     * shuffle at query time — the work was paid once at materialization
     * (the executable analog of the reference's D3 cost advantage on
     * grouped queries). */
-  def embedAgg(spark: SparkSession, dir: String): DataFrame = sorted(
+  def embedAgg(spark: SparkSession, dir: String): DataFrame = (
     linesEmbedded(spark, dir)
       .select(col("p_partkey"), col("p_brand"),
         size(col("lines")).cast("long").as("n_lines")))
@@ -133,7 +130,7 @@ object Denorm {
     * the reference's rewrite-equivalence invariant
     * (`tests/test_challenge.py:102-117`, rewrite logic
     * `challenge/planner.py:168-222`). */
-  def rewriteQ2(spark: SparkSession, dir: String): DataFrame = sorted(
+  def rewriteQ2(spark: SparkSession, dir: String): DataFrame = (
     productEmbedded(spark, dir)
       .filter(col("l_orderkey") === Relational.OrderKeyQ2 &&
         col("product.p_brand") === Relational.Brand)

@@ -26,16 +26,13 @@ import graft.sources.Tables
   */
 object Events {
 
-  private def sorted(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(col).toSeq: _*)
-
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 6))).cast("double")
 
   private val dsumSql = "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
 
   /** Tumbling 1-hour aggregate by event type. */
-  def hourlyAgg(spark: SparkSession, dir: String): DataFrame = sorted(
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame = (
     Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -52,7 +49,7 @@ object Events {
   /** Sliding 1-hour window every 30 minutes (each event lands in exactly
     * two windows). Uses Spark's `window()`; the oracle enumerates the two
     * member windows per event on the shared 30-min grid. */
-  def slidingAgg(spark: SparkSession, dir: String): DataFrame = sorted(
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame = (
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
@@ -73,7 +70,7 @@ object Events {
     * `session_window` (session = [first ts, last ts + gap)); the oracle is
     * the classic gaps-and-islands rewrite (break when the gap to the
     * previous event is ≥ the timeout). */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = sorted(
+  def sessionize(spark: SparkSession, dir: String): DataFrame = (
     Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))

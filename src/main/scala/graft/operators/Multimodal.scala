@@ -31,9 +31,6 @@ import graft.sources.Tables
   */
 object Multimodal {
 
-  private def sorted(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(col).toSeq: _*)
-
   /** The opaque media column: payload + typed metadata struct. */
   private def media(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -50,7 +47,7 @@ object Multimodal {
   private val codes: Column = transform(chars, c => ascii(c).cast("long"))
 
   /** Metadata extraction over the binary column — format, size, checksum. */
-  def metadata(spark: SparkSession, dir: String): DataFrame = sorted(
+  def metadata(spark: SparkSession, dir: String): DataFrame = (
     media(spark, dir).select(
       col("doc_id"),
       col("meta.format").as("format"),
@@ -68,7 +65,7 @@ object Multimodal {
   def features(spark: SparkSession, dir: String): DataFrame = {
     val bins = (0 until 16).map(b =>
       size(filter(codes, x => x % 16 === b)).cast("long").as(s"h$b"))
-    sorted(Tables.documents(spark, dir)
+    (Tables.documents(spark, dir)
       .select(col("doc_id") +: bins: _*))
   }
 
@@ -91,7 +88,7 @@ object Multimodal {
       .otherwise(typedlit(Seq.empty[Long]))
     val fp = aggregate(sampled, lit(0L),
       (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
-    sorted(Tables.documents(spark, dir).select(
+    (Tables.documents(spark, dir).select(
       col("doc_id"),
       size(sampled).cast("long").as("n_frames"),
       fp.as("frame_fp")))
@@ -118,7 +115,7 @@ object Multimodal {
         .otherwise(lit(32L)))
     val fp = aggregate(fixed, lit(0L),
       (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
-    sorted(Tables.documents(spark, dir)
+    (Tables.documents(spark, dir)
       .select(col("doc_id"), fp.as("resized_fp")))
   }
 

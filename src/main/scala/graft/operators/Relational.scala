@@ -50,16 +50,13 @@ object Relational {
     * double (order-independent; identical bits in Spark and DuckDB). */
   private def dsum(c: Column): Column = sum(money(c)).cast("double")
 
-  private def sorted(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(col).toSeq: _*)
-
   // --- homework q1–q5 (query_simulator/queries.py) -------------------------
 
   /** q1: shard-targeted 2-key equality lookup (`queries.py:16-30`).
     * Scale: both predicates push to parquet (row-group skip); on a layout
     * partitioned by l_partkey this is the reference's "shard-targeted scan"
     * (`challenge/simulator.py:57-61`) via Catalyst partition pruning. */
-  def q1StockLookup(spark: SparkSession, dir: String): DataFrame = sorted(
+  def q1StockLookup(spark: SparkSession, dir: String): DataFrame = (
     Tables.lineitem(spark, dir)
       .filter(col("l_partkey") === StockPart && col("l_suppkey") === StockSupp)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -71,7 +68,7 @@ object Relational {
        |ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
   /** q2: full-scan equality filter + projection (`queries.py:32-46`). */
-  def q2BrandFilter(spark: SparkSession, dir: String): DataFrame = sorted(
+  def q2BrandFilter(spark: SparkSession, dir: String): DataFrame = (
     Tables.part(spark, dir)
       .filter(col("p_brand") === Brand)
       .select(col("p_partkey"), col("p_name"), col("p_brand")))
@@ -81,7 +78,7 @@ object Relational {
        |WHERE p_brand = '$Brand' ORDER BY 1, 2, 3""".stripMargin
 
   /** q3: equality filter on a date column (`queries.py:48-62`). */
-  def q3OrdersByDate(spark: SparkSession, dir: String): DataFrame = sorted(
+  def q3OrdersByDate(spark: SparkSession, dir: String): DataFrame = (
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") === expr(s"timestamp'$ShipDate'"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
@@ -101,7 +98,7 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"))
     val l = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-    sorted(l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    (l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_brand"), col("l_orderkey"),
         col("l_linenumber"), col("l_quantity")))
   }
@@ -128,7 +125,7 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    sorted(l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    (l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
@@ -153,7 +150,7 @@ object Relational {
     * |group keys present| rows before the exchange; on a layout bucketed by
     * l_partkey the exchange is elided entirely — the executable analog of the
     * reference's shuffle-free shard-aligned aggregate (`aggregate.py:218-237`). */
-  def q6StockByProduct(spark: SparkSession, dir: String): DataFrame = sorted(
+  def q6StockByProduct(spark: SparkSession, dir: String): DataFrame = (
     Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_quantity")).as("total_quantity"),
@@ -171,7 +168,7 @@ object Relational {
     * q6's oracle. At sf scale AQE's skew handling makes this unnecessary;
     * the operator exists for deliberately skewed keys at 100 TB where a
     * single group exceeds an executor. */
-  def q6Salted(spark: SparkSession, dir: String): DataFrame = sorted(
+  def q6Salted(spark: SparkSession, dir: String): DataFrame = (
     Tables.lineitem(spark, dir)
       .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
       .groupBy(col("l_partkey"), col("salt"))
@@ -182,7 +179,7 @@ object Relational {
 
   /** q7: group by a non-shard key (`tests/test_aggregate.py:46-64`) with a
     * deterministic revenue sum over fractional doubles. */
-  def q7OrdersByDateAgg(spark: SparkSession, dir: String): DataFrame = sorted(
+  def q7OrdersByDateAgg(spark: SparkSession, dir: String): DataFrame = (
     Tables.lineitem(spark, dir)
       .groupBy(col("l_shipdate"))
       .agg(sum(col("l_quantity")).as("total_quantity"),
@@ -197,7 +194,7 @@ object Relational {
 
   /** challenge Q1: `SELECT description FROM Product WHERE categorie=…`
     * (`challenge/queries.json`, planned at `challenge/planner.py:152-311`). */
-  def challengeQ1(spark: SparkSession, dir: String): DataFrame = sorted(
+  def challengeQ1(spark: SparkSession, dir: String): DataFrame = (
     Tables.part(spark, dir)
       .filter(col("p_type") === "PROMO")
       .select(col("p_partkey"), col("p_name").as("description")))
@@ -212,7 +209,7 @@ object Relational {
   def challengeQ2(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).filter(col("l_orderkey") === OrderKeyQ2)
     val p = Tables.part(spark, dir).filter(col("p_brand") === Brand)
-    sorted(l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    (l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("p_retailprice")))
   }
@@ -226,7 +223,7 @@ object Relational {
   // --- chapter5 Movie/Review Q1–Q5 (chapter5/planner.py) -------------------
 
   /** ch5 Q1: movies by genre (`chapter5/planner.py:8-17`). */
-  def ch5Q1MoviesByGenre(spark: SparkSession, dir: String): DataFrame = sorted(
+  def ch5Q1MoviesByGenre(spark: SparkSession, dir: String): DataFrame = (
     Tables.part(spark, dir)
       .filter(col("p_type") === "STANDARD")
       .select(col("p_partkey"), col("p_name"), col("p_type")))
@@ -237,7 +234,7 @@ object Relational {
 
   /** ch5 Q2: reviews for one movie — shard-targeted filter
     * (`chapter5/planner.py:20-29`). */
-  def ch5Q2ReviewsForMovie(spark: SparkSession, dir: String): DataFrame = sorted(
+  def ch5Q2ReviewsForMovie(spark: SparkSession, dir: String): DataFrame = (
     Tables.lineitem(spark, dir)
       .filter(col("l_partkey") === PartKey)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity")))
@@ -259,7 +256,7 @@ object Relational {
   def ch5Q3MovieReviewJoin(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
     val l = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_quantity"))
-    sorted(l.join(p, col("l_partkey") === col("p_partkey"))
+    (l.join(p, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("l_quantity")))
   }
 
@@ -270,7 +267,7 @@ object Relational {
 
   /** ch5 Q4: avg rating by movie (`chapter5/planner.py:46-55`). avg over
     * integral doubles = exact sum / exact count → bit-deterministic. */
-  def ch5Q4AvgRatingByMovie(spark: SparkSession, dir: String): DataFrame = sorted(
+  def ch5Q4AvgRatingByMovie(spark: SparkSession, dir: String): DataFrame = (
     Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(avg(col("l_quantity")).as("avg_rating")))
@@ -288,7 +285,7 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg(avg(col("l_quantity")).as("avg_rating"))
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
-    sorted(agg.join(p, col("l_partkey") === col("p_partkey"))
+    (agg.join(p, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_name"), col("avg_rating")))
   }
 

@@ -30,9 +30,6 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private def sorted(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(col).toSeq: _*)
-
   private val dvec: Column =
     transform(col("embedding"), x => x.cast("double"))
 
@@ -73,7 +70,7 @@ object Similarity {
     val b = v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    sorted(a.join(b, col("vec_id") =!= col("neighbor_id"))
+    (a.join(b, col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("a_ev"), col("b_ev")).as("cosine"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -121,7 +118,7 @@ object Similarity {
     val v = withNearDupVecs(spark, dir)
     val a = v.select(col("vec_id").as("a_id"), col("ev").as("a_ev"))
     val b = v.select(col("vec_id").as("b_id"), col("ev").as("b_ev"))
-    sorted(a.join(b, col("a_id") < col("b_id"))
+    (a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         cosine(col("a_ev"), col("b_ev")).as("cosine"))
       .filter(col("cosine") >= 0.9))
@@ -191,7 +188,7 @@ object Similarity {
       col("bucket").as("b_bucket"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    sorted(a.join(b, col("bucket") === col("b_bucket") &&
+    (a.join(b, col("bucket") === col("b_bucket") &&
         col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"), col("bucket"),
         cosine(col("a_ev"), col("b_ev")).as("cosine"))
@@ -264,7 +261,7 @@ object Similarity {
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     val ev = v.select(col("vec_id"), col("ev"))
-    sorted(cand
+    (cand
       .join(ev.select(col("vec_id").as("a_id"), col("ev").as("a_ev")), "a_id")
       .join(ev.select(col("vec_id").as("b_id"), col("ev").as("b_ev")), "b_id")
       .select(col("a_id"), col("b_id"),

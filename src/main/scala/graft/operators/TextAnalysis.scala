@@ -22,9 +22,6 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private def sorted(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(col).toSeq: _*)
-
   /** Whitespace tokens. Fixture text is single-space separated; a plain
     * space split keeps the oracle (`string_split(text, ' ')`) trivially
     * identical. */
@@ -46,7 +43,7 @@ object TextAnalysis {
 
   /** Token statistics: counts, distinct ratio, average token length.
     * Single narrow projection — Catalyst prunes the scan to (doc_id, text). */
-  def tokenStats(spark: SparkSession, dir: String): DataFrame = sorted(
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = (
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -72,7 +69,7 @@ object TextAnalysis {
     val stopRatio = countIn(EnWords).cast("double") / nTok
     val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
     val lenNorm = least(lit(1.0), nTok / lit(100.0))
-    sorted(Tables.documents(spark, dir)
+    (Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         col("n_chars"),
@@ -96,7 +93,7 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val (cEn, cFr, cDe, cEs) =
       (countIn(EnWords), countIn(FrWords), countIn(DeWords), countIn(EsWords))
-    sorted(Tables.documents(spark, dir)
+    (Tables.documents(spark, dir)
       .select(
         col("doc_id"), col("lang").as("labeled_lang"),
         cEn.cast("long").as("c_en"), cFr.cast("long").as("c_fr"),
@@ -127,7 +124,7 @@ object TextAnalysis {
   def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
     val pattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
     val pieces = regexp_extract_all(col("text"), lit(pattern), lit(0))
-    sorted(Tables.documents(spark, dir)
+    (Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_ws_tokens"),
@@ -155,7 +152,7 @@ object TextAnalysis {
       transform(chars, c => ascii(c).cast("long")),
       lit(0L),
       (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
-    sorted(Tables.documents(spark, dir)
+    (Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("md5_fp"), poly.as("poly_fp")))
   }
 

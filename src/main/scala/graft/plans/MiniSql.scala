@@ -31,9 +31,6 @@ import graft.sources.Tables
   */
 object MiniSql {
 
-  private def sorted(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(col).toSeq: _*)
-
   private def litOf(v: SqlValue): Column = v match {
     case IntV(l) => lit(l)
     case NumV(d) => lit(d)
@@ -82,7 +79,7 @@ object MiniSql {
         col(s"$collection.$name").as(name)
       } else col(field)
     }
-    sorted(joined.select(projection: _*))
+    (joined.select(projection: _*))
   }
 
   // --- registry: challenge Q1/Q2 round-tripped through the parser ----------

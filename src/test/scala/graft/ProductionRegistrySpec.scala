@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The registry split the bench contract depends on: `productionQueries`
+  * is what a user (and Bench) runs — no canonicalization — while `queries`
+  * adds exactly one deterministic global sort for the driver's DuckDB
+  * row-hash compare. A global Sort on every query would be a full
+  * range-partitioned shuffle of the result at 100 TB, paid for pure test
+  * determinism; production plans must not carry it.
+  */
+class ProductionRegistrySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def hasGlobalSort(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    }.nonEmpty
+
+  test("registries are key-identical and bench excludes only the baselines") {
+    assert(SparkEntry.productionQueries.keySet == SparkEntry.queries.keySet)
+    assert(SparkEntry.benchQueries.keySet ==
+      SparkEntry.productionQueries.keySet -- SparkEntry.baselineOnly)
+  }
+
+  test("production plans carry no global Sort; oracle forms carry exactly one on top") {
+    // representative spread: plain agg, join, LSH pipeline, window agg
+    for (name <- Seq("q6_stock_by_product", "ch5_q3_movie_review_join",
+                     "dedup_minhash_lsh", "events_hourly_agg")) {
+      val prod = SparkEntry.productionQueries(name)(spark, TestSpark.sfDir)
+      val oracle = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      assert(!hasGlobalSort(prod), s"$name production plan has a global Sort:\n" +
+        prod.queryExecution.optimizedPlan.toString)
+      assert(hasGlobalSort(oracle), s"$name oracle form lost its canonical Sort")
+    }
+  }
+
+  test("production and oracle forms return the same rows (ordering aside)") {
+    val name = "q6_stock_by_product"
+    val prod = SparkEntry.productionQueries(name)(spark, TestSpark.sfDir)
+      .collect().toSet
+    val oracle = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .collect().toSet
+    assert(prod == oracle)
+  }
+}
