@@ -203,13 +203,21 @@ object ChallengeRun {
       args.headOption.getOrElse("target/challenge_out"))
 }
 
-/** `runMain graft.costs.HomeworkRun [--json]` — the reference's
-  * `main.py --db DB1 [--json]` stdout surface. */
+/** `runMain graft.costs.HomeworkRun [--db SIG] [--json]` — the reference's
+  * `main.py --db DB1 [--json]` stdout surface (argparse at
+  * `query_simulator/runner.py:74-96`: `--db` defaults to DB1 and accepts
+  * any string — DB1–DB5 share one sizing table, an unknown signature
+  * falls back to 0-GB collections with a warning note in every row). */
 object HomeworkRun {
-  def main(args: Array[String]): Unit =
+  def main(args: Array[String]): Unit = {
+    val db = args.sliding(2).collectFirst {
+      case Array("--db", sig) => sig
+    }.getOrElse(HomeworkSim.DefaultDbSignature)
     if (args.contains("--json"))
-      println(HomeworkReport.jsonReport(HomeworkSim.simulateQueries()))
-    else println(HomeworkReport.textReport())
+      println(HomeworkReport.jsonReport(
+        HomeworkSim.simulateQueries(dbSignature = db)))
+    else println(HomeworkReport.textReport(db))
+  }
 }
 
 /** `runMain graft.costs.Chapter5Run [DB…]` — the reference's

@@ -60,6 +60,7 @@ object HomeworkReport {
   def jsonReport(results: Seq[HomeworkSim.QueryCostResult]): String =
     dumps(PyArr(results.map(resultToJson)))
 
-  /** Text report for the default run. */
-  def textReport(): String = formatCostResults(HomeworkSim.simulateQueries())
+  /** Text report for a run against the given DB signature. */
+  def textReport(dbSignature: String = HomeworkSim.DefaultDbSignature): String =
+    formatCostResults(HomeworkSim.simulateQueries(dbSignature = dbSignature))
 }

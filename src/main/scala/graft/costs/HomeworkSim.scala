@@ -38,10 +38,19 @@ object HomeworkSim {
     "Supplier" -> Stats.NWa,
     "Category" -> Stats.NProd * Stats.AvgCatPerProd)
 
-  /** GB sizes, identical for DB1–DB5 (reference `query_simulator/config.py:
-    * 80-105`). */
-  def collectionSizeGb(collection: String): Double =
-    (for {
+  /** reference `query_simulator/config.py:52-53` */
+  val dbSignatures: Seq[String] = Seq("DB1", "DB2", "DB3", "DB4", "DB5")
+  val DefaultDbSignature: String = "DB1"
+
+  /** GB sizes, identical for DB1–DB5; an unknown signature falls back to
+    * 0.0 per collection, exactly like the reference's
+    * `COLLECTION_SIZES_GB.get(db_signature, {})` (reference
+    * `query_simulator/config.py:80-105`) — the report then carries the
+    * "collection size not found" warning note. */
+  def collectionSizeGb(collection: String,
+      dbSignature: String = DefaultDbSignature): Double =
+    if (!dbSignatures.contains(dbSignature)) 0.0
+    else (for {
       size <- docSizesBytes.get(collection)
       count <- collectionCounts.get(collection)
     } yield (size * count).toDouble / CostConstants.BytesPerGb).getOrElse(0.0)
@@ -71,8 +80,9 @@ object HomeworkSim {
   val shardingAccessFraction: Double = CostConstants.ShardingAccessFraction
 
   /** reference `query_simulator/costs.py:59-80` */
-  def estimateComponent(model: CostModel, component: QueryComponent): CostBreakdown = {
-    val baseSizeGb = collectionSizeGb(component.collection)
+  def estimateComponent(model: CostModel, component: QueryComponent,
+      dbSignature: String = DefaultDbSignature): CostBreakdown = {
+    val baseSizeGb = collectionSizeGb(component.collection, dbSignature)
     var dataGb = baseSizeGb * component.selectivity
     var notes = List(component.description)
     if (component.targetedShard) {
@@ -89,9 +99,10 @@ object HomeworkSim {
     * network overhead equal to the total scanned GB shipped across the
     * cluster. */
   def estimateQuery(query: QuerySpec,
-      model: CostModel = CostModel()): QueryCostResult = {
+      model: CostModel = CostModel(),
+      dbSignature: String = DefaultDbSignature): QueryCostResult = {
     val componentCosts =
-      query.components.map(c => c.name -> estimateComponent(model, c))
+      query.components.map(c => c.name -> estimateComponent(model, c, dbSignature))
     query.kind match {
       case "filter" =>
         val total = model.aggregate(s"${query.name}:total", componentCosts.map(_._2))
@@ -152,6 +163,8 @@ object HomeworkSim {
           "Join to one client record per matching order", targetedShard = true)),
       joinSelectivity = Some(Stats.SelQ2Brand * Stats.SelQ3Date)))
 
-  def simulateQueries(model: CostModel = CostModel()): List[QueryCostResult] =
-    defaultQueries.map(q => estimateQuery(q, model))
+  /** reference `query_simulator/runner.py:12-20` */
+  def simulateQueries(model: CostModel = CostModel(),
+      dbSignature: String = DefaultDbSignature): List[QueryCostResult] =
+    defaultQueries.map(q => estimateQuery(q, model, dbSignature))
 }

@@ -172,24 +172,43 @@ object Similarity {
       when(dot(v, typedlit(planeWeights(p))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN top-k via random-hyperplane LSH: vectors meet only within their
-    * sign-pattern bucket; the plane count (= log₂ #buckets) grows with the
-    * corpus via [[planesFor]] (one cheap driver-side `count()` against
-    * parquet metadata). The oracle runs the identical algorithm (same
-    * planes, same folds), so this hash-matches even though ANN-vs-exact
-    * recall is approximate by construction. */
+  /** ANN top-k via random-hyperplane LSH with radius-2 multi-probe: each
+    * query vector ranks candidates from its own sign-pattern bucket plus
+    * every bucket within hamming distance 2 of it. The plane count
+    * (= log₂ #buckets) grows with the corpus via [[planesFor]] (one cheap
+    * driver-side `count()` against parquet metadata), so the probed
+    * fraction (1 + p + p(p−1)/2) / 2^p shrinks exponentially as n grows
+    * while per-probe occupancy stays ~constant. Single-probe recall@3 on
+    * the random-vector fixtures is only ~0.17 (near-orthogonal random
+    * vectors are hyperplane LSH's worst case — no cluster structure);
+    * radius-2 probing lifts it to ~0.81, pinned with a 0.75 floor in
+    * `SimilaritySpec`. Candidate generation carries only (vec_id, probe)
+    * longs; each neighbor is found at most once because its bucket matches
+    * at most one of the distinct probe values. The oracle runs the
+    * identical algorithm (same planes, same probes, same folds), so this
+    * hash-matches even though ANN-vs-exact recall is approximate by
+    * construction. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dvec.as("ev"))
       .withColumn("bucket", bucketExpr(col("ev"), numPlanes))
-    val a = v.select(col("vec_id"), col("ev").as("a_ev"), col("bucket"))
-    val b = v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev"),
-      col("bucket").as("b_bucket"))
+    val buckets = v.select(col("vec_id"), col("bucket"))
+    val probes = buckets.select(col("vec_id"), col("bucket"), explode(array(
+      probeMasks(numPlanes).map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+      .as("probe"))
+    val cand = probes.as("x").join(
+        buckets.select(col("vec_id").as("neighbor_id"), col("bucket").as("nb")),
+        col("probe") === col("nb") && col("x.vec_id") =!= col("neighbor_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
+        col("neighbor_id"))
+    val ev = v.select(col("vec_id"), col("ev"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    (a.join(b, col("bucket") === col("b_bucket") &&
-        col("vec_id") =!= col("neighbor_id"))
+    (cand
+      .join(ev.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .join(ev.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev")),
+        "neighbor_id")
       .select(col("vec_id"), col("neighbor_id"), col("bucket"),
         cosine(col("a_ev"), col("b_ev")).as("cosine"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -213,10 +232,22 @@ object Similarity {
        |       FROM v CROSS JOIN pw GROUP BY v.vec_id),
        |vv AS (SELECT v.vec_id, v.ev, vb.bucket
        |       FROM v JOIN vb ON v.vec_id = vb.vec_id),
-       |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.bucket,
+       |mk AS (SELECT DISTINCT
+       |              xor(CASE WHEN i = -1 THEN 0 ELSE 1 << i END,
+       |                  CASE WHEN j = -1 THEN 0 ELSE 1 << j END) AS mask
+       |       FROM range(-1, $MaxPlanes) t1(i), range(-1, $MaxPlanes) t2(j)
+       |       WHERE i <= j AND i < (SELECT mp FROM np)
+       |         AND j < (SELECT mp FROM np)),
+       |pr AS (SELECT vec_id, bucket, xor(bucket, CAST(mask AS BIGINT)) AS probe
+       |       FROM vb CROSS JOIN mk),
+       |cand AS (SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id
+       |         FROM pr a JOIN vb b
+       |           ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+       |p AS (SELECT c.vec_id, c.neighbor_id, c.bucket,
        |             ${sqlCos("a.ev", "b.ev")} AS cosine
-       |      FROM vv a JOIN vv b
-       |        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |      FROM cand c
+       |      JOIN vv a ON c.vec_id = a.vec_id
+       |      JOIN vv b ON c.neighbor_id = b.vec_id),
        |r AS (SELECT vec_id, neighbor_id, bucket, cosine,
        |             row_number() OVER (PARTITION BY vec_id
        |                                ORDER BY cosine DESC, neighbor_id) AS rnk

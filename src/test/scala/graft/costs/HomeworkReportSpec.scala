@@ -24,6 +24,28 @@ class HomeworkReportSpec extends AnyFunSuite {
     assert(ours + "\n" == golden("hw_report.json"))
   }
 
+  test("--db DB2..DB5 reports are byte-identical to the DB1 golden") {
+    // reference `config.py:86-91`: one sizing table shared by all five
+    // signatures, so every --db choice prints the same bytes
+    for (sig <- HomeworkSim.dbSignatures.drop(1))
+      assert(HomeworkReport.textReport(sig) + "\n" == golden("hw_report.txt"),
+        s"report for $sig diverged from the DB1 golden")
+  }
+
+  test("unknown --db signature falls back to 0-GB collections with warnings") {
+    // reference `config.py:96-103`: .get(db_signature, {}) → 0.0 sizes;
+    // costs.py:75-76 then appends the warning note per component
+    val results = HomeworkSim.simulateQueries(dbSignature = "DB99")
+    assert(results.nonEmpty)
+    for {
+      r <- results
+      (_, cost) <- r.componentCosts
+    } {
+      assert(cost.dataScannedGb == 0.0)
+      assert(cost.notes.contains("Warning: collection size not found, using 0 GB"))
+    }
+  }
+
   test("chapter5 full report is byte-identical to the reference CLI output") {
     assert(Chapter5Report.fullReport() == golden("ch5_report.txt"))
   }
