@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup text pipeline's two hot
+  * per-row loops. Both have composable higher-order-function equivalents
+  * (kept in `StringExpressionsSpec` and the DuckDB oracles), but Spark
+  * evaluates HOF lambdas interpreted — at sf0.1 the shingle `transform`
+  * and the `aggregate` character fold were ~7 s and ~14 s of the dedup
+  * bench. These expressions run the identical algorithm in a tight JVM
+  * loop and keep whole-stage codegen alive by emitting a static call.
+  */
+
+/** Distinct word n-gram shingles of a token array, joined by a single
+  * space — semantically identical to
+  * `array_distinct(transform(sequence(1, size-n+1), i ->
+  *   concat_ws(" ", element_at(ws,i), …, element_at(ws,i+n-1))))`
+  * guarded by `when(size >= n, …) otherwise empty` (first-occurrence
+  * order, like `array_distinct`), and to the DuckDB list comprehension
+  * `list_distinct([ws[i] || ' ' || … for i in range(1, len(ws)-n+2)])`.
+  * Fewer than n tokens yield an EMPTY array (not null). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordShingles.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val Sep = UTF8String.fromString(" ")
+
+  /** Static so generated code can call it; one pass, one LinkedHashSet. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    if (sz < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]((sz - n + 1) * 2)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= sz - n) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      // concatWs skips null inputs, same as SQL concat_ws
+      seen.add(UTF8String.concatWs(Sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+  }
+}
+
+/** Karp–Rabin polynomial hash of a string's code points (base 31, mod
+  * 1e9+7), left-folded in index order — identical to the HOF form
+  * `aggregate(transform(filter(split(c,""), len=1), ascii), 0L,
+  * (acc,ch) -> (acc*31+ch) % M)` and to DuckDB's
+  * `list_reduce(list_transform(string_split(w,''), c -> ord(c)), …)`:
+  * all three iterate Unicode code points. Empty string folds to 0. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PolyHash.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  private val M = 1000000007L
+
+  /** Static so generated code can call it. */
+  def compute(str: UTF8String): Long = {
+    val s = str.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % M
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+object StringFunctions {
+  /** Column-API entry point for [[WordShingles]]. */
+  def word_shingles(ws: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(ws), n))
+
+  /** Column-API entry point for [[PolyHash]]. */
+  def poly_hash(c: Column): Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+}

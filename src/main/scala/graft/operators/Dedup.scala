@@ -30,30 +30,18 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles of a *materialized* token-array column
-    * (1-based `element_at`, same index arithmetic as the DuckDB oracle's
-    * list comprehension). Documents with fewer than 3 tokens yield an empty
-    * shingle set — the `when` guard matches DuckDB's `range(1, len - 1)`
-    * returning empty for len < 3 (an unguarded `sequence(1, size - 2)`
-    * would count *down* and then `element_at(ws, 0)` throws).
-    *
-    * `ws` MUST be a bound attribute (see [[withShingles]]), never the raw
-    * `split(text, " ")` expression: higher-order functions are interpreted,
-    * and an inlined `split` subtree is re-evaluated inside every
-    * `element_at` call — O(tokens²) per document. With a materialized
-    * array, `element_at` is an O(1) index. (Profiled: the inlined form was
-    * ~4.7 s for the 272k-shingle explode at sf0.1; materialized ≈ sub-second.) */
-  private def shinglesOf(ws: Column): Column = when(size(ws) >= 3,
-    array_distinct(
-      transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))))
-    .otherwise(typedlit(Seq.empty[String]))
+  /** Distinct word-3-gram shingles — the native
+    * [[graft.functions.WordShingles]] expression (one JVM loop per doc,
+    * codegen-compatible). Semantically identical to the HOF form
+    * `array_distinct(transform(sequence(1, size(ws)-2), i ->
+    * concat_ws(" ", element_at(ws,i), …)))` guarded for < 3 tokens, and to
+    * the DuckDB oracle's list comprehension (equivalence pinned on the
+    * fixture corpus in `StringExpressionsSpec`); the interpreted HOF was
+    * ~7 s of each dedup bench query at sf0.1. */
+  private def shinglesOf(ws: Column): Column =
+    graft.functions.StringFunctions.word_shingles(ws, 3)
 
-  /** (doc_id, sh): per-document distinct shingle array, with the token
-    * array materialized in its own projection so `CollapseProject` keeps
-    * `split` evaluated once (it never duplicates a non-cheap expression
-    * referenced more than once). */
+  /** (doc_id, sh): per-document distinct shingle array. */
   private def withShingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), shinglesOf(col("ws")).as("sh"))
@@ -228,14 +216,14 @@ object Dedup {
   private val HalfM = (M + 1) / 2 // 500000004
 
   /** Karp–Rabin polynomial hash of a string's codepoints (base 31, mod
-    * 1e9+7), left-folded in index order — the identical fold DuckDB's
-    * `list_reduce` performs (fold-from-0 ≡ fold-from-first-element because
-    * 0·31 + c₁ = c₁), already proven hash-matching in
-    * [[TextAnalysis.fingerprint]]. */
-  private def polyHash(c: Column): Column = aggregate(
-    transform(filter(split(c, ""), ch => length(ch) === 1),
-      ch => ascii(ch).cast("long")),
-    lit(0L), (acc, ch) => (acc * lit(31L) + ch) % lit(M))
+    * 1e9+7), left-folded in index order — the native
+    * [[graft.functions.PolyHash]] expression, identical to the fold
+    * DuckDB's `list_reduce` performs (fold-from-0 ≡
+    * fold-from-first-element because 0·31 + c₁ = c₁; equivalence with the
+    * interpreted HOF form pinned in `StringExpressionsSpec` — that form
+    * was ~14 s of the simhash bench query at sf0.1). */
+  private def polyHash(c: Column): Column =
+    graft.functions.StringFunctions.poly_hash(c)
 
   /** 64-bit SimHash packed as four 16-bit bands. Bit i of the signature is
     * the sign of Σ_features ±1, where feature f votes +1 on bit i iff

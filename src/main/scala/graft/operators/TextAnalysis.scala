@@ -144,17 +144,14 @@ object TextAnalysis {
 
   /** Document fingerprints: md5 of the raw text plus a Karp-Rabin-style
     * polynomial rolling hash (base 31, mod 1e9+7) left-folded over the
-    * codepoints in index order — the exact same fold DuckDB's
-    * `list_reduce` performs, so the oracle is bit-identical. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val chars = filter(split(col("text"), ""), c => length(c) === 1)
-    val poly = aggregate(
-      transform(chars, c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
+    * codepoints in index order — the native [[graft.functions.PolyHash]]
+    * expression, the exact same fold DuckDB's `list_reduce` performs, so
+    * the oracle is bit-identical (HOF equivalence pinned in
+    * `StringExpressionsSpec`). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
     (Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("md5_fp"), poly.as("poly_fp")))
-  }
+      .select(col("doc_id"), md5(col("text")).as("md5_fp"),
+        graft.functions.StringFunctions.poly_hash(col("text")).as("poly_fp")))
 
   val fingerprintOracle: String =
     """SELECT doc_id, md5(text) AS md5_fp,

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the native [[WordShingles]] / [[PolyHash]] expressions to their
+  * composable HOF equivalents (the forms the DuckDB oracles replay) on the
+  * REAL fixture corpus plus adversarial edges — so the native fast paths
+  * can never silently diverge from the oracle semantics. */
+class StringExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def hofShingles(ws: Column): Column = when(size(ws) >= 3,
+    array_distinct(
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
+    .otherwise(typedlit(Seq.empty[String]))
+
+  private def hofPoly(c: Column): Column = aggregate(
+    transform(filter(split(c, ""), ch => length(ch) === 1),
+      ch => ascii(ch).cast("long")),
+    lit(0L), (acc, ch) => (acc * lit(31L) + ch) % lit(1000000007L))
+
+  test("word_shingles ≡ HOF form on the fixture corpus (incl. order)") {
+    val d = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val mismatches = d.select(
+        StringFunctions.word_shingles(col("ws"), 3).as("native"),
+        hofShingles(col("ws")).as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("word_shingles edges: short docs, repeats keep first-occurrence order") {
+    import spark.implicits._
+    val rows = Seq(
+      "",                 // 1 empty token after split
+      "a",                // 1 token
+      "a b",              // 2 tokens -> empty
+      "a b c",            // exactly one shingle
+      "a b c a b c a b",  // repeated shingles dedup, order preserved
+      "x  y z"            // empty token from double space participates
+    ).toDF("text").select(split(col("text"), " ").as("ws"))
+    val out = rows.select(
+        StringFunctions.word_shingles(col("ws"), 3).as("native"),
+        hofShingles(col("ws")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+    // and the dedup keeps first occurrence order like array_distinct
+    val rep = rows.select(StringFunctions.word_shingles(col("ws"), 3))
+      .collect()(4).getSeq[String](0)
+    assert(rep == Seq("a b c", "b c a", "c a b"))
+  }
+
+  test("poly_hash ≡ HOF fold on the fixture corpus") {
+    val d = graft.sources.Tables.documents(spark, dir)
+    val mismatches = d.select(
+        StringFunctions.poly_hash(col("text")).as("native"),
+        hofPoly(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+    // empty string folds to 0; single char folds to its codepoint
+    import spark.implicits._
+    val edges = Seq("", "A", "Az", "hello world").toDF("s")
+      .select(StringFunctions.poly_hash(col("s")).as("native"),
+        hofPoly(col("s")).as("hof"))
+      .collect()
+    edges.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(edges(0).getLong(0) == 0L)
+    assert(edges(1).getLong(0) == 'A'.toLong)
+  }
+}
