@@ -97,13 +97,77 @@ object Events {
        |       count(*) AS n_events, $dsumSql AS total_value
        |FROM g GROUP BY user_id, sid ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** Backward as-of join (inclusive): for each purchase event, the most
+    * recent click event by the same user at-or-before the purchase —
+    * purchases with no prior click are dropped (inner as-of). Spark has
+    * no native as-of join, and the range-join rewrite
+    * (`p JOIN c ON user AND c.ts <= p.ts` + argmax) explodes to
+    * clicks×purchases-per-user pairs before pruning; this is the
+    * union+window formulation instead — tag both sides, sort within user
+    * by (ts, tag, event_id), carry the last click forward with
+    * `last(ignoreNulls)` — ONE shuffle on user_id and O(1) window state
+    * per row, the same shape kdb's `aj` and Flink's event-time join use.
+    * Ties: a click at exactly the purchase ts is eligible (tag orders it
+    * first); equal-ts clicks resolve to the highest event_id. The oracle
+    * replays the identical union+window algorithm. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("event_type"))
+    val tagged = e.filter(col("event_type") === "click")
+      .withColumn("tag", lit(0))
+      .unionAll(e.filter(col("event_type") === "purchase")
+        .withColumn("tag", lit(1)))
+      .drop("event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def carried(c: Column): Column =
+      last(when(col("tag") === 0, c), ignoreNulls = true).over(w)
+    (tagged
+      .withColumn("click_id", carried(col("event_id")))
+      .withColumn("click_ts", carried(col("ts")))
+      .withColumn("click_value", carried(col("value")))
+      .filter(col("tag") === 1 && col("click_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_id"), col("click_ts"),
+        col("click_value")))
+  }
+
+  val asofJoinOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, value, 0 AS tag
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, value, 1 AS tag
+      |  FROM events WHERE event_type = 'purchase'),
+      |o AS (
+      |  SELECT user_id, ts, event_id, tag,
+      |         last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+      |           OVER w AS click_id,
+      |         last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+      |           OVER w AS click_ts,
+      |         last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS)
+      |           OVER w AS click_value
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |       click_id, click_ts, click_value
+      |FROM o WHERE tag = 1 AND click_id IS NOT NULL
+      |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_agg" -> (hourlyAgg _),
     "events_sliding_agg" -> (slidingAgg _),
-    "events_sessionize" -> (sessionize _))
+    "events_sessionize" -> (sessionize _),
+    "events_asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
     "events_hourly_agg" -> hourlyAggOracle,
     "events_sliding_agg" -> slidingAggOracle,
-    "events_sessionize" -> sessionizeOracle)
+    "events_sessionize" -> sessionizeOracle,
+    "events_asof_join" -> asofJoinOracle)
 }

@@ -33,8 +33,15 @@ object Similarity {
   private val dvec: Column =
     transform(col("embedding"), x => x.cast("double"))
 
+  /** Native one-pass dot product ([[graft.functions.DotProduct]]) — the
+    * identical left fold in index order as the HOF form
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and the DuckDB oracles'
+    * `list_reduce` (equivalence spec-pinned in `VectorExpressionsSpec`),
+    * so swapping it in changes no hashes. The HOF form runs interpreted —
+    * per (vector, plane) in the LSH bucket assignment, the hot loop at
+    * scale. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   /** Composable-HOF cosine — kept as the reference form the native
     * expression is spec-checked against (`VectorExpressionsSpec`). */

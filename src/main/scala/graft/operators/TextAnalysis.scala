@@ -160,17 +160,84 @@ object TextAnalysis {
       |                   (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp
       |FROM documents ORDER BY 1, 2, 3""".stripMargin
 
+  /** Deterministic content-keyed train/val/test split: bucket =
+    * poly_hash(text) mod 100, then 90/5/5. Keying on CONTENT (not doc_id)
+    * is the dedup-safe property a pretraining pipeline needs — byte-equal
+    * duplicates land in the same split, so no text leaks from train into
+    * eval. Embarrassingly parallel single-pass scan, no shuffle. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.StringFunctions.poly_hash(col("text")) % 100L
+    (Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split")))
+  }
+
+  val trainSplitOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_transform(string_split(text, ''),
+      |                                    c -> CAST(ord(c) AS BIGINT)),
+      |                     (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |       CASE WHEN bucket < 90 THEN 'train'
+      |            WHEN bucket < 95 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM b ORDER BY 1, 2, 3""".stripMargin
+
+  /** Per-group top-k: the 3 highest-quality documents per labeled
+    * language — the "keep the best N per stratum" curation step. One
+    * shuffle on lang (the window partition key); ties break on doc_id so
+    * both engines rank identically. At scale the partition count is the
+    * language count — skewed toward en, which AQE absorbs; for a
+    * heavy-hitter stratum the two-stage pattern of `q6_salted_skew`
+    * (per-partition top-k, then merge) applies. */
+  def topQualityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val quality = lit(0.4) * (countIn(EnWords).cast("double") / nTok) +
+      lit(0.3) * (size(array_distinct(toks)).cast("double") / nTok) +
+      lit(0.3) * least(lit(1.0), nTok / lit(100.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    (Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), quality.as("quality"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3))
+  }
+
+  val topQualityByLangOracle: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    s"""WITH q AS (
+       |  SELECT doc_id, lang,
+       |         0.4 * (CAST(${sqlCount(EnWords)} AS DOUBLE) / $nTok)
+       |       + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok)
+       |       + 0.3 * least(1.0, $nTok / 100.0) AS quality
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, quality,
+       |         row_number() OVER (PARTITION BY lang
+       |                            ORDER BY quality DESC, doc_id) AS rnk
+       |  FROM q)
+       |SELECT doc_id, lang, quality, rnk FROM r WHERE rnk <= 3
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
-    "text_bpe_tokens" -> (bpeTokens _))
+    "text_bpe_tokens" -> (bpeTokens _),
+    "text_train_split" -> (trainSplit _),
+    "text_top_quality_by_lang" -> (topQualityByLang _))
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,
     "text_fingerprint" -> fingerprintOracle,
-    "text_bpe_tokens" -> bpeTokensOracle)
+    "text_bpe_tokens" -> bpeTokensOracle,
+    "text_train_split" -> trainSplitOracle,
+    "text_top_quality_by_lang" -> topQualityByLangOracle)
 }

@@ -50,6 +50,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native dot product is bit-identical to the HOF fold") {
+    val hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val both = pairs.select(
+      hofDot(col("x"), col("y")).as("hof"),
+      VectorFunctions.dot_product(col("x"), col("y")).as("native"))
+    val rows = both.collect()
+    assert(rows.length > 1000)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("type checking rejects non-array-of-double inputs") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       // Dataset analysis is eager — the type-check fires at select()
