@@ -262,6 +262,94 @@ object Similarity {
        |SELECT vec_id, neighbor_id, bucket, rnk, cosine FROM r WHERE rnk <= $AnnK
        |ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  // --- IVF ANN (coarse-quantizer + nprobe, the inverted-file scale path) ---
+
+  private val IvfProbes = 8
+
+  /** ANN top-k via an IVF (inverted-file) index: k = ⌈√n⌉ coarse cells,
+    * every vector assigned to its nearest centroid (home cell), queries
+    * probe their [[IvfProbes]] nearest cells. The candidate fraction per
+    * query is nprobe/√n — it SHRINKS as the corpus grows, while the
+    * assignment cost n·k·d stays a broadcast-joined narrow pass (the
+    * centroid table is k·d doubles — ~8 MB at a billion vectors).
+    *
+    * Centroid choice is deterministic for the oracle: the k smallest
+    * vec_ids. A production pipeline would plug k-means centroids into the
+    * same structure (the assignment/probe/rank dataflow is unchanged —
+    * only the centroid table differs). On the random-vector fixtures
+    * (worst case: no cluster structure for ANY coarse quantizer)
+    * recall@3 measures ~0.64 with a 0.55 floor pinned in
+    * `SimilaritySpec`; the LSH variant ([[annLsh]]) is the stronger
+    * choice on unclustered data, IVF wins when the corpus clusters.
+    * The DuckDB oracle replays the identical algorithm, so results
+    * hash-match. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val k = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val cent = v.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("ev").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val assign = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("ev"), col("cv")).as("ccos"))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") <= IvfProbes)
+      .select(col("vec_id"), col("centroid_id"), col("crnk"))
+    val members = assign.filter(col("crnk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    // each member has ONE home cell and each query probes distinct cells,
+    // so a (query, member) pair arises at most once — no dedup needed
+    val cand = assign.join(members, "centroid_id")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    (cand
+      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev")),
+        "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("a_ev"), col("b_ev")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= AnnK)
+      .select(col("vec_id"), col("neighbor_id"), col("rnk"), col("cosine")))
+  }
+
+  val annIvfOracle: String =
+    s"""WITH $vCte,
+       |kk AS (SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |       FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, ev AS cv FROM v
+       |         QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+       |a0 AS (SELECT v.vec_id, c.centroid_id,
+       |              ${sqlCos("v.ev", "c.cv")} AS ccos
+       |       FROM v CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, centroid_id, crnk FROM (
+       |             SELECT vec_id, centroid_id,
+       |                    row_number() OVER (PARTITION BY vec_id
+       |                                       ORDER BY ccos DESC, centroid_id)
+       |                      AS crnk
+       |             FROM a0)
+       |           WHERE crnk <= $IvfProbes),
+       |members AS (SELECT vec_id AS neighbor_id, centroid_id
+       |            FROM assign WHERE crnk = 1),
+       |cand AS (SELECT a.vec_id, m.neighbor_id
+       |         FROM assign a JOIN members m USING (centroid_id)
+       |         WHERE a.vec_id <> m.neighbor_id),
+       |p AS (SELECT c.vec_id, c.neighbor_id,
+       |             ${sqlCos("a.ev", "b.ev")} AS cosine
+       |      FROM cand c
+       |      JOIN v a ON c.vec_id = a.vec_id
+       |      JOIN v b ON c.neighbor_id = b.vec_id),
+       |r AS (SELECT vec_id, neighbor_id, cosine,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                                ORDER BY cosine DESC, neighbor_id) AS rnk
+       |      FROM p)
+       |SELECT vec_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // --- LSH-pruned near-dup pairs (the scale path for cosineNearDup) --------
 
   /** XOR masks for radius-2 multi-probe: the zero mask (own bucket), every
@@ -346,11 +434,13 @@ object Similarity {
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_ivf" -> (annIvf _),
     "sim_neardup_lsh" -> (nearDupLsh _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_cosine_neardup" -> cosineNearDupOracle,
     "sim_ann_lsh" -> annLshOracle,
+    "sim_ann_ivf" -> annIvfOracle,
     "sim_neardup_lsh" -> nearDupLshOracle)
 }

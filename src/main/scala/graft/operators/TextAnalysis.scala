@@ -223,7 +223,31 @@ object TextAnalysis {
        |ORDER BY 1, 2, 3, 4""".stripMargin
   }
 
+  /** Inverted-index build: token → document frequency + sorted posting
+    * list (comma-joined so the driver's row-hash compare stays scalar).
+    * The canonical IR/index-build dataflow: per-doc distinct tokens
+    * explode, one shuffle on token, postings assembled reduce-side.
+    * At scale this is the classic skewed build (stopword tokens have huge
+    * postings); the mitigation is the same salted two-stage pattern as
+    * `q6_salted_skew`, or df-capped posting truncation — both preserve
+    * this operator's shape. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = (
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings")))
+
+  val invertedIndexOracle: String =
+    """WITH e AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS df,
+      |       array_to_string(list_sort(array_agg(doc_id)), ',') AS postings
+      |FROM e GROUP BY token ORDER BY 1, 2, 3""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> (invertedIndex _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
@@ -233,6 +257,7 @@ object TextAnalysis {
     "text_top_quality_by_lang" -> (topQualityByLang _))
 
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" -> invertedIndexOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,

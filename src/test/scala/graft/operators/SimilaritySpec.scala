@@ -40,6 +40,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recall@3 vs exact top-k has a pinned floor (measured ~0.64)") {
+    // Random vectors are the worst case for ANY coarse quantizer (no
+    // cluster structure to exploit); IVF with first-k centroids and
+    // nprobe=8 measures 0.64 here. Floor 0.55 pins the quality against
+    // silent k/nprobe regressions; on clustered corpora IVF recall is far
+    // higher at the same probe budget.
+    val k = 3
+    val exact = Similarity.cosineTopK(spark, dir).collect()
+      .filter(_.getLong(2) <= k)
+      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    val ivf = Similarity.annIvf(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    assert(exact.nonEmpty)
+    val recall = exact.map { case (v, ex) =>
+      (ex intersect ivf.getOrElse(v, Set.empty)).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.55, f"IVF recall@$k degraded to $recall%.3f (floor 0.55)")
+  }
+
   test("ANN recall@3 vs exact top-k has a pinned floor (measured ~0.81)") {
     // Random near-orthogonal vectors are hyperplane LSH's worst case (no
     // cluster structure), so this is the recall floor, not the typical
