@@ -11,6 +11,10 @@ object Bench {
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production planning: ranked-window top-k runs on the bounded-heap
+    // TopKPerKeyExec (same rows, no per-group sort — spec-pinned and
+    // Verify runs the oracle gate through the same rewrite)
+    graft.plans.TopKPlanning.register(spark)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"

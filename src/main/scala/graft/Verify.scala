@@ -15,6 +15,10 @@ object Verify {
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // run the oracle gate THROUGH the whole-operator extension: every
+    // ranked-window query executes on TopKPerKeyExec and must still
+    // hash-match DuckDB
+    graft.plans.TopKPlanning.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

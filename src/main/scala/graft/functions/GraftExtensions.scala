@@ -19,13 +19,17 @@ import org.apache.spark.sql.types.IntegerType
   * `GraftExtensionsSpec` pins SQL-path ≡ Column-API equality per function.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft.functions", name),
           builder))
     }
+    // whole-operator extension: window top-k → bounded-heap physical plan
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftFunctions {
