@@ -246,8 +246,43 @@ object TextAnalysis {
       |       array_to_string(list_sort(array_agg(doc_id)), ',') AS postings
       |FROM e GROUP BY token ORDER BY 1, 2, 3""".stripMargin
 
+  /** Deterministic stratified sample: 20 documents per language, chosen
+    * by content-hash order (poly_hash is uniform, so this is a
+    * pseudorandom-but-reproducible draw; ties cannot occur twice because
+    * doc_id breaks them). The per-stratum quota is the standard way to
+    * balance a skewed corpus (en ≫ others) into an eval set. Same ranked
+    * shape as [[topQualityByLang]] — one shuffle on lang, and under
+    * `TopKPlanning` it runs on the bounded-heap operator, no per-group
+    * sort. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    (Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.StringFunctions.poly_hash(col("text")).as("h"))
+      .withColumn("draw", row_number().over(w).cast("long"))
+      .filter(col("draw") <= 20)
+      .select(col("doc_id"), col("lang"), col("draw")))
+  }
+
+  val stratifiedSampleOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |         list_reduce(list_transform(string_split(text, ''),
+      |                                    c -> CAST(ord(c) AS BIGINT)),
+      |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS draw
+      |  FROM h)
+      |SELECT doc_id, lang, draw FROM r WHERE draw <= 20
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted_index" -> (invertedIndex _),
+    "text_stratified_sample" -> (stratifiedSample _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
@@ -258,6 +293,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_inverted_index" -> invertedIndexOracle,
+    "text_stratified_sample" -> stratifiedSampleOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,

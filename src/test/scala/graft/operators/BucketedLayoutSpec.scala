@@ -90,6 +90,50 @@ class BucketedLayoutSpec extends AnyFunSuite {
         .filter(col("l_partkey") % 16 === 3).count())
   }
 
+  test("AQE splits a skewed join partition (the claimed join-skew mitigation)") {
+    // SCALING.md claims AQE skew-join absorbs hot join keys; prove it:
+    // a join where one key holds most rows must show skew-split partitions
+    // in the FINAL adaptive plan. Thresholds are scaled down to fixture
+    // size (the mechanism, not the defaults, is what scales).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // left: ~90% of lineitem rows collapse onto key 0 (the hot key);
+      // right: plain uniform dimension scan — the rule only fires on
+      // SMJ(Sort(shuffle), Sort(shuffle)) where the OTHER side of the
+      // skewed partition is not itself skewed
+      val l = graft.sources.Tables.lineitem(spark, TestSpark.sfDir)
+        // skew splitting works by map-index ranges — a single-file scan
+        // is one mapper and cannot be split, so spread it over 8 first
+        // (at real scale a 100 TB fact side has thousands of mappers)
+        .repartition(8)
+        .select(when(col("l_partkey") % 10 =!= 0, lit(0L))
+          .otherwise(col("l_partkey")).as("k"), col("l_quantity"))
+      val r = graft.sources.Tables.part(spark, TestSpark.sfDir)
+        .select(col("p_partkey").as("k"), col("p_brand"))
+      val joined = l.join(r, "k")
+      // materialize THIS DataFrame's own query execution so its adaptive
+      // plan re-plans with runtime sizes (count() would build a separate
+      // QueryExecution and leave this one unexecuted)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("co-bucketed self-join runs with ZERO shuffles (aligned join keys)") {
     val t = spark.table(bucketedName)
     val totals = t.groupBy(col("l_partkey"))
