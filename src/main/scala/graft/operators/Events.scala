@@ -159,15 +159,87 @@ object Events {
       |FROM o WHERE tag = 1 AND click_id IS NOT NULL
       |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
 
+  /** Range (interval) join: every error event within the hour BEFORE a
+    * purchase by the same user. A naive `ON a.ts BETWEEN …` inequality
+    * join plans as a broadcast-nested-loop — O(n·m) per user at scale —
+    * so this uses the bin-bucketed decomposition: both sides key on
+    * (user_id, 1-hour time bin), each purchase probes its own bin and the
+    * previous one (an interval of length L spans ≤ 2 bins of width L),
+    * then the exact interval filter prunes. ONE equi-shuffle on
+    * (user, bin); candidates bounded by per-bin occupancy, never by the
+    * full history. The DuckDB oracle runs the direct inequality join —
+    * a DIFFERENT algorithm — so the hash-match proves the binning loses
+    * and invents nothing. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000 * 1000
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"),
+        floor(unix_micros(col("ts")) / HourUs).as("bin"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withColumn("bin", explode(array(
+        floor(unix_micros(col("purchase_ts")) / HourUs),
+        floor(unix_micros(col("purchase_ts")) / HourUs) - 1)))
+    (purch.join(errs, Seq("user_id", "bin"))
+      .filter(col("error_ts") > col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("error_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("error_id"), col("user_id"),
+        col("purchase_ts"), col("error_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("error_ts")))
+          .as("gap_us")))
+  }
+
+  val rangeJoinOracle: String =
+    """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+      |       p.user_id, p.ts AS purchase_ts, e.ts AS error_ts,
+      |       epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id
+      | AND e.ts > p.ts - INTERVAL 1 HOUR
+      | AND e.ts <= p.ts
+      |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** Exact per-type value quantiles (p50/p95/p99) — the distribution
+    * profile a pipeline owner reads before setting filter thresholds.
+    * Spark's `percentile` is the exact sorted-interpolation aggregate
+    * (one shuffle, sort per group); both engines interpolate as
+    * lower + (upper - lower)·frac over the same sorted values, so the
+    * doubles hash-match bit-for-bit. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = (
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, 0.99)").as("p99"),
+        count(lit(1)).as("n")))
+
+  val valueQuantilesOracle: String =
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.95) AS p95,
+      |       quantile_cont(value, 0.99) AS p99,
+      |       count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_agg" -> (hourlyAgg _),
     "events_sliding_agg" -> (slidingAgg _),
     "events_sessionize" -> (sessionize _),
-    "events_asof_join" -> (asofJoin _))
+    "events_asof_join" -> (asofJoin _),
+    "events_range_join" -> (rangeJoin _),
+    "events_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "events_hourly_agg" -> hourlyAggOracle,
     "events_sliding_agg" -> slidingAggOracle,
     "events_sessionize" -> sessionizeOracle,
-    "events_asof_join" -> asofJoinOracle)
+    "events_asof_join" -> asofJoinOracle,
+    "events_range_join" -> rangeJoinOracle,
+    "events_value_quantiles" -> valueQuantilesOracle)
 }
