@@ -428,6 +428,50 @@ object Similarity {
        |WHERE ${sqlCos("a.ev", "b.ev")} >= 0.9
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // --- per-group centroids (featurization / k-means building block) -------
+
+  /** Element-wise mean embedding per document language — the centroid
+    * computation under k-means, per-stratum semantic profiling, and IVF
+    * centroid refinement. Dataflow: join embeddings to their documents'
+    * lang (ids align), posexplode to (lang, dim, x), one shuffle on the
+    * fine-grained (lang, dim) key — 64 cells per lang, so a hot language
+    * spreads over 64 reducers instead of one. Determinism: doubles sum in
+    * doc_id order (collect, sort by id, left fold — the same
+    * fixed-fold-order discipline as the cosine oracles), so the result is
+    * identical under any partitioning and hash-matches the DuckDB replay.
+    * (A plain `avg` would be exact-but-order-dependent; a decimal detour
+    * differs from DuckDB in the final decimal→double ulp.) */
+  def centroidByLang(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), dvec.as("ev"))
+    (d.join(e, "doc_id")
+      .select(col("doc_id"), col("lang"), posexplode(col("ev")).as(Seq("dim", "x")))
+      .groupBy(col("lang"), col("dim").cast("long").as("dim"))
+      .agg(collect_list(struct(col("doc_id"), col("x"))).as("xs"))
+      .select(col("lang"), col("dim"),
+        (aggregate(sort_array(col("xs")), lit(0.0),
+          (acc, s) => acc + s.getField("x")) /
+          size(col("xs")).cast("double")).as("centroid"),
+        size(col("xs")).cast("long").as("n")))
+  }
+
+  val centroidByLangOracle: String =
+    s"""WITH j AS (
+       |  SELECT d.doc_id, d.lang, e.embedding
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |x AS (
+       |  SELECT doc_id, lang, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+       |         CAST(i AS BIGINT) - 1 AS dim
+       |  FROM j, range(1, ${Dim + 1}) t(i))
+       |SELECT lang, dim,
+       |       list_reduce(list_transform(
+       |           list_sort(array_agg({'doc_id': doc_id, 'x': x})),
+       |           s -> s.x),
+       |         (a, b) -> a + b) / count(*) AS centroid,
+       |       count(*) AS n
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -435,12 +479,14 @@ object Similarity {
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
-    "sim_neardup_lsh" -> (nearDupLsh _))
+    "sim_neardup_lsh" -> (nearDupLsh _),
+    "sim_centroid_by_lang" -> (centroidByLang _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_cosine_neardup" -> cosineNearDupOracle,
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
-    "sim_neardup_lsh" -> nearDupLshOracle)
+    "sim_neardup_lsh" -> nearDupLshOracle,
+    "sim_centroid_by_lang" -> centroidByLangOracle)
 }
