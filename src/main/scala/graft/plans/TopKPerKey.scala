@@ -143,8 +143,16 @@ case class TopKPerKeyExec(
 
   override def outputPartitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of distinct keys"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val rankIsLong = rankAttr.dataType == LongType
+    val numOutputRows = longMetric("numOutputRows")
+    val numKeys = longMetric("numKeys")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partitionExprs, child.output)
       val ord = GenerateOrdering.generate(orderSpec, child.output)
@@ -167,10 +175,12 @@ case class TopKPerKeyExec(
         }
       }
       import scala.jdk.CollectionConverters._
+      numKeys += heaps.size()
       heaps.values().iterator().asScala.flatMap { heap =>
         val ascending = heap.dequeueAll.reverseIterator
         ascending.zipWithIndex.map { case (row, i) =>
           val rank: Any = if (rankIsLong) (i + 1).toLong else i + 1
+          numOutputRows += 1
           new JoinedRow(row, new GenericInternalRow(Array[Any](rank)))
         }
       }

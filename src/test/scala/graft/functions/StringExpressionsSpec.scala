@@ -61,6 +61,30 @@ class StringExpressionsSpec extends AnyFunSuite {
     assert(rep == Seq("a b c", "b c a", "c a b"))
   }
 
+  test("property: native ≡ HOF on 300 randomized docs (unicode included)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // words exercise empties (double spaces), repeats, multi-byte BMP
+    // chars and astral-plane emoji (surrogate pairs in UTF-16)
+    val word = Gen.oneOf("", "a", "bb", "ccc", "a", "é", "中文", "😀", "x1!",
+      "the", "de", "a-b")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val docs = (0 until 300).flatMap(i =>
+      doc.apply(Gen.Parameters.default, Seed(i.toLong)))
+    import spark.implicits._
+    val df = docs.toDF("text")
+      .select(col("text"), split(col("text"), " ").as("ws"))
+    val bad = df.select(
+        StringFunctions.word_shingles(col("ws"), 3).as("ns"),
+        hofShingles(col("ws")).as("hs"),
+        StringFunctions.poly_hash(col("text")).as("np"),
+        hofPoly(col("text")).as("hp"))
+      .filter(not(col("ns") === col("hs")) || col("np") =!= col("hp"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("poly_hash ≡ HOF fold on the fixture corpus") {
     val d = graft.sources.Tables.documents(spark, dir)
     val mismatches = d.select(
