@@ -144,14 +144,14 @@ object Multimodal {
     bins.map(_ / n)
   }
 
-  /** Batched decode over partitions: the iterator amortizes per-batch
-    * decoder setup per PARTITION (not per row) — the Spark-side shape a
-    * vectorized decode UDF has. Returns (doc_id, features). */
-  def decodeFeatures(spark: SparkSession, dir: String,
-      decoder: Array[Byte] => Array[Float] = fakeDecoder): DataFrame = {
+  /** Generic batched decode: any (doc_id, payload) frame through any
+    * `Array[Byte] => Array[Float]` codec, one codec init per PARTITION —
+    * the Spark-side shape a vectorized decode UDF has. */
+  def decodeMedia(source: DataFrame,
+      decoder: Array[Byte] => Array[Float]): DataFrame = {
     val enc = Encoders.product[MediaRow]
-    val ds: Dataset[MediaRow] = media(spark, dir)
-      .select(col("doc_id"), col("payload")).as(enc)
+    val ds: Dataset[MediaRow] =
+      source.select(col("doc_id"), col("payload")).as(enc)
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false))))
@@ -160,6 +160,58 @@ object Multimodal {
       // per-partition setup would init the codec once, here
       rows.map(r => Row(r.doc_id, decoder(r.payload).toSeq))
     }(rowEnc).toDF()
+  }
+
+  /** Batched decode of the fixture corpus with the fake (histogram)
+    * decoder — spec-gated against the expression path. */
+  def decodeFeatures(spark: SparkSession, dir: String,
+      decoder: Array[Byte] => Array[Float] = fakeDecoder): DataFrame =
+    decodeMedia(media(spark, dir), decoder)
+
+  /** A REAL decoder with zero external dependencies: RIFF/WAVE 16-bit PCM
+    * (the uncompressed audio interchange format) — byte arithmetic only.
+    * Parses the chunked RIFF container (fmt: PCM, 16-bit), then decodes
+    * little-endian int16 samples to [-1, 1) floats. Interleaved channels
+    * come back as-is (channel count is in the fmt chunk). This is the
+    * audio modality's actual decode; image/video remain stubbed because
+    * their codecs aren't pure byte arithmetic. `MultimodalSpec` decodes
+    * synthesized WAV payloads through [[decodeMedia]] and checks samples
+    * round-trip exactly. */
+  def wavPcmDecoder(payload: Array[Byte]): Array[Float] = {
+    def u16(i: Int): Int =
+      (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def tag(i: Int): String =
+      new String(payload.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    require(payload.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var pos = 12
+    var dataAt = -1
+    var dataLen = 0L
+    var bits = -1
+    while (pos + 8 <= payload.length && (dataAt < 0 || bits < 0)) {
+      val id = tag(pos)
+      val len = u32(pos + 4)
+      if (id == "fmt ") {
+        require(u16(pos + 8) == 1, "only PCM (format 1) supported")
+        bits = u16(pos + 22)
+        require(bits == 16, "only 16-bit PCM supported")
+      } else if (id == "data") {
+        dataAt = pos + 8
+        dataLen = len
+      }
+      pos += 8 + len.toInt + (len.toInt & 1) // chunks are 2-byte aligned
+    }
+    require(dataAt >= 0 && bits == 16, "missing fmt/data chunk")
+    val n = (math.min(dataLen, payload.length - dataAt) / 2).toInt
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = u16(dataAt + 2 * i).toShort / 32768.0f
+      i += 1
+    }
+    out
   }
 
   // --- registry ------------------------------------------------------------
