@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-layout writers — the user-facing form of the 100 TB layout story
+  * (SCALING.md). The reference models sharded collections declaratively;
+  * on Spark the two layouts that matter are:
+  *
+  *   - **bucketed**: hash-bucketed + sorted on the dominant join/group
+  *     key. Scans satisfy `ClusteredDistribution` on that key, so
+  *     Catalyst elides the Exchange for aligned aggregates and joins —
+  *     `BucketedLayoutSpec` proves ZERO-shuffle plans on it.
+  *   - **sharded**: directory-partitioned on a derived shard column.
+  *     Equality filters on the shard key prune to 1/n of the directories
+  *     at planning time (partition pruning; the executable analog of the
+  *     reference's shard-targeted scan).
+  *
+  * Both writers pay their one shuffle at WRITE time; every aligned query
+  * afterwards reads shuffle-free. That trade is the reference's
+  * sharding-cost model made executable.
+  */
+object Layouts {
+
+  /** Write `df` hash-bucketed and sorted on `key` into `numBuckets`
+    * buckets as an external table at `path`, registered as `name`. */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+      key: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(name)
+
+  /** Write `df` directory-partitioned on `shard = pmod(shardKey, n)`. */
+  def writeSharded(df: DataFrame, path: String,
+      shardKey: String, numShards: Int): Unit =
+    df.withColumn("shard", pmod(col(shardKey), lit(numShards)).cast("int"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Read a sharded layout back (partition pruning applies to `shard`
+    * equality filters). */
+  def readSharded(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

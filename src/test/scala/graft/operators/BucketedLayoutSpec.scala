@@ -39,13 +39,11 @@ class BucketedLayoutSpec extends AnyFunSuite {
       // external table at a fresh temp path — keeps reruns independent of
       // leftover spark-warehouse directories
       val loc = Files.createTempDirectory("graft_bucketed").resolve(name)
-      graft.sources.Tables.lineitem(spark, TestSpark.sfDir)
-        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"))
-        .write.mode("overwrite")
-        .option("path", loc.toString)
-        .bucketBy(4, "l_partkey").sortBy("l_partkey")
-        .saveAsTable(name)
+      graft.sources.Layouts.writeBucketed(
+        graft.sources.Tables.lineitem(spark, TestSpark.sfDir)
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity")),
+        name, loc.toString, "l_partkey", numBuckets = 4)
     }
     name
   }
@@ -72,11 +70,12 @@ class BucketedLayoutSpec extends AnyFunSuite {
     // the cluster): a layout partitioned by shard key + an equality filter
     // → Catalyst partition pruning reads 1 of 16 directories
     val dir = Files.createTempDirectory("graft_sharded").resolve("lineitem_sharded")
-    graft.sources.Tables.lineitem(spark, TestSpark.sfDir)
-      .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
-      .withColumn("shard", (col("l_partkey") % 16).cast("int"))
-      .write.partitionBy("shard").parquet(dir.toString)
-    val shard3 = spark.read.parquet(dir.toString).filter(col("shard") === 3)
+    graft.sources.Layouts.writeSharded(
+      graft.sources.Tables.lineitem(spark, TestSpark.sfDir)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity")),
+      dir.toString, "l_partkey", numShards = 16)
+    val shard3 = graft.sources.Layouts.readSharded(spark, dir.toString)
+      .filter(col("shard") === 3)
     val plan = shard3.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(shard"), plan)
     // pruned scan touches exactly the one shard directory — proven from
