@@ -58,7 +58,8 @@ case class TopKPerKey(
   * fires only on the exact single-window-expression, default-frame,
   * ordered pattern with a foldable positive bound, so it can be registered
   * session-wide. */
-object RewriteWindowTopK extends Rule[LogicalPlan] {
+object RewriteWindowTopK extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   /** The alias must be row_number() over the default running frame,
     * optionally cast (int → long keeps rank values identical). */
@@ -77,20 +78,31 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Tightest rank upper bound implied by any conjunct of the filter:
+    * `rnk <= k`, `rnk < k`, `rnk = k`, and the reversed forms. The
+    * original filter stays on top as a residual, so ANY condition that
+    * bounds the rank (argmax `rnk = 1`, `rnk <= 3 AND lang = 'en'`, …)
+    * benefits — top-k prunes, the residual re-checks for free. */
   private def bound(cond: Expression, rank: Attribute): Option[Int] = {
-    import org.apache.spark.sql.catalyst.expressions.{LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan,
+      GreaterThanOrEqual, LessThan, LessThanOrEqual}
     def lit(e: Expression): Option[Long] = e match {
       case Literal(i: Int, IntegerType) => Some(i.toLong)
       case Literal(l: Long, LongType) => Some(l)
       case _ => None
     }
-    cond match {
-      case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) =>
-        lit(l).map(_.min(Int.MaxValue).toInt)
-      case LessThan(a: Attribute, l) if a.semanticEquals(rank) =>
-        lit(l).map(v => (v - 1).min(Int.MaxValue).toInt)
+    def one(c: Expression): Option[Long] = c match {
+      case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) => lit(l)
+      case LessThan(a: Attribute, l) if a.semanticEquals(rank) => lit(l).map(_ - 1)
+      case EqualTo(a: Attribute, l) if a.semanticEquals(rank) => lit(l)
+      case EqualTo(l, a: Attribute) if a.semanticEquals(rank) => lit(l)
+      case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(rank) => lit(l)
+      case GreaterThan(l, a: Attribute) if a.semanticEquals(rank) => lit(l).map(_ - 1)
       case _ => None
     }
+    val bounds = splitConjunctivePredicates(cond).flatMap(one)
+    if (bounds.isEmpty) None
+    else Some(bounds.min.min(Int.MaxValue).toInt)
   }
 
   /** Spark's own InferWindowGroupLimit (3.5+) may already have inserted a
@@ -110,7 +122,11 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       val rankAttr = alias.toAttribute
       bound(cond, rankAttr) match {
         case Some(k) if k >= 1 =>
-          TopKPerKey(partitionSpec, orderSpec, k, rankAttr, stripGroupLimit(child))
+          // keep the full condition as a residual: for the bare `rnk <= k`
+          // it passes everything top-k emits; for conjunctions it applies
+          // the remaining predicates
+          Filter(cond,
+            TopKPerKey(partitionSpec, orderSpec, k, rankAttr, stripGroupLimit(child)))
         case _ => f
       }
   }

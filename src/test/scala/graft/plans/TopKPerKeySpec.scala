@@ -62,6 +62,26 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("argmax (rnk = 1) and bounded conjunctions also plan on the heap") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+    val base = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+    // expected results computed WITHOUT the rule
+    val expArgmax = base.filter(col("rnk") === 1).collect().map(_.toSeq).toSet
+    val expConj = base.filter(col("rnk") <= 3 && col("lang") =!= "en")
+      .collect().map(_.toSeq).toSet
+    withTopK {
+      val argmax = base.filter(col("rnk") === 1)
+      assert(argmax.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(argmax.collect().map(_.toSeq).toSet == expArgmax)
+      val conj = base.filter(col("rnk") <= 3 && col("lang") =!= "en")
+      assert(conj.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(conj.collect().map(_.toSeq).toSet == expConj)
+    }
+  }
+
   test("strict less-than bound and non-matching filters are handled") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
