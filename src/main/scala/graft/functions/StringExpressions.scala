@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * order, like `array_distinct`), and to the DuckDB list comprehension
   * `list_distinct([ws[i] || ' ' || … for i in range(1, len(ws)-n+2)])`.
   * Fewer than n tokens yield an EMPTY array (not null). */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
@@ -36,14 +37,15 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       s"$prettyName requires array<string>, got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_shingles"
+  override def prettyName: String =
+    if (distinct) "word_shingles" else "word_shingles_all"
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[ArrayData], n)
+    WordShingles.compute(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.WordShingles.compute($a, $n);")
+      s"${ev.value} = graft.functions.WordShingles.compute($a, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -52,21 +54,25 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 object WordShingles {
   private val Sep = UTF8String.fromString(" ")
 
-  /** Static so generated code can call it; one pass, one LinkedHashSet. */
-  def compute(arr: ArrayData, n: Int): ArrayData = {
+  /** Static so generated code can call it; one pass. `distinct` keeps
+    * first-occurrence order (like array_distinct); otherwise every
+    * shingle keeps its multiplicity (the repetition-analysis input). */
+  def compute(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val sz = arr.numElements()
     if (sz < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]((sz - n + 1) * 2)
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]((sz - n + 1) * 2)
+      else new java.util.ArrayList[UTF8String](sz - n + 1)
     val parts = new Array[UTF8String](n)
     var i = 0
     while (i <= sz - n) {
       var j = 0
       while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
       // concatWs skips null inputs, same as SQL concat_ws
-      seen.add(UTF8String.concatWs(Sep, parts: _*))
+      out.add(UTF8String.concatWs(Sep, parts: _*))
       i += 1
     }
-    new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
   }
 }
 
@@ -115,9 +121,14 @@ object PolyHash {
 }
 
 object StringFunctions {
-  /** Column-API entry point for [[WordShingles]]. */
+  /** Column-API entry point for [[WordShingles]] (distinct shingles). */
   def word_shingles(ws: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(ws), n))
+
+  /** All shingles with multiplicity (repetition analysis). */
+  def word_shingles_all(ws: Column, n: Int): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(ws), n, distinct = false))
 
   /** Column-API entry point for [[PolyHash]]. */
   def poly_hash(c: Column): Column =

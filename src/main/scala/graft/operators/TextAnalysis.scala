@@ -280,7 +280,109 @@ object TextAnalysis {
       |SELECT doc_id, lang, draw FROM r WHERE draw <= 20
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Text normalization — the canonical cleaning step before hashing or
+    * tokenization: lowercase, strip non-alphanumerics (keeping spaces),
+    * collapse whitespace runs, trim. Pure regexp_replace chains with
+    * literal character classes, so Java and RE2 agree; single-pass,
+    * scan-only. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val stripped = regexp_replace(lowered, "[^a-z0-9 ]", "")
+    val collapsed = trim(regexp_replace(stripped, "  +", " "))
+    (Tables.documents(spark, dir)
+      .select(col("doc_id"), collapsed.as("norm_text"),
+        length(collapsed).cast("long").as("n_norm_chars")))
+  }
+
+  val normalizeOracle: String =
+    """SELECT doc_id,
+      |       trim(regexp_replace(
+      |              regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |              '  +', ' ', 'g')) AS norm_text,
+      |       length(trim(regexp_replace(
+      |              regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |              '  +', ' ', 'g'))) AS n_norm_chars
+      |FROM documents ORDER BY 1, 2, 3""".stripMargin
+
+  /** Repetition detection (the Gopher-style boilerplate signal): the
+    * fraction of a document's word-3-grams occupied by its single most
+    * frequent 3-gram. Machine-generated/boilerplate text repeats; prose
+    * doesn't. One explode + two-level aggregation — the per-(doc, shingle)
+    * counts partial-aggregate map-side, then one shuffle on doc_id. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val perShingle = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(
+        graft.functions.StringFunctions.word_shingles_all(col("ws"), 3))
+        .as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+    (perShingle.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("max_freq"))
+      .select(col("doc_id"), col("n_shingles"), col("max_freq"),
+        (col("max_freq").cast("double") / col("n_shingles").cast("double"))
+          .as("repetition_ratio")))
+  }
+
+  val repetitionOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |             [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |              for i in range(1, len(ws) - 1)] AS sh
+      |      FROM w WHERE len(ws) >= 3),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+      |       max(c) AS max_freq,
+      |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+      |         AS repetition_ratio
+      |FROM c GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** Rule-bundle quality filter (C4/Gopher-style): hard boolean gates a
+    * pretraining pipeline applies before any model-based scoring —
+    * length bounds, mean word length bounds, symbol ratio, stopword
+    * presence — plus the resulting keep verdict. All integer/double
+    * arithmetic in a fixed order, so both engines agree exactly. */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val meanWordLen =
+      length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val symbolRatio =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(col("text")).cast("double")
+    val hasStopword = countIn(EnWords) >= 1
+    val okLen = size(toks).between(5, 10000)
+    val okWordLen = meanWordLen >= 2.0 && meanWordLen <= 12.0
+    val okSymbols = symbolRatio <= 0.2
+    (Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        okLen.as("ok_len"), okWordLen.as("ok_word_len"),
+        okSymbols.as("ok_symbols"), hasStopword.as("has_stopword"),
+        (okLen && okWordLen && okSymbols && hasStopword).as("keep")))
+  }
+
+  val qualityRulesOracle: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val meanWordLen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nTok"
+    val symbolRatio =
+      """CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+        | AS DOUBLE) / CAST(length(text) AS DOUBLE)""".stripMargin
+    s"""SELECT doc_id,
+       |       len(string_split(text, ' ')) BETWEEN 5 AND 10000 AS ok_len,
+       |       $meanWordLen >= 2.0 AND $meanWordLen <= 12.0 AS ok_word_len,
+       |       $symbolRatio <= 0.2 AS ok_symbols,
+       |       ${sqlCount(EnWords)} >= 1 AS has_stopword,
+       |       (len(string_split(text, ' ')) BETWEEN 5 AND 10000)
+       |         AND ($meanWordLen >= 2.0 AND $meanWordLen <= 12.0)
+       |         AND ($symbolRatio <= 0.2)
+       |         AND (${sqlCount(EnWords)} >= 1) AS keep
+       |FROM documents ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (normalize _),
+    "text_repetition" -> (repetition _),
+    "text_quality_rules" -> (qualityRules _),
     "text_inverted_index" -> (invertedIndex _),
     "text_stratified_sample" -> (stratifiedSample _),
     "text_token_stats" -> (tokenStats _),
@@ -292,6 +394,9 @@ object TextAnalysis {
     "text_top_quality_by_lang" -> (topQualityByLang _))
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" -> normalizeOracle,
+    "text_repetition" -> repetitionOracle,
+    "text_quality_rules" -> qualityRulesOracle,
     "text_inverted_index" -> invertedIndexOracle,
     "text_stratified_sample" -> stratifiedSampleOracle,
     "text_token_stats" -> tokenStatsOracle,
