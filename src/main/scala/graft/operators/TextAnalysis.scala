@@ -379,7 +379,55 @@ object TextAnalysis {
        |FROM documents ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
+  /** PII masking — the sanitization pass before a corpus leaves the
+    * pipeline: emails and long digit runs (8+: phone/account shapes)
+    * replaced with typed placeholders. Literal-class regexes only, so
+    * Java and RE2 rewrite identically; single-pass scan. */
+  def piiMask(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
+    val digitsRe = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+    val masked = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"),
+      digitsRe, "<NUM>")
+    (Tables.documents(spark, dir)
+      .select(col("doc_id"), masked.as("masked_text"),
+        (length(col("text")) - length(masked)).cast("long").as("chars_masked")))
+  }
+
+  val piiMaskOracle: String = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
+    val digits = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+    s"""SELECT doc_id,
+       |       regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |                      '$digits', '<NUM>', 'g') AS masked_text,
+       |       length(text) - length(
+       |         regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |                        '$digits', '<NUM>', 'g')) AS chars_masked
+       |FROM documents ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** Per-source corpus profile (the `source` dimension): document count,
+    * exact char-count stats, language spread. The first look a pipeline
+    * owner takes at a new crawl dump. */
+  def statsBySource(spark: SparkSession, dir: String): DataFrame = (
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("total_chars")))
+
+  val statsBySourceOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT lang) AS n_langs,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_mask" -> (piiMask _),
+    "text_stats_by_source" -> (statsBySource _),
     "text_normalize" -> (normalize _),
     "text_repetition" -> (repetition _),
     "text_quality_rules" -> (qualityRules _),
@@ -394,6 +442,8 @@ object TextAnalysis {
     "text_top_quality_by_lang" -> (topQualityByLang _))
 
   val oracles: Map[String, String] = Map(
+    "text_pii_mask" -> piiMaskOracle,
+    "text_stats_by_source" -> statsBySourceOracle,
     "text_normalize" -> normalizeOracle,
     "text_repetition" -> repetitionOracle,
     "text_quality_rules" -> qualityRulesOracle,
