@@ -13,9 +13,14 @@ class ProductionRegistrySpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  /** A PHYSICAL global SortExec — the range-partitioned full sort the
+    * canonicalization orderBy pays. Checked on the physical plan because
+    * a logical Sort under a Limit (e.g. IVF's ordered centroid selection)
+    * plans as a bounded TakeOrderedAndProject, not a sort — and window /
+    * SMJ sorts are per-partition (global=false). */
   private def hasGlobalSort(df: org.apache.spark.sql.DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.collect {
-      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
     }.nonEmpty
 
   test("registries are key-identical and bench excludes only the baselines") {
@@ -25,9 +30,12 @@ class ProductionRegistrySpec extends AnyFunSuite {
   }
 
   test("production plans carry no global Sort; oracle forms carry exactly one on top") {
-    // representative spread: plain agg, join, LSH pipeline, window agg
+    // representative spread: plain agg, join, LSH pipeline, window agg,
+    // as-of join, range join, ranked top-k, IVF ANN
     for (name <- Seq("q6_stock_by_product", "ch5_q3_movie_review_join",
-                     "dedup_minhash_lsh", "events_hourly_agg")) {
+                     "dedup_minhash_lsh", "events_hourly_agg",
+                     "events_asof_join", "events_range_join",
+                     "text_top_quality_by_lang", "sim_ann_ivf")) {
       val prod = SparkEntry.productionQueries(name)(spark, TestSpark.sfDir)
       val oracle = SparkEntry.queries(name)(spark, TestSpark.sfDir)
       assert(!hasGlobalSort(prod), s"$name production plan has a global Sort:\n" +
