@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** MinHash signature sketch as a native `TypedImperativeAggregate`
   * (SURVEY §2.4 — the "custom sketch" slot; the guide's recommended shape
@@ -175,6 +176,73 @@ case class SimHashSketch(
     copy(child = newChildren.head)
 }
 
+/** Element-wise vector sum over an `array<double>` column — the bounded
+  * production aggregate behind per-group centroids (`sim_centroid_by_lang`
+  * production form, IVF centroid refinement). The aggregation buffer is
+  * one fixed `Array[Double](dim)` regardless of group size, so a
+  * billion-document language costs 64 doubles of state per partial —
+  * unlike the fold-exact oracle form, whose `collect_list` buffer grows
+  * with the group. Accumulation order follows partition order (floating
+  * point, so results can differ in the last ulp across runs); the
+  * fold-exact form remains the oracle gate, with spec-pinned 1e-9
+  * agreement (`ScaleSafetySpec`). Inputs shorter than `dim` contribute
+  * their prefix; null arrays are skipped. */
+case class VectorSumSketch(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vector_sum"
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = math.min(dim, a.numElements())
+      var i = 0
+      while (i < n) {
+        buffer(i) += a.getDouble(i)
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < dim) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(dim * 8)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(dim)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorSumSketch =
+    copy(child = newChildren.head)
+}
+
 object SketchFunctions {
   /** Aggregate column: MinHash signature of the group's feature hashes. */
   def minhash_sketch(featureHash: Column, numHashes: Int): Column =
@@ -186,4 +254,10 @@ object SketchFunctions {
   def simhash_sketch(polyHash: Column): Column =
     ColumnBridge.column(
       SimHashSketch(ColumnBridge.expression(polyHash)).toAggregateExpression())
+
+  /** Aggregate column: element-wise sum of the group's `array<double>`
+    * vectors (fixed `dim`-slot buffer — the scale-safe centroid path). */
+  def vector_sum(vec: Column, dim: Int): Column =
+    ColumnBridge.column(
+      VectorSumSketch(ColumnBridge.expression(vec), dim).toAggregateExpression())
 }

@@ -219,6 +219,28 @@ object Events {
         expr("percentile(value, 0.99)").as("p99"),
         count(lit(1)).as("n")))
 
+  /** PRODUCTION quantiles ([[graft.SparkEntry.productionOverrides]]): the
+    * scale-safe form of [[valueQuantiles]]. Spark's exact `percentile`
+    * buffers EVERY value of a group in its aggregate state — with
+    * #groups = #event_types, one reducer holds ~a fifth of the corpus at
+    * 100 TB (the round-5 verdict's scale killer). `approx_percentile`
+    * (Greenwald–Khanna style summary, here at 1/accuracy = 1e-4 relative
+    * rank error) keeps a FIXED-size summary per group that partial-
+    * aggregates map-side like any counter. The exact form stays in the
+    * oracle registry; `ScaleSafetySpec` pins approx-vs-exact agreement on
+    * the fixtures. */
+  def valueQuantilesApprox(spark: SparkSession, dir: String): DataFrame = (
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5D, 0.95D, 0.99D), 10000)").as("q"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p95"),
+        element_at(col("q"), 3).as("p99"),
+        col("n")))
+
   val valueQuantilesOracle: String =
     """SELECT event_type,
       |       quantile_cont(value, 0.5) AS p50,

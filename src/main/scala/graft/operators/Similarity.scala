@@ -456,6 +456,31 @@ object Similarity {
         size(col("xs")).cast("long").as("n")))
   }
 
+  /** PRODUCTION centroid ([[graft.SparkEntry.productionOverrides]]): the
+    * scale-safe form of [[centroidByLang]]. One shuffle on `lang`, and the
+    * aggregation state is a FIXED 64-double buffer per group
+    * ([[graft.functions.VectorSumSketch]]) plus a count — a billion-doc
+    * language costs 520 bytes of aggregate state, where the oracle form's
+    * per-(lang, dim) `collect_list` buffer grows with the group (the
+    * round-5 verdict's 100×-scale killer). Also drops the 64× posexplode
+    * row inflation: vectors aggregate whole, dims unpack *after* the
+    * aggregate (320 rows). Accumulation order is partition order, so the
+    * doubles may differ from the fold-exact oracle form in the last ulp —
+    * `ScaleSafetySpec` pins agreement at 1e-9 on the fixtures; the oracle
+    * registry keeps the fold-exact form. */
+  def centroidByLangProd(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), dvec.as("ev"))
+    (d.join(e, "doc_id")
+      .groupBy(col("lang"))
+      .agg(graft.functions.SketchFunctions.vector_sum(col("ev"), Dim).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col("lang"), posexplode(col("sums")).as(Seq("dim", "s")), col("n"))
+      .select(col("lang"), col("dim").cast("long").as("dim"),
+        (col("s") / col("n").cast("double")).as("centroid"), col("n")))
+  }
+
   val centroidByLangOracle: String =
     s"""WITH j AS (
        |  SELECT d.doc_id, d.lang, e.embedding
