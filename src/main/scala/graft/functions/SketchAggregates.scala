@@ -27,10 +27,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * `h XOR (golden-ratio · (slot+1))` — public-domain mixing constants.
   * The family is not oracle-visible: correctness is gated on the final
   * near-dup pair set matching the brute-force Jaccard oracle.
+  *
+  * With `numBands > 0`, `eval` emits the LSH BAND HASHES instead of the
+  * raw signature: `numBands` longs, band b hashing signature slots
+  * [b·r, (b+1)·r) with r = numHashes/numBands. Two docs get equal band-b
+  * hashes iff their signatures agree on that slice (up to negligible
+  * 64-bit collisions) — exactly what the banded self-join keys on — so
+  * the consumer skips the former per-doc posexplode + 16
+  * `xxhash64(slice(sig, …))` expression pass entirely; the band hash is
+  * folded in the same tight JVM loop that built the signature.
   */
 case class MinHashSketch(
     child: Expression,
     numHashes: Int,
+    numBands: Int = 0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -38,7 +48,8 @@ case class MinHashSketch(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sketch"
+  override def prettyName: String =
+    if (numBands > 0) "minhash_bands" else "minhash_sketch"
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
@@ -73,7 +84,30 @@ case class MinHashSketch(
     b1
   }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+  override def eval(buffer: Array[Long]): Any =
+    if (numBands <= 0) new GenericArrayData(buffer)
+    else {
+      val r = numHashes / numBands
+      val bands = new Array[Long](numBands)
+      var b = 0
+      while (b < numBands) {
+        // fold the band's r signature slots through the same splitmix
+        // finalizer, seeded by the band index — equal slices hash equal,
+        // different bands of the same slice values hash differently
+        var h = 0x9E3779B97F4A7C15L * (b + 1)
+        var j = 0
+        while (j < r) {
+          var x = h ^ buffer(b * r + j)
+          x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+          x ^= x >>> 27; x *= 0x94D049BB133111EBL
+          h = x ^ (x >>> 31)
+          j += 1
+        }
+        bands(b) = h
+        b += 1
+      }
+      new GenericArrayData(bands)
+    }
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(numHashes * 8)
@@ -248,6 +282,13 @@ object SketchFunctions {
   def minhash_sketch(featureHash: Column, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashSketch(ColumnBridge.expression(featureHash), numHashes)
+        .toAggregateExpression())
+
+  /** Aggregate column: the `numBands` LSH band hashes of the group's
+    * MinHash signature, folded directly in the sketch's eval. */
+  def minhash_bands(featureHash: Column, numHashes: Int, numBands: Int): Column =
+    ColumnBridge.column(
+      MinHashSketch(ColumnBridge.expression(featureHash), numHashes, numBands)
         .toAggregateExpression())
 
   /** Aggregate column: four packed 16-bit SimHash bands of the group. */

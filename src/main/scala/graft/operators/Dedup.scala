@@ -144,23 +144,25 @@ object Dedup {
   private val NumHashes = 64
   private val NumBands = 16 // 4 rows/band → P(candidate | J=.85) ≈ 1 - 7e-6
 
-  /** MinHash signatures: explode shingles once, take 64 per-function
-    * minima in a single groupBy (partial agg map-side — the shuffle
-    * carries 64 longs per doc, independent of document size).
+  /** Per-doc LSH band hashes: explode shingles once, fold the 64
+    * per-function minima AND the 16 band hashes in a single groupBy
+    * (partial agg map-side — the shuffle carries 64 longs per doc,
+    * independent of document size; the output carries only 16).
     *
-    * The signature is computed by [[graft.functions.MinHashSketch]], a
-    * native `TypedImperativeAggregate`: one `Array[Long]` buffer updated
-    * in a tight JVM loop (64 splitmix64-style mixes of the shingle's one
-    * `xxhash64`), instead of a 64-column generated aggregate whose JIT
-    * dominated local bench time. The hash family is not oracle-visible —
-    * correctness is gated on the FINAL pair set matching the brute-force
-    * Jaccard oracle exactly. */
-  private def signatures(docs: DataFrame): DataFrame =
+    * Both are computed by [[graft.functions.MinHashSketch]], a native
+    * `TypedImperativeAggregate`: one `Array[Long]` buffer updated in a
+    * tight JVM loop (64 splitmix64-style mixes of the shingle's one
+    * `xxhash64`), with the band hashes folded in `eval` — so the former
+    * second pass (posexplode + 16 `xxhash64(slice(sig, …))` Catalyst
+    * expressions per doc) disappears. The hash family is not
+    * oracle-visible — correctness is gated on the FINAL pair set matching
+    * the brute-force Jaccard oracle exactly. */
+  private def bandHashes(docs: DataFrame): DataFrame =
     withShingles(docs).select(col("doc_id"), explode(col("sh")).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SketchFunctions
-        .minhash_sketch(col("h"), NumHashes).as("sig"))
+        .minhash_bands(col("h"), NumHashes, NumBands).as("bands"))
 
   /** Near-dup pairs via MinHash+LSH banding, then *exact* Jaccard on the
     * candidates only. Output is identical to [[jaccardBrute]] whenever the
@@ -169,16 +171,14 @@ object Dedup {
     * candidate count scales with the number of true duplicates, not n². */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = withNearDups(spark, dir)
-    val sigs = signatures(docs)
     // Persist the banded signatures: 16 (band, hash) rows of 3 longs per
     // doc — tiny relative to the corpus at any scale — and the self-join
     // below would otherwise evaluate the whole explode+sketch subtree once
     // per side. (CacheManager dedups by canonicalized plan, so repeated
     // calls share one entry; callers can `spark.catalog.clearCache()`.)
-    val bands = sigs.select(col("doc_id"), posexplode(
-      array((0 until NumBands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * 4 + 1, 4))): _*))
-      .as(Seq("band", "bandHash")))
+    val bands = bandHashes(docs)
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "bandHash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&

@@ -44,6 +44,30 @@ class SketchAggregatesSpec extends AnyFunSuite {
     assert(sigs(1) == sigs(7))
   }
 
+  test("minhash band hashes collide exactly when signature slices agree") {
+    // two docs sharing 19 of 20 features agree on most signature slots;
+    // band hashes must be equal exactly on the bands whose 4-slot slices
+    // are equal — the property the LSH self-join keys on
+    import spark.implicits._
+    val base = Seq.tabulate(20)(i => s"w$i")
+    val df = (base.map(w => (1L, w)) ++ (base.take(19) :+ "other").map(w => (2L, w)))
+      .toDF("id", "w").withColumn("h", xxhash64(col("w")))
+    val out = df.groupBy("id")
+      .agg(SketchFunctions.minhash_sketch(col("h"), 64).as("sig"),
+        SketchFunctions.minhash_bands(col("h"), 64, 16).as("bands"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    val (sig1, bands1) = out(1L)
+    val (sig2, bands2) = out(2L)
+    assert(bands1.length == 16 && bands2.length == 16)
+    val sliceEq = (0 until 16).map(b =>
+      sig1.slice(b * 4, b * 4 + 4) == sig2.slice(b * 4, b * 4 + 4))
+    val bandEq = (0 until 16).map(b => bands1(b) == bands2(b))
+    assert(bandEq == sliceEq)
+    assert(sliceEq.exists(identity) && sliceEq.exists(!_),
+      "fixture should produce both agreeing and disagreeing bands")
+  }
+
   test("simhash packs vote signs into four 16-bit bands") {
     import spark.implicits._
     // one feature with known poly hash p: every bit vote is decided by
