@@ -143,7 +143,26 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 
 /** Bounded-heap top-k per key. One hash map of per-key heaps per input
   * partition (the required clustering puts each key in exactly one
-  * partition); each heap holds at most k row copies. */
+  * partition); each heap holds at most k row copies.
+  *
+  * Memory contract: retained state is O(min(#keys-in-partition × k,
+  * spill threshold)) rows. The intended use is curation-shaped top-k
+  * (#keys = languages / strata / tokens), where the state is tiny; for a
+  * HIGH-cardinality key (top-k per user), the retained set approaches
+  * (#keys × k) = the operator's own output size — so once it exceeds
+  * `spark.graft.topk.spillRows` (default 2²¹ rows per partition) the heap
+  * map is flushed to a key-sorted run on local disk and rebuilt empty.
+  * Runs merge at the end (streaming k-way merge by key bytes; per-key
+  * partial heaps re-combine under the same ordering, each ≤ k rows), so
+  * peak heap memory stays at the threshold regardless of key cardinality
+  * — the same buffered-rows-spill discipline WindowExec gets from
+  * ExternalAppendOnlyUnsafeRowArray, adapted to per-key heaps.
+  * `TopKSpillSpec` forces a 16-row threshold over a unique key and pins
+  * bit-equality with the in-memory path.
+  *
+  * Output rows are re-projected through `UnsafeProjection` so downstream
+  * exchanges / byte-array collectors get the UnsafeRow they assume even
+  * when no codegen stage re-projects above this operator. */
 case class TopKPerKeyExec(
     partitionExprs: Seq[Expression],
     orderSpec: Seq[SortOrder],
@@ -163,41 +182,41 @@ case class TopKPerKeyExec(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of distinct keys"))
+      .createMetric(sparkContext, "number of distinct keys"),
+    "spillCount" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of heap-map spills"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val rankIsLong = rankAttr.dataType == LongType
     val numOutputRows = longMetric("numOutputRows")
     val numKeys = longMetric("numKeys")
+    val spillCount = longMetric("spillCount")
+    val spillRows = conf.getConfString("spark.graft.topk.spillRows",
+      (1 << 21).toString).toLong
+    val kLocal = k
+    val childOutput = child.output
+    val partExprs = partitionExprs
+    val order = orderSpec
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(partitionExprs, child.output)
-      val ord = GenerateOrdering.generate(orderSpec, child.output)
-      // scala PriorityQueue dequeues the MAX first → the heap root is the
-      // worst retained row; a new row replaces it iff strictly better
-      val heaps = new java.util.HashMap[InternalRow,
-        scala.collection.mutable.PriorityQueue[InternalRow]]()
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      val ord = GenerateOrdering.generate(order, childOutput)
+      val merger = new TopKPartitionMerger(kLocal, ord, rowProj,
+        childOutput.size, spillRows, () => spillCount += 1)
       while (iter.hasNext) {
-        val row = iter.next().copy()
-        val key = keyProj(row).copy()
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
-          heaps.put(key, heap)
-        }
-        if (heap.size < k) heap.enqueue(row)
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row)
-        }
+        val row = iter.next()
+        merger.insert(keyProj(row), row)
       }
-      import scala.jdk.CollectionConverters._
-      numKeys += heaps.size()
-      heaps.values().iterator().asScala.flatMap { heap =>
+      val outProj = UnsafeProjection.create(
+        childOutput :+ rankAttr, childOutput :+ rankAttr)
+      val joined = new JoinedRow
+      merger.result().flatMap { case (_, heap) =>
+        numKeys += 1
         val ascending = heap.dequeueAll.reverseIterator
         ascending.zipWithIndex.map { case (row, i) =>
           val rank: Any = if (rankIsLong) (i + 1).toLong else i + 1
           numOutputRows += 1
-          new JoinedRow(row, new GenericInternalRow(Array[Any](rank)))
+          outProj(joined(row, new GenericInternalRow(Array[Any](rank))))
         }
       }
     }
@@ -205,6 +224,160 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+/** Per-partition top-k state for [[TopKPerKeyExec]]: an in-memory map of
+  * per-key bounded heaps that spills itself to key-sorted runs on local
+  * disk when it exceeds `spillRows` retained rows, then streams a k-way
+  * merge of the runs plus the final in-memory map. All spilled data is
+  * UnsafeRow bytes; temp files delete on JVM exit and eagerly after the
+  * merge. */
+private[plans] class TopKPartitionMerger(
+    k: Int,
+    ord: Ordering[InternalRow],
+    rowProj: UnsafeProjection,
+    numRowFields: Int,
+    spillRows: Long,
+    onSpill: () => Unit) {
+
+  import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+
+  private type Heap = scala.collection.mutable.PriorityQueue[InternalRow]
+
+  private val heaps = new java.util.HashMap[UnsafeRow, Heap]()
+  private var retained = 0L
+  private val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+  /** scala PriorityQueue dequeues the MAX first → the heap root is the
+    * worst retained row; a new row replaces it iff strictly better. */
+  def insert(key: UnsafeRow, row: InternalRow): Unit = {
+    var heap = heaps.get(key)
+    if (heap == null) {
+      val keyCopy = key.copy()
+      heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+      heaps.put(keyCopy, heap)
+    }
+    if (heap.size < k) {
+      heap.enqueue(row.copy())
+      retained += 1
+      if (retained >= spillRows) spill()
+    } else if (ord.compare(row, heap.head) < 0) {
+      heap.dequeue()
+      heap.enqueue(row.copy())
+    }
+  }
+
+  /** Unsigned-lexicographic byte order (then length) — any total order
+    * shared by all runs works; identical keys serialize identically. */
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def spill(): Unit = {
+    if (heaps.isEmpty) return
+    onSpill()
+    val file = java.io.File.createTempFile("graft-topk-spill", ".bin")
+    file.deleteOnExit()
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(file), 1 << 16))
+    try {
+      import scala.jdk.CollectionConverters._
+      val sorted = heaps.entrySet().iterator().asScala.toArray
+        .map(e => (e.getKey.getBytes, e.getValue))
+      java.util.Arrays.sort(sorted,
+        (x: (Array[Byte], Heap), y: (Array[Byte], Heap)) =>
+          compareBytes(x._1, y._1))
+      for ((keyBytes, heap) <- sorted) {
+        out.writeInt(keyBytes.length)
+        out.write(keyBytes)
+        out.writeInt(heap.size)
+        // heap iteration order is arbitrary — fine, the merge re-heaps
+        for (row <- heap) {
+          val u = rowProj(row)
+          out.writeInt(u.getSizeInBytes)
+          out.write(u.getBytes)
+        }
+      }
+    } finally out.close()
+    spills += file
+    heaps.clear()
+    retained = 0
+  }
+
+  /** One spilled run: a key-sorted stream of (keyBytes, rows ≤ k). */
+  private final class Run(file: java.io.File) {
+    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(file), 1 << 16))
+    var currentKey: Array[Byte] = _
+    var currentRows: Array[InternalRow] = _
+    advance()
+    def advance(): Unit = {
+      val keyLen = try in.readInt() catch {
+        case _: java.io.EOFException => in.close(); file.delete()
+          currentKey = null; currentRows = null; return
+      }
+      currentKey = new Array[Byte](keyLen)
+      in.readFully(currentKey)
+      val n = in.readInt()
+      currentRows = Array.fill(n) {
+        val len = in.readInt()
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val u = new UnsafeRow(numRowFields)
+        u.pointTo(bytes, len)
+        u
+      }
+    }
+    def exhausted: Boolean = currentKey == null
+  }
+
+  /** The per-key heaps, spill-merged if any spill happened. Call exactly
+    * once, after the last [[insert]]. */
+  def result(): Iterator[(Array[Byte], Heap)] = {
+    import scala.jdk.CollectionConverters._
+    if (spills.isEmpty) {
+      heaps.entrySet().iterator().asScala.map(e => (e.getKey.getBytes, e.getValue))
+    } else {
+      spill() // the in-memory remainder becomes the final run
+      val runs = spills.map(new Run(_)).filterNot(_.exhausted)
+      new Iterator[(Array[Byte], Heap)] {
+        private val live = scala.collection.mutable.ArrayBuffer(runs.toSeq: _*)
+        override def hasNext: Boolean = live.nonEmpty
+        override def next(): (Array[Byte], Heap) = {
+          // smallest current key across runs; merge every run holding it
+          var minKey: Array[Byte] = null
+          for (r <- live) {
+            if (minKey == null || compareBytes(r.currentKey, minKey) < 0)
+              minKey = r.currentKey
+          }
+          val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          var i = 0
+          while (i < live.length) {
+            val r = live(i)
+            if (compareBytes(r.currentKey, minKey) == 0) {
+              for (row <- r.currentRows) {
+                if (heap.size < k) heap.enqueue(row)
+                else if (ord.compare(row, heap.head) < 0) {
+                  heap.dequeue(); heap.enqueue(row)
+                }
+              }
+              r.advance()
+              if (r.exhausted) { live.remove(i); i -= 1 }
+            }
+            i += 1
+          }
+          (minKey, heap)
+        }
+      }
+    }
+  }
 }
 
 /** Wires the rewrite + strategy into an EXISTING session via the public
