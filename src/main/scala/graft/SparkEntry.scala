@@ -35,6 +35,8 @@ object SparkEntry {
     * production registry — and value agreement with the oracle forms):
     *   - centroid: fixed 64-double [[graft.functions.VectorSumSketch]]
     *     buffer instead of the per-(lang, dim) collect_list fold;
+    *   - IVF ANN: the Lloyd-refined cell sums on the same fixed buffer
+    *     instead of the oracle's fold-exact per-(cell, dim) collection;
     *   - inverted index: postings capped at 100 via the bounded-heap
     *     top-k operator before collection (df stays exact; the capped
     *     form is ALSO oracle-gated as `text_inverted_index_capped`);
@@ -42,6 +44,7 @@ object SparkEntry {
     *     exact percentile's buffer-everything state. */
   def productionOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_centroid_by_lang" -> (Similarity.centroidByLangProd _),
+    "sim_ann_ivf" -> (Similarity.annIvfProd _),
     "text_inverted_index" -> (TextAnalysis.invertedIndexCapped _),
     "events_value_quantiles" -> (Events.valueQuantilesApprox _))
 

@@ -273,22 +273,60 @@ object Similarity {
     * assignment cost n·k·d stays a broadcast-joined narrow pass (the
     * centroid table is k·d doubles — ~8 MB at a billion vectors).
     *
-    * Centroid choice is deterministic for the oracle: the k smallest
-    * vec_ids. A production pipeline would plug k-means centroids into the
-    * same structure (the assignment/probe/rank dataflow is unchanged —
-    * only the centroid table differs). On the random-vector fixtures
-    * (worst case: no cluster structure for ANY coarse quantizer)
-    * recall@3 measures ~0.64 with a 0.55 floor pinned in
-    * `SimilaritySpec`; the LSH variant ([[annLsh]]) is the stronger
-    * choice on unclustered data, IVF wins when the corpus clusters.
-    * The DuckDB oracle replays the identical algorithm, so results
-    * hash-match. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    * Centroids are k-means-refined: the k smallest vec_ids seed the
+    * quantizer, then ONE deterministic Lloyd iteration reassigns every
+    * vector to its nearest seed (cosine, ties on centroid_id) and
+    * replaces each non-empty cell's centroid with the SUM of its member
+    * vectors — cosine is scale-invariant, so the un-normalized sum ranks
+    * identically to the mean while skipping the division (one fewer
+    * fp op to keep bit-stable across engines). Both the fixed iteration
+    * count and the fold order are deterministic, so the DuckDB oracle
+    * replays the identical algorithm and results hash-match.
+    *
+    * Two registry variants share the dataflow and differ ONLY in how the
+    * cell sum accumulates ([[annIvf]] oracle: fold-exact in vec_id order
+    * for the bit-stable DuckDB replay; [[annIvfProd]] production:
+    * fixed-buffer [[graft.functions.VectorSumSketch]], scale-safe but
+    * last-ulp order-dependent — which can flip a near-tie assignment, so
+    * the production variant is recall-pinned rather than hash-gated).
+    * On the random-vector fixtures (worst case: no cluster structure for
+    * ANY coarse quantizer) recall@3 is floor-pinned in `SimilaritySpec`
+    * for both variants; the LSH variant ([[annLsh]]) is the stronger
+    * choice on unclustered data, IVF wins when the corpus clusters. */
+  private def annIvfWith(spark: SparkSession, dir: String,
+      exactFold: Boolean): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val k = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val cent = v.orderBy(col("vec_id")).limit(k)
+    val seeds = v.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("ev").as("cv"))
+    // --- one Lloyd iteration: home cell under the seeds, then cell sums
+    val wHome = Window.partitionBy(col("vec_id"))
+      .orderBy(col("scos").desc, col("centroid_id"))
+    val home = v.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("ev"), col("cv")).as("scos"))
+      .withColumn("r", row_number().over(wHome))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val members0 = home.join(v, "vec_id")
+    val cent =
+      if (exactFold)
+        members0
+          .select(col("centroid_id"), col("vec_id"),
+            posexplode(col("ev")).as(Seq("dim", "x")))
+          .groupBy(col("centroid_id"), col("dim"))
+          .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
+          .select(col("centroid_id"), col("dim"),
+            aggregate(sort_array(col("xs")), lit(0.0),
+              (acc, s) => acc + s.getField("x")).as("m"))
+          .groupBy(col("centroid_id"))
+          .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("centroid_id"),
+            transform(col("dm"), s => s.getField("m")).as("cv"))
+      else
+        members0.groupBy(col("centroid_id"))
+          .agg(graft.functions.SketchFunctions.vector_sum(col("ev"), Dim).as("cv"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
     val assign = v.crossJoin(broadcast(cent))
@@ -317,12 +355,46 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("rnk"), col("cosine")))
   }
 
+  /** Oracle IVF: fold-exact Lloyd cell sums (DuckDB-replayable). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, exactFold = true)
+
+  /** PRODUCTION IVF ([[graft.SparkEntry.productionOverrides]]): identical
+    * dataflow with the cell sums on the fixed-buffer vector aggregate —
+    * no per-cell collect_list; recall floor pinned in `SimilaritySpec`. */
+  def annIvfProd(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, exactFold = false)
+
   val annIvfOracle: String =
     s"""WITH $vCte,
        |kk AS (SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
        |       FROM embeddings),
-       |cent AS (SELECT vec_id AS centroid_id, ev AS cv FROM v
-       |         QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+       |seeds AS (SELECT vec_id AS centroid_id, ev AS cv FROM v
+       |          QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+       |h0 AS (SELECT v.vec_id, s.centroid_id,
+       |              ${sqlCos("v.ev", "s.cv")} AS scos
+       |       FROM v CROSS JOIN seeds s),
+       |home AS (SELECT vec_id, centroid_id FROM (
+       |           SELECT vec_id, centroid_id,
+       |                  row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY scos DESC, centroid_id) AS r
+       |           FROM h0)
+       |         WHERE r = 1),
+       |mx AS (SELECT h.centroid_id, v.vec_id, CAST(i AS BIGINT) - 1 AS dim,
+       |              v.ev[CAST(i AS INT)] AS x
+       |       FROM home h JOIN v ON h.vec_id = v.vec_id,
+       |            range(1, $Dim + 1) t(i)),
+       |md AS (SELECT centroid_id, dim,
+       |              list_reduce(list_transform(
+       |                  list_sort(array_agg({'vec_id': vec_id, 'x': x})),
+       |                  s -> s.x),
+       |                (a, b) -> a + b) AS m
+       |       FROM mx GROUP BY 1, 2),
+       |cent AS (SELECT centroid_id,
+       |                list_transform(
+       |                  list_sort(array_agg({'dim': dim, 'm': m})),
+       |                  s -> s.m) AS cv
+       |         FROM md GROUP BY 1),
        |a0 AS (SELECT v.vec_id, c.centroid_id,
        |              ${sqlCos("v.ev", "c.cv")} AS ccos
        |       FROM v CROSS JOIN cent c),

@@ -40,23 +40,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("IVF ANN recall@3 vs exact top-k has a pinned floor (measured ~0.64)") {
+  test("IVF ANN recall@3 vs exact top-k has a pinned floor, both variants") {
     // Random vectors are the worst case for ANY coarse quantizer (no
-    // cluster structure to exploit); IVF with first-k centroids and
-    // nprobe=8 measures 0.64 here. Floor 0.55 pins the quality against
-    // silent k/nprobe regressions; on clustered corpora IVF recall is far
-    // higher at the same probe budget.
+    // cluster structure to exploit). With the one-iteration Lloyd
+    // refinement both variants (fold-exact oracle / vector-sum
+    // production) must hold the floor; they may differ slightly from
+    // each other because last-ulp sum differences can flip near-tie cell
+    // assignments. The refinement lifted measured recall 0.64 -> 0.743
+    // (sf0.001) even on this unclustered worst case; floor 0.65 pins the
+    // gain against silent k/nprobe/refinement regressions. On clustered
+    // corpora IVF recall is far higher at the same probe budget.
     val k = 3
     val exact = Similarity.cosineTopK(spark, dir).collect()
       .filter(_.getLong(2) <= k)
       .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
-    val ivf = Similarity.annIvf(spark, dir).collect()
-      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
     assert(exact.nonEmpty)
-    val recall = exact.map { case (v, ex) =>
-      (ex intersect ivf.getOrElse(v, Set.empty)).size.toDouble / ex.size
-    }.sum / exact.size
-    assert(recall >= 0.55, f"IVF recall@$k degraded to $recall%.3f (floor 0.55)")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val ivf = df.collect()
+        .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+      exact.map { case (v, ex) =>
+        (ex intersect ivf.getOrElse(v, Set.empty)).size.toDouble / ex.size
+      }.sum / exact.size
+    }
+    val oracleRecall = recallOf(Similarity.annIvf(spark, dir))
+    val prodRecall = recallOf(Similarity.annIvfProd(spark, dir))
+    info(f"IVF recall@$k: oracle=$oracleRecall%.3f production=$prodRecall%.3f")
+    assert(oracleRecall >= 0.65,
+      f"IVF oracle recall@$k degraded to $oracleRecall%.3f (floor 0.65)")
+    assert(prodRecall >= 0.65,
+      f"IVF production recall@$k degraded to $prodRecall%.3f (floor 0.65)")
   }
 
   test("ANN recall@3 vs exact top-k has a pinned floor (measured ~0.81)") {
