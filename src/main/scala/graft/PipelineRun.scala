@@ -34,7 +34,10 @@ object PipelineRun {
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val keep = TextAnalysis.qualityRules(spark, dir)
       .filter(col("keep")).select(col("doc_id"))
-    val masked = TextAnalysis.piiMask(spark, dir)
+    // mask the RAW corpus (the registry's text_pii_mask plants synthetic
+    // PII for oracle coverage — that planting must not reach user output)
+    val masked = TextAnalysis.piiMaskOn(
+        docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("masked_text"))
     val norm = TextAnalysis.normalize(spark, dir)
       .select(col("doc_id"), col("norm_text"))

@@ -425,31 +425,81 @@ object TextAnalysis {
        |FROM documents ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
-  /** PII masking — the sanitization pass before a corpus leaves the
-    * pipeline: emails and long digit runs (8+: phone/account shapes)
-    * replaced with typed placeholders. Literal-class regexes only, so
-    * Java and RE2 rewrite identically; single-pass scan. */
-  def piiMask(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
-    val digitsRe = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
-    val masked = regexp_replace(
-      regexp_replace(col("text"), emailRe, "<EMAIL>"),
-      digitsRe, "<NUM>")
-    (Tables.documents(spark, dir)
-      .select(col("doc_id"), masked.as("masked_text"),
-        (length(col("text")) - length(masked)).cast("long").as("chars_masked")))
+  /** The PII pattern bundle — ordered (regex, replacement) pairs applied
+    * as a regexp_replace chain. Literal character classes and bounded
+    * quantifiers only, so Java regex and DuckDB's RE2 rewrite
+    * identically. Order matters: emails go first (their local parts can
+    * contain digits), structured digit shapes (SSN, separator-tolerant
+    * phone) before the bare 8+-digit-run catch-all would swallow their
+    * digit groups. Callers can pass their own bundle to [[piiMaskOn]] —
+    * the chain shape (and the oracle replay guarantee, for literal-class
+    * patterns) is independent of the bundle. */
+  val DefaultPiiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+" -> "<EMAIL>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{8,}" -> "<NUM>")
+
+  /** PII masking over any (doc_id, text) frame — the sanitization pass
+    * before a corpus leaves the pipeline. Single-pass scan, no shuffle;
+    * the whole chain stays one codegen'd projection. */
+  def piiMaskOn(df: DataFrame,
+      patterns: Seq[(String, String)] = DefaultPiiPatterns): DataFrame = {
+    val masked = patterns.foldLeft(col("text")) {
+      case (c, (re, rep)) => regexp_replace(c, re, rep)
+    }
+    df.select(col("doc_id"), masked.as("masked_text"),
+      (length(col("text")) - length(masked)).cast("long").as("chars_masked"))
   }
 
+  /** The fixture corpus carries no PII at all, so the registry query
+    * PLANTS it deterministically in-query — arithmetic both engines
+    * express identically (the same discipline as the dedup queries'
+    * planted duplicates): every 7th doc gains an email, every 11th an
+    * SSN, every 13th a parenthesized phone, every 17th an 11-digit
+    * account number. The oracle replays the planting and the mask chain,
+    * so every pattern in [[DefaultPiiPatterns]] is exercised and
+    * hash-checked; [[piiMaskOn]] itself stays plant-free for real use
+    * (PipelineRun masks the raw corpus). */
+  private def withPlantedPii(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = concat(
+      col("text"),
+      when(id % 7 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 11 === 0, lit(" ssn 123-45-6789 on file")).otherwise(lit("")),
+      when(id % 13 === 0,
+        concat(lit(" call (415) 555-"), lpad((id % 10000L).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 17 === 0, lit(" account 12345678901")).otherwise(lit("")))
+    Tables.documents(spark, dir).select(col("doc_id"), planted.as("text"))
+  }
+
+  def piiMask(spark: SparkSession, dir: String): DataFrame =
+    piiMaskOn(withPlantedPii(spark, dir))
+
   val piiMaskOracle: String = {
-    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
-    val digits = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
-    s"""SELECT doc_id,
-       |       regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
-       |                      '$digits', '<NUM>', 'g') AS masked_text,
-       |       length(text) - length(
-       |         regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
-       |                        '$digits', '<NUM>', 'g')) AS chars_masked
-       |FROM documents ORDER BY 1, 2, 3""".stripMargin
+    val maskedSql = DefaultPiiPatterns.foldLeft("text") {
+      case (c, (re, rep)) => s"regexp_replace($c, '$re', '$rep', 'g')"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         text
+       |         || CASE WHEN doc_id % 7 = 0
+       |                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+       |                 ELSE '' END
+       |         || CASE WHEN doc_id % 11 = 0
+       |                 THEN ' ssn 123-45-6789 on file' ELSE '' END
+       |         || CASE WHEN doc_id % 13 = 0
+       |                 THEN ' call (415) 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       |                 ELSE '' END
+       |         || CASE WHEN doc_id % 17 = 0
+       |                 THEN ' account 12345678901' ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id, $maskedSql AS masked_text,
+       |       length(text) - length($maskedSql) AS chars_masked
+       |FROM d ORDER BY 1, 2, 3""".stripMargin
   }
 
   /** Per-source corpus profile (the `source` dimension): document count,
