@@ -29,8 +29,10 @@ object StreamingDedup {
 
   /** Stage the single-file fixture into a watchable directory and return
     * the streaming documents frame (same planted duplicates as the batch
-    * query: every 10th doc recurs at doc_id + 200000). */
-  private def streamingDocs(spark: SparkSession, dir: String): DataFrame = {
+    * query: every 10th doc recurs at doc_id + 200000) plus the staging
+    * dir for post-consume cleanup. */
+  private def streamingDocs(spark: SparkSession,
+      dir: String): (DataFrame, java.nio.file.Path) = {
     val path = s"$dir/documents.parquet"
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
     val staged = streamDir.resolve("documents.parquet")
@@ -41,8 +43,8 @@ object StreamingDedup {
     val schema = spark.read.parquet(path).schema
     val d = spark.readStream.schema(schema).parquet(streamDir.toString)
       .select(col("doc_id"), col("text"))
-    d.unionAll(d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    (d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))), streamDir)
   }
 
   /** Batch form of the same planted-duplicate corpus. */
@@ -66,23 +68,25 @@ object StreamingDedup {
     * replay. */
   def exactAggStreaming(spark: SparkSession, dir: String): DataFrame = {
     val sink = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = exactAggOf(streamingDocs(spark, dir))
+    val (docs, streamDir) = streamingDocs(spark, dir)
+    val query = exactAggOf(docs)
       .writeStream.format("memory").queryName(sink).outputMode("complete")
       .start()
     try query.processAllAvailable() finally query.stop()
-    spark.table(sink)
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
   }
 
   /** Streaming keep-first dedup: stateful `dropDuplicates` on the content
     * hash, append mode. */
   def dropDupStreaming(spark: SparkSession, dir: String): DataFrame = {
     val sink = s"graft_stream_dropdup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = streamingDocs(spark, dir)
+    val (docs, streamDir) = streamingDocs(spark, dir)
+    val query = docs
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicates("text_hash")
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .start()
     try query.processAllAvailable() finally query.stop()
-    spark.table(sink)
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
   }
 }

@@ -104,7 +104,8 @@ object StreamingEvents {
     } finally {
       query.stop()
     }
-    spark.table(sink).filter(col("user_id") =!= -1L)
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+      .filter(col("user_id") =!= -1L)
   }
 
   /** Replay the events fixture through Structured Streaming and return
@@ -134,6 +135,6 @@ object StreamingEvents {
     } finally {
       query.stop()
     }
-    spark.table(sink)
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
   }
 }

@@ -45,6 +45,6 @@ object StreamingJoins {
     val query = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try query.processAllAvailable() finally query.stop()
-    spark.table(sink)
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
   }
 }

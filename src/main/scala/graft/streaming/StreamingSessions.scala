@@ -117,6 +117,7 @@ object StreamingSessions {
       sentinel.write.mode("append").parquet(streamDir.toString)
       query.processAllAvailable()
     } finally query.stop()
-    spark.table(sink).filter(col("user_id") =!= -1L)
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+      .filter(col("user_id") =!= -1L)
   }
 }
