@@ -78,9 +78,15 @@ object SparkEntry {
     "dedup_jaccard_brute", "sim_cosine_topk", "sim_cosine_neardup")
 
   /** The scale-path queries Bench times: production (un-canonicalized)
-    * forms, minus the O(n²) oracle baselines. */
+    * forms, minus the O(n²) oracle baselines, plus the composed
+    * end-to-end curation pipeline (gate → mask → dedup → split) — the
+    * user story has no oracle row of its own (each stage is oracle-gated
+    * separately) but composition-level plan regressions must surface in
+    * the bench. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    productionQueries -- baselineOnly
+    (productionQueries -- baselineOnly) +
+      ("pipeline_curated" -> ((s: SparkSession, d: String) =>
+        PipelineRun.curated(s, d)))
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker

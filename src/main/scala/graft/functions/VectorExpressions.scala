@@ -21,9 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * final expression keeps the exact `dot / (sqrt(na) * sqrt(nb))` shape —
   * results are bit-identical, so swapping it into oracle-gated queries
   * changes no hashes (asserted by `VectorExpressionsSpec`).
+  *
+  * Degenerate-input contract (ADVICE round 5): the HOF form yields NULL
+  * on mismatched lengths (`zip_with` pads with null) and on any null
+  * element — these expressions do the same, instead of silently
+  * truncating to the shorter vector or reading garbage. The null-element
+  * guard compiles away when both inputs' array types carry
+  * `containsNull = false` (the hot path: parquet-read embeddings), so
+  * the tight loop is unchanged where it matters.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+abstract class VectorFoldExpression extends BinaryExpression {
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -37,12 +44,58 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  // mismatched lengths / null elements yield null even for non-null inputs
+  override def nullable: Boolean = true
+
+  /** Do the input array TYPES admit null elements? When false the
+    * per-element guards are skipped (eval) / not emitted (codegen). */
+  protected lazy val elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+  }
+
+  protected def hasNullElement(x: ArrayData, y: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Shared codegen prologue: null out on length mismatch, then (only if
+    * the types admit it) on any null element. */
+  protected def guardCode(ctx: CodegenContext, ev: ExprCode,
+      a: String, b: String, n: String): String = {
+    val i = ctx.freshName("gi")
+    val elemGuard = if (elementsNullable)
+      s"""
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    else ""
+    s"""
+       |int $n = $a.numElements();
+       |if ($n != $b.numElements()) ${ev.isNull} = true;
+       |$elemGuard
+     """.stripMargin
+  }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (elementsNullable && hasNullElement(x, y, n)) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -68,14 +121,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |${guardCode(ctx, ev, a, b, n)}
+         |if (!${ev.isNull}) {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -91,26 +146,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * once per (vector, plane) — at 10⁹ vectors × 20 planes that is the
   * bucket-assignment hot loop. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends VectorFoldExpression {
 
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<double> arguments, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  }
-  override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (elementsNullable && hasNullElement(x, y, n)) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -126,12 +171,14 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |${guardCode(ctx, ev, a, b, n)}
+         |if (!${ev.isNull}) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

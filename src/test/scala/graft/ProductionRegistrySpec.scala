@@ -26,7 +26,8 @@ class ProductionRegistrySpec extends AnyFunSuite {
   test("registries are key-identical and bench excludes only the baselines") {
     assert(SparkEntry.productionQueries.keySet == SparkEntry.queries.keySet)
     assert(SparkEntry.benchQueries.keySet ==
-      SparkEntry.productionQueries.keySet -- SparkEntry.baselineOnly)
+      (SparkEntry.productionQueries.keySet -- SparkEntry.baselineOnly) +
+        "pipeline_curated")
   }
 
   test("production plans carry no global Sort; oracle forms carry exactly one on top") {

@@ -64,6 +64,33 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate inputs match the HOF form: null, not truncation") {
+    import spark.implicits._
+    // (matched, mismatched-length, null-element) pairs — the HOF form
+    // yields null for the last two; the native expressions must agree
+    // in both execution paths
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "x", "y")
+    def check(): Unit = {
+      val hofDot = aggregate(zip_with(col("x"), col("y"), _ * _), lit(0.0), _ + _)
+      val rows = df.select(col("id"),
+        VectorFunctions.dot_product(col("x"), col("y")).as("dot"),
+        VectorFunctions.cosine_similarity(col("x"), col("y")).as("cos"),
+        hofDot.as("hof"))
+        .collect().map(r => r.getLong(0) ->
+          (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+      assert(rows(1L) == ((false, false, false)))
+      assert(rows(2L) == ((true, true, true)), "length mismatch must be null")
+      assert(rows(3L) == ((true, true, true)), "null element must be null")
+    }
+    check() // codegen path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("type checking rejects non-array-of-double inputs") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       // Dataset analysis is eager — the type-check fires at select()
