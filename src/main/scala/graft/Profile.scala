@@ -45,34 +45,24 @@ object Profile {
         concat_ws(" ", slice(ws, lit(1), truncLen)).as("text")))
 
     time("withNearDups")(withNear.count())
-    val exploded = withShingles(withNear)
-      .select(col("doc_id"), explode(col("sh")).as("sh"))
-    time("explode shingles")(exploded.count())
-    time("explode shingles again")(exploded.count())
-    val sigs = exploded
-      .withColumn("h", xxhash64(col("sh")))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.SketchFunctions.minhash_sketch(col("h"), 64).as("sig"))
-    time("sigs (sketch agg)")(sigs.count())
-    val bands = sigs.select(col("doc_id"), posexplode(
-      array((0 until 16).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * 4 + 1, 4))): _*))
-      .as(Seq("band", "bandHash")))
-    time("bands (no persist)")(bands.count())
+    val shingled = withShingles(withNear)
+    time("shingle arrays")(shingled.count())
+    val bands = shingled.select(col("doc_id"),
+      graft.functions.SketchScalarFunctions
+        .minhash_bands_of(col("sh"), 64, 16).as("bands"))
+    time("scalar minhash bands")(bands.count())
+    val banded = bands.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bandHash")))
+    time("banded rows (no persist)")(banded.count())
     time("full minhashLsh")(graft.operators.Dedup.minhashLsh(spark, sfDir).count())
     spark.catalog.clearCache()
     time("full minhashLsh (cache cleared)")(
       graft.operators.Dedup.minhashLsh(spark, sfDir).count())
 
     // --- simhash stages ----------------------------------------------------
-    def polyHash(c: Column): Column =
-      graft.functions.StringFunctions.poly_hash(c)
-    val ph = exploded.withColumn("p", polyHash(col("sh")))
-    time("polyHash over shingles")(ph.count())
-    val sbands = ph
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.SketchFunctions.simhash_sketch(col("p")).as("b4"))
-    time("simhash sketch agg")(sbands.count())
+    val sbands = shingled.select(col("doc_id"),
+      graft.functions.SketchScalarFunctions.simhash_bands_of(col("sh")).as("b4"))
+    time("scalar simhash bands")(sbands.count())
     time("full simhash")(graft.operators.Dedup.simhashPairs(spark, sfDir).count())
     spark.catalog.clearCache()
     time("full simhash (cache cleared)")(

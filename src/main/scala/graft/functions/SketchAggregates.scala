@@ -54,20 +54,13 @@ case class MinHashSketch(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
-  private def mix(slot: Int, h: Long): Long = {
-    var x = h ^ (0x9E3779B97F4A7C15L * (slot + 1))
-    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
-    x ^= x >>> 27; x *= 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var s = 0
       while (s < numHashes) {
-        val m = mix(s, h)
+        val m = SketchHashing.mix(s, h)
         if (m < buffer(s)) buffer(s) = m
         s += 1
       }
@@ -86,28 +79,8 @@ case class MinHashSketch(
 
   override def eval(buffer: Array[Long]): Any =
     if (numBands <= 0) new GenericArrayData(buffer)
-    else {
-      val r = numHashes / numBands
-      val bands = new Array[Long](numBands)
-      var b = 0
-      while (b < numBands) {
-        // fold the band's r signature slots through the same splitmix
-        // finalizer, seeded by the band index — equal slices hash equal,
-        // different bands of the same slice values hash differently
-        var h = 0x9E3779B97F4A7C15L * (b + 1)
-        var j = 0
-        while (j < r) {
-          var x = h ^ buffer(b * r + j)
-          x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
-          x ^= x >>> 27; x *= 0x94D049BB133111EBL
-          h = x ^ (x >>> 31)
-          j += 1
-        }
-        bands(b) = h
-        b += 1
-      }
-      new GenericArrayData(bands)
-    }
+    else new GenericArrayData(
+      SketchHashing.bandHashes(buffer, numHashes, numBands))
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(numHashes * 8)
@@ -141,11 +114,6 @@ case class SimHashSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] {
 
-  private val M = 1000000007L
-  private val HalfM = (M + 1) / 2
-  private val A = Array.tabulate(64)(i => (1103515245L * i + 12345L) % M)
-  private val B = Array.tabulate(64)(i => (1103515245L * (i + 64) + 12345L) % M)
-
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -155,14 +123,7 @@ case class SimHashSketch(
 
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
-    if (v != null) {
-      val p = v.asInstanceOf[Long]
-      var i = 0
-      while (i < 64) {
-        if ((p * A(i) + B(i)) % M >= HalfM) buffer(i) += 1 else buffer(i) -= 1
-        i += 1
-      }
-    }
+    if (v != null) SketchHashing.simVote(buffer, v.asInstanceOf[Long])
     buffer
   }
 
@@ -174,21 +135,8 @@ case class SimHashSketch(
 
   /** Pack sign bits into four 16-bit bands (bit j of band k = sign of
     * vote 16k+j) — identical packing to the oracle. */
-  override def eval(buffer: Array[Int]): Any = {
-    val bands = new Array[Long](4)
-    var k = 0
-    while (k < 4) {
-      var v = 0L
-      var j = 0
-      while (j < 16) {
-        if (buffer(16 * k + j) > 0) v |= (1L << j)
-        j += 1
-      }
-      bands(k) = v
-      k += 1
-    }
-    new GenericArrayData(bands)
-  }
+  override def eval(buffer: Array[Int]): Any =
+    new GenericArrayData(SketchHashing.packBands(buffer))
 
   override def serialize(buffer: Array[Int]): Array[Byte] = {
     val bb = ByteBuffer.allocate(64 * 4)

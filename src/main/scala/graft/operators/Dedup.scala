@@ -21,10 +21,11 @@ import graft.sources.Tables
   *   - exact dedup groups on `md5(text)` not `text` — the shuffle carries a
   *     32-byte key instead of multi-KB documents;
   *   - brute-force Jaccard is the O(n²) correctness baseline only;
-  *   - MinHash+LSH is the scale path: one explode+groupBy to build 64-hash
-  *     signatures (map-side combined), then a self-join on (band, hash) —
-  *     candidates ∝ true duplicates, not n². All hashing is `xxhash64`
-  *     (codegen'd Catalyst expression), no UDFs anywhere;
+  *   - MinHash+LSH is the scale path: per-doc band hashes fold in ONE
+  *     scalar-expression pass over the shingle array (no explode, no
+  *     shuffle — the signature build is scan-side), then a self-join on
+  *     (band, hash) — candidates ∝ true duplicates, not n². All hashing
+  *     is native codegen'd expressions, no UDFs anywhere;
   *   - SimHash packs the signature into four 16-bit bands; candidate pairs
   *     must agree on one band (pigeonhole for hamming ≤ 3 over 64 bits).
   */
@@ -144,25 +145,23 @@ object Dedup {
   private val NumHashes = 64
   private val NumBands = 16 // 4 rows/band → P(candidate | J=.85) ≈ 1 - 7e-6
 
-  /** Per-doc LSH band hashes: explode shingles once, fold the 64
-    * per-function minima AND the 16 band hashes in a single groupBy
-    * (partial agg map-side — the shuffle carries 64 longs per doc,
-    * independent of document size; the output carries only 16).
-    *
-    * Both are computed by [[graft.functions.MinHashSketch]], a native
-    * `TypedImperativeAggregate`: one `Array[Long]` buffer updated in a
-    * tight JVM loop (64 splitmix64-style mixes of the shingle's one
-    * `xxhash64`), with the band hashes folded in `eval` — so the former
-    * second pass (posexplode + 16 `xxhash64(slice(sig, …))` Catalyst
-    * expressions per doc) disappears. The hash family is not
-    * oracle-visible — correctness is gated on the FINAL pair set matching
-    * the brute-force Jaccard oracle exactly. */
+  /** Per-doc LSH band hashes: ONE scalar expression pass
+    * ([[graft.functions.MinHashBandsOf]]) folds the 64 per-shingle
+    * minima and the 16 band hashes inside the row — a document's
+    * signature has no cross-row state, so the former
+    * explode → shuffle → sketch-aggregate detour (which moved one
+    * (doc_id, hash) row per shingle through an exchange) is gone
+    * entirely. The signature build is now a narrow scan-side projection;
+    * the only shuffle left in the query is the banded candidate
+    * self-join. The aggregate form ([[graft.functions.MinHashSketch]])
+    * remains for genuinely grouped/streaming shapes and shares the same
+    * hashing internals (`SketchHashing`, equivalence spec-pinned). The
+    * hash family is not oracle-visible — correctness is gated on the
+    * FINAL pair set matching the brute-force Jaccard oracle exactly. */
   private def bandHashes(docs: DataFrame): DataFrame =
-    withShingles(docs).select(col("doc_id"), explode(col("sh")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.SketchFunctions
-        .minhash_bands(col("h"), NumHashes, NumBands).as("bands"))
+    withShingles(docs).select(col("doc_id"),
+      graft.functions.SketchScalarFunctions
+        .minhash_bands_of(col("sh"), NumHashes, NumBands).as("bands"))
 
   /** Near-dup pairs via MinHash+LSH banding, then *exact* Jaccard on the
     * candidates only. Output is identical to [[jaccardBrute]] whenever the
@@ -215,16 +214,6 @@ object Dedup {
   private val M = 1000000007L
   private val HalfM = (M + 1) / 2 // 500000004
 
-  /** Karp–Rabin polynomial hash of a string's codepoints (base 31, mod
-    * 1e9+7), left-folded in index order — the native
-    * [[graft.functions.PolyHash]] expression, identical to the fold
-    * DuckDB's `list_reduce` performs (fold-from-0 ≡
-    * fold-from-first-element because 0·31 + c₁ = c₁; equivalence with the
-    * interpreted HOF form pinned in `StringExpressionsSpec` — that form
-    * was ~14 s of the simhash bench query at sf0.1). */
-  private def polyHash(c: Column): Column =
-    graft.functions.StringFunctions.poly_hash(c)
-
   /** 64-bit SimHash packed as four 16-bit bands. Bit i of the signature is
     * the sign of Σ_features ±1, where feature f votes +1 on bit i iff
     * h_i(f) = (A_i·poly(f) + B_i) mod M lands in the upper half of [0, M)
@@ -233,15 +222,13 @@ object Dedup {
     * `xxhash64`, which left this query oracle-less).
     * Features are word-3-gram shingles — single tokens don't discriminate
     * on a small-vocabulary corpus (every doc uses most of the vocab).
-    * One explode + one groupBy; the 64 vote counters live in
-    * [[graft.functions.SimHashSketch]]'s buffer (which applies the SAME
-    * Carter–Wegman bit hashes the oracle replays), not in 64 generated
-    * aggregate columns. */
+    * Like the MinHash path, the vote fold is a per-row scalar expression
+    * ([[graft.functions.SimHashBandsOf]], same Carter–Wegman hashes the
+    * oracle replays) — no explode, no groupBy; the signature build is a
+    * narrow projection over the scan. */
   private def simhashBands(docs: DataFrame): DataFrame =
-    withShingles(docs).select(col("doc_id"), explode(col("sh")).as("w"))
-      .withColumn("p", polyHash(col("w")))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.SketchFunctions.simhash_sketch(col("p")).as("b4"))
+    withShingles(docs).select(col("doc_id"),
+      graft.functions.SketchScalarFunctions.simhash_bands_of(col("sh")).as("b4"))
       .select(col("doc_id"),
         element_at(col("b4"), 1).as("band0"),
         element_at(col("b4"), 2).as("band1"),

@@ -68,6 +68,31 @@ class SketchAggregatesSpec extends AnyFunSuite {
       "fixture should produce both agreeing and disagreeing bands")
   }
 
+  test("scalar band expressions equal the aggregate sketch paths") {
+    import spark.implicits._
+    // same shingle sets through both forms: the per-row scalar fold and
+    // the explode -> hash -> TypedImperativeAggregate detour must agree
+    // exactly (they share SketchHashing; the per-feature hashes must
+    // match too — xxhash64(seed 42) vs the scalar's XXH64 call)
+    val df = (0 until 8).map(d =>
+      (d.toLong, Seq.tabulate(12)(i => s"w${d}_$i w${d}_${i + 1} w${d}_${i + 2}")))
+      .toDF("id", "sh")
+    val scalar = df.select(col("id"),
+      SketchScalarFunctions.minhash_bands_of(col("sh"), 64, 16).as("mb"),
+      SketchScalarFunctions.simhash_bands_of(col("sh")).as("sb"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    val agg = df.select(col("id"), explode(col("sh")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+      .withColumn("p", StringFunctions.poly_hash(col("w")))
+      .groupBy("id")
+      .agg(SketchFunctions.minhash_bands(col("h"), 64, 16).as("mb"),
+        SketchFunctions.simhash_sketch(col("p")).as("sb"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    assert(scalar == agg)
+  }
+
   test("simhash packs vote signs into four 16-bit bands") {
     import spark.implicits._
     // one feature with known poly hash p: every bit vote is decided by

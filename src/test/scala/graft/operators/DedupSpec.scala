@@ -43,8 +43,12 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash LSH finds exactly the brute-force pair set (recall 1.0)") {
     val dir = corpusDir(base)
-    val brute = Dedup.jaccardBrute(spark, dir).collect().toSeq
-    val lsh = Dedup.minhashLsh(spark, dir).collect().toSeq
+    // compare as canonically-ordered sets — production plans guarantee
+    // rows, not row order
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val brute = keyed(Dedup.jaccardBrute(spark, dir).collect())
+    val lsh = keyed(Dedup.minhashLsh(spark, dir).collect())
     assert(brute.nonEmpty)
     assert(lsh == brute)
   }
