@@ -59,7 +59,21 @@ object GraftFunctions {
         "minhash_sketch expects (long column, integer literal)")
     },
     "simhash_sketch" -> arity("simhash_sketch", 1)(a =>
-      SimHashSketch(a.head).toAggregateExpression()))
+      SimHashSketch(a.head).toAggregateExpression()),
+    "vector_sum" -> arity("vector_sum", 2) {
+      case Seq(v, Literal(d: Int, IntegerType)) =>
+        VectorSumSketch(v, d).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "vector_sum expects (array<double> column, integer literal)")
+    },
+    "minhash_bands_of" -> arity("minhash_bands_of", 3) {
+      case Seq(sh, Literal(h: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+        MinHashBandsOf(sh, h, b)
+      case _ => throw new IllegalArgumentException(
+        "minhash_bands_of expects (array<string>, integer literal, integer literal)")
+    },
+    "simhash_bands_of" -> arity("simhash_bands_of", 1)(a =>
+      SimHashBandsOf(a.head)))
 
   /** Register every builder into an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -310,17 +310,102 @@ object Dedup {
        |    + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // --- duplicate-cluster assignment (connected components over pairs) -----
+
+  /** Safety cap for the propagation loop — label propagation converges in
+    * O(cluster diameter) rounds, and duplicate clusters are near-cliques
+    * by construction (LSH bands pair most members directly), so real
+    * corpora converge in a handful of rounds. */
+  private val MaxCcIters = 50
+
+  /** Duplicate-CLUSTER assignment — the step a dedup pipeline needs after
+    * pair detection: pairs only say "a duplicates b"; keep/drop decisions
+    * need each document's connected component (a≈b, b≈c ⇒ {a,b,c} is one
+    * cluster even when a and c never paired). Output: every document of
+    * the near-dup corpus with its canonical representative (the MINIMUM
+    * doc_id reachable through the [[minhashLsh]] pair graph; singletons
+    * represent themselves) and the keep verdict.
+    *
+    * Algorithm: iterative min-label propagation — labels start as own id;
+    * each round every node takes the min of its label and its neighbors'
+    * labels (one edges⋈labels shuffle join + groupBy per round), until a
+    * round changes nothing. The driver-side loop is bounded CONVERGENCE
+    * control (the per-round `count()` is an aggregate, not data
+    * movement) — the same shape GraphX/GraphFrames connected components
+    * use; rounds = cluster diameter, which for duplicate clusters is a
+    * small constant (LSH pairs most members directly). At 100 TB each
+    * round is one shuffle of the (tiny) edge list against the label
+    * frame; the fixpoint (min reachable id) is order-independent, so the
+    * result is deterministic under any partitioning and the DuckDB
+    * oracle replays it as a recursive transitive closure over the SAME
+    * pair set (brute-force Jaccard ≡ LSH pairs on the fixtures). */
+  def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withNearDups(spark, dir).select(col("doc_id"))
+    val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val edges = pairs.unionAll(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < MaxCcIters) {
+      val neighborMin = edges
+        .join(labels, edges("b_id") === labels("doc_id"))
+        .groupBy(col("a_id")).agg(min(col("label")).as("nmin"))
+      val updated = labels.as("l")
+        .join(neighborMin, col("l.doc_id") === neighborMin("a_id"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"), coalesce(col("nmin"), col("l.label")))
+            .as("label"),
+          (coalesce(col("nmin"), col("l.label")) < col("l.label"))
+            .as("shrunk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = updated.filter(col("shrunk")).count()
+      labels.unpersist()
+      labels = updated.select(col("doc_id"), col("label"))
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $MaxCcIters rounds")
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_rep"),
+      (col("doc_id") === col("label")).as("is_keeper"))
+  }
+
+  /** DuckDB replay: transitive closure (recursive CTE) over the SAME pair
+    * set — min reachable id per node, singletons reaching only
+    * themselves. */
+  val clusterAssignOracle: String =
+    s"""WITH RECURSIVE $nearDupsCte,
+       |$shinglesCte,
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |        AND $jaccardSql >= 0.6),
+       |e AS (SELECT a_id AS u, b_id AS v FROM p
+       |      UNION ALL
+       |      SELECT b_id AS u, a_id AS v FROM p),
+       |reach(u, v) AS (
+       |  SELECT doc_id AS u, doc_id AS v FROM d
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+       |SELECT u AS doc_id, min(v) AS cluster_rep,
+       |       u = min(v) AS is_keeper
+       |FROM reach GROUP BY u ORDER BY 1, 2, 3""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_jaccard_brute" -> (jaccardBrute _),
     "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhashPairs _))
+    "dedup_simhash" -> (simhashPairs _),
+    "dedup_clusters" -> (clusterAssign _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactOracle,
     "dedup_jaccard_brute" -> jaccardBruteOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
-    "dedup_simhash" -> simhashOracle)
+    "dedup_simhash" -> simhashOracle,
+    "dedup_clusters" -> clusterAssignOracle)
 }

@@ -63,6 +63,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql.getSeq[Long](1) == api.getSeq[Long](1))
   }
 
+  test("scalar band sketches and vector_sum work from SQL and match the Column API") {
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |       minhash_bands_of(word_shingles(split(text, ' '), 3), 64, 16) AS mb,
+        |       simhash_bands_of(word_shingles(split(text, ' '), 3)) AS sb
+        |FROM docs_ext""".stripMargin)
+    val sh = StringFunctions.word_shingles(split(col("text"), " "), 3)
+    val api = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"),
+        SketchScalarFunctions.minhash_bands_of(sh, 64, 16).as("mb"),
+        SketchScalarFunctions.simhash_bands_of(sh).as("sb"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+
+    val sqlSum = spark.sql(
+      """SELECT vector_sum(transform(embedding, x -> CAST(x AS DOUBLE)), 64) AS s
+        |FROM emb_ext""".stripMargin).head().getSeq[Double](0)
+    val apiSum = graft.sources.Tables.embeddings(spark, TestSpark.sfDir)
+      .agg(SketchFunctions.vector_sum(
+        transform(col("embedding"), x => x.cast("double")), 64).as("s"))
+      .head().getSeq[Double](0)
+    // accumulation order is partition order in both paths, but the single
+    // local partition makes them identical here
+    assert(sqlSum == apiSum)
+  }
+
   test("wrong arity raises a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT poly_hash('a', 'b')").collect()

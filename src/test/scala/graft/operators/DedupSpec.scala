@@ -53,6 +53,30 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("cluster assignment is transitive: a≈b≈c clusters without a≈c pairing") {
+    // sliding 20-token windows over 26 distinct tokens: adjacent windows
+    // share 15 of 21 distinct shingles (J ≈ 0.714 ≥ 0.6) but the outer
+    // pair shares only 12 of 24 (J = 0.5 < 0.6) — so the pair graph is a
+    // path a-b-c and only the transitive closure puts all three together
+    val w = (1 to 26).map(i => s"tok$i")
+    val a = w.slice(0, 20).mkString(" ")
+    val b = w.slice(3, 23).mkString(" ")
+    val c = w.slice(6, 26).mkString(" ")
+    val dummy = "completely unrelated words nothing matches here at all in any way"
+    val dir = corpusDir(Seq(dummy, a, b, c))
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)))
+    val clusters = Dedup.clusterAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(clusters(1L) == ((1L, true)))
+    assert(clusters(2L) == ((1L, false))) // via the path, not a direct pair
+    assert(clusters(3L) == ((1L, false)))
+    assert(clusters(0L) == ((0L, true))) // singleton + its planted trunc copy
+    assert(clusters(100000L)._1 == 0L)
+  }
+
   test("simhash pairs identical docs (hamming 0) and isolates unrelated ones") {
     // identical texts ⇒ identical shingle sets ⇒ hamming exactly 0; on a
     // 13-token doc a one-word difference flips an EXPECTED ~8 of 64 bits,
