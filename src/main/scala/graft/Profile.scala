@@ -68,6 +68,13 @@ object Profile {
     time("full simhash (cache cleared)")(
       graft.operators.Dedup.simhashPairs(spark, sfDir).count())
 
+    // --- cluster assignment ------------------------------------------------
+    time("full clusterAssign")(
+      graft.operators.Dedup.clusterAssign(spark, sfDir).count())
+    spark.catalog.clearCache()
+    time("full clusterAssign (cache cleared)")(
+      graft.operators.Dedup.clusterAssign(spark, sfDir).count())
+
     spark.stop()
   }
 }

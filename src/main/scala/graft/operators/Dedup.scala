@@ -340,36 +340,65 @@ object Dedup {
     * oracle replays it as a recursive transitive closure over the SAME
     * pair set (brute-force Jaccard ≡ LSH pairs on the fixtures). */
   def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withNearDups(spark, dir).select(col("doc_id"))
+    val tStart = System.nanoTime()
+    // the corpus ids (original + planted +100000 copies of every 20th) —
+    // constructed arithmetically so this frame is provably a doc_id-only
+    // scan, never the planted-text subtree
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val docs = ids.unionAll(ids.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id")))
+    // persist the DIRECTED pair set before symmetrizing: the reversed
+    // union would otherwise embed the whole LSH+confirm subtree twice
     val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // propagate over the EDGE-INDUCED subgraph only: nodes untouched by
+    // any pair never change labels, so at 100 TB the iteration state is
+    // ∝ #duplicate documents, never corpus size — the full corpus joins
+    // the converged reps exactly once at the end. Self-loops fold the
+    // node's own label into the neighbor-min, so one round is ONE
+    // shuffle join + groupBy (no re-join against the old labels), and
+    // convergence is read off the label-sum: labels only shrink, so the
+    // sum strictly decreases until the fixpoint.
+    val incident = edges.select(col("a_id").as("doc_id")).distinct()
+    val loopedEdges = edges.unionAll(
+        incident.select(col("doc_id").as("a_id"), col("doc_id").as("b_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var labels = incident.select(col("doc_id"), col("doc_id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < MaxCcIters) {
-      val neighborMin = edges
-        .join(labels, edges("b_id") === labels("doc_id"))
-        .groupBy(col("a_id")).agg(min(col("label")).as("nmin"))
-      val updated = labels.as("l")
-        .join(neighborMin, col("l.doc_id") === neighborMin("a_id"), "left")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.label"), coalesce(col("nmin"), col("l.label")))
-            .as("label"),
-          (coalesce(col("nmin"), col("l.label")) < col("l.label"))
-            .as("shrunk"))
+    var lastSum = Long.MaxValue
+    var converged = false
+    while (!converged && iter < MaxCcIters) {
+      // rounds needed = component diameter — a small constant for LSH
+      // duplicate clusters (bands pair most members directly, so
+      // components are near-cliques; the fixtures converge in 2 rounds)
+      val t0 = System.nanoTime()
+      val updated = loopedEdges
+        .join(labels, loopedEdges("b_id") === labels("doc_id"))
+        .groupBy(col("a_id")).agg(min(col("label")).as("label"))
+        .select(col("a_id").as("doc_id"), col("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = updated.filter(col("shrunk")).count()
+      val newSum = updated.agg(sum(col("label"))).head().getLong(0)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC round $iter: sum=$newSum ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      converged = newSum == lastSum
+      lastSum = newSum
       labels.unpersist()
-      labels = updated.select(col("doc_id"), col("label"))
+      labels = updated
       iter += 1
     }
-    require(changed == 0, s"label propagation did not converge in $MaxCcIters rounds")
-    edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_rep"),
-      (col("doc_id") === col("label")).as("is_keeper"))
+    require(converged, s"label propagation did not converge in $MaxCcIters rounds")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"CC loop done at ${(System.nanoTime() - tStart) / 1e9}%.2f s")
+    pairs.unpersist()
+    loopedEdges.unpersist()
+    (docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_rep"),
+        (col("doc_id") === coalesce(col("label"), col("doc_id")))
+          .as("is_keeper")))
   }
 
   /** DuckDB replay: transitive closure (recursive CTE) over the SAME pair
