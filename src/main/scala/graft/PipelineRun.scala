@@ -10,12 +10,15 @@ import graft.sources.Tables
   * exists for, composed from the same oracle-gated pieces:
   *
   *   1. quality gate  (`text_quality_rules` keep verdict)
-  *   2. PII masking   (`text_pii_mask` rewrite)
-  *   3. exact dedup   (md5 on the NORMALIZED text, keep min doc_id —
+  *   2. PII masking   (`text_pii_mask` rewrite, raw corpus — no planting)
+  *   3. NEAR-dup removal (`dedup_clusters` on the raw corpus: MinHash+LSH
+  *                     pairs → connected components → keep each cluster's
+  *                     min doc_id)
+  *   4. exact dedup   (md5 on the NORMALIZED text, keep min doc_id —
   *                     normalization-aware, so case/punctuation variants
-  *                     collapse)
-  *   4. train/val/test split (content-keyed poly_hash — dedup-safe)
-  *   5. one parquet write partitioned by split
+  *                     collapse; catches what shingle-level LSH ignores)
+  *   5. train/val/test split (content-keyed poly_hash — dedup-safe)
+  *   6. one parquet write partitioned by split
   *
   * Each stage is a narrow transform or one shuffle; the composition adds
   * NO driver-side loops and no collects — the whole pipeline is one
@@ -43,8 +46,14 @@ object PipelineRun {
       .select(col("doc_id"), col("norm_text"))
     val split = TextAnalysis.trainSplit(spark, dir)
       .select(col("doc_id"), col("split"))
+    // near-dup removal: cluster the RAW corpus's LSH pair graph and keep
+    // only each duplicate cluster's canonical representative
+    val nearKeepers = graft.operators.Dedup
+      .clusterAssignOn(docs.select(col("doc_id"), col("text")))
+      .filter(col("is_keeper")).select(col("doc_id"))
     val joined = docs.join(keep, "doc_id").join(masked, "doc_id")
       .join(norm, "doc_id").join(split, "doc_id")
+      .join(nearKeepers, "doc_id")
     // normalization-aware exact dedup: keep the min doc_id per distinct
     // normalized text (32-byte md5 shuffle key, same shape as dedup_exact)
     val w = org.apache.spark.sql.expressions.Window

@@ -168,8 +168,13 @@ object Dedup {
     * banding recalls every true pair (it does on the fixtures — verified
     * against the same DuckDB oracle), but the join is on (band, bandHash):
     * candidate count scales with the number of true duplicates, not n². */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withNearDups(spark, dir)
+  /** Registry form: the fixture corpus with planted near-duplicates. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOn(withNearDups(spark, dir))
+
+  /** Library form over ANY (doc_id, text) frame — e.g. the raw corpus
+    * inside [[graft.PipelineRun]]'s near-dedup stage. */
+  def minhashLshOn(docs: DataFrame): DataFrame = {
     // Persist the banded signatures: 16 (band, hash) rows of 3 longs per
     // doc — tiny relative to the corpus at any scale — and the self-join
     // below would otherwise evaluate the whole explode+sketch subtree once
@@ -339,17 +344,27 @@ object Dedup {
     * result is deterministic under any partitioning and the DuckDB
     * oracle replays it as a recursive transitive closure over the SAME
     * pair set (brute-force Jaccard ≡ LSH pairs on the fixtures). */
+  /** Registry form: the planted corpus, with the corpus id frame
+    * constructed arithmetically (original ids + planted +100000 copies of
+    * every 20th) so it is provably a doc_id-only scan, never the
+    * planted-text subtree. */
   def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
-    val tStart = System.nanoTime()
-    // the corpus ids (original + planted +100000 copies of every 20th) —
-    // constructed arithmetically so this frame is provably a doc_id-only
-    // scan, never the planted-text subtree
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val docs = ids.unionAll(ids.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000L).as("doc_id")))
+    clusterAssignImpl(docs, minhashLsh(spark, dir))
+  }
+
+  /** Library form over ANY (doc_id, text) frame: near-dup pairs via
+    * [[minhashLshOn]], then connected components. */
+  def clusterAssignOn(docs: DataFrame): DataFrame =
+    clusterAssignImpl(docs.select(col("doc_id")), minhashLshOn(docs))
+
+  private def clusterAssignImpl(docs: DataFrame, pairs0: DataFrame): DataFrame = {
+    val tStart = System.nanoTime()
     // persist the DIRECTED pair set before symmetrizing: the reversed
     // union would otherwise embed the whole LSH+confirm subtree twice
-    val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val pairs = pairs0.select(col("a_id"), col("b_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
