@@ -292,6 +292,34 @@ object TextAnalysis {
        |SELECT c.token, c.df, p.postings, c.df > $PostingsCap AS truncated
        |FROM c JOIN p USING (token) ORDER BY 1, 2, 3, 4""".stripMargin
 
+  /** Corpus vocabulary statistics: per token, total occurrences (tf),
+    * document frequency (df), and the count of documents where the token
+    * is the doc's FIRST token (a cheap burstiness/position signal).
+    * Integer-only aggregates so both engines agree exactly (idf-style
+    * logs are left to callers — ln differs across libm implementations
+    * in the last ulp). One explode + one shuffle on token with map-side
+    * partial aggregation; the same salted/df-capped mitigations as the
+    * inverted index apply to stopword skew at 100 TB. */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame = (
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"),
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_first")))
+
+  val vocabStatsOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |             [{'pos': i, 'token': ws[CAST(i AS INT)]}
+      |              for i in range(1, len(ws) + 1)] AS ts
+      |      FROM w),
+      |e AS (SELECT doc_id, unnest(ts, recursive := true) FROM s)
+      |SELECT token, count(*) AS tf,
+      |       count(DISTINCT doc_id) AS df,
+      |       CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+      |FROM e GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
+
   /** Deterministic stratified sample: 20 documents per language, chosen
     * by content-hash order (poly_hash is uniform, so this is a
     * pseudorandom-but-reproducible draw; ties cannot occur twice because
@@ -529,6 +557,7 @@ object TextAnalysis {
     "text_quality_rules" -> (qualityRules _),
     "text_inverted_index" -> (invertedIndex _),
     "text_inverted_index_capped" -> (invertedIndexCapped _),
+    "text_vocab_stats" -> (vocabStats _),
     "text_stratified_sample" -> (stratifiedSample _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
@@ -546,6 +575,7 @@ object TextAnalysis {
     "text_quality_rules" -> qualityRulesOracle,
     "text_inverted_index" -> invertedIndexOracle,
     "text_inverted_index_capped" -> invertedIndexCappedOracle,
+    "text_vocab_stats" -> vocabStatsOracle,
     "text_stratified_sample" -> stratifiedSampleOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
