@@ -437,6 +437,52 @@ object Dedup {
        |       u = min(v) AS is_keeper
        |FROM reach GROUP BY u ORDER BY 1, 2, 3""".stripMargin
 
+  // --- cross-source overlap matrix -----------------------------------------
+
+  /** documents ∪ a 'mirror' source carrying exact copies of every 10th
+    * doc (keys shifted +300000) — the scrape-mirror scenario: one corpus
+    * source republishing another's content verbatim. */
+  private def withMirrorSource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
+        lit("mirror").as("source")))
+  }
+
+  /** Inter-source exact-duplicate overlap matrix — which sources carry
+    * the same content: per unordered source pair, the count of distinct
+    * texts present in both. The curation diagnostic that tells you which
+    * crawls mirror each other (and therefore which source to drop
+    * wholesale rather than dedup row-by-row).
+    *
+    * Scale shape: distinct (md5, source) first — 32-byte key + source
+    * label, partial-agg'd map-side — then a self-join on the hash. The
+    * per-hash group size is the number of SOURCES holding that text
+    * (bounded by the source catalog, ~dozens), so the pair blowup per key
+    * is O(sources²), never O(docs²); output is at most a sources×sources
+    * matrix. */
+  def crossSource(spark: SparkSession, dir: String): DataFrame = {
+    val d = withMirrorSource(spark, dir)
+      .select(md5(col("text")).as("h"), col("source")).distinct()
+    val a = d.select(col("h"), col("source").as("src_a"))
+    val b = d.select(col("h"), col("source").as("src_b"))
+    (a.join(b, Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared")))
+  }
+
+  val crossSourceOracle: String =
+    """WITH d AS (SELECT doc_id, text, source FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 300000 AS doc_id, text, 'mirror' AS source
+      |           FROM documents WHERE doc_id % 10 = 0),
+      |h AS (SELECT DISTINCT md5(text) AS h, source FROM d)
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -444,12 +490,14 @@ object Dedup {
     "dedup_jaccard_brute" -> (jaccardBrute _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
-    "dedup_clusters" -> (clusterAssign _))
+    "dedup_clusters" -> (clusterAssign _),
+    "dedup_cross_source" -> (crossSource _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactOracle,
     "dedup_jaccard_brute" -> jaccardBruteOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_simhash" -> simhashOracle,
-    "dedup_clusters" -> clusterAssignOracle)
+    "dedup_clusters" -> clusterAssignOracle,
+    "dedup_cross_source" -> crossSourceOracle)
 }

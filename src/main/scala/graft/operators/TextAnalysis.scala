@@ -320,6 +320,172 @@ object TextAnalysis {
       |       CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first
       |FROM e GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
 
+  /** Benchmark decontamination — the pretraining hygiene step: flag every
+    * TRAIN-split document sharing a word-3-gram shingle with the TEST
+    * split (the content-keyed buckets of [[trainSplit]], so the check is
+    * consistent with how the split itself is drawn). Output: contaminated
+    * train doc → count of distinct shared shingles.
+    *
+    * Scale shape: the eval side of a real decontamination run is a
+    * benchmark suite — megabytes against 100 TB — so its distinct shingle
+    * set is collected and BROADCAST; the corpus side is a narrow scan +
+    * explode probing the broadcast hash relation (no shuffle of corpus
+    * shingles), then one groupBy on doc_id over only the matching rows
+    * (∝ contamination, not corpus size). `word_shingles` emits per-doc
+    * DISTINCT shingles and the broadcast side is distinct, so the join
+    * output is already unique per (doc, shingle) — a plain count, no
+    * distinct aggregate. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.StringFunctions.poly_hash(col("text")) % 100L
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        graft.functions.StringFunctions
+          .word_shingles(split(col("text"), " "), 3).as("sh"))
+    val testShingles = sh.filter(col("bucket") >= 95)
+      .select(explode(col("sh")).as("sh")).distinct()
+    val trainShingles = sh.filter(col("bucket") < 90)
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    (trainShingles.join(broadcast(testShingles), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")))
+  }
+
+  val decontaminateOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |         list_reduce(list_transform(string_split(text, ''),
+      |                                    c -> CAST(ord(c) AS BIGINT)),
+      |                     (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+      |  FROM documents),
+      |w AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM b),
+      |s AS (SELECT doc_id, bucket,
+      |             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                            for i in range(1, len(ws) - 1)]) AS sh
+      |      FROM w),
+      |t AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE bucket >= 95),
+      |tr AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE bucket < 90)
+      |SELECT tr.doc_id, count(*) AS n_shared
+      |FROM tr JOIN t USING (sh)
+      |GROUP BY 1 ORDER BY 1, 2""".stripMargin
+
+  /** Tokens per packed sequence for [[seqPack]] — the model context
+    * length. Power of two, so the pack-id division is exact in double. */
+  private val PackLen = 512L
+
+  /** Shard count for [[seqPack]]. At 100 TB this is a parameter sized to
+    * the cluster (shards ≈ executors × a small factor); 8 keeps the
+    * fixture readable. */
+  private val PackShards = 8L
+
+  /** Greedy sequence packing — concatenate-and-chunk, the standard
+    * pretraining batching step: documents are dealt to [[PackShards]]
+    * content-hash shards, laid end-to-end within their shard in
+    * deterministic (hash, doc_id) order, and cut into [[PackLen]]-token
+    * windows. Output: which pack each document STARTS in and at what
+    * token offset.
+    *
+    * Scale shape: one shuffle on shard, then a running window sum per
+    * shard — O(1) state per row (sum over ROWS UNBOUNDED PRECEDING is
+    * streamed, never buffered). The sequential-per-shard tail is bounded
+    * by corpus/shards: shard count is the scale knob, and packs never
+    * span shards so shards are embarrassingly parallel downstream.
+    * Integer-only arithmetic; the `/ PackLen` is a power-of-two double
+    * division (exact) truncated on nonnegative values, identical to the
+    * oracle's `//`. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.StringFunctions.poly_hash(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val start = sum(col("n_tokens")).over(w) - col("n_tokens")
+    (Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"), (h % PackShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (start / lit(PackLen.toDouble)).cast("long").as("pack_id"),
+        (start % PackLen).as("tok_offset")))
+  }
+
+  val seqPackOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         list_reduce(list_transform(string_split(text, ''),
+      |                                    c -> CAST(ord(c) AS BIGINT)),
+      |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, h % 8 AS shard, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+      |                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+      |              AS BIGINT) AS tok_start
+      |  FROM h)
+      |SELECT doc_id, shard, n_tokens,
+      |       tok_start // 512 AS pack_id,
+      |       tok_start % 512 AS tok_offset
+      |FROM c ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  /** K for [[distinctKmv]] — the sketch size. */
+  private val KmvK = 64
+
+  /** K-minimum-values distinct-count sketch over per-language word-3-gram
+    * shingles — the DETERMINISTIC alternative to HLL (Spark's
+    * `approx_count_distinct` is not oracle-replayable; KMV with a pinned
+    * hash is, bit-for-bit): keep the [[KmvK]] smallest distinct
+    * `poly_hash(shingle)` values per language, estimate distinct count as
+    * `(k-1) · M / h_k` (hashes uniform on [0, M)), falling back to the
+    * exact kept count when a group has fewer than k values.
+    *
+    * Scale shape: distinct on (lang, 8-byte hash) with map-side partial,
+    * then the ranked-window top-k — which `RewriteWindowTopK` runs on the
+    * bounded-heap [[graft.plans.TopKPerKeyExec]]: O(k) state per
+    * language, no per-group sort, final state k longs per group no matter
+    * the corpus size. The estimate arithmetic is two IEEE double ops in
+    * fixed order (exact product, one divide) — both engines agree to the
+    * last bit. */
+  def distinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"))
+    val hashes = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(graft.functions.StringFunctions
+          .word_shingles(split(col("text"), " "), 3)).as("sh"))
+      .select(col("lang"),
+        graft.functions.StringFunctions.poly_hash(col("sh")).as("h"))
+      .distinct()
+    (hashes
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KmvK)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+      .select(col("lang"), col("n_kept"), col("kth_min"),
+        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1000000007.0) /
+            col("kth_min").cast("double")).as("est_distinct")))
+  }
+
+  val distinctKmvOracle: String =
+    """WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT lang,
+      |             unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                                   for i in range(1, len(ws) - 1)])) AS sh
+      |      FROM w),
+      |h AS (SELECT DISTINCT lang,
+      |             list_reduce(list_transform(string_split(sh, ''),
+      |                                        c -> CAST(ord(c) AS BIGINT)),
+      |                         (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |      FROM s),
+      |r AS (SELECT lang, h,
+      |             row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
+      |      FROM h)
+      |SELECT lang, count(*) AS n_kept, max(h) AS kth_min,
+      |       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+      |            ELSE 63.0 * 1000000007.0 / CAST(max(h) AS DOUBLE)
+      |       END AS est_distinct
+      |FROM r WHERE rnk <= 64
+      |GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
+
   /** Deterministic stratified sample: 20 documents per language, chosen
     * by content-hash order (poly_hash is uniform, so this is a
     * pseudorandom-but-reproducible draw; ties cannot occur twice because
@@ -558,6 +724,9 @@ object TextAnalysis {
     "text_inverted_index" -> (invertedIndex _),
     "text_inverted_index_capped" -> (invertedIndexCapped _),
     "text_vocab_stats" -> (vocabStats _),
+    "text_decontaminate" -> (decontaminate _),
+    "text_seq_pack" -> (seqPack _),
+    "sketch_distinct_kmv" -> (distinctKmv _),
     "text_stratified_sample" -> (stratifiedSample _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
@@ -576,6 +745,9 @@ object TextAnalysis {
     "text_inverted_index" -> invertedIndexOracle,
     "text_inverted_index_capped" -> invertedIndexCappedOracle,
     "text_vocab_stats" -> vocabStatsOracle,
+    "text_decontaminate" -> decontaminateOracle,
+    "text_seq_pack" -> seqPackOracle,
+    "sketch_distinct_kmv" -> distinctKmvOracle,
     "text_stratified_sample" -> stratifiedSampleOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,

@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.StringFunctions
+
+/** Behavioral specs for the round-6 curation operators: benchmark
+  * decontamination, greedy sequence packing, the KMV distinct sketch and
+  * the cross-source overlap matrix. Fixture-independent: each test builds
+  * its own corpus so the semantics are pinned on constructed cases (the
+  * oracle gate covers the fixture corpus).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Writes a full-schema `documents.parquet` into a temp dir. */
+  private def corpusDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_curation_corpus").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** The operators' content bucket: poly_hash(text) mod 100. */
+  private def bucketOf(t: String): Long =
+    spark.range(1)
+      .select((StringFunctions.poly_hash(lit(t)) % 100L).as("b"))
+      .head().getLong(0)
+
+  // --- decontamination -----------------------------------------------------
+
+  test("decontaminate flags exactly the train docs sharing a test shingle") {
+    // Deterministic corpus; find a doc the content split sends to TEST
+    // (bucket >= 95), then craft a TRAIN doc (bucket < 90) that embeds one
+    // of its word-3-grams, and a control train doc sharing nothing.
+    val base = (0 until 400).map(i =>
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i")
+    val testText = base.find(t => bucketOf(t) >= 95)
+      .getOrElse(fail("no test-bucket doc in 400 candidates"))
+    val shingle = testText.split(" ").take(3).mkString(" ") // a test 3-gram
+    val dirty = (0 until 100).iterator
+      .map(k => s"$shingle salt$k pepper$k")
+      .find(t => bucketOf(t) < 90)
+      .getOrElse(fail("no train-bucket contaminated candidate"))
+    val clean = (0 until 100).iterator
+      .map(k => s"papa$k quebec$k romeo$k sierra$k tango$k")
+      .find(t => bucketOf(t) < 90)
+      .getOrElse(fail("no train-bucket clean candidate"))
+    val rows = base.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s1") } ++
+      Seq((1000L, dirty, "en", "s1"), (1001L, clean, "en", "s1"))
+    val out = TextAnalysis.decontaminate(spark, corpusDir(rows)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(1000L) && out(1000L) >= 1L)
+    assert(!out.contains(1001L))
+    // base docs never share shingles across i, so only the planted doc hits
+    assert(out.keySet == Set(1000L))
+  }
+
+  test("decontaminate broadcasts the eval-side shingle set") {
+    val rows = (0 until 30).map(i =>
+      (i.toLong, s"kilo$i lima$i mike$i november$i oscar$i", "en", "s1"))
+    val plan = TextAnalysis.decontaminate(spark, corpusDir(rows))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  // --- sequence packing ----------------------------------------------------
+
+  test("seqPack is exact greedy concatenate-and-chunk per shard") {
+    val rows = (0 until 200).map(i =>
+      (i.toLong, (0 to i % 17).map(j => s"tok${i}_$j").mkString(" "), "en", "s1"))
+    val dir = corpusDir(rows)
+    val out = TextAnalysis.seqPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 200) // every doc packed exactly once
+    // recompute the expected packing from first principles
+    val hashed = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), StringFunctions.poly_hash(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = hashed.toSeq.groupBy { case (_, h, _) => h % 8 }.toSeq
+      .flatMap { case (shard, docs) =>
+        var cum = 0L
+        docs.sortBy { case (id, h, _) => (h, id) }.map { case (id, _, n) =>
+          val start = cum; cum += n
+          (id, shard, n, start / 512L, start % 512L)
+        }
+      }.toSet
+    assert(out.toSet == expected)
+    assert(out.forall { case (_, _, _, _, off) => off >= 0 && off < 512 })
+  }
+
+  // --- KMV distinct sketch -------------------------------------------------
+
+  test("KMV: exact below k, estimate within 2x above k, bounded-heap plan") {
+    // en: ~300 distinct shingles (well above k=64); fr: a handful (below k)
+    val en = (0 until 100).map(i =>
+      (i.toLong, s"w$i w${i + 1} w${i + 2} w${i + 3} w${i + 4}", "en", "s1"))
+    val fr = Seq((900L, "un deux trois quatre", "fr", "s1"),
+      (901L, "cinq six sept huit", "fr", "s1"))
+    val dir = corpusDir(en ++ fr)
+    val out = TextAnalysis.distinctKmv(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // ground truth via an independent exact count
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(StringFunctions.word_shingles(
+        split(col("text"), " "), 3)).as("sh"))
+      .select(col("lang"), StringFunctions.poly_hash(col("sh")).as("h"))
+      .distinct().groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (frKept, _, frEst) = out("fr")
+    assert(frKept == exact("fr") && frEst == frKept.toDouble) // below-k: exact
+    val (enKept, _, enEst) = out("en")
+    assert(enKept == 64L)
+    assert(exact("en") > 64L)
+    assert(enEst > exact("en") / 2.0 && enEst < exact("en") * 2.0)
+    // under the registry's planning hooks (as Verify/Bench run it), the
+    // per-language top-k runs on the bounded-heap operator, not a sort
+    graft.plans.TopKPlanning.register(spark)
+    try {
+      val plan = TextAnalysis.distinctKmv(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"))
+    } finally graft.plans.TopKPlanning.unregister(spark)
+  }
+
+  // --- cross-source overlap matrix -----------------------------------------
+
+  test("crossSource counts distinct shared texts per unordered source pair") {
+    // docs 0..19: even → s1, odd → s2, all texts distinct EXCEPT doc 5
+    // copies doc 4 (a natural s1/s2 dup). The operator itself plants a
+    // 'mirror' source over docs 0 and 10 (doc_id % 10 == 0, both s1).
+    val rows = (0 until 20).map { i =>
+      val text = if (i == 5) "same text in two sources here now"
+        else if (i == 4) "same text in two sources here now"
+        else s"unique document number $i with its own words"
+      (i.toLong, text, "en", if (i % 2 == 0) "s1" else "s2")
+    }
+    val out = Dedup.crossSource(spark, corpusDir(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("mirror", "s1", 2L), ("s1", "s2", 1L)))
+  }
+}
