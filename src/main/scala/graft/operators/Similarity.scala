@@ -571,13 +571,124 @@ object Similarity {
 
   // --- registry ------------------------------------------------------------
 
+  // --- scalar (int8) quantization ------------------------------------------
+
+  /** Per-dimension scalar quantization to 8-bit codes — the memory lever
+    * that makes billion-vector ANN fit executor RAM (4 bytes → 1 byte per
+    * dimension; IVF cell scans then read codes and only rerank survivors
+    * at full precision). Codes are `min(255, ⌊(x−lo_d)/(hi_d−lo_d)·256⌋)`
+    * against per-dimension corpus min/max; output is the comma-joined
+    * code string (scalar for the driver's row-hash compare) plus the
+    * vector's max reconstruction error at code midpoints.
+    *
+    * Determinism: min/max of floats are order-independent; every
+    * remaining op is IEEE double arithmetic in a parenthesized fixed
+    * order, and `floor`/`least`/`abs`/`greatest` are exact — both engines
+    * agree to the last bit (no rounding-mode dependence: `floor`, not
+    * `round`). Codes assemble in dimension order via sort_array over
+    * (d, code) structs — a 64-element bounded buffer per vector.
+    *
+    * Scale shape: the stats pass is a 64-group aggregate (partial
+    * map-side, bytes on the wire); the stats then BROADCAST-join back to
+    * the exploded vectors (64 rows), and the final groupBy(vec_id)
+    * shuffles one byte-per-dim code row per vector. The explode exists
+    * for the oracle's sake; the production variant folds the broadcast
+    * stats into a scan-side `zip_with` (same arithmetic, zero explode),
+    * which [[quantizeSqProd]] provides and `ScaleSafetySpec` value-pins. */
+  def quantizeSq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
+    val stats = e.groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val codeExpr = least(lit(255.0),
+      floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(256.0)))
+    val joined = e.join(broadcast(stats), Seq("d"))
+      .select(col("vec_id"), col("d"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(codeExpr.cast("long")).as("code"),
+        col("x"), col("lo"), col("hi"))
+    val xhat = col("lo") +
+      (col("code").cast("double") + lit(0.5)) / lit(256.0) *
+        (col("hi") - col("lo"))
+    (joined
+      .select(col("vec_id"), col("d"), col("code"),
+        abs(col("x") - xhat).as("err"))
+      .groupBy(col("vec_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("d"), col("code")))),
+          s => s.getField("code")), ",").as("codes"),
+        max(col("err")).as("max_err")))
+  }
+
+  val quantizeSqOracle: String =
+    """WITH s AS (SELECT vec_id,
+      |                  [{'d': i - 1, 'x': CAST(embedding[CAST(i AS INT)] AS DOUBLE)}
+      |                   for i in range(1, len(embedding) + 1)] AS ts
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, unnest(ts, recursive := true) FROM s),
+      |st AS (SELECT d, min(x) AS lo, max(x) AS hi FROM e GROUP BY 1),
+      |q AS (SELECT vec_id, e.d AS d, x, lo, hi,
+      |             CASE WHEN hi = lo THEN 0
+      |                  ELSE CAST(least(255.0,
+      |                         floor((x - lo) / (hi - lo) * 256.0)) AS BIGINT)
+      |             END AS code
+      |      FROM e JOIN st USING (d)),
+      |r AS (SELECT vec_id, d, code,
+      |             abs(x - (lo + (CAST(code AS DOUBLE) + 0.5) / 256.0
+      |                           * (hi - lo))) AS err
+      |      FROM q)
+      |SELECT vec_id,
+      |       array_to_string(list(code ORDER BY d), ',') AS codes,
+      |       max(err) AS max_err
+      |FROM r GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Scale-safe production form of [[quantizeSq]]: the per-dimension
+    * stats are computed once (the same 64-group aggregate), collected —
+    * 64 (lo, hi) doubles, a kilobyte — and folded into a single
+    * scan-side `zip_with` over the embedding array: no explode, no join,
+    * no groupBy re-assembly; one narrow pass emits codes + error
+    * directly. Identical arithmetic in the same order, value-pinned
+    * against the oracle form in `ScaleSafetySpec`. */
+  def quantizeSqProd(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val stats = e
+      .select(posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("d"), col("xf").cast("double").as("x"))
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().sortBy(_.getInt(0))
+    val lo = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val hi = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    val codes = zip_with(zip_with(xs, lo, (x, l) => struct(x.as("x"), l.as("lo"))),
+      hi, (xl, h) => {
+        val x = xl.getField("x"); val l = xl.getField("lo")
+        when(h === l, lit(0L))
+          .otherwise(least(lit(255.0),
+            floor((x - l) / (h - l) * lit(256.0))).cast("long"))
+      })
+    val errs = zip_with(zip_with(xs, lo, (x, l) => struct(x.as("x"), l.as("lo"))),
+      hi, (xl, h) => {
+        val x = xl.getField("x"); val l = xl.getField("lo")
+        val code = when(h === l, lit(0L))
+          .otherwise(least(lit(255.0),
+            floor((x - l) / (h - l) * lit(256.0))).cast("long"))
+        abs(x - (l + (code.cast("double") + lit(0.5)) / lit(256.0) * (h - l)))
+      })
+    (e.select(col("vec_id"),
+      array_join(codes, ",").as("codes"),
+      array_max(errs).as("max_err")))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_neardup_lsh" -> (nearDupLsh _),
-    "sim_centroid_by_lang" -> (centroidByLang _))
+    "sim_centroid_by_lang" -> (centroidByLang _),
+    "sim_quantize_sq" -> (quantizeSq _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
@@ -585,5 +696,6 @@ object Similarity {
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
     "sim_neardup_lsh" -> nearDupLshOracle,
-    "sim_centroid_by_lang" -> centroidByLangOracle)
+    "sim_centroid_by_lang" -> centroidByLangOracle,
+    "sim_quantize_sq" -> quantizeSqOracle)
 }

@@ -426,6 +426,48 @@ object TextAnalysis {
       |       tok_start % 512 AS tok_offset
       |FROM c ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** Bigram familiarity — an n-gram-LM-style quality signal kept
+    * INTEGER-ONLY so the oracle replays bit-exactly (no logs, no
+    * smoothing constants: libm `ln` differs across engines in the last
+    * ulp). Per document: its distinct word bigrams, the sum of their
+    * corpus document frequencies ("familiarity" — low means the doc is
+    * built from bigrams nothing else uses), and how many of its bigrams
+    * appear in NO other document. The classic cheap proxy for
+    * perplexity-based filtering.
+    *
+    * Scale shape: one shuffle to count bigram df (map-side partial —
+    * counters, not lists), one broadcast-unfriendly join on the bigram
+    * string (at 100 TB: hash the bigram to 8 bytes first and salt the
+    * stopword-pair heavy hitters, the same `q6_salted_skew` pattern),
+    * one final groupBy on doc_id carrying three counters per row. */
+  def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.StringFunctions
+          .word_shingles(split(col("text"), " "), 2)).as("bg"))
+    val counts = b.groupBy(col("bg")).agg(count(lit(1)).as("bdf"))
+    (b.join(counts, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bdf")).as("familiarity"),
+        sum(when(col("bdf") === 1L, 1L).otherwise(0L)).as("n_unique")))
+  }
+
+  val bigramFamiliarityOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |             list_distinct([ws[i] || ' ' || ws[i+1]
+      |                            for i in range(1, len(ws))]) AS bgs
+      |      FROM w),
+      |b AS (SELECT doc_id, unnest(bgs) AS bg FROM s),
+      |c AS (SELECT bg, count(*) AS bdf FROM b GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(bdf) AS BIGINT) AS familiarity,
+      |       CAST(sum(CASE WHEN bdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_unique
+      |FROM b JOIN c USING (bg)
+      |GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
+
   /** K for [[distinctKmv]] — the sketch size. */
   private val KmvK = 64
 
@@ -727,6 +769,7 @@ object TextAnalysis {
     "text_decontaminate" -> (decontaminate _),
     "text_seq_pack" -> (seqPack _),
     "sketch_distinct_kmv" -> (distinctKmv _),
+    "text_bigram_familiarity" -> (bigramFamiliarity _),
     "text_stratified_sample" -> (stratifiedSample _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
@@ -748,6 +791,7 @@ object TextAnalysis {
     "text_decontaminate" -> decontaminateOracle,
     "text_seq_pack" -> seqPackOracle,
     "sketch_distinct_kmv" -> distinctKmvOracle,
+    "text_bigram_familiarity" -> bigramFamiliarityOracle,
     "text_stratified_sample" -> stratifiedSampleOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,

@@ -122,4 +122,22 @@ class ScaleSafetySpec extends AnyFunSuite {
     }
     assert(truncSeen, "fixture never exercised the cap — raise sf or lower cap")
   }
+
+  test("scan-side quantization equals the explode+join oracle form exactly") {
+    // same IEEE ops in the same order → bit-identical codes AND errors
+    val exact = graft.operators.Similarity.quantizeSq(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val prod = graft.operators.Similarity.quantizeSqProd(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(prod.keySet == exact.keySet && prod.nonEmpty)
+    for ((id, (codes, err)) <- prod) {
+      assert(codes == exact(id)._1, s"codes mismatch at vec $id")
+      assert(err == exact(id)._2, s"max_err mismatch at vec $id")
+    }
+    // and the production plan is explode/join/shuffle-free: a single
+    // project over the scan (plus the tiny stats job run beforehand)
+    val plan = graft.operators.Similarity.quantizeSqProd(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Exchange"), plan)
+  }
 }
