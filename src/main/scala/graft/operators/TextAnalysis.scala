@@ -165,13 +165,19 @@ object TextAnalysis {
     * is the dedup-safe property a pretraining pipeline needs — byte-equal
     * duplicates land in the same split, so no text leaks from train into
     * eval. Embarrassingly parallel single-pass scan, no shuffle. */
-  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = graft.functions.StringFunctions.poly_hash(col("text")) % 100L
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
     (Tables.documents(spark, dir)
-      .select(col("doc_id"), bucket.as("bucket"),
-        when(bucket < 90, "train").when(bucket < 95, "val")
-          .otherwise("test").as("split")))
-  }
+      .select(col("doc_id"), splitBucketExpr.as("bucket"),
+        splitExpr.as("split")))
+
+  /** Content-keyed split bucket / label as per-row Columns over `text` —
+    * shared by [[trainSplit]] and the batch/streaming curation
+    * compositions. */
+  val splitBucketExpr: Column =
+    graft.functions.StringFunctions.poly_hash(col("text")) % 100L
+  val splitExpr: Column =
+    when(splitBucketExpr < 90, "train")
+      .when(splitBucketExpr < 95, "val").otherwise("test")
 
   val trainSplitOracle: String =
     """WITH b AS (
@@ -567,14 +573,17 @@ object TextAnalysis {
     * collapse whitespace runs, trim. Pure regexp_replace chains with
     * literal character classes, so Java and RE2 agree; single-pass,
     * scan-only. */
-  def normalize(spark: SparkSession, dir: String): DataFrame = {
-    val lowered = lower(col("text"))
-    val stripped = regexp_replace(lowered, "[^a-z0-9 ]", "")
-    val collapsed = trim(regexp_replace(stripped, "  +", " "))
+  def normalize(spark: SparkSession, dir: String): DataFrame =
     (Tables.documents(spark, dir)
-      .select(col("doc_id"), collapsed.as("norm_text"),
-        length(collapsed).cast("long").as("n_norm_chars")))
-  }
+      .select(col("doc_id"), normalizedExpr.as("norm_text"),
+        length(normalizedExpr).cast("long").as("n_norm_chars")))
+
+  /** The normalization chain as a per-row Column over `text` — shared by
+    * [[normalize]] and the batch/streaming curation compositions so the
+    * twins agree by construction. */
+  val normalizedExpr: Column =
+    trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
 
   val normalizeOracle: String =
     """SELECT doc_id,
@@ -624,24 +633,29 @@ object TextAnalysis {
     * length bounds, mean word length bounds, symbol ratio, stopword
     * presence — plus the resulting keep verdict. All integer/double
     * arithmetic in a fixed order, so both engines agree exactly. */
-  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
-    val nTok = size(toks).cast("double")
-    val meanWordLen =
-      length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
-    val symbolRatio =
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
-        .cast("double") / length(col("text")).cast("double")
-    val hasStopword = countIn(EnWords) >= 1
-    val okLen = size(toks).between(5, 10000)
-    val okWordLen = meanWordLen >= 2.0 && meanWordLen <= 12.0
-    val okSymbols = symbolRatio <= 0.2
+  def qualityRules(spark: SparkSession, dir: String): DataFrame =
     (Tables.documents(spark, dir)
       .select(col("doc_id"),
-        okLen.as("ok_len"), okWordLen.as("ok_word_len"),
-        okSymbols.as("ok_symbols"), hasStopword.as("has_stopword"),
-        (okLen && okWordLen && okSymbols && hasStopword).as("keep")))
-  }
+        qualityOkLen.as("ok_len"), qualityOkWordLen.as("ok_word_len"),
+        qualityOkSymbols.as("ok_symbols"), qualityHasStopword.as("has_stopword"),
+        qualityKeepExpr.as("keep")))
+
+  private def qualityMeanWordLen: Column =
+    length(regexp_replace(col("text"), " ", "")).cast("double") /
+      size(toks).cast("double")
+  private def qualityOkLen: Column = size(toks).between(5, 10000)
+  private def qualityOkWordLen: Column =
+    qualityMeanWordLen >= 2.0 && qualityMeanWordLen <= 12.0
+  private def qualityOkSymbols: Column =
+    ((length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / length(col("text")).cast("double")) <= 0.2
+  private def qualityHasStopword: Column = countIn(EnWords) >= 1
+
+  /** The full keep verdict as a per-row Column over `text` — shared by
+    * [[qualityRules]] and the batch/streaming curation compositions. */
+  val qualityKeepExpr: Column =
+    qualityOkLen && qualityOkWordLen && qualityOkSymbols && qualityHasStopword
 
   val qualityRulesOracle: String = {
     val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
