@@ -249,7 +249,38 @@ object Events {
       |       count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** Top-3 events by value within each (hour, event_type) bucket — the
+    * windowed-leaderboard shape (alerting, per-window sampling). One
+    * shuffle on the composite bucket key; under `TopKPlanning` the rank
+    * runs on the bounded-heap [[graft.plans.TopKPerKeyExec]] — O(3)
+    * state per bucket, no per-bucket sort — and the bucket count grows
+    * with the time range, not the event volume, so parallelism scales
+    * with history length. No arithmetic beyond the rank: value/ties
+    * compare identically in both engines. */
+  def hourlyTop(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_ts"), col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    (Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour_ts"),
+        col("event_type"), col("event_id"), col("value"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3))
+  }
+
+  val hourlyTopOracle: String =
+    """WITH x AS (SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+      |                  event_id, value
+      |           FROM events),
+      |r AS (SELECT hour_ts, event_type, event_id, value,
+      |             row_number() OVER (PARTITION BY hour_ts, event_type
+      |                                ORDER BY value DESC, event_id) AS rnk
+      |      FROM x)
+      |SELECT hour_ts, event_type, event_id, value, rnk
+      |FROM r WHERE rnk <= 3 ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly_top" -> (hourlyTop _),
     "events_hourly_agg" -> (hourlyAgg _),
     "events_sliding_agg" -> (slidingAgg _),
     "events_sessionize" -> (sessionize _),
@@ -258,6 +289,7 @@ object Events {
     "events_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "events_hourly_top" -> hourlyTopOracle,
     "events_hourly_agg" -> hourlyAggOracle,
     "events_sliding_agg" -> slidingAggOracle,
     "events_sessionize" -> sessionizeOracle,
