@@ -41,4 +41,33 @@ object Layouts {
     * equality filters). */
   def readSharded(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a parquet directory into ~`targetBytes`-sized files, sorted
+    * by `sortKey` — the small-files remedy every continuously-ingesting
+    * table needs: streaming sinks and fine-grained shards accumulate
+    * thousands of KB-scale files whose open/footer overhead dominates
+    * scans long before the data does. Output file count is sized from
+    * the INPUT's actual on-disk bytes (not row counts — rows don't
+    * predict compressed size); `repartitionByRange` on the sort key
+    * gives files that are both right-sized and range-clustered, so
+    * min/max footer stats prune `sortKey` predicates after compaction
+    * (the same pruning the sharded layout buys at directory level,
+    * pushed down to file level).
+    *
+    * One range shuffle over the compacted slice, driver work is O(file
+    * listing). Returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      sortKey: String, targetBytes: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val inBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(inBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartitionByRange(nFiles, col(sortKey))
+      .sortWithinPartitions(col(sortKey))
+      .write.mode("overwrite").parquet(outPath)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(f => f.getPath.getName.endsWith(".parquet"))
+  }
 }

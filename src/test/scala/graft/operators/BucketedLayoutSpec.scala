@@ -89,6 +89,43 @@ class BucketedLayoutSpec extends AnyFunSuite {
         .filter(col("l_partkey") % 16 === 3).count())
   }
 
+  test("compaction merges a small-files layout into right-sized sorted files") {
+    // simulate the streaming-sink pathology: 64 tiny files
+    val base = Files.createTempDirectory("graft_compact")
+    val in = base.resolve("small").toString
+    val out = base.resolve("compacted").toString
+    graft.sources.Tables.lineitem(spark, TestSpark.sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .repartition(64).write.mode("overwrite").parquet(in)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(in), spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(parquetFiles(in).length == 64)
+    val inBytes = parquetFiles(in).map(_.getLen).sum
+    // target ~quarter of the input → expect a handful of files, far
+    // fewer than 64, each within a loose band of the target
+    val n = graft.sources.Layouts.compact(
+      spark, in, out, "l_orderkey", targetBytes = inBytes / 4)
+    val outFiles = parquetFiles(out)
+    assert(n == outFiles.length)
+    assert(n <= 8, s"expected <=8 compacted files, got $n")
+    // nothing lost, nothing duplicated
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(in).count())
+    // range clustering: per-file min/max on the sort key must not overlap
+    // (strictly increasing file ranges), which is what footer-stat
+    // pruning needs after compaction
+    val ranges = outFiles.map { f =>
+      val d = spark.read.parquet(f.getPath.toString)
+        .agg(min("l_orderkey"), max("l_orderkey")).head()
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    for (Seq((_, hi), (lo2, _)) <- ranges.toSeq.sliding(2))
+      assert(hi <= lo2, s"overlapping file ranges: $ranges")
+  }
+
   test("AQE splits a skewed join partition (the claimed join-skew mitigation)") {
     // SCALING.md claims AQE skew-join absorbs hot join keys; prove it:
     // a join where one key holds most rows must show skew-split partitions
