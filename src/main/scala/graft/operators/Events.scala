@@ -249,6 +249,57 @@ object Events {
       |       count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** Bits per dimension for the Z-order key (2×16 → a 32-bit z-value). */
+  private val ZBits = 16
+
+  /** Z-order (Morton) key over (user_id, event minute) — the
+    * multi-dimensional clustering key: sorting a layout by the
+    * interleaved bits keeps rows close in BOTH dimensions close on disk,
+    * so parquet footer min/max stats prune selective predicates on
+    * EITHER column (a single-column sort prunes only its own column —
+    * every file spans the full range of the other). This is the layout
+    * trick behind Delta's OPTIMIZE ZORDER, as a plain deterministic
+    * expression feeding [[graft.sources.Layouts.compact]]'s
+    * range-partitioned writer.
+    *
+    * The Spark Column and the DuckDB SQL are generated from the SAME
+    * bit-interleave loop ([[zInterleave]]), so the two engines cannot
+    * drift; everything is integer shifts/masks — bit-exact by
+    * construction. Scan-only, no shuffle. */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val minutes = floor(unix_timestamp(col("ts")).cast("double") / 60.0)
+      .cast("long")
+    val u16 = pmod(col("user_id"), lit(1L << ZBits))
+    val t16 = pmod(minutes, lit(1L << ZBits))
+    val z = (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(u16, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(t16, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    (Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), minutes.as("minute"),
+        z.as("zval")))
+  }
+
+  /** The same interleave as SQL text, generated by the same loop. */
+  private def zInterleaveSql(u: String, t: String): String =
+    (0 until ZBits).map { i =>
+      s"((($u >> $i) & 1) << ${2 * i + 1}) | ((($t >> $i) & 1) << ${2 * i})"
+    }.mkString(" | ")
+
+  val zorderKeyOracle: String = {
+    val minutes = "CAST(floor(CAST(epoch(ts) AS DOUBLE) / 60.0) AS BIGINT)"
+    s"""WITH x AS (
+       |  SELECT event_id, user_id, $minutes AS minute FROM events),
+       |b AS (SELECT event_id, user_id, minute,
+       |             user_id % ${1L << ZBits} AS u16,
+       |             minute % ${1L << ZBits} AS t16
+       |      FROM x)
+       |SELECT event_id, user_id, minute,
+       |       ${zInterleaveSql("u16", "t16")} AS zval
+       |FROM b ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
   /** Top-3 events by value within each (hour, event_type) bucket — the
     * windowed-leaderboard shape (alerting, per-window sampling). One
     * shuffle on the composite bucket key; under `TopKPlanning` the rank
@@ -280,6 +331,7 @@ object Events {
       |FROM r WHERE rnk <= 3 ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_zorder_key" -> (zorderKey _),
     "events_hourly_top" -> (hourlyTop _),
     "events_hourly_agg" -> (hourlyAgg _),
     "events_sliding_agg" -> (slidingAgg _),
@@ -289,6 +341,7 @@ object Events {
     "events_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "events_zorder_key" -> zorderKeyOracle,
     "events_hourly_top" -> hourlyTopOracle,
     "events_hourly_agg" -> hourlyAggOracle,
     "events_sliding_agg" -> slidingAggOracle,
