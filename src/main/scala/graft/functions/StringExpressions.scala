@@ -120,6 +120,51 @@ object PolyHash {
   }
 }
 
+/** Histogram of a string's code points modulo `bins`, as array<long> of
+  * length `bins` — ONE pass per row replacing the per-bin HOF form
+  * `size(filter(transform(split(c,""), ascii), x -> x % bins = b))`
+  * evaluated `bins` times (interpreted lambdas, `bins` passes). Same
+  * code-point iteration as [[PolyHash]]; equivalence with the HOF form
+  * is pinned in `StringExpressionsSpec`. */
+case class CodepointHistogram(child: Expression, bins: Int)
+    extends UnaryExpression {
+
+  require(bins >= 1, s"bins must be >= 1, got $bins")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "codepoint_histogram"
+
+  override def nullSafeEval(input: Any): Any =
+    CodepointHistogram.compute(input.asInstanceOf[UTF8String], bins)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CodepointHistogram.compute($a, $bins);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CodepointHistogram = copy(child = newChild)
+}
+
+object CodepointHistogram {
+  /** Static so generated code can call it. */
+  def compute(str: UTF8String, bins: Int): ArrayData = {
+    val counts = new Array[Long](bins)
+    val s = str.toString
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts(cp % bins) += 1L
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(counts)
+  }
+}
+
 object StringFunctions {
   /** Column-API entry point for [[WordShingles]] (distinct shingles). */
   def word_shingles(ws: Column, n: Int): Column =
@@ -133,4 +178,8 @@ object StringFunctions {
   /** Column-API entry point for [[PolyHash]]. */
   def poly_hash(c: Column): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+
+  /** Column-API entry point for [[CodepointHistogram]]. */
+  def codepoint_histogram(c: Column, bins: Int): Column =
+    ColumnBridge.column(CodepointHistogram(ColumnBridge.expression(c), bins))
 }

@@ -103,4 +103,23 @@ class StringExpressionsSpec extends AnyFunSuite {
     assert(edges(0).getLong(0) == 0L)
     assert(edges(1).getLong(0) == 'A'.toLong)
   }
+
+  test("codepoint_histogram ≡ the 16 per-bin HOF filters on the corpus") {
+    val chars = filter(split(col("text"), ""), c => length(c) === 1)
+    val codes = transform(chars, c => ascii(c).cast("long"))
+    val hofBins = (0 until 16).map(b =>
+      size(filter(codes, x => x % 16 === b)).cast("long"))
+    val native = StringFunctions.codepoint_histogram(col("text"), 16)
+    val mismatches = graft.sources.Tables.documents(spark, dir)
+      .select(native.as("h"), array(hofBins: _*).as("hof"))
+      .filter(not(col("h") === col("hof")))
+      .count()
+    assert(mismatches == 0)
+    // empty string → all-zero bins of the right length
+    import spark.implicits._
+    val empty = Seq("").toDF("text")
+      .select(StringFunctions.codepoint_histogram(col("text"), 16))
+      .head().getSeq[Long](0)
+    assert(empty == Seq.fill(16)(0L))
+  }
 }
