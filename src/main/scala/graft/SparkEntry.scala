@@ -47,7 +47,8 @@ object SparkEntry {
     "sim_ann_ivf" -> (Similarity.annIvfProd _),
     "text_inverted_index" -> (TextAnalysis.invertedIndexCapped _),
     "events_value_quantiles" -> (Events.valueQuantilesApprox _),
-    "sim_quantize_sq" -> (Similarity.quantizeSqProd _))
+    "sim_quantize_sq" -> (Similarity.quantizeSqProd _),
+    "sim_ann_ivf_sq" -> (Similarity.annIvfSqProd _))
 
   /** The PRODUCTION registry: every operator as a user would run it at
     * scale — no canonicalization, no global sort, no unbounded per-group

@@ -295,6 +295,26 @@ object Similarity {
     * choice on unclustered data, IVF wins when the corpus clusters. */
   private def annIvfWith(spark: SparkSession, dir: String,
       exactFold: Boolean): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val cand = ivfCandidates(spark, dir, exactFold)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    (cand
+      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev")),
+        "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("a_ev"), col("b_ev")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= AnnK)
+      .select(col("vec_id"), col("neighbor_id"), col("rnk"), col("cosine")))
+  }
+
+  /** The IVF index build + probe, through candidate (query, member)
+    * pairs — shared by [[annIvf]]/[[annIvfProd]] and the SQ-reranked
+    * [[annIvfSq]]. */
+  private def ivfCandidates(spark: SparkSession, dir: String,
+      exactFold: Boolean): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val k = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
@@ -339,20 +359,9 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
     // each member has ONE home cell and each query probes distinct cells,
     // so a (query, member) pair arises at most once — no dedup needed
-    val cand = assign.join(members, "centroid_id")
+    (assign.join(members, "centroid_id")
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    (cand
-      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
-      .join(v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev")),
-        "neighbor_id")
-      .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("a_ev"), col("b_ev")).as("cosine"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= AnnK)
-      .select(col("vec_id"), col("neighbor_id"), col("rnk"), col("cosine")))
+      .select(col("vec_id"), col("neighbor_id")))
   }
 
   /** Oracle IVF: fold-exact Lloyd cell sums (DuckDB-replayable). */
@@ -365,8 +374,15 @@ object Similarity {
   def annIvfProd(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(spark, dir, exactFold = false)
 
-  val annIvfOracle: String =
-    s"""WITH $vCte,
+  /** Preselection width for [[annIvfSq]] — approx-ranked candidates kept
+    * per query before the full-precision rerank. */
+  private val SqPreK = 12
+
+  /** The IVF index/probe CTE chain through candidate pairs — shared by
+    * [[annIvfOracle]] and [[annIvfSqOracle]], mirroring
+    * [[ivfCandidates]]. */
+  private val ivfCandCtes: String =
+    s"""$vCte,
        |kk AS (SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
        |       FROM embeddings),
        |seeds AS (SELECT vec_id AS centroid_id, ev AS cv FROM v
@@ -409,10 +425,59 @@ object Similarity {
        |            FROM assign WHERE crnk = 1),
        |cand AS (SELECT a.vec_id, m.neighbor_id
        |         FROM assign a JOIN members m USING (centroid_id)
-       |         WHERE a.vec_id <> m.neighbor_id),
+       |         WHERE a.vec_id <> m.neighbor_id)""".stripMargin
+
+  val annIvfOracle: String =
+    s"""WITH $ivfCandCtes,
        |p AS (SELECT c.vec_id, c.neighbor_id,
        |             ${sqlCos("a.ev", "b.ev")} AS cosine
        |      FROM cand c
+       |      JOIN v a ON c.vec_id = a.vec_id
+       |      JOIN v b ON c.neighbor_id = b.vec_id),
+       |r AS (SELECT vec_id, neighbor_id, cosine,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                                ORDER BY cosine DESC, neighbor_id) AS rnk
+       |      FROM p)
+       |SELECT vec_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** Oracle for [[annIvfSq]]: the same candidate chain, an SQ
+    * decode-to-midpoint of every vector (the [[quantizeSqOracle]]
+    * arithmetic), approx preselect, full-precision rerank. */
+  val annIvfSqOracle: String =
+    s"""WITH $ivfCandCtes,
+       |e AS (SELECT vec_id, CAST(i AS BIGINT) - 1 AS d,
+       |             ev[CAST(i AS INT)] AS x
+       |      FROM v, range(1, $Dim + 1) t(i)),
+       |st AS (SELECT d, min(x) AS lo, max(x) AS hi FROM e GROUP BY 1),
+       |qc AS (SELECT vec_id, e.d AS d, x, lo, hi,
+       |              CASE WHEN hi = lo THEN 0
+       |                   ELSE CAST(least(255.0,
+       |                          floor((x - lo) / (hi - lo) * 256.0)) AS BIGINT)
+       |              END AS code
+       |       FROM e JOIN st USING (d)),
+       |qd AS (SELECT vec_id, d,
+       |              lo + (CAST(code AS DOUBLE) + 0.5) / 256.0 * (hi - lo) AS y
+       |       FROM qc),
+       |qv AS (SELECT vec_id,
+       |              list_transform(list_sort(array_agg({'d': d, 'y': y})),
+       |                             s -> s.y) AS qv
+       |       FROM qd GROUP BY 1),
+       |a0q AS (SELECT c.vec_id, c.neighbor_id,
+       |               ${sqlCos("qa.qv", "qb.qv")} AS acos
+       |        FROM cand c
+       |        JOIN qv qa ON c.vec_id = qa.vec_id
+       |        JOIN qv qb ON c.neighbor_id = qb.vec_id),
+       |pre AS (SELECT vec_id, neighbor_id FROM (
+       |          SELECT vec_id, neighbor_id,
+       |                 row_number() OVER (PARTITION BY vec_id
+       |                                    ORDER BY acos DESC, neighbor_id)
+       |                   AS prernk
+       |          FROM a0q)
+       |        WHERE prernk <= $SqPreK),
+       |p AS (SELECT c.vec_id, c.neighbor_id,
+       |             ${sqlCos("a.ev", "b.ev")} AS cosine
+       |      FROM pre c
        |      JOIN v a ON c.vec_id = a.vec_id
        |      JOIN v b ON c.neighbor_id = b.vec_id),
        |r AS (SELECT vec_id, neighbor_id, cosine,
@@ -681,6 +746,84 @@ object Similarity {
       array_max(errs).as("max_err")))
   }
 
+  /** Decoded SQ approximation of the embedding column — each value
+    * snapped to its int8 code midpoint against the collected per-dim
+    * (lo, hi) stats. The same arithmetic (and code path shape) as
+    * [[quantizeSqProd]], exposed as a Column for reranking. */
+  private def sqDecodedExpr(spark: SparkSession, dir: String): Column = {
+    val stats = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("d"), col("xf").cast("double").as("x"))
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().sortBy(_.getInt(0))
+    val lo = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val hi = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    zip_with(zip_with(xs, lo, (x, l) => struct(x.as("x"), l.as("lo"))),
+      hi, (xl, h) => {
+        val x = xl.getField("x"); val l = xl.getField("lo")
+        val code = when(h === l, lit(0L))
+          .otherwise(least(lit(255.0),
+            floor((x - l) / (h - l) * lit(256.0))).cast("long"))
+        l + (code.cast("double") + lit(0.5)) / lit(256.0) * (h - l)
+      })
+  }
+
+  /** IVF + scalar-quantized rerank — the memory architecture of a real
+    * billion-vector ANN service composed from this library's pieces: the
+    * IVF index prunes the corpus to nprobe/√n candidate cells, the
+    * CANDIDATE SCAN ranks on int8-decoded approximations ([[quantizeSq]]
+    * codes — 1 byte/dim resident instead of 4), and only the top
+    * [[SqPreK]] survivors per query are reranked at full precision for
+    * the final top-[[AnnK]].
+    *
+    * At 100 TB the point is the middle stage: the big candidate join
+    * carries quarter-size vectors (the full-precision table is touched
+    * only by the final |queries|×[[SqPreK]] rerank join), which is what
+    * keeps cell scans in executor RAM. Every stage is deterministic —
+    * the decode arithmetic is [[quantizeSq]]'s, folds are in index
+    * order — so the DuckDB oracle replays the whole composition;
+    * `SimilaritySpec` additionally floors recall vs the un-quantized
+    * [[annIvf]]. */
+  def annIvfSq(spark: SparkSession, dir: String): DataFrame =
+    annIvfSqWith(spark, dir, exactFold = true)
+
+  /** PRODUCTION form: the same SQ-reranked composition on the
+    * fixed-buffer Lloyd cell sums (no per-cell collect_list) —
+    * [[graft.SparkEntry.productionOverrides]]. */
+  def annIvfSqProd(spark: SparkSession, dir: String): DataFrame =
+    annIvfSqWith(spark, dir, exactFold = false)
+
+  private def annIvfSqWith(spark: SparkSession, dir: String,
+      exactFold: Boolean): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val vq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), sqDecodedExpr(spark, dir).as("qv"))
+    val cand = ivfCandidates(spark, dir, exactFold)
+    val wPre = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val pre = cand
+      .join(vq.select(col("vec_id"), col("qv").as("a_qv")), "vec_id")
+      .join(vq.select(col("vec_id").as("neighbor_id"), col("qv").as("b_qv")),
+        "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("a_qv"), col("b_qv")).as("acos"))
+      .withColumn("prernk", row_number().over(wPre))
+      .filter(col("prernk") <= SqPreK)
+      .select(col("vec_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    (pre
+      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev")),
+        "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("a_ev"), col("b_ev")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= AnnK)
+      .select(col("vec_id"), col("neighbor_id"), col("rnk"), col("cosine")))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
@@ -688,7 +831,8 @@ object Similarity {
     "sim_ann_ivf" -> (annIvf _),
     "sim_neardup_lsh" -> (nearDupLsh _),
     "sim_centroid_by_lang" -> (centroidByLang _),
-    "sim_quantize_sq" -> (quantizeSq _))
+    "sim_quantize_sq" -> (quantizeSq _),
+    "sim_ann_ivf_sq" -> (annIvfSq _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
@@ -697,5 +841,6 @@ object Similarity {
     "sim_ann_ivf" -> annIvfOracle,
     "sim_neardup_lsh" -> nearDupLshOracle,
     "sim_centroid_by_lang" -> centroidByLangOracle,
-    "sim_quantize_sq" -> quantizeSqOracle)
+    "sim_quantize_sq" -> quantizeSqOracle,
+    "sim_ann_ivf_sq" -> annIvfSqOracle)
 }

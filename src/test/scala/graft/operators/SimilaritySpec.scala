@@ -71,6 +71,26 @@ class SimilaritySpec extends AnyFunSuite {
       f"IVF production recall@$k degraded to $prodRecall%.3f (floor 0.65)")
   }
 
+  test("SQ-reranked IVF retains (nearly all of) the un-quantized IVF's answers") {
+    // the int8 preselect (top-12 by decoded cosine) must not lose what
+    // the full-precision candidate ranking finds: recall of annIvfSq's
+    // top-3 AGAINST annIvf's top-3 — quantization is the only difference,
+    // so this isolates the SQ error from the IVF probe loss
+    val ivf = Similarity.annIvf(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    val sq = Similarity.annIvfSq(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    assert(ivf.nonEmpty)
+    val retention = ivf.map { case (v, ex) =>
+      (ex intersect sq.getOrElse(v, Set.empty)).size.toDouble / ex.size
+    }.sum / ivf.size
+    info(f"SQ retention vs un-quantized IVF: $retention%.3f")
+    assert(retention >= 0.9,
+      f"SQ rerank lost too much vs full precision: $retention%.3f (floor 0.9)")
+    // and the production (vector-sum Lloyd) variant returns results too
+    assert(Similarity.annIvfSqProd(spark, dir).collect().nonEmpty)
+  }
+
   test("ANN recall@3 vs exact top-k has a pinned floor (measured ~0.81)") {
     // Random near-orthogonal vectors are hyperplane LSH's worst case (no
     // cluster structure), so this is the recall floor, not the typical
