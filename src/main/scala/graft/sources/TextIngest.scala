@@ -34,10 +34,17 @@ object TextIngest {
 
   private val Corrupt = "_corrupt_record"
 
-  /** Read a JSONL corpus: (parsed, quarantined) frames. Quarantined rows
-    * carry the raw offending line. */
-  def readJsonl(spark: SparkSession,
-      path: String): (DataFrame, DataFrame) = {
+  /** A JSONL ingest: the parsed frame, the quarantined raw lines, and
+    * [[release]], which drops the shared parse cache once BOTH frames
+    * have been consumed (long-lived sessions otherwise accumulate one
+    * cached corpus per ingest — the round-5 streaming-helper leak, same
+    * medicine). */
+  final case class JsonlIngest(good: DataFrame, quarantine: DataFrame,
+      release: () => Unit)
+
+  /** Read a JSONL corpus: (parsed, quarantined) frames off ONE shared
+    * parse pass. Call `release()` after consuming both. */
+  def readJsonl(spark: SparkSession, path: String): JsonlIngest = {
     val raw = spark.read
       .schema(documentSchema.add(StructField(Corrupt, StringType)))
       .option("mode", "PERMISSIVE")
@@ -47,7 +54,7 @@ object TextIngest {
     val good = raw.filter(col(Corrupt).isNull).drop(Corrupt)
     val quarantine = raw.filter(col(Corrupt).isNotNull)
       .select(col(Corrupt).as("raw_line"))
-    (good, quarantine)
+    JsonlIngest(good, quarantine, () => { raw.unpersist(); () })
   }
 
   /** Write a documents frame as JSONL (one object per line, Spark's

@@ -23,37 +23,44 @@ class TextIngestSpec extends AnyFunSuite {
         |{"doc_id": 3, "text": "unterminated
         |{"doc_id": 4, "text": "ok", "lang": "de", "source": "web", "n_chars": 2}
         |""".stripMargin)
-    val (good, quarantine) = TextIngest.readJsonl(spark, dir.toString)
-    val rows = good.orderBy("doc_id").collect()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val ingest = TextIngest.readJsonl(spark, dir.toString)
+    val rows = ingest.good.orderBy("doc_id").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
     assert(rows.head.getString(1) == "hello world")
-    val bad = quarantine.collect().map(_.getString(0))
+    val bad = ingest.quarantine.collect().map(_.getString(0))
     assert(bad.length == 2)
     assert(bad.exists(_.contains("not json")))
     assert(bad.exists(_.contains("unterminated")))
+    // release drops the shared parse cache (no cached corpus left behind)
+    ingest.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore)
   }
 
   test("parquet corpus round-trips through jsonl losslessly") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val out = Files.createTempDirectory("graft_jsonl_rt").toString
     TextIngest.writeJsonl(docs, out)
-    val (back, quarantine) = TextIngest.readJsonl(spark, out)
-    assert(quarantine.count() == 0)
+    val ingest = TextIngest.readJsonl(spark, out)
+    val back = ingest.good
+    assert(ingest.quarantine.count() == 0)
     assert(back.count() == docs.count())
     // column-order-normalized row sets must match exactly
     val cols = docs.columns.sorted.toIndexedSeq.map(col)
     val a = docs.select(cols: _*).collect().map(_.toSeq).toSet
     val b = back.select(cols: _*).collect().map(_.toSeq).toSet
     assert(a == b)
+    ingest.release()
   }
 
   test("ingested corpora run the operator library unchanged") {
     // stage the fixture as jsonl, ingest, and run a text operator over it
     val out = Files.createTempDirectory("graft_jsonl_ops").toString
     TextIngest.writeJsonl(Tables.documents(spark, TestSpark.sfDir), out)
-    val (good, _) = TextIngest.readJsonl(spark, out)
+    val ingest = TextIngest.readJsonl(spark, out)
     val masked = graft.operators.TextAnalysis.piiMaskOn(
-      good.select(col("doc_id"), col("text")))
-    assert(masked.count() == good.count())
+      ingest.good.select(col("doc_id"), col("text")))
+    assert(masked.count() == ingest.good.count())
+    ingest.release()
   }
 }
