@@ -140,4 +140,27 @@ class ScaleSafetySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Generate") && !plan.contains("Exchange"), plan)
   }
+
+  test("quantization error honors the half-bin analytical bound") {
+    import org.apache.spark.sql.functions.{col, max, min, posexplode}
+    // midpoint decode ⇒ |x − x̂| ≤ (hi−lo)/512 per dimension; the
+    // reported max_err must respect the WIDEST dimension's bound (small
+    // fp slack for the decode arithmetic itself)
+    val stats = graft.sources.Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("d"), col("xf").cast("double").as("x"))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()
+    val widest = stats.map(r => r.getDouble(2) - r.getDouble(1)).max
+    val bound = widest / 512.0 * (1.0 + 1e-9) + 1e-12
+    val errs = graft.operators.Similarity.quantizeSqProd(spark, dir)
+      .select(org.apache.spark.sql.functions.col("max_err"))
+      .collect().map(_.getDouble(0))
+    assert(errs.nonEmpty)
+    assert(errs.max <= bound,
+      f"max_err ${errs.max}%.6g exceeds half-bin bound $bound%.6g")
+    // and quantization is actually lossy (codes are 8-bit, data is float)
+    assert(errs.max > 0.0)
+  }
 }
