@@ -190,6 +190,67 @@ object Relational {
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM lineitem GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
 
+  /** q8: hierarchical ROLLUP over (returnflag, linestatus) — the
+    * reporting-cube shape (subtotals + grand total in one pass). Spark
+    * expands the rollup BEFORE the shuffle: each input row contributes
+    * its three grouping-set rows map-side and partial aggregation
+    * collapses them, so the exchange carries ≤ 3×|groups| rows — one
+    * aggregate, not three queries. Grouping levels are disambiguated by
+    * `grouping_id` (identical bitmask semantics to DuckDB's GROUPING)
+    * and null keys are coalesced to 'ALL' so the driver's row compare
+    * never sorts raw nulls. */
+  def q8Rollup(spark: SparkSession, dir: String): DataFrame = (
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        sum(col("l_quantity")).as("total_quantity"),
+        count(lit(1)).as("n_lines"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("total_quantity"), col("n_lines")))
+
+  val q8Oracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       sum(l_quantity) AS total_quantity,
+      |       count(*) AS n_lines
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  /** q9: per-customer running order total — the cumulative-window
+    * reporting shape. One shuffle on the partition key, then a streamed
+    * frame (ROWS UNBOUNDED PRECEDING — O(1) state per row, the sort is
+    * within-partition). The money sum runs in decimal(18,2) so the
+    * order-dependent accumulation is EXACT (and therefore
+    * order-independent in value), cast to double only at the end;
+    * (o_orderdate, o_orderkey) is a total order so ranks never tie. */
+  def q9RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    (Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        money(col("o_totalprice")).as("p"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("p")).over(w).cast("double").as("running_total"),
+        count(lit(1)).over(w).as("n_orders_so_far")))
+  }
+
+  val q9Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |              OVER (PARTITION BY o_custkey
+      |                    ORDER BY o_orderdate, o_orderkey
+      |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |         AS running_total,
+      |       count(*) OVER (PARTITION BY o_custkey
+      |                      ORDER BY o_orderdate, o_orderkey
+      |                      ROWS UNBOUNDED PRECEDING) AS n_orders_so_far
+      |FROM orders ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   // --- challenge engine Q1/Q2 (challenge/queries.json) ---------------------
 
   /** challenge Q1: `SELECT description FROM Product WHERE categorie=…`
@@ -305,6 +366,8 @@ object Relational {
     "q6_stock_by_product" -> (q6StockByProduct _),
     "q6_salted_skew" -> (q6Salted _),
     "q7_orders_by_date_agg" -> (q7OrdersByDateAgg _),
+    "q8_rollup" -> (q8Rollup _),
+    "q9_running_total" -> (q9RunningTotal _),
     "challenge_q1" -> (challengeQ1 _),
     "challenge_q2" -> (challengeQ2 _),
     "ch5_q1_movies_by_genre" -> (ch5Q1MoviesByGenre _),
@@ -322,6 +385,8 @@ object Relational {
     "q6_stock_by_product" -> q6Oracle,
     "q6_salted_skew" -> q6Oracle,
     "q7_orders_by_date_agg" -> q7Oracle,
+    "q8_rollup" -> q8Oracle,
+    "q9_running_total" -> q9Oracle,
     "challenge_q1" -> challengeQ1Oracle,
     "challenge_q2" -> challengeQ2Oracle,
     "ch5_q1_movies_by_genre" -> ch5Q1Oracle,
