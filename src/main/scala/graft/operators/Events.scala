@@ -266,19 +266,25 @@ object Events {
     * bit-interleave loop ([[zInterleave]]), so the two engines cannot
     * drift; everything is integer shifts/masks — bit-exact by
     * construction. Scan-only, no shuffle. */
-  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
-    val minutes = floor(unix_timestamp(col("ts")).cast("double") / 60.0)
-      .cast("long")
-    val u16 = pmod(col("user_id"), lit(1L << ZBits))
-    val t16 = pmod(minutes, lit(1L << ZBits))
-    val z = (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+  /** The bit interleave as a reusable Column (nonnegative inputs are
+    * taken mod 2^[[ZBits]]); [[ZOrderSpec]] property-tests the bijection
+    * over edge and pseudorandom values through this entry point. */
+  private[graft] def zInterleave(u: Column, t: Column): Column = {
+    val u16 = pmod(u, lit(1L << ZBits))
+    val t16 = pmod(t, lit(1L << ZBits))
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(u16, i).bitwiseAND(lit(1L)), 2 * i + 1))
         .bitwiseOR(shiftleft(shiftright(t16, i).bitwiseAND(lit(1L)), 2 * i))
     }
+  }
+
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val minutes = floor(unix_timestamp(col("ts")).cast("double") / 60.0)
+      .cast("long")
     (Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), minutes.as("minute"),
-        z.as("zval")))
+        zInterleave(col("user_id"), minutes).as("zval")))
   }
 
   /** The same interleave as SQL text, generated by the same loop. */

@@ -56,6 +56,33 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order should confine a narrow minute band: touched $zMin of $NFiles")
   }
 
+  test("property: interleave is a bijection on edge + pseudorandom 16-bit pairs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edge = Seq(0L, 1L, 2L, 0x5555L, 0xaaaaL, 0x7fffL, 0x8000L, 0xffffL)
+    val gen = Gen.zip(Gen.chooseNum(0L, 0xffffL), Gen.chooseNum(0L, 0xffffL))
+    val rand = (0 until 400).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val pairs = (for (u <- edge; t <- edge) yield (u, t)) ++ rand
+    import spark.implicits._
+    val out = pairs.toDF("u", "t")
+      .select(col("u"), col("t"),
+        Events.zInterleave(col("u"), col("t")).as("z"))
+      .collect()
+    assert(out.length == pairs.length)
+    for (r <- out) {
+      val (u, t, zv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var uBack = 0L; var tBack = 0L
+      for (i <- 0 until 16) {
+        uBack |= ((zv >> (2 * i + 1)) & 1L) << i
+        tBack |= ((zv >> (2 * i)) & 1L) << i
+      }
+      assert(uBack == u && tBack == t, s"round-trip failed at ($u, $t) -> $zv")
+    }
+    // distinct inputs → distinct keys (injectivity over the full domain)
+    assert(out.map(_.getLong(2)).distinct.length == pairs.distinct.length)
+  }
+
   test("zval round-trips to its two dimensions (interleave is a bijection)") {
     val rows = Events.zorderKey(spark, dir)
       .select(col("user_id"), col("minute"), col("zval"))
