@@ -746,6 +746,44 @@ object Similarity {
       array_max(errs).as("max_err")))
   }
 
+  /** Deterministic spherical k-means (Lloyd) over an (vec_id, ev) frame —
+    * the general form of the one refinement iteration [[annIvf]] bakes
+    * in, exposed so users can train a better IVF coarse quantizer (or
+    * any clustering) with a fixed iteration budget. Seeds are the k
+    * smallest vec_ids (reproducible, no RNG); each iteration assigns
+    * every vector to its max-cosine centroid (ties on centroid_id) and
+    * replaces each non-empty cell with the SUM of its members — cosine
+    * is scale-invariant, so the sum ranks identically to the mean with
+    * one fewer fp op. Deterministic end to end: same input → bit-equal
+    * centroids, and the spherical-k-means objective (mean max-cosine) is
+    * non-decreasing per iteration — both pinned in `KMeansSpec`.
+    *
+    * Scale: per iteration one broadcast cross join (centroid table is
+    * k·d doubles) and one fixed-buffer aggregate ([[graft.functions
+    * .SketchAggregates]] vector_sum — d doubles per cell, never a
+    * per-member list). The driver loop carries only the iteration count;
+    * k and d bound the broadcast, n only flows through scans. */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int,
+      dim: Int = Dim): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    var cent = vectors.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("ev").as("cv"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("scos").desc, col("centroid_id"))
+      val home = vectors.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("centroid_id"),
+          cosine(col("ev"), col("cv")).as("scos"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("centroid_id"))
+      cent = home.join(vectors, "vec_id")
+        .groupBy(col("centroid_id"))
+        .agg(graft.functions.SketchFunctions.vector_sum(col("ev"), dim).as("cv"))
+    }
+    cent
+  }
+
   /** Decoded SQ approximation of the embedding column — each value
     * snapped to its int8 code midpoint against the collected per-dim
     * (lo, hi) stats. The same arithmetic (and code path shape) as
