@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of `Events.hourlyTop` — the windowed leaderboard as a
+  * custom-state operator: per (hour, event_type) bucket keep ONLY the
+  * current top-[[K]] (value, event_id) pairs and emit the ranked rows
+  * once the watermark closes the hour. Window functions don't exist on
+  * streams; the bounded-heap state is the streaming form of what
+  * `TopKPerKeyExec` does in batch — O(K) state per open bucket, state
+  * count bounded by (open hours × event types), removed at emission.
+  *
+  * Determinism: values pass through untouched (no arithmetic), and the
+  * state keeps the exact batch ordering key (value DESC, event_id ASC) —
+  * so on the finite replay the emitted rows equal the batch query's
+  * bit-for-bit (`StreamingLeaderboardSpec`).
+  */
+object StreamingLeaderboard {
+
+  private val K = 3
+  private val HourUs = 3600L * 1000 * 1000
+
+  final case class Ev(ts: Timestamp, event_type: String, event_id: Long,
+      value: Double)
+  /** Bounded leaderboard state: parallel arrays keep the encoder a plain
+    * product; invariant: sorted by (value DESC, event_id ASC), length ≤ K. */
+  final case class Board(ids: Seq[Long], values: Seq[Double])
+  final case class Ranked(hour_ts: Timestamp, event_type: String,
+      event_id: Long, value: Double, rnk: Long)
+
+  private def us(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def toTs(u: Long): Timestamp = {
+    val t = new Timestamp(u / 1000L)
+    t.setNanos(((u % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def merge(b: Board, id: Long, v: Double): Board = {
+    val entries = (b.ids.zip(b.values) :+ (id, v))
+      .sortBy { case (i, x) => (-x, i) }.take(K)
+    Board(entries.map(_._1), entries.map(_._2))
+  }
+
+  private def stateFn(key: (Long, String), events: Iterator[Ev],
+      state: GroupState[Board]): Iterator[Ranked] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.toSeq.flatMap { b =>
+        b.ids.zip(b.values).zipWithIndex.map { case ((id, v), i) =>
+          Ranked(toTs(key._1), key._2, id, v, i + 1L)
+        }
+      }
+      state.remove()
+      return out.iterator
+    }
+    var board = state.getOption.getOrElse(Board(Nil, Nil))
+    events.foreach(e => board = merge(board, e.event_id, e.value))
+    state.update(board)
+    // fire once the watermark passes the end of this hour (+1 ms guards
+    // the micro→milli truncation)
+    state.setTimeoutTimestamp((key._1 + HourUs) / 1000L + 1L)
+    Iterator.empty
+  }
+
+  /** Replay the events fixture through the streaming leaderboard (same
+    * staging + far-future sentinel pattern as [[StreamingSessions]]). */
+  def hourlyTopStreaming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_lead")
+    java.nio.file.Files.createLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val rawSchema = spark.read.parquet(path).schema
+    val events = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 second")
+      .select(col("ts"), col("event_type"), col("event_id"), col("value"))
+      .as[Ev]
+    val ranked = events
+      .groupByKey(e => (us(e.ts) / HourUs * HourUs, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(stateFn)
+    val sink = s"graft_stream_lead_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = ranked.toDF()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val maxNs = spark.read.parquet(path).agg(max(col("ts"))).head().getLong(0)
+      import scala.jdk.CollectionConverters._
+      val sentinel = spark.createDataFrame(
+        List(org.apache.spark.sql.Row(
+          -1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L,
+          "sentinel", 0.0, "{}")).asJava,
+        rawSchema)
+      sentinel.write.mode("append").parquet(streamDir.toString)
+      query.processAllAvailable()
+    } finally query.stop()
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+      .filter(col("event_id") =!= -1L)
+  }
+}
