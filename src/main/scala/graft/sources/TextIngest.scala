@@ -61,4 +61,29 @@ object TextIngest {
     * native json sink — splittable output, one file per partition). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Read a CSV corpus with the same discipline as [[readJsonl]]:
+    * enforced schema (no inference pass), PERMISSIVE parse, malformed
+    * rows quarantined off one shared parse, `release()` to drop the
+    * cache. Multiline/quote handling stays at Spark's RFC-4180 defaults
+    * (quoted fields may contain the delimiter); header expected. */
+  def readCsv(spark: SparkSession, path: String): JsonlIngest = {
+    val raw = spark.read
+      .schema(documentSchema.add(StructField(Corrupt, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .option("header", "true")
+      .option("escape", "\"") // RFC-4180 doubled quotes, not backslash
+      .csv(path)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val good = raw.filter(col(Corrupt).isNull).drop(Corrupt)
+    val quarantine = raw.filter(col(Corrupt).isNotNull)
+      .select(col(Corrupt).as("raw_line"))
+    JsonlIngest(good, quarantine, () => { raw.unpersist(); () })
+  }
+
+  /** Write a documents frame as headered CSV (RFC-4180 quoting). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(path)
 }

@@ -63,4 +63,32 @@ class TextIngestSpec extends AnyFunSuite {
     assert(masked.count() == ingest.good.count())
     ingest.release()
   }
+
+  test("CSV: quoted delimiters survive, malformed rows quarantine, round-trip") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(dir.resolve("part-0.csv"),
+      """doc_id,text,lang,source,n_chars
+        |1,"hello, world",en,web,12
+        |2,plain text,fr,web,10
+        |not_a_long,busted row,xx,web,0
+        |3,"embedded ""quotes"" fine",de,web,22
+        |""".stripMargin)
+    val ingest = TextIngest.readCsv(spark, dir.toString)
+    val rows = ingest.good.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.head.getString(1) == "hello, world") // quoted comma intact
+    assert(rows(2).getString(1) == "embedded \"quotes\" fine")
+    assert(ingest.quarantine.count() == 1)
+    ingest.release()
+    // and the fixture corpus round-trips parquet -> csv -> parquet
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val out = Files.createTempDirectory("graft_csv_rt").toString
+    TextIngest.writeCsv(docs, out)
+    val back = TextIngest.readCsv(spark, out)
+    assert(back.quarantine.count() == 0)
+    val cols = docs.columns.sorted.toIndexedSeq.map(col)
+    assert(back.good.select(cols: _*).collect().map(_.toSeq).toSet ==
+      docs.select(cols: _*).collect().map(_.toSeq).toSet)
+    back.release()
+  }
 }
