@@ -51,4 +51,28 @@ class ScanPruningSpec extends AnyFunSuite {
     val p = plan(Similarity.annLsh(spark, dir))
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
   }
+
+  test("round-6 curation queries prune their scans to the referenced columns") {
+    // decontaminate and seqPack touch only (doc_id, text); the KMV sketch
+    // only (lang, text); bigram familiarity only (doc_id, text) — at
+    // 100 TB this is the difference between reading two columns and five
+    def scanSchemas(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSeq.sorted
+      }
+    // decontaminate's eval-side scan prunes even doc_id away (text only)
+    for (s <- scanSchemas(TextAnalysis.decontaminate(spark, dir)))
+      assert(s.nonEmpty && s.toSet.subsetOf(Set("doc_id", "text")), s.toString)
+    for (s <- scanSchemas(TextAnalysis.seqPack(spark, dir)))
+      assert(s == Seq("doc_id", "text"), s.toString)
+    for (s <- scanSchemas(TextAnalysis.distinctKmv(spark, dir)))
+      assert(s == Seq("lang", "text"), s.toString)
+    // bigram familiarity's model-build scan prunes doc_id away (text only)
+    for (s <- scanSchemas(TextAnalysis.bigramFamiliarity(spark, dir)))
+      assert(s.nonEmpty && s.toSet.subsetOf(Set("doc_id", "text")), s.toString)
+    // the z-order key reads only the three event columns it emits from
+    for (s <- scanSchemas(Events.zorderKey(spark, dir)))
+      assert(s == Seq("event_id", "ts", "user_id"), s.toString)
+  }
 }
