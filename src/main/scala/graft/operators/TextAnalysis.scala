@@ -771,7 +771,90 @@ object TextAnalysis {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
 
+  // --- Count-Min heavy hitters ---------------------------------------------
+
+  /** Count-Min sketch geometry: [[CmsRows]] independent Carter–Wegman rows
+    * (`((a·poly_hash + b) mod P) mod W` — `a·h < 13·10⁹`, no 64-bit
+    * overflow in either engine), W buckets each. Declared ABOVE the oracle
+    * string that interpolates them (Scala object init order). */
+  private val CmsRows = Seq((0, 3L, 7L), (1, 5L, 11L), (2, 11L, 13L), (3, 13L, 17L))
+  private val CmsP = 1000000007L
+  private val CmsW = 256
+  private val CmsTopK = 20
+
+  private def cmsBuckets(ph: Column): Column = array(CmsRows.map {
+    case (i, a, b) =>
+      struct(lit(i).as("r"), (((lit(a) * ph + lit(b)) % CmsP) % CmsW).as("bkt"))
+  }: _*)
+
+  /** Heavy hitters via a Count-Min sketch — the DETERMINISTIC, mergeable
+    * frequency sketch (Cormode & Muthukrishnan 2005): d=4 Carter–Wegman
+    * rows × W=256 counters. The sketch build is one token scan + a
+    * groupBy on (row, bucket) — the aggregation state is AT MOST d·W =
+    * 1024 long counters no matter the corpus size, counters merge by
+    * addition (map-side partial agg does exactly that), and at 100 TB
+    * per-executor partial sketches combine into the same 8 KiB. The
+    * top-[[CmsTopK]] candidate set is computed exactly (vocabulary-keyed
+    * groupBy with map-side combine, then an O(k) TakeOrdered — itself
+    * scale-safe); each candidate's CMS estimate is the min over its d
+    * counters, read via a broadcast-sized join (k·d = 80 lookup rows ⋈
+    * ≤1024 sketch rows). CMS guarantees estimate ≥ exact count
+    * ([[graft.operators]] spec pins the property); the whole query is
+    * oracle-replayed because every hash is the integer `poly_hash` fold
+    * and the row hashes are integer mod arithmetic. */
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(toks).as("token"))
+      .select(col("token"),
+        graft.functions.StringFunctions.poly_hash(col("token")).as("ph"))
+    val sketch = tokens
+      .select(explode(cmsBuckets(col("ph"))).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .groupBy(col("r"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val candidates = tokens
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"), min(col("ph")).as("ph"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+      .limit(CmsTopK)
+    (candidates
+      .select(col("token"), col("exact_cnt"),
+        explode(cmsBuckets(col("ph"))).as("rb"))
+      .select(col("token"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .join(sketch, Seq("r", "bkt"))
+      .groupBy(col("token"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est")))
+  }
+
+  private val cmsRowsValues: String =
+    CmsRows.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+
+  val heavyHittersCmsOracle: String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+       |           FROM documents),
+       |h AS (SELECT token,
+       |             list_reduce(list_transform(string_split(token, ''),
+       |                                        c -> CAST(ord(c) AS BIGINT)),
+       |                         (a, b) -> (a * 31 + b) % 1000000007) AS ph
+       |      FROM t),
+       |r(i, a, b) AS (SELECT * FROM (VALUES $cmsRowsValues)),
+       |sk AS (SELECT r.i, ((r.a * h.ph + r.b) % $CmsP) % $CmsW AS bkt,
+       |              count(*) AS c
+       |       FROM h CROSS JOIN r GROUP BY 1, 2),
+       |ex AS (SELECT token, count(*) AS exact_cnt, min(ph) AS ph
+       |       FROM h GROUP BY 1
+       |       ORDER BY exact_cnt DESC, token LIMIT $CmsTopK),
+       |q AS (SELECT e.token, e.exact_cnt, r.i,
+       |             ((r.a * e.ph + r.b) % $CmsP) % $CmsW AS bkt
+       |      FROM ex e CROSS JOIN r)
+       |SELECT q.token, CAST(q.exact_cnt AS BIGINT) AS exact_cnt,
+       |       CAST(min(sk.c) AS BIGINT) AS cms_est
+       |FROM q JOIN sk ON q.i = sk.i AND q.bkt = sk.bkt
+       |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_heavy_hitters" -> (heavyHittersCms _),
     "text_pii_mask" -> (piiMask _),
     "text_stats_by_source" -> (statsBySource _),
     "text_normalize" -> (normalize _),
@@ -794,6 +877,7 @@ object TextAnalysis {
     "text_top_quality_by_lang" -> (topQualityByLang _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_heavy_hitters" -> heavyHittersCmsOracle,
     "text_pii_mask" -> piiMaskOracle,
     "text_stats_by_source" -> statsBySourceOracle,
     "text_normalize" -> normalizeOracle,

@@ -132,6 +132,30 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally graft.plans.TopKPlanning.unregister(spark)
   }
 
+  // --- Count-Min heavy hitters ---------------------------------------------
+
+  test("CMS heavy hitters: exact top-k candidates, estimate >= exact always") {
+    // 'hot' appears 3x per doc over 40 docs (120), 'warm' 40, each wi once
+    val rows = (0 until 40).map(i =>
+      (i.toLong, s"hot hot hot warm w$i", "en", "s1"))
+    val dir = corpusDir(rows)
+    val out = TextAnalysis.heavyHittersCms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20)
+    // the CMS one-sided error guarantee: never an underestimate
+    assert(out.forall { case (_, exact, est) => est >= exact })
+    val byTok = out.map { case (t, e, c) => t -> ((e, c)) }.toMap
+    assert(byTok("hot")._1 == 120L && byTok("warm")._1 == 40L)
+    // 42 distinct tokens over 4 rows of 256 buckets: the planted heavy
+    // hitters are overwhelmingly collision-free in at least one row
+    assert(byTok("hot")._2 == 120L)
+    // candidate cut is deterministic: count desc, then token asc — the 18
+    // singleton slots go to the lexicographically smallest w-tokens
+    val w = out.map(_._1).filter(_.matches("w\\d+")).sorted.toSeq
+    val expected = (0 until 40).map(i => s"w$i").sorted.take(18)
+    assert(w == expected)
+  }
+
   // --- cross-source overlap matrix -----------------------------------------
 
   test("crossSource counts distinct shared texts per unordered source pair") {
