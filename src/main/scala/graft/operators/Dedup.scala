@@ -483,6 +483,94 @@ object Dedup {
       |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin
 
+  // --- duplicated-span (substring) dedup -----------------------------------
+
+  /** Window width (words) for [[dupSpans]]. */
+  private val SpanW = 8
+
+  /** Exact duplicated-SPAN detection (the substring-level dedup of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — arXiv:2107.06499 — re-expressed as a dataflow instead of a
+    * suffix array): find every [[SpanW]]-word window whose text occurs in
+    * ≥ 2 distinct documents, then merge overlapping windows per document
+    * into maximal duplicated spans (1-based word offsets, inclusive).
+    * Document-level dedup misses boilerplate shared across otherwise
+    * distinct pages; this finds the shared substrings themselves, the
+    * spans a curation pipeline would excise.
+    *
+    * Dataflow: one scan emits all windows with positions
+    * ([[graft.functions.WordShingles]] keeps multiplicity + order, so
+    * `posexplode` indexes them); window identity is the 8-byte
+    * `poly_hash` — the shuffle carries (hash, doc_id), never window
+    * text. Cross-doc hashes = distinct (hash, doc) pairs counted ≥ 2
+    * (map-side partial agg, long counters). Positions of duplicated
+    * windows come back via a LEFT SEMI join on the hash, and the
+    * gaps-and-islands merge (lag + running sum over (doc, pos)) is one
+    * shuffle on doc_id with per-group state bounded by DOCUMENT length —
+    * never corpus size. At 100 TB: windows ∝ corpus tokens but every
+    * stage is partial-agg'd or semi-join-pruned; a boilerplate span
+    * shared by millions of docs is one hash group with a long counter,
+    * not a pair blowup. The planted near-dup corpus (truncated copies)
+    * guarantees the fixtures exercise long merged spans. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val positions = withNearDups(spark, dir)
+      .select(col("doc_id"), posexplode(
+        graft.functions.StringFunctions.word_shingles_all(
+          split(col("text"), " "), SpanW)).as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        graft.functions.StringFunctions.poly_hash(col("sh")).as("h"))
+    val dupHashes = positions.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h"))
+    (positions
+      .join(dupHashes, Seq("h"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wnd) < SpanW, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(
+        wnd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (SpanW - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows")))
+  }
+
+  val dupSpansOracle: String =
+    s"""WITH $nearDupsCte,
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+       |p0 AS (SELECT doc_id,
+       |              unnest([{'pos': i,
+       |                       'sh': array_to_string(ws[CAST(i AS INT):CAST(i + ${SpanW - 1} AS INT)], ' ')}
+       |                      for i in range(1, len(ws) - ${SpanW - 2})],
+       |                     recursive := true)
+       |       FROM w),
+       |p AS (SELECT doc_id, pos,
+       |             list_reduce(list_transform(string_split(sh, ''),
+       |                                        c -> CAST(ord(c) AS BIGINT)),
+       |                         (a, b) -> (a * 31 + b) % 1000000007) AS h
+       |      FROM p0),
+       |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM p)
+       |        GROUP BY h HAVING count(*) >= 2),
+       |k AS (SELECT doc_id, pos FROM p WHERE h IN (SELECT h FROM dup)),
+       |b AS (SELECT doc_id, pos,
+       |             CASE WHEN pos - lag(pos) OVER
+       |                    (PARTITION BY doc_id ORDER BY pos) < $SpanW
+       |                  THEN 0 ELSE 1 END AS brk
+       |      FROM k),
+       |isl AS (SELECT doc_id, pos,
+       |               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                              ROWS UNBOUNDED PRECEDING) AS island
+       |        FROM b)
+       |SELECT doc_id, min(pos) AS span_start,
+       |       max(pos) + ${SpanW - 1} AS span_end,
+       |       count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, island ORDER BY 1, 2, 3, 4""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -491,6 +579,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_clusters" -> (clusterAssign _),
+    "dedup_dup_spans" -> (dupSpans _),
     "dedup_cross_source" -> (crossSource _))
 
   val oracles: Map[String, String] = Map(
@@ -499,5 +588,6 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clusterAssignOracle,
+    "dedup_dup_spans" -> dupSpansOracle,
     "dedup_cross_source" -> crossSourceOracle)
 }

@@ -95,4 +95,24 @@ class DedupSpec extends AnyFunSuite {
     val dup = rows.find(_.getLong(2) == 2L)
     assert(dup.nonEmpty && dup.get.getLong(1) == 0L)
   }
+
+  test("dupSpans merges overlapping duplicated windows into maximal spans") {
+    // doc 0 (20 unique words) gets a truncated 18-word planted copy →
+    // windows 1..11 shared → one maximal span (1, 18) of 11 windows in
+    // both. Docs 1 and 2 share ONLY an embedded 10-word run s1..s10 at
+    // word positions 6..15 → windows 6..8 → one span (6, 15) of 3
+    // windows each. No other 8-gram crosses documents.
+    val doc0 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docA = ((1 to 5).map(i => s"a$i") ++ (1 to 10).map(i => s"s$i") ++
+      (6 to 10).map(i => s"a$i")).mkString(" ")
+    val docB = ((1 to 5).map(i => s"b$i") ++ (1 to 10).map(i => s"s$i") ++
+      (6 to 10).map(i => s"b$i")).mkString(" ")
+    val dir = corpusDir(Seq(doc0, docA, docB))
+    val spans = Dedup.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(spans.size == 4)
+    assert(spans(0L) == ((1L, 18L, 11L)) && spans(100000L) == ((1L, 18L, 11L)))
+    assert(spans(1L) == ((6L, 15L, 3L)) && spans(2L) == ((6L, 15L, 3L)))
+  }
 }
