@@ -771,6 +771,119 @@ object TextAnalysis {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
 
+  // --- tf-idf characteristic terms -----------------------------------------
+
+  /** Top-3 characteristic terms per document by tf·idf, with the LOG-FREE
+    * idf variant `score = tf · N / df` (same ranking as tf·(N/df) under
+    * any monotone transform, and — unlike `log` — three IEEE ops in fixed
+    * order that DuckDB reproduces to the last bit; the library avoids
+    * libm in every oracle-gated expression).
+    *
+    * Scale shape: term frequencies are a (doc, token)-keyed groupBy
+    * (map-side combine collapses repeats), document frequencies a
+    * vocabulary-keyed count over the distinct pairs; the tf⋈df join
+    * shuffles on token (vocabulary-sized build side, equi-shuffle — no
+    * broadcast assumption), N is a 1-row broadcast, and the per-document
+    * top-3 is a ranked window that `RewriteWindowTopK` runs on the
+    * bounded-heap [[graft.plans.TopKPerKey]] operator — O(3) state per
+    * document, no per-group sort, spill-guarded for the doc-cardinality
+    * key space. */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val tf = t.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = t.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    (tf.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n").cast("double") /
+          col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("score"),
+        col("rnk")))
+  }
+
+  val tfidfTopkOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |           FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+      |             CAST(tf AS DOUBLE) * CAST(n AS DOUBLE)
+      |               / CAST(df AS DOUBLE) AS score
+      |      FROM tf JOIN df USING (token) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER
+      |              (PARTITION BY doc_id
+      |               ORDER BY score DESC, token) AS rnk
+      |      FROM s)
+      |SELECT doc_id, token, tf, score, rnk
+      |FROM r WHERE rnk <= 3 ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  // --- target-mix resampler ------------------------------------------------
+
+  /** Target-distribution resampler — the domain-mixing step of a training
+    * run (the fixed-weights skeleton of DoReMi-style mixture tuning):
+    * rebalance a skewed corpus to an equal share per language within a
+    * half-corpus budget. Per language: `desired = (N div 2) div 5`
+    * documents, acceptance threshold `thr_ppm = min(10⁶, desired·10⁶ div
+    * n_lang)`, and a document is kept iff `poly_hash(text) mod 10⁶ <
+    * thr_ppm` — content-keyed (dedup-safe: both copies of a duplicate get
+    * the same verdict), reproducible, no RNG. All arithmetic is integer
+    * division (`div` here, `//` in DuckDB), so the oracle replays
+    * bit-for-bit; `desired·10⁶` stays inside 64 bits up to ~9·10¹² docs.
+    *
+    * Scale shape: the counts pass reads ONLY the lang column (pruned
+    * scan, map-side combine into ≤#langs groups); thresholds are a
+    * #langs-row frame broadcast to the sampling pass, which is one
+    * narrow scan with a conditional sum — no shuffle touches document
+    * text, and the output is one row per language whatever the corpus
+    * size. */
+  def mixResample(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val thr = counts
+      .crossJoin(counts.agg(sum(col("n_docs")).as("n_total")))
+      .withColumn("thr_ppm",
+        least(lit(1000000L),
+          expr("((n_total div 2) div 5) * 1000000 div n_docs")))
+      .select(col("lang"), col("n_docs"), col("thr_ppm"))
+    (Tables.documents(spark, dir)
+      .select(col("lang"),
+        graft.functions.StringFunctions.poly_hash(col("text")).as("ph"))
+      .join(broadcast(thr), Seq("lang"))
+      .groupBy(col("lang"), col("n_docs"), col("thr_ppm"))
+      .agg(sum(when(col("ph") % 1000000L < col("thr_ppm"), 1L)
+        .otherwise(0L)).as("n_sampled")))
+  }
+
+  val mixResampleOracle: String =
+    """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+      |thr AS (SELECT lang, n_docs,
+      |               CAST(least(1000000,
+      |                          ((n_total // 2) // 5) * 1000000 // n_docs)
+      |                    AS BIGINT) AS thr_ppm
+      |        FROM c CROSS JOIN t),
+      |h AS (SELECT lang,
+      |             list_reduce(list_transform(string_split(text, ''),
+      |                                        c -> CAST(ord(c) AS BIGINT)),
+      |                         (a, b) -> (a * 31 + b) % 1000000007) AS ph
+      |      FROM documents)
+      |SELECT thr.lang, thr.n_docs, thr.thr_ppm,
+      |       CAST(sum(CASE WHEN h.ph % 1000000 < thr.thr_ppm
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM h JOIN thr USING (lang)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4""".stripMargin
+
   // --- Count-Min heavy hitters ---------------------------------------------
 
   /** Count-Min sketch geometry: [[CmsRows]] independent Carter–Wegman rows
@@ -855,6 +968,8 @@ object TextAnalysis {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_heavy_hitters" -> (heavyHittersCms _),
+    "curate_mix_resample" -> (mixResample _),
+    "text_tfidf_topk" -> (tfidfTopk _),
     "text_pii_mask" -> (piiMask _),
     "text_stats_by_source" -> (statsBySource _),
     "text_normalize" -> (normalize _),
@@ -878,6 +993,8 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "sketch_heavy_hitters" -> heavyHittersCmsOracle,
+    "curate_mix_resample" -> mixResampleOracle,
+    "text_tfidf_topk" -> tfidfTopkOracle,
     "text_pii_mask" -> piiMaskOracle,
     "text_stats_by_source" -> statsBySourceOracle,
     "text_normalize" -> normalizeOracle,

@@ -156,6 +156,53 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(w == expected)
   }
 
+  // --- target-mix resampler ------------------------------------------------
+
+  test("mixResample caps thresholds at keep-all and downsamples heavy langs") {
+    // 100 en / 10 fr: N=110, budget=55, desired=11 per lang →
+    // thr_en = 11e6/100 = 110000 ppm; fr's 11e6/10 caps at 1e6 (keep all)
+    val rows = (0 until 100).map(i => (i.toLong, s"en doc $i", "en", "s1")) ++
+      (0 until 10).map(i => ((200 + i).toLong, s"fr doc $i", "fr", "s1"))
+    val dir = corpusDir(rows)
+    val out = TextAnalysis.mixResample(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (enDocs, enThr, enSampled) = out("en")
+    val (frDocs, frThr, frSampled) = out("fr")
+    assert(enDocs == 100L && enThr == 110000L)
+    assert(frDocs == 10L && frThr == 1000000L && frSampled == 10L)
+    assert(enSampled <= enDocs && enSampled >= 0L)
+  }
+
+  // --- tf-idf characteristic terms -----------------------------------------
+
+  test("tfidfTopk ranks rare repeated terms above corpus-wide ones") {
+    // 'common' appears in all 4 docs (df=4, idf ratio 1); each doc i has
+    // its own marker repeated 3x (df=1, idf ratio 4) → score 12 beats
+    // common's tf (at most 2*4/4=2); filler fills out rank 2-3
+    val rows = (0 until 4).map(i =>
+      (i.toLong, s"common m$i m$i m$i f${i}a f${i}b common", "en", "s1"))
+    val dir = corpusDir(rows)
+    val out = TextAnalysis.tfidfTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(out.length == 12) // 3 per doc
+    for (d <- 0 until 4) {
+      val top = out.filter(t => t._1 == d && t._5 == 1L).head
+      assert(top._2 == s"m$d" && top._3 == 3L && top._4 == 12.0)
+      // 'common' (score 2·4/4 = 2) loses to the singleton fillers (4.0)
+      assert(!out.exists(t => t._1 == d && t._2 == "common"))
+    }
+    // under the registry's planning hooks the per-doc top-3 runs on the
+    // bounded-heap operator, not a per-group sort
+    graft.plans.TopKPlanning.register(spark)
+    try {
+      val plan = TextAnalysis.tfidfTopk(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"))
+    } finally graft.plans.TopKPlanning.unregister(spark)
+  }
+
   // --- cross-source overlap matrix -----------------------------------------
 
   test("crossSource counts distinct shared texts per unordered source pair") {
