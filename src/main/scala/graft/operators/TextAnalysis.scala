@@ -895,10 +895,25 @@ object TextAnalysis {
   private val CmsW = 256
   private val CmsTopK = 20
 
-  private def cmsBuckets(ph: Column): Column = array(CmsRows.map {
+  private[graft] def cmsBuckets(ph: Column): Column = array(CmsRows.map {
     case (i, a, b) =>
       struct(lit(i).as("r"), (((lit(a) * ph + lit(b)) % CmsP) % CmsW).as("bkt"))
   }: _*)
+
+  /** (token, ph) for every token occurrence of a (…, text) frame — shared
+    * by the batch query and its streaming twin so both hash identically. */
+  private[graft] def cmsTokensOf(docs: DataFrame): DataFrame = docs
+    .select(explode(toks).as("token"))
+    .select(col("token"),
+      graft.functions.StringFunctions.poly_hash(col("token")).as("ph"))
+
+  /** The (r, bkt) → count sketch build. On a stream this is a standard
+    * streaming aggregation whose state is AT MOST d·W = 1024 rows. */
+  private[graft] def cmsSketchOf(tokens: DataFrame): DataFrame = tokens
+    .select(explode(cmsBuckets(col("ph"))).as("rb"))
+    .select(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+    .groupBy(col("r"), col("bkt"))
+    .agg(count(lit(1)).as("c"))
 
   /** Heavy hitters via a Count-Min sketch — the DETERMINISTIC, mergeable
     * frequency sketch (Cormode & Muthukrishnan 2005): d=4 Carter–Wegman
@@ -916,15 +931,8 @@ object TextAnalysis {
     * oracle-replayed because every hash is the integer `poly_hash` fold
     * and the row hashes are integer mod arithmetic. */
   def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables.documents(spark, dir)
-      .select(explode(toks).as("token"))
-      .select(col("token"),
-        graft.functions.StringFunctions.poly_hash(col("token")).as("ph"))
-    val sketch = tokens
-      .select(explode(cmsBuckets(col("ph"))).as("rb"))
-      .select(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
-      .groupBy(col("r"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
+    val tokens = cmsTokensOf(Tables.documents(spark, dir))
+    val sketch = cmsSketchOf(tokens)
     val candidates = tokens
       .groupBy(col("token"))
       .agg(count(lit(1)).as("exact_cnt"), min(col("ph")).as("ph"))

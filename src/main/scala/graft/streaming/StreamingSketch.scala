@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.TextAnalysis
+
+/** Streaming twin of the Count-Min sketch build behind
+  * `sketch_heavy_hitters`: the same bucket expressions
+  * (`TextAnalysis.cmsTokensOf` / `cmsSketchOf` — shared Column code, so
+  * batch and stream hash identically) run as a standard streaming
+  * aggregation over a documents stream.
+  *
+  * This is the sketch's NATIVE habitat: counters merge by addition, so
+  * Spark's incremental state store IS the sketch — aggregation state is
+  * at most d·W = 1024 rows (8 KiB of longs) no matter how long the
+  * stream runs or how large the corpus grows, with no watermark needed
+  * (nothing is ever evicted; the state cannot grow). Complete-mode
+  * output emits the current sketch each trigger — at 100 TB/day this is
+  * a continuously-maintained token-frequency summary queryable at any
+  * moment, the streaming analogue of the batch build.
+  *
+  * Determinism: pure integer counters, no floats, no ordering
+  * sensitivity — the final sketch on a finite replay equals the batch
+  * sketch bit-for-bit (`StreamingSketchSpec`).
+  */
+object StreamingSketch {
+
+  /** Replay the documents fixture through the streaming sketch build and
+    * return the final (r, bkt, c) counters. */
+  def cmsSketchStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_cms")
+    java.nio.file.Files.createLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val sketch = TextAnalysis.cmsSketchOf(TextAnalysis.cmsTokensOf(docs))
+    val sink = s"graft_stream_cms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = sketch
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+  }
+}
