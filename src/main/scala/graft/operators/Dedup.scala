@@ -512,15 +512,21 @@ object Dedup {
     * shared by millions of docs is one hash group with a long counter,
     * not a pair blowup. The planted near-dup corpus (truncated copies)
     * guarantees the fixtures exercise long merged spans. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val wnd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val positions = withNearDups(spark, dir)
+  /** (doc_id, pos, h): every [[SpanW]]-word window of the near-dup corpus
+    * with its 1-based word position and poly-hash — shared by
+    * [[dupSpans]] and [[spanExcise]]. */
+  private def spanPositions(spark: SparkSession, dir: String): DataFrame =
+    withNearDups(spark, dir)
       .select(col("doc_id"), posexplode(
         graft.functions.StringFunctions.word_shingles_all(
           split(col("text"), " "), SpanW)).as(Seq("pos0", "sh")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         graft.functions.StringFunctions.poly_hash(col("sh")).as("h"))
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val positions = spanPositions(spark, dir)
     val dupHashes = positions.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -540,9 +546,10 @@ object Dedup {
         col("n_windows")))
   }
 
-  val dupSpansOracle: String =
-    s"""WITH $nearDupsCte,
-       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+  /** DuckDB CTEs mirroring [[spanPositions]] (expects the `d` corpus CTE
+    * in scope). */
+  private val spanPositionsCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
        |p0 AS (SELECT doc_id,
        |              unnest([{'pos': i,
        |                       'sh': array_to_string(ws[CAST(i AS INT):CAST(i + ${SpanW - 1} AS INT)], ' ')}
@@ -553,7 +560,11 @@ object Dedup {
        |             list_reduce(list_transform(string_split(sh, ''),
        |                                        c -> CAST(ord(c) AS BIGINT)),
        |                         (a, b) -> (a * 31 + b) % 1000000007) AS h
-       |      FROM p0),
+       |      FROM p0)""".stripMargin
+
+  val dupSpansOracle: String =
+    s"""WITH $nearDupsCte,
+       |$spanPositionsCtes,
        |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM p)
        |        GROUP BY h HAVING count(*) >= 2),
        |k AS (SELECT doc_id, pos FROM p WHERE h IN (SELECT h FROM dup)),
@@ -571,6 +582,80 @@ object Dedup {
        |       count(*) AS n_windows
        |FROM isl GROUP BY doc_id, island ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // --- duplicated-span excision --------------------------------------------
+
+  /** The curation ACTION behind [[dupSpans]]: rewrite every document with
+    * its duplicated spans excised, keeping each span's FIRST occurrence
+    * corpus-wide. Ownership is per window: the minimum doc_id containing
+    * a window's hash owns it; any higher doc_id's occurrence is a
+    * "loser" window, and a document drops exactly the word positions
+    * covered by its loser windows. (Document-level dedup deletes whole
+    * near-copies; this keeps the unique remainder of partially-copied
+    * documents — Lee et al. 2022's motivation for substring-level
+    * dedup.)
+    *
+    * Scale shape: ownership is a groupBy(h).min(doc_id) over 16-byte
+    * rows; loser positions come back through one hash-keyed join whose
+    * volume is ∝ duplicated windows; covered word indices explode 8 per
+    * loser window then distinct. Reassembly joins the corpus word list
+    * (scan-side posexplode) against covered indices and rebuilds each
+    * document with `sort_array(collect_list(...))` — a per-DOCUMENT
+    * buffer bounded by document length, the same data-model-contract
+    * bound as the denorm embed outputs (sanctioned in
+    * `ScaleSafetySpec`): reconstructing a document's text requires that
+    * document's words in one place by definition.
+    *
+    * Output: (doc_id, clean_text, n_removed) for every corpus document. */
+  def spanExcise(spark: SparkSession, dir: String): DataFrame = {
+    val positions = spanPositions(spark, dir)
+    val owners = positions.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"))
+    val covered = positions
+      .join(owners, Seq("h"))
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanW - 1))).as("widx"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    val words = withNearDups(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i0", "word")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("widx"),
+        col("word"))
+    (words
+      .join(covered, Seq("doc_id", "widx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(
+            when(col("cov").isNull, struct(col("widx"), col("word"))))),
+          x => x.getField("word"))).as("clean_text"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed")))
+  }
+
+  val spanExciseOracle: String =
+    s"""WITH $nearDupsCte,
+       |$spanPositionsCtes,
+       |own AS (SELECT h, min(doc_id) AS owner FROM p GROUP BY 1),
+       |cov AS (SELECT DISTINCT p.doc_id, p.pos + t.k AS widx
+       |        FROM p JOIN own USING (h)
+       |        CROSS JOIN (SELECT unnest(range(0, $SpanW)) AS k) t
+       |        WHERE p.doc_id > own.owner),
+       |wd AS (SELECT doc_id,
+       |              unnest([{'widx': i, 'word': ws[CAST(i AS INT)]}
+       |                      for i in range(1, len(ws) + 1)],
+       |                     recursive := true)
+       |       FROM w)
+       |SELECT wd.doc_id,
+       |       coalesce(array_to_string(
+       |         list(wd.word ORDER BY wd.widx)
+       |           FILTER (WHERE cov.widx IS NULL), ' '), '') AS clean_text,
+       |       CAST(sum(CASE WHEN cov.widx IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_removed
+       |FROM wd LEFT JOIN cov
+       |  ON wd.doc_id = cov.doc_id AND wd.widx = cov.widx
+       |GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -580,6 +665,7 @@ object Dedup {
     "dedup_simhash" -> (simhashPairs _),
     "dedup_clusters" -> (clusterAssign _),
     "dedup_dup_spans" -> (dupSpans _),
+    "dedup_span_excise" -> (spanExcise _),
     "dedup_cross_source" -> (crossSource _))
 
   val oracles: Map[String, String] = Map(
@@ -589,5 +675,6 @@ object Dedup {
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clusterAssignOracle,
     "dedup_dup_spans" -> dupSpansOracle,
+    "dedup_span_excise" -> spanExciseOracle,
     "dedup_cross_source" -> crossSourceOracle)
 }

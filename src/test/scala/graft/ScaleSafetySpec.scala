@@ -45,14 +45,21 @@ class ScaleSafetySpec extends AnyFunSuite {
     }.flatten
   }
 
-  /** The one sanctioned collect_list family: the D3 one-to-many embed
-    * (`Denorm.linesEmbedded`), where the array IS the operator's output —
-    * a nested document whose length is the embed fanout the reference's
-    * own cost model prices (`avg_array_lengths`, challenge/models.py) and
-    * whose boundedness is a DATA-MODEL contract (you embed orderLines in
-    * products precisely because a part has bounded lines), not a query
-    * implementation choice. Documented in SCALING.md §denorm. */
-  private val embedOutputQueries = Set("denorm_embed_many", "denorm_embed_agg")
+  /** The sanctioned collect_list families — cases where the collected
+    * array's boundedness is a DATA-MODEL contract, not a query
+    * implementation choice:
+    *   - the D3 one-to-many embeds (`Denorm.linesEmbedded`), where the
+    *     array IS the operator's output — a nested document whose length
+    *     is the embed fanout the reference's own cost model prices
+    *     (`avg_array_lengths`, challenge/models.py); you embed orderLines
+    *     in products precisely because a part has bounded lines;
+    *   - span excision (`Dedup.spanExcise`), which reassembles each
+    *     document's surviving words — a per-DOCUMENT buffer bounded by
+    *     document length; rebuilding a document's text requires that
+    *     document's words in one place by definition.
+    * Documented in SCALING.md §denorm / §dedup. */
+  private val embedOutputQueries =
+    Set("denorm_embed_many", "denorm_embed_agg", "dedup_span_excise")
 
   test("no production plan aggregates an unbounded per-group buffer") {
     for ((name, fn) <- SparkEntry.productionQueries.toSeq.sortBy(_._1)

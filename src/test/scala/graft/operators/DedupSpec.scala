@@ -115,4 +115,24 @@ class DedupSpec extends AnyFunSuite {
     assert(spans(0L) == ((1L, 18L, 11L)) && spans(100000L) == ((1L, 18L, 11L)))
     assert(spans(1L) == ((6L, 15L, 3L)) && spans(2L) == ((6L, 15L, 3L)))
   }
+
+  test("spanExcise keeps first occurrence, excises later copies word-exact") {
+    // same corpus as the dupSpans test: min doc_id owns each window, so
+    // doc 0 and doc 1 keep their text; the planted copy (100000) loses
+    // its whole 18 words; doc 2 loses exactly the shared s1..s10 run
+    val doc0 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docA = ((1 to 5).map(i => s"a$i") ++ (1 to 10).map(i => s"s$i") ++
+      (6 to 10).map(i => s"a$i")).mkString(" ")
+    val docB = ((1 to 5).map(i => s"b$i") ++ (1 to 10).map(i => s"s$i") ++
+      (6 to 10).map(i => s"b$i")).mkString(" ")
+    val dir = corpusDir(Seq(doc0, docA, docB))
+    val out = Dedup.spanExcise(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.size == 4)
+    assert(out(0L) == ((doc0, 0L)) && out(1L) == ((docA, 0L)))
+    assert(out(100000L) == (("", 18L)))
+    val bClean = ((1 to 5).map(i => s"b$i") ++ (6 to 10).map(i => s"b$i"))
+      .mkString(" ")
+    assert(out(2L) == ((bClean, 10L)))
+  }
 }
