@@ -360,6 +360,14 @@ object Dedup {
   def clusterAssignOn(docs: DataFrame): DataFrame =
     clusterAssignImpl(docs.select(col("doc_id")), minhashLshOn(docs))
 
+  /** Connected components over ANY undirected pair frame `(a_id, b_id)`
+    * covering the node frame `docs(doc_id)` — the shared core of
+    * [[clusterAssign]] (minhash pairs) and
+    * [[Similarity.semanticDedup]] (embedding-cosine pairs). */
+  private[operators] def connectedComponents(
+      docs: DataFrame, pairs0: DataFrame): DataFrame =
+    clusterAssignImpl(docs, pairs0)
+
   private def clusterAssignImpl(docs: DataFrame, pairs0: DataFrame): DataFrame = {
     val tStart = System.nanoTime()
     // persist the DIRECTED pair set before symmetrizing: the reversed

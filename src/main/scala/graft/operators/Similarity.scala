@@ -532,8 +532,12 @@ object Similarity {
       .filter(col("cosine") >= 0.9))
   }
 
-  val nearDupLshOracle: String =
-    s"""WITH $nearDupVecsCte,
+  /** Shared CTE chain replaying the LSH near-dup candidate generation +
+    * cosine confirm — everything through `p` = the confirmed pair set.
+    * [[nearDupLshOracle]] selects the pairs; [[semanticDedupOracle]]
+    * closes over them transitively. */
+  private val nearDupPairsCtes: String =
+    s"""$nearDupVecsCte,
        |${planesSql("embeddings")},
        |pw AS (SELECT p,
        |          [CAST((1103515245 * (p * $Dim + i - 1) + 12345) % 2147483648 AS DOUBLE)
@@ -557,13 +561,63 @@ object Similarity {
        |       FROM vv CROSS JOIN mk),
        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |         FROM pr a JOIN vv b
-       |           ON a.probe = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT c.a_id, c.b_id, ${sqlCos("a.ev", "b.ev")} AS cosine
-       |FROM cand c
-       |JOIN vv a ON c.a_id = a.vec_id
-       |JOIN vv b ON c.b_id = b.vec_id
-       |WHERE ${sqlCos("a.ev", "b.ev")} >= 0.9
+       |           ON a.probe = b.bucket AND a.vec_id < b.vec_id),
+       |p AS (SELECT c.a_id, c.b_id, ${sqlCos("a.ev", "b.ev")} AS cosine
+       |      FROM cand c
+       |      JOIN vv a ON c.a_id = a.vec_id
+       |      JOIN vv b ON c.b_id = b.vec_id
+       |      WHERE ${sqlCos("a.ev", "b.ev")} >= 0.9)""".stripMargin
+
+  val nearDupLshOracle: String =
+    s"""WITH $nearDupPairsCtes
+       |SELECT a_id, b_id, cosine FROM p
        |ORDER BY 1, 2, 3""".stripMargin
+
+  // --- semantic dedup (SemDeDup-shaped: components over cosine pairs) -----
+
+  /** Semantic deduplication — the embedding-space analogue of
+    * [[Dedup.clusterAssign]] and the shape of SemDeDup-style curation
+    * (Abbas et al. 2023, arXiv:2303.09540): documents whose embeddings
+    * are near-identical in cosine (paraphrases, boilerplate re-renders,
+    * format shifts — duplicates NO lexical hash can pair) are grouped
+    * into clusters, and one representative per cluster is kept.
+    *
+    * Dataflow: the [[nearDupLsh]] pair set (bucketed candidates +
+    * exact-cosine confirm, recall pinned in `SimilaritySpec`) feeds the
+    * same min-label-propagation connected components the minhash cluster
+    * assign uses ([[Dedup.connectedComponents]]); every vector of the
+    * corpus then joins the converged labels once. Output: (vec_id,
+    * cluster_rep = min reachable vec_id, is_keeper).
+    *
+    * Scale shape: candidate pairs ∝ true duplicates (LSH buckets, never
+    * all-pairs); the propagation loop's state is ∝ #documents INCIDENT
+    * to a pair, never corpus size; each round is one shuffle of that
+    * edge-induced subgraph. The full corpus touches the loop exactly
+    * once, in the final left join. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = withNearDupVecs(spark, dir)
+      .select(col("vec_id").as("doc_id"))
+    val pairs = nearDupLsh(spark, dir).select(col("a_id"), col("b_id"))
+    Dedup.connectedComponents(nodes, pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"),
+        col("is_keeper"))
+  }
+
+  /** DuckDB replay: transitive closure (recursive CTE) over the SAME
+    * replayed LSH pair set — min reachable vec_id per vector, singletons
+    * keeping themselves. */
+  val semanticDedupOracle: String =
+    s"""WITH RECURSIVE $nearDupPairsCtes,
+       |e AS (SELECT a_id AS u, b_id AS w FROM p
+       |      UNION ALL
+       |      SELECT b_id AS u, a_id AS w FROM p),
+       |reach(u, w) AS (
+       |  SELECT vec_id AS u, vec_id AS w FROM v
+       |  UNION
+       |  SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u)
+       |SELECT u AS vec_id, min(w) AS cluster_rep,
+       |       u = min(w) AS is_keeper
+       |FROM reach GROUP BY u ORDER BY 1, 2, 3""".stripMargin
 
   // --- per-group centroids (featurization / k-means building block) -------
 
@@ -868,6 +922,7 @@ object Similarity {
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_neardup_lsh" -> (nearDupLsh _),
+    "dedup_semantic" -> (semanticDedup _),
     "sim_centroid_by_lang" -> (centroidByLang _),
     "sim_quantize_sq" -> (quantizeSq _),
     "sim_ann_ivf_sq" -> (annIvfSq _))
@@ -878,6 +933,7 @@ object Similarity {
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
     "sim_neardup_lsh" -> nearDupLshOracle,
+    "dedup_semantic" -> semanticDedupOracle,
     "sim_centroid_by_lang" -> centroidByLangOracle,
     "sim_quantize_sq" -> quantizeSqOracle,
     "sim_ann_ivf_sq" -> annIvfSqOracle)

@@ -374,6 +374,73 @@ object TextAnalysis {
       |FROM tr JOIN t USING (sh)
       |GROUP BY 1 ORDER BY 1, 2""".stripMargin
 
+  // --- bloom-prefiltered decontamination -----------------------------------
+
+  /** Bloom filter size in bits (2²⁰ = 128 KiB of bitmask) and hash count.
+    * Sized for ~50 k test shingles at k=5 → false-positive rate ≈ 5·10⁻⁴;
+    * at a larger benchmark suite, grow bits — the broadcast stays
+    * kilobytes while the exact shingle set it replaces is gigabytes. */
+  private val BloomBits = 1L << 20
+  private val BloomK = 5
+
+  /** SQL for the i-th bloom bit position of column `sh` — double hashing
+    * over two independent xxhash64 draws (`h1 + i·h2 mod m`), all
+    * builtin codegen'd expressions. Each draw is reduced mod m BEFORE the
+    * combine so the arithmetic stays far from Long range (ANSI mode makes
+    * a raw `h1 + i·h2` overflow a runtime error, not a wrap). */
+  private def bloomPosSql(i: Int): String =
+    s"pmod(pmod(xxhash64(sh), $BloomBits) " +
+      s"+ $i * pmod(xxhash64(sh, 'graft-bloom'), $BloomBits), $BloomBits)"
+
+  /** Bloom-prefiltered decontamination — IDENTICAL answer to
+    * [[decontaminate]] (the oracle runs the same SQL), different scale
+    * shape. [[decontaminate]] broadcasts the distinct test-shingle SET to
+    * every executor; at a real benchmark-suite scale that set is
+    * gigabytes. Here the broadcast is a [[BloomBits]]-bit Bloom filter
+    * (fixed 128 KiB regardless of data): the corpus scan drops every
+    * shingle the filter rejects (all but a ≈5·10⁻⁴ false-positive
+    * residue of the clean ones), and only the survivors — ∝ true
+    * contamination — reach the exact-confirm join that removes bloom
+    * false positives. Counts are therefore exact: the bloom only prunes,
+    * membership truth comes from the real shingle set.
+    *
+    * Plumbing is all builtins (no UDF, no custom expression): k bit
+    * positions per shingle by double-hashed xxhash64, per-word `bit_or`
+    * of the masks (≤ BloomBits/64 = 16 384 groups — bounded by the
+    * PARAMETER, never the data), one row carrying `map<word, bits>`,
+    * cross-joined (1-row broadcast) into the scan where k codegen'd
+    * mask tests form the prefilter predicate. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.StringFunctions.poly_hash(col("text")) % 100L
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        graft.functions.StringFunctions
+          .word_shingles(split(col("text"), " "), 3).as("sh"))
+    val testShingles = sh.filter(col("bucket") >= 95)
+      .select(explode(col("sh")).as("sh")).distinct()
+    val trainShingles = sh.filter(col("bucket") < 90)
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    val bloom = testShingles
+      .select(explode(array((0 until BloomK).map(i =>
+        expr(bloomPosSql(i))): _*)).as("pos"))
+      .select(expr("shiftright(pos, 6)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("w"),
+        col("bits"))))).as("bloom"))
+    val mightContain = expr((0 until BloomK).map { i =>
+      val p = bloomPosSql(i)
+      s"(shiftright(coalesce(element_at(bloom, shiftright($p, 6)), " +
+        s"CAST(0 AS BIGINT)), CAST($p % 64 AS INT)) & 1) = 1"
+    }.mkString(" AND "))
+    val candidates = trainShingles.crossJoin(broadcast(bloom))
+      .filter(mightContain)
+      .select(col("doc_id"), col("sh"))
+    (candidates.join(testShingles, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")))
+  }
+
   /** Tokens per packed sequence for [[seqPack]] — the model context
     * length. Power of two, so the pack-id division is exact in double. */
   private val PackLen = 512L
@@ -987,6 +1054,7 @@ object TextAnalysis {
     "text_inverted_index_capped" -> (invertedIndexCapped _),
     "text_vocab_stats" -> (vocabStats _),
     "text_decontaminate" -> (decontaminate _),
+    "text_decontaminate_bloom" -> (decontaminateBloom _),
     "text_seq_pack" -> (seqPack _),
     "sketch_distinct_kmv" -> (distinctKmv _),
     "text_bigram_familiarity" -> (bigramFamiliarity _),
@@ -1012,6 +1080,9 @@ object TextAnalysis {
     "text_inverted_index_capped" -> invertedIndexCappedOracle,
     "text_vocab_stats" -> vocabStatsOracle,
     "text_decontaminate" -> decontaminateOracle,
+    // the bloom form must yield the EXACT same contamination counts —
+    // the filter only prefilters, the exact-confirm join decides
+    "text_decontaminate_bloom" -> decontaminateOracle,
     "text_seq_pack" -> seqPackOracle,
     "sketch_distinct_kmv" -> distinctKmvOracle,
     "text_bigram_familiarity" -> bigramFamiliarityOracle,

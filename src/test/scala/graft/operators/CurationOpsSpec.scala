@@ -71,6 +71,57 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("bloom decontamination: same answer as exact, broadcast is the 1-row map") {
+    // constructed corpus with known contamination (same build as the
+    // exact-form test): the bloom prefilter + exact confirm must yield
+    // the identical (doc_id, n_shared) set
+    val base = (0 until 400).map(i =>
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i")
+    val testText = base.find(t => bucketOf(t) >= 95)
+      .getOrElse(fail("no test-bucket doc in 400 candidates"))
+    val shingle = testText.split(" ").take(3).mkString(" ")
+    val dirty = (0 until 100).iterator
+      .map(k => s"$shingle salt$k pepper$k")
+      .find(t => bucketOf(t) < 90)
+      .getOrElse(fail("no train-bucket contaminated candidate"))
+    val rows = base.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s1") } ++ Seq((1000L, dirty, "en", "s1"))
+    val dir = corpusDir(rows)
+    val exact = TextAnalysis.decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = TextAnalysis.decontaminateBloom(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+    // the broadcast side is the single-row bloom map (nested-loop join of
+    // one row), not a shingle-set hash join feeding the prefilter
+    val plan = TextAnalysis.decontaminateBloom(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("bloom prefilter never rejects a true test shingle (no false negatives)") {
+    // every contaminated train doc must survive the prefilter — guaranteed
+    // by construction (bloom has no false negatives); pin it by planting
+    // MANY distinct contaminated docs and checking all are flagged
+    val base = (0 until 400).map(i =>
+      s"hotel$i india$i juliet$i kilo$i lima$i mike$i november$i")
+    val testTexts = base.filter(t => bucketOf(t) >= 95)
+    assert(testTexts.size >= 3, "fixture needs several test-bucket docs")
+    val dirties = testTexts.zipWithIndex.flatMap { case (t, j) =>
+      val s3 = t.split(" ").take(3).mkString(" ")
+      (0 until 50).iterator.map(k => s"$s3 zulu${j}x$k yankee${j}x$k")
+        .find(c => bucketOf(c) < 90).map(c => (2000L + j, c))
+    }
+    assert(dirties.size == testTexts.size)
+    val rows = base.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s1") } ++
+      dirties.map { case (id, t) => (id, t, "en", "s1") }
+    val out = TextAnalysis.decontaminateBloom(spark, corpusDir(rows))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(dirties.map(_._1).toSet.subsetOf(out))
+  }
+
   // --- sequence packing ----------------------------------------------------
 
   test("seqPack is exact greedy concatenate-and-chunk per shard") {

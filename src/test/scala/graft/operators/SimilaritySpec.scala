@@ -28,6 +28,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("semantic dedup clusters every planted copy with its original") {
+    val rows = Similarity.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = rows.map(t => t._1 -> t).toMap
+    val planted = rows.filter(_._1 >= 100000L)
+    assert(planted.nonEmpty)
+    // each planted copy (vec_id+100000, every 20th) resolves to its
+    // original as representative and is dropped; the original keeps
+    planted.foreach { case (id, rep, keep) =>
+      assert(rep == id - 100000L, s"copy $id rep")
+      assert(!keep, s"copy $id must not be keeper")
+      assert(byId(id - 100000L)._2 == id - 100000L, s"original of $id")
+      assert(byId(id - 100000L)._3, s"original of $id keeps")
+    }
+    // untouched vectors are singleton keepers of themselves
+    val singletons = rows.filter(t => t._1 < 100000L && t._1 % 20 != 0)
+    assert(singletons.forall(t => t._2 == t._1 && t._3))
+    // keeper count = corpus size minus one per planted pair
+    assert(rows.count(_._3) == rows.length - planted.length)
+  }
+
   test("ANN candidates are exact-cosine ranked per query") {
     val rows = Similarity.annLsh(spark, dir).collect()
     assert(rows.nonEmpty)
