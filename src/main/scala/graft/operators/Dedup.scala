@@ -368,12 +368,65 @@ object Dedup {
       docs: DataFrame, pairs0: DataFrame): DataFrame =
     clusterAssignImpl(docs, pairs0)
 
+  /** Pair-count threshold below which components run as driver-side
+    * union-find on the COLLECTED pair list instead of the distributed
+    * propagation loop — the same small-side strategy choice as a
+    * broadcast join. 2²⁰ id pairs ≈ 16 MB on the driver; the pair set is
+    * ∝ true duplicates (LSH-confirmed), so real corpora sit well under
+    * this until dedup load is genuinely large, and the distributed loop
+    * (identical fixpoint, spec-pinned equal) takes over beyond it.
+    * Overridable via `spark.graft.cc.driverMaxPairs` (0 forces the
+    * distributed path — how the equality spec exercises both). */
+  private val CcDriverMaxPairsDefault = 1L << 20
+
+  /** Driver-side union-find with min-root tracking: rep(x) = min id of
+    * x's component — the same fixpoint the propagation loop converges
+    * to. */
+  private def unionFindReps(pairList: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- pairList) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min id becomes the root, so root == representative
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(x => x -> find(x)).toMap
+  }
+
   private def clusterAssignImpl(docs: DataFrame, pairs0: DataFrame): DataFrame = {
     val tStart = System.nanoTime()
     // persist the DIRECTED pair set before symmetrizing: the reversed
     // union would otherwise embed the whole LSH+confirm subtree twice
     val pairs = pairs0.select(col("a_id"), col("b_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = docs.sparkSession
+    val driverMax = spark.conf.getOption("spark.graft.cc.driverMaxPairs")
+      .map(_.toLong).getOrElse(CcDriverMaxPairsDefault)
+    if (pairs.count() <= driverMax) {
+      // small-graph fast path: skip the per-round job scheduling of the
+      // distributed loop (which dominates wall-clock when the duplicate
+      // graph is tiny) and union-find the collected pairs on the driver
+      val pairList = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist()
+      val reps = unionFindReps(pairList)
+      import spark.implicits._
+      val labels = reps.toSeq.toDF("doc_id", "label")
+      return docs.join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_rep"),
+          (col("doc_id") === coalesce(col("label"), col("doc_id")))
+            .as("is_keeper"))
+    }
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     // propagate over the EDGE-INDUCED subgraph only: nodes untouched by

@@ -407,9 +407,12 @@ object TextAnalysis {
     * Plumbing is all builtins (no UDF, no custom expression): k bit
     * positions per shingle by double-hashed xxhash64, per-word `bit_or`
     * of the masks (≤ BloomBits/64 = 16 384 groups — bounded by the
-    * PARAMETER, never the data), one row carrying `map<word, bits>`,
-    * cross-joined (1-row broadcast) into the scan where k codegen'd
-    * mask tests form the prefilter predicate. */
+    * PARAMETER, never the data). The sparse words come back to the
+    * driver (a parameter-bounded 128 KiB, the bloom-build step every
+    * engine ends with) and ship into the scan as ONE dense array
+    * LITERAL — `element_at` on an array literal is O(1) per probe,
+    * where a `map<word,bits>` column would linear-scan its 16 384
+    * entries on every lookup (Spark maps are unsorted array pairs). */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val bucket = graft.functions.StringFunctions.poly_hash(col("text")) % 100L
     val sh = Tables.documents(spark, dir)
@@ -420,21 +423,29 @@ object TextAnalysis {
       .select(explode(col("sh")).as("sh")).distinct()
     val trainShingles = sh.filter(col("bucket") < 90)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
-    val bloom = testShingles
+    val sparse = testShingles
       .select(explode(array((0 until BloomK).map(i =>
         expr(bloomPosSql(i))): _*)).as("pos"))
       .select(expr("shiftright(pos, 6)").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("b"))
       .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
-      .agg(map_from_entries(sort_array(collect_list(struct(col("w"),
-        col("bits"))))).as("bloom"))
-    val mightContain = expr((0 until BloomK).map { i =>
-      val p = bloomPosSql(i)
-      s"(shiftright(coalesce(element_at(bloom, shiftright($p, 6)), " +
-        s"CAST(0 AS BIGINT)), CAST($p % 64 AS INT)) & 1) = 1"
-    }.mkString(" AND "))
-    val candidates = trainShingles.crossJoin(broadcast(bloom))
-      .filter(mightContain)
+      .collect()
+    val words = new Array[Long]((BloomBits >> 6).toInt)
+    sparse.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val bloom = typedlit(words.toSeq)
+    // probe: h1/h2 computed once per shingle row, k O(1) bit tests
+    val h1 = pmod(xxhash64(col("sh")), lit(BloomBits))
+    val h2 = pmod(xxhash64(col("sh"), lit("graft-bloom")), lit(BloomBits))
+    val pass = (0 until BloomK).map { i =>
+      val p = pmod(col("h1") + lit(i.toLong) * col("h2"), lit(BloomBits))
+      val word = element_at(bloom,
+        call_function("shiftright", p, lit(6)).cast("int") + lit(1))
+      (call_function("shiftright", word, (p % 64).cast("int"))
+        .bitwiseAND(lit(1L))) === lit(1L)
+    }.reduce(_ && _)
+    val candidates = trainShingles
+      .withColumn("h1", h1).withColumn("h2", h2)
+      .filter(pass)
       .select(col("doc_id"), col("sh"))
     (candidates.join(testShingles, Seq("sh"))
       .groupBy(col("doc_id"))

@@ -59,11 +59,7 @@ class ScaleSafetySpec extends AnyFunSuite {
     *     document's words in one place by definition.
     * Documented in SCALING.md §denorm / §dedup. */
   private val embedOutputQueries =
-    Set("denorm_embed_many", "denorm_embed_agg", "dedup_span_excise",
-      // bloom decontamination: the only collect_list gathers the bloom's
-      // (word, bits) rows into the 1-row broadcast map — ≤ BloomBits/64 =
-      // 16 384 entries, bounded by the FILTER PARAMETER, never the data
-      "text_decontaminate_bloom")
+    Set("denorm_embed_many", "denorm_embed_agg", "dedup_span_excise")
 
   test("no production plan aggregates an unbounded per-group buffer") {
     for ((name, fn) <- SparkEntry.productionQueries.toSeq.sortBy(_._1)

@@ -93,11 +93,14 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     assert(bloom == exact)
-    // the broadcast side is the single-row bloom map (nested-loop join of
-    // one row), not a shingle-set hash join feeding the prefilter
+    // the prefilter is a pure scan-side predicate on the bloom literal —
+    // the ONLY join in the plan is the exact-confirm join of the
+    // (few) survivors against the true shingle set
     val plan = TextAnalysis.decontaminateBloom(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)"
+      .r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly 1 join (exact confirm), got $joins:\n$plan")
   }
 
   test("bloom prefilter never rejects a true test shingle (no false negatives)") {

@@ -77,6 +77,23 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(100000L)._1 == 0L)
   }
 
+  test("driver union-find and distributed propagation reach the same fixpoint") {
+    // the strategy threshold picks the path; both must produce identical
+    // (doc_id, cluster_rep, is_keeper) — min reachable id per component
+    val ccDir = TestSpark.sfDir
+    def run(): Map[Long, (Long, Boolean)] =
+      Dedup.clusterAssign(spark, ccDir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val viaDriver = run() // fixture pair count is far under the default
+    spark.conf.set("spark.graft.cc.driverMaxPairs", "0")
+    val viaLoop = try run()
+      finally spark.conf.unset("spark.graft.cc.driverMaxPairs")
+    assert(viaDriver.nonEmpty)
+    assert(viaLoop == viaDriver)
+    // sanity: the fixture actually has multi-node components
+    assert(viaDriver.exists { case (id, (rep, _)) => rep != id })
+  }
+
   test("simhash pairs identical docs (hamming 0) and isolates unrelated ones") {
     // identical texts ⇒ identical shingle sets ⇒ hamming exactly 0; on a
     // 13-token doc a one-word difference flips an EXPECTED ~8 of 64 bits,

@@ -35,6 +35,36 @@ class JoinPlanningSpec extends AnyFunSuite {
     assert(planText(df).contains("BroadcastHashJoin"), planText(df))
   }
 
+  test("runtime bloom filter injects into the probe side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: a selective filter on the build side of
+    // a shuffle join plants a bloom `might_contain` predicate on the probe
+    // side's scan, pruning probe rows BEFORE the shuffle — at 100 TB this
+    // is the difference between shuffling the corpus and shuffling the
+    // matching slice. Fixture scans are far under the 10 GB
+    // application-side default, so lower the thresholds to observe the
+    // rewrite fire; production relies on the defaults (the probe side IS
+    // >10 GB there — exactly when the filter pays).
+    import graft.sources.Tables
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.part(spark, TestSpark.sfDir)
+        .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#13")
+      val fact = Tables.lineitem(spark, TestSpark.sfDir)
+      val joined = fact.join(dim,
+        fact("l_partkey") === dim("p_partkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"runtime bloom filter did not inject:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("D2 embed: unfiltered dimension join carries no hint, broadcast is size-chosen") {
     val df = Denorm.productEmbedded(spark, TestSpark.sfDir)
     val hints = joinHints(df)
