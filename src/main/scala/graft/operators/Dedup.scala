@@ -42,8 +42,9 @@ object Dedup {
   private def shinglesOf(ws: Column): Column =
     graft.functions.StringFunctions.word_shingles(ws, 3)
 
-  /** (doc_id, sh): per-document distinct shingle array. */
-  private def withShingles(df: DataFrame): DataFrame =
+  /** (doc_id, sh): per-document distinct shingle array. (`private[graft]`
+    * so the streaming twin reuses the exact same expressions.) */
+  private[graft] def withShingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), shinglesOf(col("ws")).as("sh"))
 
@@ -142,8 +143,8 @@ object Dedup {
 
   // --- MinHash + LSH banding -----------------------------------------------
 
-  private val NumHashes = 64
-  private val NumBands = 16 // 4 rows/band → P(candidate | J=.85) ≈ 1 - 7e-6
+  private[graft] val NumHashes = 64
+  private[graft] val NumBands = 16 // 4 rows/band → P(candidate | J=.85) ≈ 1 - 7e-6
 
   /** Per-doc LSH band hashes: ONE scalar expression pass
     * ([[graft.functions.MinHashBandsOf]]) folds the 64 per-shingle
@@ -158,7 +159,7 @@ object Dedup {
     * hashing internals (`SketchHashing`, equivalence spec-pinned). The
     * hash family is not oracle-visible — correctness is gated on the
     * FINAL pair set matching the brute-force Jaccard oracle exactly. */
-  private def bandHashes(docs: DataFrame): DataFrame =
+  private[graft] def bandHashes(docs: DataFrame): DataFrame =
     withShingles(docs).select(col("doc_id"),
       graft.functions.SketchScalarFunctions
         .minhash_bands_of(col("sh"), NumHashes, NumBands).as("bands"))
@@ -210,6 +211,82 @@ object Dedup {
 
   // Oracle: the exact brute-force pair set — LSH must not miss a pair.
   val minhashLshOracle: String = jaccardBruteOracle
+
+  // --- incremental dedup (delta vs corpus snapshot) ------------------------
+
+  /** Incremental near-dedup: a crawl DELTA against the historical corpus
+    * — the production shape of dedup at 100 TB, where you never re-pair
+    * history×history (that work is done and stored); each ingest batch
+    * pairs only delta×history and delta-internal.
+    *
+    * This operator is the delta×history half: band signatures of the
+    * delta join the snapshot's band index, confirmed by exact Jaccard,
+    * and each delta document gets its verdict — the minimum matching
+    * history id, the match count, and the best Jaccard.
+    *
+    * Scale shape: the history band frame is the PERSISTED INDEX a real
+    * pipeline maintains (16 rows of 3 longs per doc — rewriting it per
+    * batch would be the real cost; [[graft.sources.Layouts]]' bucketed
+    * writer keeps it bucketed by (band, hash) so only the delta side
+    * shuffles into the join). Candidates ∝ true cross-duplicates; the
+    * exact confirm re-shingles candidate documents only (broadcast
+    * semi-join, same discipline as [[minhashLshOn]]).
+    *
+    * Fixture realization: the planted +100000 truncated copies ARE the
+    * re-crawl delta; originals are the snapshot. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withNearDups(spark, dir)
+    incrementalOn(
+      corpus.filter(col("doc_id") < 100000L),
+      corpus.filter(col("doc_id") >= 100000L))
+  }
+
+  /** Library form: dedup `delta` against the `history` snapshot, both
+    * `(doc_id, text)` frames. */
+  def incrementalOn(history: DataFrame, delta: DataFrame): DataFrame = {
+    val histBands = bandHashes(history)
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val deltaBands = bandHashes(delta)
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val cand = deltaBands.as("x").join(histBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandHash") === col("y.bandHash"))
+      .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("hist_id"))
+      .distinct()
+    val candIds = cand.select(explode(array(col("delta_id"),
+      col("hist_id"))).as("doc_id")).distinct()
+    val sh = withShingles(history.unionAll(delta)
+      .join(broadcast(candIds), "doc_id"))
+    val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+      size(array_union(col("a_sh"), col("b_sh"))).cast("double")
+    (cand
+      .join(sh.select(col("doc_id").as("delta_id"), col("sh").as("a_sh")),
+        "delta_id")
+      .join(sh.select(col("doc_id").as("hist_id"), col("sh").as("b_sh")),
+        "hist_id")
+      .select(col("delta_id"), col("hist_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .groupBy(col("delta_id"))
+      .agg(min(col("hist_id")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        max(col("jaccard")).as("best_jaccard")))
+  }
+
+  /** DuckDB replay: brute delta×history Jaccard over the same planted
+    * corpus — the LSH path must not miss a cross-pair (recall 1.0, the
+    * same contract as [[minhashLshOracle]]). */
+  val incrementalOracle: String =
+    s"""WITH $nearDupsCte,
+       |$shinglesCte
+       |SELECT a.doc_id AS delta_id, min(b.doc_id) AS dup_of,
+       |       count(*) AS n_dups, max($jaccardSql) AS best_jaccard
+       |FROM s a JOIN s b
+       |  ON a.doc_id >= 100000 AND b.doc_id < 100000
+       |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |  AND $jaccardSql >= 0.6
+       |GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
 
   // --- SimHash -------------------------------------------------------------
 
@@ -725,6 +802,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_clusters" -> (clusterAssign _),
+    "dedup_incremental" -> (incremental _),
     "dedup_dup_spans" -> (dupSpans _),
     "dedup_span_excise" -> (spanExcise _),
     "dedup_cross_source" -> (crossSource _))
@@ -735,6 +813,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clusterAssignOracle,
+    "dedup_incremental" -> incrementalOracle,
     "dedup_dup_spans" -> dupSpansOracle,
     "dedup_span_excise" -> spanExciseOracle,
     "dedup_cross_source" -> crossSourceOracle)

@@ -26,9 +26,18 @@ object Layouts {
     * buckets as an external table at `path`, registered as `name`. */
   def writeBucketed(df: DataFrame, name: String, path: String,
       key: String, numBuckets: Int): Unit =
+    writeBucketedOn(df, name, path, Seq(key), numBuckets)
+
+  /** Multi-key form: the bucket hash runs over ALL of `keys`, so a join
+    * or aggregate on exactly those keys reads the buckets shuffle-free
+    * (a composite-keyed index layout — e.g. the (band, bandHash) dedup
+    * band index). */
+  def writeBucketedOn(df: DataFrame, name: String, path: String,
+      keys: Seq[String], numBuckets: Int): Unit =
     df.write.mode("overwrite")
       .option("path", path)
-      .bucketBy(numBuckets, key).sortBy(key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(name)
 
   /** Write `df` directory-partitioned on `shard = pmod(shardKey, n)`. */

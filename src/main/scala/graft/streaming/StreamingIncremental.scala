@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Streaming twin of [[graft.operators.Dedup.incremental]]: a crawl
+  * DELTA arrives on a stream and near-dedups against the STATIC history
+  * snapshot — the continuous-ingest shape of corpus maintenance at
+  * 100 TB, built on Structured Streaming's stream-static join (the
+  * history band index and shingle store are the static sides; Spark
+  * re-plans them per micro-batch, so a nightly index refresh is picked
+  * up without restarting the stream).
+  *
+  * Dataflow per micro-batch, sharing the batch operator's own column
+  * expressions (`Dedup.bandHashes` / `Dedup.withShingles` — scan-side
+  * scalar expressions, so they run on a stream unchanged):
+  *   1. delta docs → minhash band hashes (narrow projection, no state);
+  *   2. stream-static join on (band, bandHash) against the history band
+  *      index → candidate pairs ∝ true cross-duplicates;
+  *   3. stream-static join against the history shingle store + exact
+  *      Jaccard confirm ≥ 0.6 (bloom-style: the bands only prefilter,
+  *      the confirm decides);
+  *   4. ONE streaming aggregation keyed (delta_id, hist_id) collapses
+  *      multi-band collisions — state is one row per confirmed pair,
+  *      ∝ true duplicates, never corpus or delta size.
+  * The per-delta verdict rollup (min dup id / match count / best
+  * Jaccard) runs as a plain batch query over the sink — downstream of
+  * the stream, as a consumer would.
+  *
+  * The spec pins bit-equality with the batch operator on the finite
+  * replay ([[graft.operators.Dedup.incremental]]'s planted fixture:
+  * originals are history, the +100000 truncated copies are the delta).
+  */
+object StreamingIncremental {
+
+  /** Stage the fixture parquet into a watchable dir; return the
+    * streaming DELTA frame (the planted truncated copies of every 20th
+    * doc, exactly `Dedup.withNearDups`' delta branch) + staging dir. */
+  private def streamingDelta(spark: SparkSession,
+      dir: String): (DataFrame, java.nio.file.Path) = {
+    val path = s"$dir/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_inc")
+    val staged = streamDir.resolve("documents.parquet")
+    try java.nio.file.Files.createLink(staged, java.nio.file.Paths.get(path))
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
+    }
+    val schema = spark.read.parquet(path).schema
+    val ws = col("ws")
+    val truncLen = floor((size(ws) * lit(9)).cast("double") / lit(10.0)).cast("int")
+    val delta = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", slice(ws, lit(1), truncLen)).as("text"))
+    (delta, streamDir)
+  }
+
+  /** Per-delta verdict over the streamed pair set — the batch operator's
+    * output shape, for the equality spec. */
+  def incrementalStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"graft_stream_inc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val history = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    // static sides: the band index and shingle store a real pipeline
+    // persists (bucketed by join key via Layouts at scale)
+    val histBands = Dedup.bandHashes(history)
+      .select(col("doc_id").as("hist_id"),
+        posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val histSh = Dedup.withShingles(history)
+      .select(col("doc_id").as("hist_id"), col("sh").as("b_sh"))
+    val (delta, streamDir) = streamingDelta(spark, dir)
+    val deltaBands = Dedup.withShingles(delta)
+      .select(col("doc_id").as("delta_id"),
+        graft.functions.SketchScalarFunctions
+          .minhash_bands_of(col("sh"), Dedup.NumHashes, Dedup.NumBands)
+          .as("bands"),
+        col("sh").as("a_sh"))
+      .select(col("delta_id"), col("a_sh"),
+        posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+      size(array_union(col("a_sh"), col("b_sh"))).cast("double")
+    val pairs = deltaBands
+      .join(histBands, Seq("band", "bandHash"))
+      .join(histSh, Seq("hist_id"))
+      .select(col("delta_id"), col("hist_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .groupBy(col("delta_id"), col("hist_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+    val query = pairs
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+      .groupBy(col("delta_id"))
+      .agg(min(col("hist_id")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        max(col("jaccard")).as("best_jaccard"))
+  }
+}

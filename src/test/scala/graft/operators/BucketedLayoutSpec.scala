@@ -170,6 +170,44 @@ class BucketedLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed history band index: incremental-dedup join shuffles ONLY the delta") {
+    // the incremental-dedup scale contract (SCALING.md §dedup): the
+    // history band index is PERSISTED bucketed by bandHash, so the per-
+    // batch delta join re-shuffles the (small) delta side only — the
+    // corpus-sized index side reads straight from its buckets
+    val name = "hist_band_index"
+    if (!spark.catalog.tableExists(name)) {
+      val loc = Files.createTempDirectory("graft_band_idx").resolve(name)
+      val history = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+        .select(col("doc_id"), col("text"))
+      val idx = Dedup.bandHashes(history)
+        .select(col("doc_id").as("hist_id"),
+          posexplode(col("bands")).as(Seq("band", "bandHash")))
+      graft.sources.Layouts.writeBucketedOn(idx, name, loc.toString,
+        Seq("band", "bandHash"), numBuckets = 4)
+    }
+    val idxT = spark.table(name)
+    val delta = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val deltaBands = Dedup.bandHashes(delta)
+      .select(col("doc_id").as("delta_id"),
+        posexplode(col("bands")).as(Seq("band", "bandHash")))
+    // force the shuffle join shape the claim is about (at fixture scale
+    // the planner would otherwise broadcast the delta side)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = deltaBands.join(idxT, Seq("band", "bandHash"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 1, s"expected only the delta-side shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"history side must read from buckets:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("co-bucketed self-join runs with ZERO shuffles (aligned join keys)") {
     val t = spark.table(bucketedName)
     val totals = t.groupBy(col("l_partkey"))

@@ -77,6 +77,26 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(100000L)._1 == 0L)
   }
 
+  test("incremental dedup pairs delta docs only against the history snapshot") {
+    // history = two originals (one with a near-dup in the delta, one
+    // clean); delta = a truncated copy of history doc 0 plus a fresh doc.
+    // Also plant a delta-internal near-pair — incremental must IGNORE it
+    // (delta×delta is the ingest batch's own dedup pass, not this one).
+    val origin = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val histClean = "a completely different document about spark query engines and planning"
+    val deltaCopy = origin.split(" ").dropRight(1).mkString(" ") // J > 0.6
+    val deltaFresh = "fresh delta content with entirely new words nobody saw before now"
+    val deltaFresh2 = deltaFresh + " extra" // near-dups deltaFresh, not history
+    import spark.implicits._
+    def frame(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val out = Dedup.incrementalOn(
+        frame(Seq((10L, origin), (11L, histClean))),
+        frame(Seq((20L, deltaCopy), (21L, deltaFresh), (22L, deltaFresh2))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(20L)) // only the true cross-dup is flagged
+    assert(out(20L)._1 == 10L && out(20L)._2 == 1L)
+  }
+
   test("driver union-find and distributed propagation reach the same fixpoint") {
     // the strategy threshold picks the path; both must produce identical
     // (doc_id, cluster_rep, is_keeper) — min reachable id per component
