@@ -423,6 +423,22 @@ object TextAnalysis {
       .select(explode(col("sh")).as("sh")).distinct()
     val trainShingles = sh.filter(col("bucket") < 90)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
+    val words = bloomWordsOf(testShingles)
+    val candidates = trainShingles
+      .withColumn("h1", bloomH1).withColumn("h2", bloomH2)
+      .filter(bloomPassExpr(words))
+      .select(col("doc_id"), col("sh"))
+    (candidates.join(testShingles, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")))
+  }
+
+  /** Build the bloom bitmask from a `(sh)` shingle frame: k positions per
+    * shingle, per-word `bit_or` of the masks (≤ BloomBits/64 = 16 384
+    * groups — bounded by the PARAMETER), sparse words collected and
+    * densified driver-side. (`private[graft]` so the streaming twin
+    * builds the identical filter.) */
+  private[graft] def bloomWordsOf(testShingles: DataFrame): Array[Long] = {
     val sparse = testShingles
       .select(explode(array((0 until BloomK).map(i =>
         expr(bloomPosSql(i))): _*)).as("pos"))
@@ -432,24 +448,26 @@ object TextAnalysis {
       .collect()
     val words = new Array[Long]((BloomBits >> 6).toInt)
     sparse.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** The two double-hash draws over `sh` — computed once per shingle row
+    * (columns h1/h2), then [[bloomPassExpr]] derives k positions. */
+  private[graft] def bloomH1: Column = pmod(xxhash64(col("sh")), lit(BloomBits))
+  private[graft] def bloomH2: Column =
+    pmod(xxhash64(col("sh"), lit("graft-bloom")), lit(BloomBits))
+
+  /** k O(1) bit probes against the dense bloom LITERAL, over columns
+    * h1/h2. */
+  private[graft] def bloomPassExpr(words: Array[Long]): Column = {
     val bloom = typedlit(words.toSeq)
-    // probe: h1/h2 computed once per shingle row, k O(1) bit tests
-    val h1 = pmod(xxhash64(col("sh")), lit(BloomBits))
-    val h2 = pmod(xxhash64(col("sh"), lit("graft-bloom")), lit(BloomBits))
-    val pass = (0 until BloomK).map { i =>
+    (0 until BloomK).map { i =>
       val p = pmod(col("h1") + lit(i.toLong) * col("h2"), lit(BloomBits))
       val word = element_at(bloom,
         call_function("shiftright", p, lit(6)).cast("int") + lit(1))
       (call_function("shiftright", word, (p % 64).cast("int"))
         .bitwiseAND(lit(1L))) === lit(1L)
     }.reduce(_ && _)
-    val candidates = trainShingles
-      .withColumn("h1", h1).withColumn("h2", h2)
-      .filter(pass)
-      .select(col("doc_id"), col("sh"))
-    (candidates.join(testShingles, Seq("sh"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared")))
   }
 
   /** Tokens per packed sequence for [[seqPack]] — the model context

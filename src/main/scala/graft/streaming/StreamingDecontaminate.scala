@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming twin of [[graft.operators.TextAnalysis.decontaminateBloom]]:
+  * the corpus arrives on a stream and is screened against the (static)
+  * benchmark suite — the shape of contamination checking at INGEST time,
+  * where flagging a document as it lands is far cheaper than a later
+  * corpus-wide sweep.
+  *
+  * The bloom bitmask is built ONCE from the static test side (the same
+  * 128 KiB dense literal as batch — `TextAnalysis.bloomWordsOf`) and
+  * compiled into the stream's scan as a per-row predicate: k O(1) bit
+  * probes, no state, no join for the overwhelming majority of clean
+  * shingles. Only bloom survivors reach the stream-static exact-confirm
+  * join, and the single streaming aggregation counts matches per doc —
+  * state ∝ contaminated documents, never stream volume.
+  *
+  * Spec-pinned bit-equal to the batch operator on the finite replay.
+  */
+object StreamingDecontaminate {
+
+  /** Stage the fixture parquet into a watchable dir (hard link when
+    * possible); return (streaming documents frame, staging dir). */
+  private def streamingDocs(spark: SparkSession,
+      dir: String): (DataFrame, java.nio.file.Path) = {
+    val path = s"$dir/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_deco")
+    val staged = streamDir.resolve("documents.parquet")
+    try java.nio.file.Files.createLink(staged, java.nio.file.Paths.get(path))
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
+    }
+    val schema = spark.read.parquet(path).schema
+    (spark.readStream.schema(schema).parquet(streamDir.toString), streamDir)
+  }
+
+  /** Per-document contamination counts over the streamed corpus — the
+    * batch operator's output shape, for the equality spec. */
+  def bloomStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"graft_stream_deco_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val bucket = graft.functions.StringFunctions.poly_hash(col("text")) % 100L
+    val shingled = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        graft.functions.StringFunctions
+          .word_shingles(split(col("text"), " "), 3).as("sh"))
+    // static side: the benchmark suite's distinct shingles + their bloom
+    val testShingles = shingled.filter(col("bucket") >= 95)
+      .select(explode(col("sh")).as("sh")).distinct()
+    val words = TextAnalysis.bloomWordsOf(testShingles)
+    val (docs, streamDir) = streamingDocs(spark, dir)
+    val trainShingles = docs
+      .select(col("doc_id"), bucket.as("bucket"),
+        graft.functions.StringFunctions
+          .word_shingles(split(col("text"), " "), 3).as("sh"))
+      .filter(col("bucket") < 90)
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    val flagged = trainShingles
+      .withColumn("h1", TextAnalysis.bloomH1)
+      .withColumn("h2", TextAnalysis.bloomH2)
+      .filter(TextAnalysis.bloomPassExpr(words))
+      .select(col("doc_id"), col("sh"))
+      .join(testShingles, Seq("sh")) // stream-static exact confirm
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val query = flagged
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+  }
+}
