@@ -221,6 +221,56 @@ object Multimodal {
     out
   }
 
+  /** A REAL image decoder with zero external dependencies: BMP
+    * (BITMAPINFOHEADER, 24-bit uncompressed) — the image modality's
+    * uncompressed interchange format, parsed with byte arithmetic only,
+    * exactly as [[wavPcmDecoder]] does for audio. Decodes BGR pixel rows
+    * (4-byte padded, bottom-up by default, top-down when height < 0) to
+    * row-major top-down grayscale floats in [0, 1] via the Rec.601 luma
+    * weights. Compressed formats (JPEG/PNG) remain stubbed: their codecs
+    * are not pure byte arithmetic and the libs aren't in this
+    * environment. `MultimodalSpec` decodes synthesized BMPs through
+    * [[decodeMedia]] and checks pixels round-trip exactly. */
+  def bmpDecoder(payload: Array[Byte]): Array[Float] = {
+    def u16(i: Int): Int =
+      (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def i32(i: Int): Int =
+      u16(i) | (u16(i + 2) << 16)
+    require(payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      "not a BMP payload")
+    val dataAt = i32(10)
+    require(i32(14) >= 40, "BITMAPINFOHEADER required")
+    val width = i32(18)
+    val heightRaw = i32(22)
+    require(u16(26) == 1, "planes must be 1")
+    require(u16(28) == 24, "only 24bpp uncompressed supported")
+    require(i32(30) == 0, "only BI_RGB (uncompressed) supported")
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    require(width > 0 && height > 0, "degenerate dimensions")
+    val rowBytes = ((24 * width + 31) / 32) * 4
+    require(dataAt.toLong + rowBytes.toLong * height <= payload.length,
+      "truncated pixel data")
+    val out = new Array[Float](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val base = dataAt + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val b = payload(base + 3 * x) & 0xff
+        val g = payload(base + 3 * x + 1) & 0xff
+        val r = payload(base + 3 * x + 2) & 0xff
+        out(y * width + x) =
+          (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

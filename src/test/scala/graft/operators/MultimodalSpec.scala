@@ -74,6 +74,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  /** Minimal 24bpp BMP writer for the spec: BGR rows, 4-byte padded,
+    * bottom-up unless topDown. `pixels` is row-major TOP-DOWN (r,g,b). */
+  private def bmpBytes(width: Int, height: Int,
+      pixels: Seq[(Int, Int, Int)], topDown: Boolean = false): Array[Byte] = {
+    val rowBytes = ((24 * width + 31) / 32) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * height)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+      .putInt(40).putInt(width).putInt(if (topDown) -height else height)
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val storedRows = // file stores bottom-up unless topDown
+      if (topDown) 0 until height else (height - 1) to 0 by -1
+    for (y <- storedRows) {
+      var written = 0
+      for (x <- 0 until width) {
+        val (r, g, b) = pixels(y * width + x)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+        written += 3
+      }
+      while (written < rowBytes) { bb.put(0.toByte); written += 1 }
+    }
+    bb.array()
+  }
+
+  test("REAL decode: synthesized BMPs round-trip through decodeMedia") {
+    import spark.implicits._
+    // 3x2 with distinct channel extremes exercises padding + BGR order +
+    // the bottom-up flip; the top-down variant must decode identically
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (255, 255, 255), (0, 0, 0), (128, 128, 128))
+    val expect = px.map { case (r, g, b) =>
+      (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f }
+    val df = Seq(
+        (1L, bmpBytes(3, 2, px)),
+        (2L, bmpBytes(3, 2, px, topDown = true)),
+        (3L, bmpBytes(1, 1, Seq((7, 70, 200)))))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, Multimodal.bmpDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(1L) == expect)
+    assert(out(2L) == expect) // orientation-normalized
+    assert(out(3L).size == 1)
+    // corrupt and unsupported payloads fail loudly
+    val bad = Seq((9L, "not a bitmap at all".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    intercept[Exception] {
+      Multimodal.decodeMedia(bad, Multimodal.bmpDecoder).collect()
+    }
+  }
+
   test("payload metadata carries byte-accurate sizes") {
     val rows = Multimodal.metadata(spark, dir).collect()
     assert(rows.nonEmpty)
