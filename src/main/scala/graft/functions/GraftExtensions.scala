@@ -73,7 +73,13 @@ object GraftFunctions {
         "minhash_bands_of expects (array<string>, integer literal, integer literal)")
     },
     "simhash_bands_of" -> arity("simhash_bands_of", 1)(a =>
-      SimHashBandsOf(a.head)))
+      SimHashBandsOf(a.head)),
+    "winnow_fingerprints" -> arity("winnow_fingerprints", 3) {
+      case Seq(ws, Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+        WinnowFingerprints(ws, k, w)
+      case _ => throw new IllegalArgumentException(
+        "winnow_fingerprints expects (array<string>, integer literal, integer literal)")
+    })
 
   /** Register every builder into an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -165,6 +165,83 @@ object CodepointHistogram {
   }
 }
 
+/** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+  * local fingerprinting scheme) of a token array: k-gram shingle hashes
+  * (the [[PolyHash]] of each shingle, with multiplicity, in position
+  * order), then for every window of `w` consecutive hashes the MINIMUM
+  * is selected (rightmost on ties), and the distinct (position, hash)
+  * selections come back packed as `(pos+1)·2³² + hash` in ascending
+  * order (the hash is < 2³¹, so pack and unpack are exact in both
+  * engines). Guarantee: any shared run of at least w+k-1 tokens between
+  * two documents shares at least one fingerprint — detection without
+  * storing every shingle (density 2/(w+1) of them in expectation).
+  * Fewer shingles than one window → the single short window is
+  * winnowed; no shingles → empty array. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WinnowFingerprints.compute($a, $k, $w);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprints = copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  private val Sep = UTF8String.fromString(" ")
+
+  /** Static so generated code can call it; one pass over the shingles,
+    * O(n·w) selection (w is a small constant). */
+  def compute(arr: ArrayData, k: Int, w: Int): ArrayData = {
+    val sz = arr.numElements()
+    val n = sz - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](n)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      h(i) = PolyHash.compute(UTF8String.concatWs(Sep, parts: _*))
+      i += 1
+    }
+    val starts = math.max(n - w + 1, 1)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var s = 0
+    while (s < starts) {
+      val end = math.min(s + w - 1, n - 1)
+      var m = Long.MaxValue
+      var pos = s
+      var j = s
+      while (j <= end) { // <= keeps the RIGHTMOST minimum (winnowing's tie rule)
+        if (h(j) <= m) { m = h(j); pos = j }
+        j += 1
+      }
+      sel.add(((pos + 1).toLong << 32) | m) // 1-based pos, matching the SQL replay
+      s += 1
+    }
+    val out = new Array[Any](sel.size())
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object StringFunctions {
   /** Column-API entry point for [[WordShingles]] (distinct shingles). */
   def word_shingles(ws: Column, n: Int): Column =
@@ -182,4 +259,9 @@ object StringFunctions {
   /** Column-API entry point for [[CodepointHistogram]]. */
   def codepoint_histogram(c: Column, bins: Int): Column =
     ColumnBridge.column(CodepointHistogram(ColumnBridge.expression(c), bins))
+
+  /** Column-API entry point for [[WinnowFingerprints]]. */
+  def winnow_fingerprints(ws: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprints(ColumnBridge.expression(ws), k, w))
 }

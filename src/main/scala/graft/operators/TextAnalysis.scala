@@ -160,6 +160,102 @@ object TextAnalysis {
       |                   (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp
       |FROM documents ORDER BY 1, 2, 3""".stripMargin
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * scheme) per document: word-3-gram shingle hashes windowed by 4, the
+    * minimum of each window selected (rightmost tie), emitted as
+    * (doc_id, pos, fp_hash) rows. The LOCAL fingerprinting complement to
+    * [[fingerprint]]'s whole-document hashes and the duplicated-span
+    * window hashes: winnowing guarantees any shared run of ≥ w+k-1 = 6
+    * tokens shares a fingerprint while storing only ~2/(w+1) = 40% of
+    * shingle hashes — the storage/recall dial for a corpus-scale
+    * fingerprint index. One native expression pass per row
+    * ([[graft.functions.WinnowFingerprints]]), scan-side, no shuffle;
+    * the selection replays in DuckDB as list comprehensions over the
+    * same Karp–Rabin hashes (pack/unpack via `(pos+1)·2³² + h`, exact in
+    * both engines). */
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    (Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(graft.functions.StringFunctions
+          .winnow_fingerprints(col("ws"), 3, 4)).as("packed"))
+      .select(col("doc_id"),
+        shiftright(col("packed"), 32).as("pos"),
+        col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_hash")))
+
+  val winnowOracle: String =
+    """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents),
+      |hh AS (SELECT doc_id,
+      |              [list_reduce(list_transform(
+      |                   string_split(array_to_string(ws[i:i+2], ' '), ''),
+      |                   c -> CAST(ord(c) AS BIGINT)),
+      |                 (a, b) -> (a * 31 + b) % 1000000007)
+      |               for i in range(1, len(ws) - 1)] AS h
+      |       FROM w0),
+      |sel AS (SELECT DISTINCT doc_id,
+      |               unnest([(least(i + 3, len(h)) + 1
+      |                        - list_position(
+      |                            list_reverse(h[i:least(i + 3, len(h))]),
+      |                            list_min(h[i:least(i + 3, len(h))])))
+      |                       * 4294967296
+      |                       + list_min(h[i:least(i + 3, len(h))])
+      |                       for i in range(1, greatest(len(h) - 3, 1) + 1)])
+      |                 AS packed
+      |        FROM hh WHERE len(h) > 0)
+      |SELECT doc_id, packed // 4294967296 AS pos,
+      |       packed % 4294967296 AS fp_hash
+      |FROM sel ORDER BY 1, 2, 3""".stripMargin
+
+  /** Cross-document match detection over the winnowing index: document
+    * pairs sharing at least [[WinnowMinShared]] fingerprint HASHES, with
+    * the shared count — the consumer that makes the 40%-sized index pay:
+    * at corpus scale you join deltas against this index instead of
+    * re-hashing every window ([[graft.operators.Dedup.dupSpans]] is the
+    * exhaustive-window analogue; winnowing trades full positional
+    * resolution for a 2/(w+1) index).
+    *
+    * Scale shape: the self-join keys on fp_hash — one shuffle of the
+    * (doc, hash) index rows; per-hash group size is the hash's document
+    * frequency, so ubiquitous-boilerplate fingerprints are the skew risk
+    * and get the same df-cap mitigation as the inverted index (not
+    * needed at fixture scale; named in SCALING.md). Distinct hashes per
+    * pair (not occurrences) so repeated runs within a document don't
+    * inflate the signal. */
+  def winnowMatches(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnow(spark, dir)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    (fps.as("a").join(fps.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared))
+  }
+
+  /** Pair-report floor: one shared fingerprint is a candidate; the
+    * fixture's planted duplicates share many. */
+  private val WinnowMinShared = 2L
+
+  val winnowMatchesOracle: String = {
+    // the winnow oracle's selection, reduced to distinct (doc, hash) and
+    // self-joined — same CTE text so the two stay in lockstep
+    val selCtes = winnowOracle
+      .substring(winnowOracle.indexOf("WITH ") + 5,
+        winnowOracle.indexOf("SELECT doc_id, packed"))
+      .trim
+    s"""WITH $selCtes,
+       |fp AS (SELECT DISTINCT doc_id, packed % 4294967296 AS fp_hash
+       |       FROM sel)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       count(*) AS n_shared
+       |FROM fp a JOIN fp b
+       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   /** Deterministic content-keyed train/val/test split: bucket =
     * poly_hash(text) mod 100, then 90/5/5. Keying on CONTENT (not doc_id)
     * is the dedup-safe property a pretraining pipeline needs — byte-equal
@@ -1092,6 +1188,8 @@ object TextAnalysis {
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
+    "text_winnow" -> (winnow _),
+    "text_winnow_matches" -> (winnowMatches _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_train_split" -> (trainSplit _),
     "text_top_quality_by_lang" -> (topQualityByLang _))
@@ -1120,6 +1218,8 @@ object TextAnalysis {
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,
     "text_fingerprint" -> fingerprintOracle,
+    "text_winnow" -> winnowOracle,
+    "text_winnow_matches" -> winnowMatchesOracle,
     "text_bpe_tokens" -> bpeTokensOracle,
     "text_train_split" -> trainSplitOracle,
     "text_top_quality_by_lang" -> topQualityByLangOracle)

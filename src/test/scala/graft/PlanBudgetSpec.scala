@@ -103,7 +103,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "text_token_stats" -> 0,
     "text_top_quality_by_lang" -> 1,
     "text_train_split" -> 0,
-    "text_vocab_stats" -> 2)
+    "text_vocab_stats" -> 2,
+    "text_winnow" -> 0, // scan-side expression + explode, shuffle-free
+    "text_winnow_matches" -> 3) // index distinct + fp self-join + pair agg
 
   test("every production query is budgeted — no unpinned query ships") {
     val unpinned = SparkEntry.productionQueries.keySet -- shuffleBudget.keySet

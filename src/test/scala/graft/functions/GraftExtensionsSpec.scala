@@ -88,6 +88,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlSum == apiSum)
   }
 
+  test("winnow_fingerprints works from SQL and matches the Column API") {
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |       winnow_fingerprints(split(text, ' '), 3, 4) AS fp
+        |FROM docs_ext""".stripMargin)
+    val api = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"),
+        StringFunctions.winnow_fingerprints(
+          split(col("text"), " "), 3, 4).as("fp"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
   test("wrong arity raises a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT poly_hash('a', 'b')").collect()

@@ -122,4 +122,38 @@ class StringExpressionsSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(empty == Seq.fill(16)(0L))
   }
+
+  test("winnow_fingerprints: window guarantee, density, short-doc edges") {
+    import spark.implicits._
+    def fps(texts: Seq[String]): Map[Long, Seq[Long]] =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          StringFunctions.winnow_fingerprints(
+            split(col("text"), " "), 3, 4).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val out = fps(Seq(
+      base,                                      // 0: 38 shingles
+      s"x1 x2 x3 ${(10 to 19).map(i => s"w$i").mkString(" ")} y1 y2 y3", // 1: shares a 10-token run
+      "a b",                                     // 2: < 3 tokens → empty
+      "a b c",                                   // 3: exactly one shingle
+      ""))                                       // 4: empty text
+    // guarantee: a shared run of >= w+k-1 = 6 tokens shares a fingerprint
+    val h0 = out(0L).map(p => p & 0xffffffffL).toSet
+    val h1 = out(1L).map(p => p & 0xffffffffL).toSet
+    assert((h0 & h1).nonEmpty, "shared 10-token run must share a fingerprint")
+    // every window of 4 consecutive shingle positions contains a selection
+    val pos0 = out(0L).map(p => (p >> 32).toInt).toSet
+    val nShingles = 38
+    (1 to (nShingles - 3)).foreach { i =>
+      assert((i until i + 4).exists(pos0.contains),
+        s"window starting at shingle $i has no fingerprint")
+    }
+    // density: winnowing stores far fewer than all shingles
+    assert(pos0.size < nShingles)
+    // short docs: one shingle → exactly one fingerprint at pos 1
+    assert(out(3L).map(_ >> 32) == Seq(1L))
+    assert(out(2L).isEmpty && out(4L).isEmpty)
+  }
 }
