@@ -251,6 +251,58 @@ object Relational {
       |                      ROWS UNBOUNDED PRECEDING) AS n_orders_so_far
       |FROM orders ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** q10: PIVOT — per-part quantity totals fanned out by return flag.
+    * The reference has no pivot (SURVEY §2.4); this is the extension's
+    * wide-report shape. Deliberately NOT `Dataset.pivot`: even with an
+    * explicit value list Spark compiles pivot to a two-phase plan —
+    * aggregate on (group, pivot) then pivot-first on (group), TWO
+    * shuffles (and an implicit list adds a distinct-values pre-job).
+    * The conditional-aggregate form is the identical result in ONE
+    * shuffle with map-side partials — the plan you want at 100 TB, and
+    * exactly what the oracle writes. The pivot domain is declared, not
+    * discovered: at scale the flag domain is a contract, and a new flag
+    * value must fail loudly in review, not silently add a column. */
+  def q10Pivot(spark: SparkSession, dir: String): DataFrame = {
+    def flagSum(f: String): Column =
+      sum(when(col("l_returnflag") === f, col("l_quantity"))).cast("double")
+    (Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(flagSum("A").as("qty_a"), flagSum("N").as("qty_n"),
+        flagSum("R").as("qty_r")))
+  }
+
+  val q10Oracle: String =
+    """SELECT l_partkey,
+      |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)
+      |            AS DOUBLE) AS qty_a,
+      |       CAST(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)
+      |            AS DOUBLE) AS qty_n,
+      |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)
+      |            AS DOUBLE) AS qty_r
+      |FROM lineitem GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** q11: set difference — customers who ordered in the fixture range's
+    * first five years but NOT after 2000 (churn-shaped; cutoff picked so
+    * both sf0.001 and sf0.01 yield a non-empty difference). The
+    * reference has no set ops (SURVEY §2.4). `except` is ANSI EXCEPT
+    * DISTINCT in both engines; Spark plans it as a left-anti hash
+    * aggregate join — one shuffle per side on the full row as key. */
+  def q11Except(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"))
+    val early = o.filter(col("o_orderdate") < "2000-01-01")
+      .select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= "2000-01-01")
+      .select(col("o_custkey"))
+    early.except(late)
+  }
+
+  val q11Oracle: String =
+    """SELECT o_custkey FROM orders WHERE o_orderdate < DATE '2000-01-01'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+      |ORDER BY 1""".stripMargin
+
   // --- challenge engine Q1/Q2 (challenge/queries.json) ---------------------
 
   /** challenge Q1: `SELECT description FROM Product WHERE categorie=…`
@@ -368,6 +420,8 @@ object Relational {
     "q7_orders_by_date_agg" -> (q7OrdersByDateAgg _),
     "q8_rollup" -> (q8Rollup _),
     "q9_running_total" -> (q9RunningTotal _),
+    "q10_pivot" -> (q10Pivot _),
+    "q11_except" -> (q11Except _),
     "challenge_q1" -> (challengeQ1 _),
     "challenge_q2" -> (challengeQ2 _),
     "ch5_q1_movies_by_genre" -> (ch5Q1MoviesByGenre _),
@@ -387,6 +441,8 @@ object Relational {
     "q7_orders_by_date_agg" -> q7Oracle,
     "q8_rollup" -> q8Oracle,
     "q9_running_total" -> q9Oracle,
+    "q10_pivot" -> q10Oracle,
+    "q11_except" -> q11Oracle,
     "challenge_q1" -> challengeQ1Oracle,
     "challenge_q2" -> challengeQ2Oracle,
     "ch5_q1_movies_by_genre" -> ch5Q1Oracle,

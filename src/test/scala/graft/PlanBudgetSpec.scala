@@ -71,6 +71,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q7_orders_by_date_agg" -> 1,
     "q8_rollup" -> 1,
     "q9_running_total" -> 1,
+    "q10_pivot" -> 1, // one groupBy with per-flag conditional aggregates
+    "q11_except" -> 1, // union-side aggregate feeding the anti join
     "sim_ann_ivf" -> 9,
     "sim_ann_ivf_sq" -> 9,
     "sim_ann_lsh" -> 1,
