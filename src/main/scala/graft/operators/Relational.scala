@@ -303,6 +303,59 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01'
       |ORDER BY 1""".stripMargin
 
+  /** q12: LEFT OUTER join — every part with its count of RETURNED
+    * lineitems, zero when none (the reference has only inner equi-joins,
+    * SURVEY §2.4). `count(col)` ignores the outer join's nulls in both
+    * engines, so no-return parts surface as 0 rather than vanishing.
+    * Scale: the return-filtered fact side shrinks before the join; the
+    * preserved side is the dimension, so size-based planning broadcasts
+    * the REDUCED fact side when it fits and AQE re-plans when it does
+    * not. */
+  def q12OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"))
+    // recent returns only — the window is tight enough that parts with
+    // ZERO matches exist at every fixture scale, so the preserved side
+    // is genuinely exercised (an inner join would drop those rows)
+    val r = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= expr("timestamp'2000-01-01 00:00:00'"))
+      .select(col("l_partkey"), col("l_orderkey"))
+    (p.join(r, col("p_partkey") === col("l_partkey"), "left")
+      .groupBy(col("p_partkey"))
+      .agg(count(col("l_orderkey")).as("n_returns")))
+  }
+
+  val q12Oracle: String =
+    """SELECT p_partkey, count(l_orderkey) AS n_returns
+      |FROM part LEFT JOIN lineitem
+      |  ON p_partkey = l_partkey AND l_returnflag = 'R'
+      | AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1, 2""".stripMargin
+
+  /** q13: scalar subquery — parts whose total ordered quantity exceeds
+    * the all-parts average (no subqueries in the reference, SURVEY
+    * §2.4). Determinism: per-part totals are sums of integral doubles
+    * (exact in IEEE at these magnitudes under any order), and the
+    * average is one division of two exact values — bit-identical in
+    * both engines. Scale: the scalar aggregate is a one-row broadcast
+    * into the filter, not a per-row subquery execution. */
+  def q13ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+    val mean = totals.agg(avg(col("total_qty")).as("m"))
+    (totals.join(broadcast(mean), col("total_qty") > col("m"))
+      .select(col("l_partkey"), col("total_qty")))
+  }
+
+  val q13Oracle: String =
+    """SELECT l_partkey, sum(l_quantity) AS total_qty
+      |FROM lineitem GROUP BY 1
+      |HAVING sum(l_quantity) >
+      |  (SELECT avg(t) FROM (SELECT sum(l_quantity) AS t
+      |                       FROM lineitem GROUP BY l_partkey))
+      |ORDER BY 1, 2""".stripMargin
+
   // --- challenge engine Q1/Q2 (challenge/queries.json) ---------------------
 
   /** challenge Q1: `SELECT description FROM Product WHERE categorie=…`
@@ -422,6 +475,8 @@ object Relational {
     "q9_running_total" -> (q9RunningTotal _),
     "q10_pivot" -> (q10Pivot _),
     "q11_except" -> (q11Except _),
+    "q12_outer_join" -> (q12OuterJoin _),
+    "q13_scalar_subquery" -> (q13ScalarSubquery _),
     "challenge_q1" -> (challengeQ1 _),
     "challenge_q2" -> (challengeQ2 _),
     "ch5_q1_movies_by_genre" -> (ch5Q1MoviesByGenre _),
@@ -443,6 +498,8 @@ object Relational {
     "q9_running_total" -> q9Oracle,
     "q10_pivot" -> q10Oracle,
     "q11_except" -> q11Oracle,
+    "q12_outer_join" -> q12Oracle,
+    "q13_scalar_subquery" -> q13Oracle,
     "challenge_q1" -> challengeQ1Oracle,
     "challenge_q2" -> challengeQ2Oracle,
     "ch5_q1_movies_by_genre" -> ch5Q1Oracle,

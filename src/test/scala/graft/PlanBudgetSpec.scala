@@ -73,6 +73,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q9_running_total" -> 1,
     "q10_pivot" -> 1, // one groupBy with per-flag conditional aggregates
     "q11_except" -> 1, // union-side aggregate feeding the anti join
+    "q12_outer_join" -> 1, // reduced fact side broadcasts; one final agg
+    "q13_scalar_subquery" -> 3, // per-part totals twice (mean + output) + 1-row mean
     "sim_ann_ivf" -> 9,
     "sim_ann_ivf_sq" -> 9,
     "sim_ann_lsh" -> 1,
