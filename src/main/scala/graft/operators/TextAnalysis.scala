@@ -515,8 +515,13 @@ object TextAnalysis {
       .select(col("doc_id"), bucket.as("bucket"),
         graft.functions.StringFunctions
           .word_shingles(split(col("text"), " "), 3).as("sh"))
+    // persisted: the bloom-build ACTION below and the exact-confirm join
+    // both consume this frame — without the persist the test corpus is
+    // scanned and re-shingled twice (same discipline as the LSH band
+    // frames; Bench/Verify clear the cache between queries)
     val testShingles = sh.filter(col("bucket") >= 95)
       .select(explode(col("sh")).as("sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainShingles = sh.filter(col("bucket") < 90)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
     val words = bloomWordsOf(testShingles)

@@ -48,8 +48,11 @@ object StreamingDecontaminate {
         graft.functions.StringFunctions
           .word_shingles(split(col("text"), " "), 3).as("sh"))
     // static side: the benchmark suite's distinct shingles + their bloom
+    // (persisted — the bloom build and every micro-batch's confirm join
+    // reuse it; dropped after the stream is consumed)
     val testShingles = shingled.filter(col("bucket") >= 95)
       .select(explode(col("sh")).as("sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = TextAnalysis.bloomWordsOf(testShingles)
     val (docs, streamDir) = streamingDocs(spark, dir)
     val trainShingles = docs
@@ -70,6 +73,8 @@ object StreamingDecontaminate {
       .writeStream.format("memory").queryName(sink).outputMode("complete")
       .start()
     try query.processAllAvailable() finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    val out = StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    testShingles.unpersist()
+    out
   }
 }
