@@ -479,6 +479,11 @@ object Dedup {
     parent.keysIterator.map(x => x -> find(x)).toMap
   }
 
+  /** Test hook for the union-find (property-tested against brute-force
+    * reachability in `DedupSpec`). */
+  private[operators] def unionFindRepsForTest(
+      pairs: Array[(Long, Long)]): Map[Long, Long] = unionFindReps(pairs)
+
   private def clusterAssignImpl(docs: DataFrame, pairs0: DataFrame): DataFrame = {
     val tStart = System.nanoTime()
     // persist the DIRECTED pair set before symmetrizing: the reversed

@@ -123,6 +123,45 @@ class StringExpressionsSpec extends AnyFunSuite {
     assert(empty == Seq.fill(16)(0L))
   }
 
+  test("property: winnow ≡ independent reference on 300 randomized docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // an independently-written reference: functional, 1-based, built from
+    // the oracle's formulas rather than the expression's imperative loop
+    def refWinnow(words: Vector[String], k: Int, w: Int): Vector[Long] = {
+      def polyRef(s: String): Long =
+        s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      val h = (0 to words.length - k)
+        .map(i => polyRef(words.slice(i, i + k).mkString(" "))).toVector
+      if (h.isEmpty) Vector.empty
+      else {
+        val sels = (1 to math.max(h.length - w + 1, 1)).map { i =>
+          val slice = h.slice(i - 1, math.min(i + w - 1, h.length))
+          val m = slice.min
+          val pos = i + slice.lastIndexOf(m) // 1-based rightmost minimum
+          pos.toLong * 4294967296L + m
+        }
+        sels.distinct.sorted.toVector
+      }
+    }
+    val word = Gen.oneOf("", "a", "bb", "ccc", "a", "é", "中文", "😀", "x1!",
+      "the", "de", "a-b")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val docs = (0 until 300).flatMap(i =>
+      doc.apply(Gen.Parameters.default, Seed(1000L + i)))
+    import spark.implicits._
+    val native = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      .toDF("doc_id", "ws")
+      .select(col("doc_id"),
+        StringFunctions.winnow_fingerprints(col("ws"), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    docs.zipWithIndex.foreach { case (ws, i) =>
+      val expect = refWinnow(ws.toVector, 3, 4)
+      assert(native(i.toLong) == expect,
+        s"doc $i (${ws.mkString("|")}): ${native(i.toLong)} vs $expect")
+    }
+  }
+
   test("winnow_fingerprints: window guarantee, density, short-doc edges") {
     import spark.implicits._
     def fps(texts: Seq[String]): Map[Long, Seq[Long]] =

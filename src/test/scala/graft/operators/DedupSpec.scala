@@ -97,6 +97,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out(20L)._1 == 10L && out(20L)._2 == 1L)
   }
 
+  test("property: union-find reps equal brute-force reachability on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genGraph = for {
+      n <- Gen.chooseNum(0, 30)
+      e <- Gen.chooseNum(0, 60)
+      edges <- Gen.listOfN(e, for {
+        a <- Gen.chooseNum(0L, math.max(n.toLong, 1L))
+        b <- Gen.chooseNum(0L, math.max(n.toLong, 1L))
+      } yield (a, b))
+    } yield edges
+    (0 until 200).foreach { i =>
+      val edges = genGraph.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(Nil)
+      // brute force: repeated relaxation to the min reachable id
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      var rep = nodes.map(x => x -> x).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((a, b) <- edges) {
+          val m = math.min(rep(a), rep(b))
+          if (rep(a) != m) { rep += a -> m; changed = true }
+          if (rep(b) != m) { rep += b -> m; changed = true }
+          // propagate through shared representatives as well
+          for ((x, r) <- rep if r == rep(a) || r == rep(b))
+            if (rep(x) != m) { rep += x -> m; changed = true }
+        }
+      }
+      val got = Dedup.unionFindRepsForTest(edges.toArray)
+      assert(got == rep, s"seed $i: $got vs $rep (edges $edges)")
+    }
+  }
+
   test("driver union-find and distributed propagation reach the same fixpoint") {
     // the strategy threshold picks the path; both must produce identical
     // (doc_id, cluster_rep, is_keeper) — min reachable id per component
