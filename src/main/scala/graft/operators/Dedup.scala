@@ -57,14 +57,22 @@ object Dedup {
 
   /** documents ∪ truncated (first ⌊9n/10⌋ words) copies of every 20th doc
     * (keys shifted +100000). */
-  private def withNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  /** The planted near-dup DELTA of any (doc_id, text) frame: every 20th
+    * document, truncated to its first 90% of words, re-keyed at
+    * doc_id + 100000. `private[graft]` so the streaming incremental twin
+    * replays the IDENTICAL construction instead of copying the formula. */
+  private[graft] def plantedDelta(d: DataFrame): DataFrame = {
     val ws = col("ws")
     val truncLen = floor((size(ws) * lit(9)).cast("double") / lit(10.0)).cast("int")
-    d.unionAll(d.filter(col("doc_id") % 20 === 0)
+    d.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select((col("doc_id") + 100000L).as("doc_id"),
-        concat_ws(" ", slice(ws, lit(1), truncLen)).as("text")))
+        concat_ws(" ", slice(ws, lit(1), truncLen)).as("text"))
+  }
+
+  private def withNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(plantedDelta(d))
   }
 
   /** DuckDB CTEs mirroring [[withExactDups]] / [[withNearDups]]. */
@@ -242,7 +250,10 @@ object Dedup {
   }
 
   /** Library form: dedup `delta` against the `history` snapshot, both
-    * `(doc_id, text)` frames. */
+    * `(doc_id, text)` frames. The two id spaces may overlap — each
+    * side's exact-confirm shingles come from its OWN frame, so a delta
+    * document reusing a history id can never be confirmed against the
+    * wrong text. */
   def incrementalOn(history: DataFrame, delta: DataFrame): DataFrame = {
     val histBands = bandHashes(history)
       .select(col("doc_id"),
@@ -250,22 +261,27 @@ object Dedup {
     val deltaBands = bandHashes(delta)
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "bandHash")))
+    // persisted: the candidate frame feeds BOTH per-side id derivations
+    // and the verdict join — without it the corpus-sized band subtree
+    // evaluates once per consumer (same discipline as minhashLshOn's
+    // band frame; Bench/Verify clear the cache between queries)
     val cand = deltaBands.as("x").join(histBands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bandHash") === col("y.bandHash"))
       .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("hist_id"))
       .distinct()
-    val candIds = cand.select(explode(array(col("delta_id"),
-      col("hist_id"))).as("doc_id")).distinct()
-    val sh = withShingles(history.unionAll(delta)
-      .join(broadcast(candIds), "doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deltaIds = cand.select(col("delta_id").as("doc_id")).distinct()
+    val histIds = cand.select(col("hist_id").as("doc_id")).distinct()
+    val aSh = withShingles(delta.join(broadcast(deltaIds), "doc_id"))
+      .select(col("doc_id").as("delta_id"), col("sh").as("a_sh"))
+    val bSh = withShingles(history.join(broadcast(histIds), "doc_id"))
+      .select(col("doc_id").as("hist_id"), col("sh").as("b_sh"))
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
       size(array_union(col("a_sh"), col("b_sh"))).cast("double")
     (cand
-      .join(sh.select(col("doc_id").as("delta_id"), col("sh").as("a_sh")),
-        "delta_id")
-      .join(sh.select(col("doc_id").as("hist_id"), col("sh").as("b_sh")),
-        "hist_id")
+      .join(aSh, "delta_id")
+      .join(bSh, "hist_id")
       .select(col("delta_id"), col("hist_id"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .groupBy(col("delta_id"))
@@ -493,7 +509,10 @@ object Dedup {
     val spark = docs.sparkSession
     val driverMax = spark.conf.getOption("spark.graft.cc.driverMaxPairs")
       .map(_.toLong).getOrElse(CcDriverMaxPairsDefault)
-    if (pairs.count() <= driverMax) {
+    // driverMax > 0 so that setting the conf to 0 really does force the
+    // distributed loop even on an empty pair set (the equality spec's
+    // mechanism for exercising both paths)
+    if (driverMax > 0 && pairs.count() <= driverMax) {
       // small-graph fast path: skip the per-round job scheduling of the
       // distributed loop (which dominates wall-clock when the duplicate
       // graph is tiny) and union-find the collected pairs on the driver

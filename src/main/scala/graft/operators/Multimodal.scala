@@ -240,6 +240,8 @@ object Multimodal {
       payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
       "not a BMP payload")
     val dataAt = i32(10)
+    require(dataAt >= 54 && dataAt <= payload.length,
+      "pixel-data offset outside the payload")
     require(i32(14) >= 40, "BITMAPINFOHEADER required")
     val width = i32(18)
     val heightRaw = i32(22)

@@ -183,8 +183,11 @@ object TextAnalysis {
         shiftright(col("packed"), 32).as("pos"),
         col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_hash")))
 
-  val winnowOracle: String =
-    """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+  /** Shared CTE chain replaying the winnowing selection — `sel` is the
+    * distinct packed (pos, hash) set per document; [[winnowOracle]]
+    * unpacks it, [[winnowMatchesOracle]] self-joins it. */
+  private val winnowSelCtes: String =
+    """w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
       |            FROM documents),
       |hh AS (SELECT doc_id,
       |              [list_reduce(list_transform(
@@ -202,10 +205,13 @@ object TextAnalysis {
       |                       + list_min(h[i:least(i + 3, len(h))])
       |                       for i in range(1, greatest(len(h) - 3, 1) + 1)])
       |                 AS packed
-      |        FROM hh WHERE len(h) > 0)
-      |SELECT doc_id, packed // 4294967296 AS pos,
-      |       packed % 4294967296 AS fp_hash
-      |FROM sel ORDER BY 1, 2, 3""".stripMargin
+      |        FROM hh WHERE len(h) > 0)""".stripMargin
+
+  val winnowOracle: String =
+    s"""WITH $winnowSelCtes
+       |SELECT doc_id, packed // 4294967296 AS pos,
+       |       packed % 4294967296 AS fp_hash
+       |FROM sel ORDER BY 1, 2, 3""".stripMargin
 
   /** Cross-document match detection over the winnowing index: document
     * pairs sharing at least [[WinnowMinShared]] fingerprint HASHES, with
@@ -235,26 +241,21 @@ object TextAnalysis {
   }
 
   /** Pair-report floor: one shared fingerprint is a candidate; the
-    * fixture's planted duplicates share many. */
+    * fixture's planted duplicates share many. (Declared before both
+    * consumers — the Spark filter and the interpolated oracle — so the
+    * two can never drift.) */
   private val WinnowMinShared = 2L
 
-  val winnowMatchesOracle: String = {
-    // the winnow oracle's selection, reduced to distinct (doc, hash) and
-    // self-joined — same CTE text so the two stay in lockstep
-    val selCtes = winnowOracle
-      .substring(winnowOracle.indexOf("WITH ") + 5,
-        winnowOracle.indexOf("SELECT doc_id, packed"))
-      .trim
-    s"""WITH $selCtes,
+  val winnowMatchesOracle: String =
+    s"""WITH $winnowSelCtes,
        |fp AS (SELECT DISTINCT doc_id, packed % 4294967296 AS fp_hash
        |       FROM sel)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |       count(*) AS n_shared
        |FROM fp a JOIN fp b
        |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
        |ORDER BY 1, 2, 3""".stripMargin
-  }
 
   /** Deterministic content-keyed train/val/test split: bucket =
     * poly_hash(text) mod 100, then 90/5/5. Keying on CONTENT (not doc_id)
@@ -437,17 +438,32 @@ object TextAnalysis {
     * DISTINCT shingles and the broadcast side is distinct, so the join
     * output is already unique per (doc, shingle) — a plain count, no
     * distinct aggregate. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** The decontamination content split + shingle prep over any
+    * (doc_id, text) frame — ONE definition of the bucket hash, shingle
+    * width and 95/90 split boundaries, shared by the exact form, the
+    * bloom form, and the streaming twin (which could otherwise drift
+    * from the pinned batch≡stream equality). */
+  private[graft] def contaminationShingled(docs: DataFrame): DataFrame = {
     val bucket = graft.functions.StringFunctions.poly_hash(col("text")) % 100L
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), bucket.as("bucket"),
-        graft.functions.StringFunctions
-          .word_shingles(split(col("text"), " "), 3).as("sh"))
-    val testShingles = sh.filter(col("bucket") >= 95)
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      graft.functions.StringFunctions
+        .word_shingles(split(col("text"), " "), 3).as("sh"))
+  }
+
+  /** The eval suite's distinct shingle set (bucket ≥ 95). */
+  private[graft] def testShinglesOf(shingled: DataFrame): DataFrame =
+    shingled.filter(col("bucket") >= 95)
       .select(explode(col("sh")).as("sh")).distinct()
-    val trainShingles = sh.filter(col("bucket") < 90)
+
+  /** The training corpus's per-document shingles (bucket < 90). */
+  private[graft] def trainShinglesOf(shingled: DataFrame): DataFrame =
+    shingled.filter(col("bucket") < 90)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
-    (trainShingles.join(broadcast(testShingles), Seq("sh"))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = contaminationShingled(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    (trainShinglesOf(sh).join(broadcast(testShinglesOf(sh)), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared")))
   }
@@ -510,20 +526,15 @@ object TextAnalysis {
     * where a `map<word,bits>` column would linear-scan its 16 384
     * entries on every lookup (Spark maps are unsorted array pairs). */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = graft.functions.StringFunctions.poly_hash(col("text")) % 100L
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), bucket.as("bucket"),
-        graft.functions.StringFunctions
-          .word_shingles(split(col("text"), " "), 3).as("sh"))
+    val sh = contaminationShingled(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     // persisted: the bloom-build ACTION below and the exact-confirm join
     // both consume this frame — without the persist the test corpus is
     // scanned and re-shingled twice (same discipline as the LSH band
     // frames; Bench/Verify clear the cache between queries)
-    val testShingles = sh.filter(col("bucket") >= 95)
-      .select(explode(col("sh")).as("sh")).distinct()
+    val testShingles = testShinglesOf(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val trainShingles = sh.filter(col("bucket") < 90)
-      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    val trainShingles = trainShinglesOf(sh)
     val words = bloomWordsOf(testShingles)
     val candidates = trainShingles
       .withColumn("h1", bloomH1).withColumn("h2", bloomH2)

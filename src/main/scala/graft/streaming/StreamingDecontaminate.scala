@@ -42,25 +42,20 @@ object StreamingDecontaminate {
     * batch operator's output shape, for the equality spec. */
   def bloomStreaming(spark: SparkSession, dir: String): DataFrame = {
     val sink = s"graft_stream_deco_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val bucket = graft.functions.StringFunctions.poly_hash(col("text")) % 100L
-    val shingled = graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"), bucket.as("bucket"),
-        graft.functions.StringFunctions
-          .word_shingles(split(col("text"), " "), 3).as("sh"))
     // static side: the benchmark suite's distinct shingles + their bloom
     // (persisted — the bloom build and every micro-batch's confirm join
-    // reuse it; dropped after the stream is consumed)
-    val testShingles = shingled.filter(col("bucket") >= 95)
-      .select(explode(col("sh")).as("sh")).distinct()
+    // reuse it; dropped after the stream is consumed). Split boundaries,
+    // bucket hash and shingle width come from the batch operator's own
+    // helpers, so batch≡stream equality holds by construction.
+    val testShingles = TextAnalysis.testShinglesOf(
+        TextAnalysis.contaminationShingled(
+          graft.sources.Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = TextAnalysis.bloomWordsOf(testShingles)
     val (docs, streamDir) = streamingDocs(spark, dir)
-    val trainShingles = docs
-      .select(col("doc_id"), bucket.as("bucket"),
-        graft.functions.StringFunctions
-          .word_shingles(split(col("text"), " "), 3).as("sh"))
-      .filter(col("bucket") < 90)
-      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    val trainShingles = TextAnalysis.trainShinglesOf(
+      TextAnalysis.contaminationShingled(docs))
     val flagged = trainShingles
       .withColumn("h1", TextAnalysis.bloomH1)
       .withColumn("h2", TextAnalysis.bloomH2)

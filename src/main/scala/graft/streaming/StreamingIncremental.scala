@@ -25,6 +25,14 @@ import graft.operators.Dedup
   *   4. ONE streaming aggregation keyed (delta_id, hist_id) collapses
   *      multi-band collisions — state is one row per confirmed pair,
   *      ∝ true duplicates, never corpus or delta size.
+  *
+  * Memory shape note: the delta's shingle array rides through the band
+  * explode (×numBands per doc) so the confirm can compute exact Jaccard
+  * without a second stream read (stream-stream self-joins need
+  * watermarks the replay doesn't have). That duplication is
+  * micro-batch-local — rows in flight, never state — and bounded by
+  * numBands × the batch's shingle volume; the batch operator avoids it
+  * with a candidate-id semi-join re-read, which a stream cannot do.
   * The per-delta verdict rollup (min dup id / match count / best
   * Jaccard) runs as a plain batch query over the sink — downstream of
   * the stream, as a consumer would.
@@ -48,14 +56,9 @@ object StreamingIncremental {
       java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
     }
     val schema = spark.read.parquet(path).schema
-    val ws = col("ws")
-    val truncLen = floor((size(ws) * lit(9)).cast("double") / lit(10.0)).cast("int")
-    val delta = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select((col("doc_id") + 100000L).as("doc_id"),
-        concat_ws(" ", slice(ws, lit(1), truncLen)).as("text"))
+    val delta = Dedup.plantedDelta(
+      spark.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("doc_id"), col("text")))
     (delta, streamDir)
   }
 

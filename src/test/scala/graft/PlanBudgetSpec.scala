@@ -90,7 +90,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "text_bigram_familiarity" -> 2,
     "text_bpe_tokens" -> 0,
     "text_decontaminate" -> 2,
-    "text_decontaminate_bloom" -> 2,
+    "text_decontaminate_bloom" -> 3, // + the persisted test-shingle distinct
     "text_fingerprint" -> 0,
     "text_inverted_index" -> 2,
     "text_inverted_index_capped" -> 2,

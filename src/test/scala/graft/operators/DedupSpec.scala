@@ -95,6 +95,16 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out.keySet == Set(20L)) // only the true cross-dup is flagged
     assert(out(20L)._1 == 10L && out(20L)._2 == 1L)
+    // id COLLISION between the spaces: delta reuses history's id 1 with
+    // DIFFERENT text (near-dup of history doc 2, unrelated to history
+    // doc 1) — each side's confirm shingles must come from its own
+    // frame, so the verdict is (1 -> dup_of 2), never a self-match or a
+    // confirm against history doc 1's text
+    val collided = Dedup.incrementalOn(
+        frame(Seq((1L, histClean), (2L, origin))),
+        frame(Seq((1L, deltaCopy))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(collided == Map(1L -> ((2L, 1L))), collided.toString)
   }
 
   test("property: union-find reps equal brute-force reachability on random graphs") {
