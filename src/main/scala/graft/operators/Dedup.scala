@@ -271,11 +271,16 @@ object Dedup {
       .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("hist_id"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deltaIds = cand.select(col("delta_id").as("doc_id")).distinct()
-    val histIds = cand.select(col("hist_id").as("doc_id")).distinct()
-    val aSh = withShingles(delta.join(broadcast(deltaIds), "doc_id"))
+    // LEFT-SEMI prune against the (duplicate-bearing) candidate frame:
+    // a semi join ignores build-side multiplicity, so no distinct — and
+    // its shuffle — is needed to derive the per-side id sets
+    val aSh = withShingles(delta.join(
+        broadcast(cand.select(col("delta_id").as("doc_id"))),
+        Seq("doc_id"), "leftsemi"))
       .select(col("doc_id").as("delta_id"), col("sh").as("a_sh"))
-    val bSh = withShingles(history.join(broadcast(histIds), "doc_id"))
+    val bSh = withShingles(history.join(
+        broadcast(cand.select(col("hist_id").as("doc_id"))),
+        Seq("doc_id"), "leftsemi"))
       .select(col("doc_id").as("hist_id"), col("sh").as("b_sh"))
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
       size(array_union(col("a_sh"), col("b_sh"))).cast("double")

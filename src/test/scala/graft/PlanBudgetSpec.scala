@@ -39,7 +39,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "dedup_cross_source" -> 3,
     "dedup_dup_spans" -> 3,
     "dedup_exact" -> 1,
-    "dedup_incremental" -> 10,
+    "dedup_incremental" -> 6, // semi-join id pruning, persisted candidates
     "dedup_jaccard_brute" -> 0,
     "dedup_minhash_lsh" -> 9,
     "dedup_semantic" -> 0, // same eager-CC shape as dedup_clusters
