@@ -205,9 +205,13 @@ object Dedup {
     // pruned 2-column slice of the corpus for a few thousand docs instead
     // of either persisting every document's shingle set or re-sh shingling
     // the full corpus twice.
+    // LEFT-SEMI against the duplicate-bearing exploded id frame — semi
+    // joins ignore build-side multiplicity, so no distinct (and no
+    // shuffle) is spent deduplicating the candidate ids first
     val candIds = cand.select(explode(array(col("a_id"), col("b_id")))
-      .as("doc_id")).distinct()
-    val sh = withShingles(docs.join(broadcast(candIds), "doc_id"))
+      .as("doc_id"))
+    val sh = withShingles(docs.join(broadcast(candIds),
+      Seq("doc_id"), "leftsemi"))
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
       size(array_union(col("a_sh"), col("b_sh"))).cast("double")
     (cand

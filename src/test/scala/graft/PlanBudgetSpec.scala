@@ -41,7 +41,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "dedup_exact" -> 1,
     "dedup_incremental" -> 6, // semi-join id pruning, persisted candidates
     "dedup_jaccard_brute" -> 0,
-    "dedup_minhash_lsh" -> 9,
+    "dedup_minhash_lsh" -> 5, // semi-join candidate pruning (no id distinct)
     "dedup_semantic" -> 0, // same eager-CC shape as dedup_clusters
     "dedup_simhash" -> 1,
     "dedup_span_excise" -> 3,
