@@ -23,8 +23,14 @@ object PlanAudit {
   def broadcastJoinCount(plan: String): Int =
     "BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).size
 
+  /** Distinct whole-stage-codegen spans: fused operators print as
+    * `*(id) Operator`. Only visible on a NON-adaptive plan — under AQE
+    * neither toString nor explain("formatted") annotates operators
+    * inside materialized query stages, so the audit session turns AQE
+    * off (Exchange insertion happens before AQE, so shuffle counts are
+    * unaffected; production keeps AQE on). */
   def codegenSpanCount(plan: String): Int =
-    "WholeStageCodegen".r.findAllIn(plan).size
+    """\*\(\d+\)""".r.findAllIn(plan).toSet.size
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -32,6 +38,7 @@ object PlanAudit {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false") // see codegenSpanCount
       .config("spark.ui.enabled", "false")
     graft.sources.Tables.requiredConfs.foreach { case (k, v) =>
       builder.config(k, v) }

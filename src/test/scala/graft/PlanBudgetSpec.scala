@@ -25,7 +25,7 @@ class PlanBudgetSpec extends AnyFunSuite {
   }
   private val dir = TestSpark.sfDir
 
-  /** Measured 2026-08-12 (round 6) at sf0.001, local[4]. */
+  /** Measured round 6 at sf0.001, AQE off (PlanAudit session shape). */
   private val shuffleBudget: Map[String, Int] = Map(
     "ch5_q1_movies_by_genre" -> 0,
     "ch5_q2_reviews_for_movie" -> 0,
@@ -39,9 +39,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "dedup_cross_source" -> 3,
     "dedup_dup_spans" -> 3,
     "dedup_exact" -> 1,
-    "dedup_incremental" -> 6, // semi-join id pruning, persisted candidates
+    "dedup_incremental" -> 4, // semi-join id pruning, persisted candidates
     "dedup_jaccard_brute" -> 0,
-    "dedup_minhash_lsh" -> 5, // semi-join candidate pruning (no id distinct)
+    "dedup_minhash_lsh" -> 2, // semi-join candidate pruning (no id distinct)
     "dedup_semantic" -> 0, // same eager-CC shape as dedup_clusters
     "dedup_simhash" -> 1,
     "dedup_span_excise" -> 3,
@@ -75,8 +75,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q11_except" -> 1, // union-side aggregate feeding the anti join
     "q12_outer_join" -> 1, // reduced fact side broadcasts; one final agg
     "q13_scalar_subquery" -> 3, // per-part totals twice (mean + output) + 1-row mean
-    "sim_ann_ivf" -> 9,
-    "sim_ann_ivf_sq" -> 9,
+    "sim_ann_ivf" -> 7,
+    "sim_ann_ivf_sq" -> 7,
     "sim_ann_lsh" -> 1,
     "sim_centroid_by_lang" -> 1,
     "sim_cosine_neardup" -> 0,
@@ -90,7 +90,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "text_bigram_familiarity" -> 2,
     "text_bpe_tokens" -> 0,
     "text_decontaminate" -> 2,
-    "text_decontaminate_bloom" -> 3, // + the persisted test-shingle distinct
+    "text_decontaminate_bloom" -> 2, // + the persisted test-shingle distinct
     "text_fingerprint" -> 0,
     "text_inverted_index" -> 2,
     "text_inverted_index_capped" -> 2,
@@ -119,17 +119,25 @@ class PlanBudgetSpec extends AnyFunSuite {
   }
 
   test("physical-plan shuffle counts match the pinned budgets exactly") {
-    val diffs = SparkEntry.productionQueries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        spark.catalog.clearCache()
-        val got = PlanAudit.shuffleCount(plan)
-        val want = shuffleBudget(name)
-        if (got != want) Some(s"$name: $got shuffles (budget $want)")
-        else None
-    }
-    assert(diffs.isEmpty,
-      s"plan regressions (rerun graft.PlanAudit if intentional):\n${
-        diffs.mkString("\n")}")
+    // measured with AQE off — the same session shape as graft.PlanAudit,
+    // so "rerun PlanAudit and paste" stays a one-step update. (Exchange
+    // insertion precedes AQE; the off switch only changes how cached /
+    // staged subtrees PRINT, not what shuffles execute.)
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val diffs = SparkEntry.productionQueries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          spark.catalog.clearCache()
+          val got = PlanAudit.shuffleCount(plan)
+          val want = shuffleBudget(name)
+          if (got != want) Some(s"$name: $got shuffles (budget $want)")
+          else None
+      }
+      assert(diffs.isEmpty,
+        s"plan regressions (rerun graft.PlanAudit if intentional):\n${
+          diffs.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 }
