@@ -54,7 +54,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","agg":"min-of-$Iterations per query, cache cleared per run","registry":"production (no canonicalization sort)"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","agg":"min-of-$Iterations per query, cache cleared per run","registry":"production (no canonicalization sort)"}"""
+    println(line)
+    // also write the summary to a file: the driver's stdout tail-capture
+    // truncated the r6 artifact mid-line, losing the total — the file is
+    // the canonical copy (BENCH_OUT env overrides the path)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -20,11 +20,18 @@ import graft.sources.Tables
   *   5. train/val/test split (content-keyed poly_hash — dedup-safe)
   *   6. one parquet write partitioned by split
   *
-  * Each stage is a narrow transform or one shuffle; the composition adds
-  * NO driver-side loops and no collects — the whole pipeline is one
-  * DataFrame program Catalyst optimizes end to end (the dedup window and
-  * the final write are the only wide stages). `PipelineSpec` pins the
-  * stage-count invariants and determinism.
+  * Composition shape (the 100 TB story): stages 1, 2, 4's key and 5 are
+  * ALL per-row expressions over `text`, so they ride ONE corpus scan as
+  * one codegen'd projection — no self-joins re-reading the corpus per
+  * stage (the previous form joined four derived frames of the same scan
+  * back on doc_id: four avoidable corpus-sized shuffles). Near-dup
+  * removal lands as a broadcast ANTI join against the duplicate-LOSER id
+  * frame ([[graft.operators.Dedup.nearDupLoserIds]], ∝ true duplicates —
+  * broadcastable by construction). The dedup window is the single wide
+  * stage (32-byte md5 shuffle key), and it runs on the bounded-heap
+  * top-k operator. `PipelineSpec` pins the behavioral invariants,
+  * `PlanBudgetSpec` the 1-shuffle plan, and `pipeline_curated` is
+  * oracle-gated end to end by [[curatedOracle]].
   *
   * `runMain graft.PipelineRun [sfDir] [outDir]` prints one JSON summary
   * line (same contract style as Bench).
@@ -35,34 +42,55 @@ object PipelineRun {
   def curated(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val keep = TextAnalysis.qualityRules(spark, dir)
-      .filter(col("keep")).select(col("doc_id"))
-    // mask the RAW corpus (the registry's text_pii_mask plants synthetic
-    // PII for oracle coverage — that planting must not reach user output)
-    val masked = TextAnalysis.piiMaskOn(
-        docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("masked_text"))
-    val norm = TextAnalysis.normalize(spark, dir)
-      .select(col("doc_id"), col("norm_text"))
-    val split = TextAnalysis.trainSplit(spark, dir)
-      .select(col("doc_id"), col("split"))
-    // near-dup removal: cluster the RAW corpus's LSH pair graph and keep
-    // only each duplicate cluster's canonical representative
-    val nearKeepers = graft.operators.Dedup
-      .clusterAssignOn(docs.select(col("doc_id"), col("text")))
-      .filter(col("is_keeper")).select(col("doc_id"))
-    val joined = docs.join(keep, "doc_id").join(masked, "doc_id")
-      .join(norm, "doc_id").join(split, "doc_id")
-      .join(nearKeepers, "doc_id")
+    // near-dup losers: cluster the RAW corpus's LSH pair graph; every id
+    // that is not its cluster's min — a duplicate-proportional frame
+    val losers = graft.operators.Dedup
+      .nearDupLoserIds(docs.select(col("doc_id"), col("text")))
+    // one projection computes every per-row stage (the registry's
+    // text_pii_mask plants synthetic PII for oracle coverage — the raw
+    // corpus is masked here, no planting)
+    val enriched = docs.select(
+      col("doc_id"),
+      TextAnalysis.piiMaskedExpr.as("masked_text"),
+      col("lang"), col("source"),
+      TextAnalysis.splitExpr.as("split"),
+      TextAnalysis.normalizedExpr.as("norm_text"),
+      TextAnalysis.qualityKeepExpr.as("keep"))
     // normalization-aware exact dedup: keep the min doc_id per distinct
     // normalized text (32-byte md5 shuffle key, same shape as dedup_exact)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("norm_text"))).orderBy(col("doc_id"))
-    (joined
+    (enriched
+      .filter(col("keep"))
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("doc_id"), col("masked_text"), col("lang"),
         col("source"), col("split")))
+  }
+
+  /** DuckDB replay of the WHOLE composition — each stage's own oracle
+    * fragment (quality keep, mask chain, normalization, split case,
+    * shared-shingle near-dup keepers) chained exactly as [[curated]]
+    * chains the expressions, ending in the same min-doc_id-per-norm-hash
+    * window. A defect in any stage, or in how the stages compose, breaks
+    * the row hash. */
+  val curatedOracle: String = {
+    import graft.operators.{Dedup, TextAnalysis => TA}
+    s"""WITH RECURSIVE ${Dedup.rawKeepersCtes},
+       |j AS (SELECT d.doc_id,
+       |             ${TA.piiMaskedSql} AS masked_text,
+       |             d.lang, d.source,
+       |             ${TA.splitCaseSql} AS split,
+       |             md5(${TA.normTextSql}) AS norm_hash
+       |      FROM documents d
+       |      JOIN keepers USING (doc_id)
+       |      WHERE ${TA.qualityKeepSql}),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY norm_hash
+       |                                   ORDER BY doc_id) AS rnk
+       |      FROM j)
+       |SELECT doc_id, masked_text, lang, source, split
+       |FROM r WHERE rnk = 1 ORDER BY 1, 2, 3, 4, 5""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

@@ -27,7 +27,10 @@ object SparkEntry {
   private def oracleEntries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.entries ++ TextAnalysis.entries ++ Dedup.entries ++
       Similarity.entries ++ Events.entries ++ Denorm.entries ++
-      Multimodal.entries ++ graft.plans.MiniSql.entries
+      Multimodal.entries ++ graft.plans.MiniSql.entries +
+      // the composed end-to-end curation pipeline, oracle-gated as a whole
+      ("pipeline_curated" -> ((s: SparkSession, d: String) =>
+        PipelineRun.curated(s, d)))
 
   /** Scale-safe production substitutions — same query name, bounded
     * aggregation state (`ScaleSafetySpec` pins both the plan property —
@@ -80,15 +83,12 @@ object SparkEntry {
     "dedup_jaccard_brute", "sim_cosine_topk", "sim_cosine_neardup")
 
   /** The scale-path queries Bench times: production (un-canonicalized)
-    * forms, minus the O(n²) oracle baselines, plus the composed
-    * end-to-end curation pipeline (gate → mask → dedup → split) — the
-    * user story has no oracle row of its own (each stage is oracle-gated
-    * separately) but composition-level plan regressions must surface in
-    * the bench. */
+    * forms, minus the O(n²) oracle baselines. The composed curation
+    * pipeline rides along like any other operator — it is registered in
+    * [[queries]] with its own end-to-end oracle
+    * ([[PipelineRun.curatedOracle]]). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    (productionQueries -- baselineOnly) +
-      ("pipeline_curated" -> ((s: SparkSession, d: String) =>
-        PipelineRun.curated(s, d)))
+    productionQueries -- baselineOnly
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -96,5 +96,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Events.oracles ++ Denorm.oracles ++
-      Multimodal.oracles ++ graft.plans.MiniSql.oracles
+      Multimodal.oracles ++ graft.plans.MiniSql.oracles +
+      ("pipeline_curated" -> PipelineRun.curatedOracle)
 }

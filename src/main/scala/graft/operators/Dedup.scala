@@ -101,6 +101,20 @@ object Dedup {
     """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       | / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)""".stripMargin
 
+  /** Near-linear candidate generation for the DuckDB replays: a pair with
+    * Jaccard > 0 shares at least one shingle, so the exhaustive `a < b`
+    * cross join can be replaced by a shared-shingle equi-join without
+    * losing any ≥ 0.6 pair — same trick as a sort-merge on an inverted
+    * index. Work is Σ_tok occ(tok)² (≈ 3M at sf0.1, max occupancy 28)
+    * instead of n²·L (≈ 28M pairs × full list intersects), which kept
+    * these four oracles from completing at the 10× verification scale.
+    * Crucially the candidates stay INDEPENDENT of the MinHash family —
+    * the oracle still proves LSH recall, not merely determinism. */
+  private val sharedShingleCandCte: String =
+    """inv AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |         FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id)""".stripMargin
+
   // --- exact dedup ---------------------------------------------------------
 
   /** Exact dedup: one row per distinct text, keeping the minimum doc_id.
@@ -142,10 +156,12 @@ object Dedup {
 
   val jaccardBruteOracle: String =
     s"""WITH $nearDupsCte,
-       |$shinglesCte
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |$shinglesCte,
+       |$sharedShingleCandCte
+       |SELECT c.a_id, c.b_id,
        |       $jaccardSql AS jaccard
-       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |FROM cand c JOIN s a ON a.doc_id = c.a_id
+       |            JOIN s b ON b.doc_id = c.b_id
        |WHERE $jaccardSql >= 0.6
        |ORDER BY 1, 2, 3""".stripMargin
 
@@ -257,7 +273,15 @@ object Dedup {
     * `(doc_id, text)` frames. The two id spaces may overlap — each
     * side's exact-confirm shingles come from its OWN frame, so a delta
     * document reusing a history id can never be confirmed against the
-    * wrong text. */
+    * wrong text.
+    *
+    * Caching contract (same as [[minhashLshOn]]): the candidate frame is
+    * persisted because it feeds three consumers, and it must outlive this
+    * call — the returned DataFrame still references it lazily, so it
+    * cannot be unpersisted here. CacheManager dedups repeated calls by
+    * canonicalized plan; callers running many batches through the public
+    * API should `spark.catalog.clearCache()` between batches (Bench and
+    * Verify do). */
   def incrementalOn(history: DataFrame, delta: DataFrame): DataFrame = {
     val histBands = bandHashes(history)
       .select(col("doc_id"),
@@ -304,13 +328,17 @@ object Dedup {
     * same contract as [[minhashLshOracle]]). */
   val incrementalOracle: String =
     s"""WITH $nearDupsCte,
-       |$shinglesCte
-       |SELECT a.doc_id AS delta_id, min(b.doc_id) AS dup_of,
-       |       count(*) AS n_dups, max($jaccardSql) AS best_jaccard
-       |FROM s a JOIN s b
-       |  ON a.doc_id >= 100000 AND b.doc_id < 100000
-       |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-       |  AND $jaccardSql >= 0.6
+       |$shinglesCte,
+       |inv AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+       |cand AS (SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS hist_id
+       |         FROM inv a JOIN inv b ON a.tok = b.tok
+       |         WHERE a.doc_id >= 100000 AND b.doc_id < 100000)
+       |SELECT delta_id, min(hist_id) AS dup_of,
+       |       count(*) AS n_dups, max(j) AS best_jaccard
+       |FROM (SELECT c.delta_id, c.hist_id, $jaccardSql AS j
+       |      FROM cand c JOIN s a ON a.doc_id = c.delta_id
+       |                  JOIN s b ON b.doc_id = c.hist_id
+       |      WHERE $jaccardSql >= 0.6)
        |GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
 
   // --- SimHash -------------------------------------------------------------
@@ -462,6 +490,41 @@ object Dedup {
   def clusterAssignOn(docs: DataFrame): DataFrame =
     clusterAssignImpl(docs.select(col("doc_id")), minhashLshOn(docs))
 
+  /** The duplicate-LOSER ids of a corpus: documents in a near-dup cluster
+    * that are not its min-id representative — [[clusterAssignOn]]'s
+    * complement, as an id frame ∝ TRUE DUPLICATES (never corpus size).
+    * That bound is what lets a composed pipeline drop near-dups with a
+    * broadcast ANTI join on the corpus scan instead of a corpus×corpus
+    * keeper join ([[graft.PipelineRun.curated]]). */
+  def nearDupLoserIds(docs: DataFrame): DataFrame =
+    clusterAssignOn(docs).filter(!col("is_keeper")).select(col("doc_id"))
+
+  /** CTE chain over the RAW `documents` table (no planted duplicates)
+    * yielding `keepers(doc_id)` — near-dup cluster representatives, the
+    * same shingle → shared-shingle candidates → exact-Jaccard → reachability
+    * pipeline as [[clusterAssignOracle]]. Requires `WITH RECURSIVE`.
+    * Shared by the composed pipeline oracle. */
+  private[graft] val rawKeepersCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                            for i in range(1, len(ws) - 1)]) AS sh
+       |      FROM w),
+       |$sharedShingleCandCte,
+       |p AS (SELECT c.a_id, c.b_id
+       |      FROM cand c JOIN s a ON a.doc_id = c.a_id
+       |                  JOIN s b ON b.doc_id = c.b_id
+       |      WHERE $jaccardSql >= 0.6),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM p
+       |          UNION ALL
+       |          SELECT b_id AS u, a_id AS v FROM p),
+       |reach(u, v) AS (
+       |  SELECT doc_id AS u, doc_id AS v FROM documents
+       |  UNION
+       |  SELECT r.u, edges.v FROM reach r JOIN edges ON r.v = edges.u),
+       |keepers AS (SELECT u AS doc_id FROM reach GROUP BY u
+       |            HAVING u = min(v))""".stripMargin
+
   /** Connected components over ANY undirected pair frame `(a_id, b_id)`
     * covering the node frame `docs(doc_id)` — the shared core of
     * [[clusterAssign]] (minhash pairs) and
@@ -517,7 +580,10 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = docs.sparkSession
     val driverMax = spark.conf.getOption("spark.graft.cc.driverMaxPairs")
-      .map(_.toLong).getOrElse(CcDriverMaxPairsDefault)
+      .map(v => try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.cc.driverMaxPairs must be a long, got '$v'")
+      }).getOrElse(CcDriverMaxPairsDefault)
     // driverMax > 0 so that setting the conf to 0 really does force the
     // distributed loop even on an empty pair set (the equality spec's
     // mechanism for exercising both paths)
@@ -593,10 +659,11 @@ object Dedup {
   val clusterAssignOracle: String =
     s"""WITH RECURSIVE $nearDupsCte,
        |$shinglesCte,
-       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |      WHERE len(a.sh) > 0 AND len(b.sh) > 0
-       |        AND $jaccardSql >= 0.6),
+       |$sharedShingleCandCte,
+       |p AS (SELECT c.a_id, c.b_id
+       |      FROM cand c JOIN s a ON a.doc_id = c.a_id
+       |                  JOIN s b ON b.doc_id = c.b_id
+       |      WHERE $jaccardSql >= 0.6),
        |e AS (SELECT a_id AS u, b_id AS v FROM p
        |      UNION ALL
        |      SELECT b_id AS u, a_id AS v FROM p),

@@ -11,13 +11,18 @@ import graft.sources.Tables
   * training-data pipeline needs over them — decode, feature-extract,
   * resize, frame-sample (SURVEY §2.4 extension surface).
   *
-  * DECODE IS A STUB by design: no media codec library ships in this
-  * environment, so the "decode" stage deterministically interprets the
-  * payload's bytes as the sample stream (for the fixtures, the UTF-8
-  * bytes of `text` stand in for decoded samples). Everything around the
-  * stub is real and tested: the binary column, the metadata struct, the
-  * per-stage Spark plans, and the `mapPartitions` batch plumbing
-  * ([[decodeFeatures]]) where a true codec slots in unchanged.
+  * Three REAL pure-JVM decoders run through the `mapPartitions` batch
+  * plumbing ([[decodeMedia]]): WAV/PCM audio ([[wavPcmDecoder]]), 24bpp
+  * BMP ([[bmpDecoder]]), and compressed PNG ([[pngDecoder]] — zlib
+  * inflate via `java.util.zip.Inflater` + all five scanline filters,
+  * grayscale and truecolor, CRC-checked). The PNG path is oracle-gated
+  * end to end (`mm_decode_png`): payloads are synthesized from the
+  * corpus text with [[pngEncode]] (real deflate, filters cycled per
+  * row, multi-IDAT), so DuckDB replays the decoded pixels from the
+  * text directly — any decode defect breaks the hash. Only formats
+  * whose codecs need external libs (JPEG/video) keep a deterministic
+  * stand-in ([[fakeDecoder]]): the expression-based demo stages below
+  * interpret the payload bytes as the sample stream.
   *
   * The expression-based stages are DuckDB-oracle-gated (byte/codepoint
   * arithmetic is exact in both engines); the `mapPartitions` path is
@@ -251,7 +256,12 @@ object Multimodal {
     val height = math.abs(heightRaw)
     val topDown = heightRaw < 0
     require(width > 0 && height > 0, "degenerate dimensions")
-    val rowBytes = ((24 * width + 31) / 32) * 4
+    // Long arithmetic + a dimension ceiling: a hostile header width must
+    // surface as this clear error, not an Int overflow that sneaks past
+    // the truncation check into a raw ArrayIndexOutOfBounds
+    require(width < (1 << 16) && height < (1 << 16),
+      s"implausible dimensions ${width}x$height")
+    val rowBytes = (((24L * width + 31) / 32) * 4).toInt
     require(dataAt.toLong + rowBytes.toLong * height <= payload.length,
       "truncated pixel data")
     val out = new Array[Float](width * height)
@@ -273,17 +283,287 @@ object Multimodal {
     out
   }
 
+  // --- PNG: the compressed-image decode path --------------------------------
+
+  private val PngSignature: Array[Int] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Paeth predictor (PNG spec §9, filter type 4): the tie-break order
+    * (left, up, up-left) is normative — both codec sides share this. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A REAL compressed-image ENCODER with zero external dependencies:
+    * 8-bit grayscale PNG. Scanlines are filtered with the type cycling
+    * `y % 5` — every row of a tall image exercises a different one of
+    * the five PNG filters (None/Sub/Up/Average/Paeth) — then deflated
+    * with `java.util.zip.Deflater` (real zlib) and emitted as MULTIPLE
+    * IDAT chunks (≤512 B each) so the decoder's chunk-reassembly path is
+    * always on. Chunk CRCs are real CRC-32s. Used to synthesize the
+    * `mm_decode_png` fixtures and by `MultimodalSpec`'s round-trips. */
+  def pngEncode(pixels: Array[Byte], width: Int): Array[Byte] = {
+    require(width > 0 && pixels.length > 0 && pixels.length % width == 0,
+      "pixels must be a positive multiple of width")
+    val height = pixels.length / width
+    // filter the scanlines: 1 filter-type byte + width filtered bytes each
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (width + 1)) = f.toByte
+      var x = 0
+      while (x < width) {
+        val cur = pixels(y * width + x) & 0xff
+        val left = if (x > 0) pixels(y * width + x - 1) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * width + x) & 0xff else 0
+        val upLeft = if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) & 0xff else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, upLeft)
+        }
+        raw(y * (width + 1) + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    PngSignature.foreach(out.write)
+    def be32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      val typBytes = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(typBytes)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typBytes); crc.update(data)
+      be32(crc.getValue)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    chunk("IHDR", ihdr)
+    zbuf.toByteArray.grouped(512).foreach(g => chunk("IDAT", g))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** A REAL compressed-image DECODER with zero external dependencies:
+    * PNG, 8-bit grayscale (color type 0) and truecolor RGB (color type
+    * 2), non-interlaced. Walks the chunk stream verifying every CRC-32,
+    * reassembles multi-IDAT zlib data, inflates with
+    * `java.util.zip.Inflater`, reverses all five scanline filters
+    * (None/Sub/Up/Average/Paeth), and emits row-major grayscale floats
+    * in [0, 1] (RGB via the Rec.601 luma weights, like [[bmpDecoder]]).
+    * Size arithmetic is done in Long with a dimension ceiling, so a
+    * hostile header fails with a clear message rather than an overflow.
+    * Oracle-gated end to end by `mm_decode_png` and round-trip/corrupt-
+    * payload gated by `MultimodalSpec`. */
+  def pngDecoder(payload: Array[Byte]): Array[Float] = {
+    require(payload.length >= 8 &&
+      (0 until 8).forall(i => (payload(i) & 0xff) == PngSignature(i)),
+      "not a PNG payload")
+    def be32(i: Int): Long =
+      ((payload(i) & 0xffL) << 24) | ((payload(i + 1) & 0xffL) << 16) |
+        ((payload(i + 2) & 0xffL) << 8) | (payload(i + 3) & 0xffL)
+    var width = -1
+    var height = -1
+    var bpp = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var seenIend = false
+    while (pos + 8 <= payload.length && !seenIend) {
+      val len = be32(pos)
+      require(pos + 12 + len <= payload.length, "truncated chunk")
+      val typ = new String(payload, pos + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, pos + 4, 4 + len.toInt)
+      require(crc.getValue == be32(pos + 8 + len.toInt), s"bad CRC in $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "malformed IHDR")
+          width = be32(pos + 8).toInt
+          height = be32(pos + 12).toInt
+          require(width >= 1 && height >= 1 &&
+            width < (1 << 16) && height < (1 << 16),
+            s"implausible dimensions ${width}x$height")
+          require((payload(pos + 16) & 0xff) == 8, "only bit depth 8 supported")
+          bpp = (payload(pos + 17) & 0xff) match {
+            case 0 => 1 // grayscale
+            case 2 => 3 // truecolor
+            case ct => throw new IllegalArgumentException(
+              s"unsupported color type $ct (grayscale/truecolor only)")
+          }
+          require((payload(pos + 18) & 0xff) == 0, "unknown compression method")
+          require((payload(pos + 19) & 0xff) == 0, "unknown filter method")
+          require((payload(pos + 20) & 0xff) == 0, "interlaced PNG not supported")
+        case "IDAT" =>
+          require(width > 0, "IDAT before IHDR")
+          idat.write(payload, pos + 8, len.toInt)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) are skippable
+      }
+      pos += 12 + len.toInt
+    }
+    require(seenIend, "missing IEND")
+    require(width > 0 && idat.size() > 0, "missing IHDR/IDAT")
+    val stride = width * bpp
+    val rawLenL = (stride.toLong + 1L) * height
+    require(rawLenL <= (1L << 28), "decoded image too large")
+    val rawLen = rawLenL.toInt
+    val raw = new Array[Byte](rawLen)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (off < rawLen && !inflater.finished()) {
+      val n = inflater.inflate(raw, off, rawLen - off)
+      require(n > 0 || !inflater.needsInput(), "truncated zlib stream")
+      off += n
+    }
+    val fullyDrained = inflater.finished() ||
+      inflater.inflate(new Array[Byte](1)) == 0
+    inflater.end()
+    require(off == rawLen && fullyDrained, "inflated size mismatch")
+    // reverse the per-scanline filters: recon needs only the previous
+    // reconstructed row, so two stride-sized buffers suffice
+    val out = new Array[Float](width * height)
+    val prevRow = new Array[Byte](stride) // all-zero above row 0, per spec
+    val curRow = new Array[Byte](stride)
+    var y = 0
+    while (y < height) {
+      val rowAt = y * (stride + 1)
+      val filter = raw(rowAt) & 0xff
+      require(filter <= 4, s"unknown filter type $filter")
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowAt + 1 + x) & 0xff
+        val left = if (x >= bpp) curRow(x - bpp) & 0xff else 0
+        val up = prevRow(x) & 0xff
+        val upLeft = if (x >= bpp) prevRow(x - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, upLeft)
+        }
+        curRow(x) = (recon & 0xff).toByte
+        x += 1
+      }
+      var px = 0
+      if (bpp == 1) {
+        while (px < width) {
+          out(y * width + px) = (curRow(px) & 0xff) / 255.0f
+          px += 1
+        }
+      } else {
+        while (px < width) {
+          val r = curRow(3 * px) & 0xff
+          val g = curRow(3 * px + 1) & 0xff
+          val b = curRow(3 * px + 2) & 0xff
+          out(y * width + px) =
+            (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+          px += 1
+        }
+      }
+      System.arraycopy(curRow, 0, prevRow, 0, stride)
+      y += 1
+    }
+    out
+  }
+
+  private[operators] val PngWidth = 16
+
+  /** Deterministic pixel synthesis both engines can derive from `text`:
+    * codepoint % 256 per character, space-padded (32) to a full
+    * `PngWidth`-wide raster. The PNG round trip is lossless, so DuckDB
+    * replays the DECODED pixels straight from the text — the oracle
+    * never needs zlib. */
+  private[operators] def pngPixels(text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val n = math.max(PngWidth,
+      ((cps.length + PngWidth - 1) / PngWidth) * PngWidth)
+    val px = Array.fill[Byte](n)(32)
+    var i = 0
+    while (i < cps.length) { px(i) = (cps(i) % 256).toByte; i += 1 }
+    px
+  }
+
+  /** `mm_decode_png`: synthesize a REAL compressed PNG per document
+    * (deflate + cycled filters + multi-IDAT), decode it back through the
+    * [[decodeMedia]] batch path with [[pngDecoder]], and fingerprint the
+    * decoded pixels (Karp–Rabin over `round(gray*255)` — exactly the
+    * synthesized byte for a correct decode). Encode and decode both run
+    * inside the partition iterator — payload bytes never leave their
+    * split, no shuffle. The DuckDB oracle derives the same fingerprint
+    * from `text` directly: any filter/inflate/chunk defect breaks the
+    * hash on every row. */
+  def decodePng(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.product[MediaRow]
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        MediaRow(id, pngEncode(pngPixels(text), PngWidth))
+      }(enc).toDF()
+    val decoded = decodeMedia(src, pngDecoder)
+    val px = transform(col("features"),
+      f => round(f.cast("double") * 255).cast("long"))
+    val fp = aggregate(px, lit(0L),
+      (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
+    decoded.select(
+      col("doc_id"),
+      size(col("features")).cast("long").as("n_px"),
+      fp.as("px_fp"))
+  }
+
+  val decodePngOracle: String =
+    """WITH w AS (SELECT doc_id,
+      |                  list_transform(
+      |                    list_filter(string_split(text, ''), c -> len(c) = 1),
+      |                    c -> ord(c) % 256) AS px0
+      |           FROM documents),
+      |p AS (SELECT doc_id, px0,
+      |             greatest(16, CAST(ceil(len(px0) / 16.0) AS INT) * 16) AS n
+      |      FROM w)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_px,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                     [CAST(coalesce(px0[i], 32) AS BIGINT)
+      |                      for i in range(1, n + 1)]),
+      |                   (a, b) -> (a * 31 + b) % 1000000007) AS px_fp
+      |FROM p ORDER BY 1, 2, 3""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (metadata _),
     "mm_features" -> (features _),
     "mm_frame_sample" -> (frameSample _),
-    "mm_resize" -> (resize _))
+    "mm_resize" -> (resize _),
+    "mm_decode_png" -> (decodePng _))
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> metadataOracle,
     "mm_features" -> featuresOracle,
     "mm_frame_sample" -> frameSampleOracle,
-    "mm_resize" -> resizeOracle)
+    "mm_resize" -> resizeOracle,
+    "mm_decode_png" -> decodePngOracle)
 }

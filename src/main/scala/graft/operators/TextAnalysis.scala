@@ -276,18 +276,29 @@ object TextAnalysis {
     when(splitBucketExpr < 90, "train")
       .when(splitBucketExpr < 95, "val").otherwise("test")
 
-  val trainSplitOracle: String =
-    """WITH b AS (
-      |  SELECT doc_id,
-      |         list_reduce(list_transform(string_split(text, ''),
+  /** The content-keyed split bucket as a SQL fragment over a `text`
+    * column — shared by [[trainSplitOracle]] and the composed pipeline
+    * oracle. */
+  private[graft] val splitBucketSql: String =
+    """list_reduce(list_transform(string_split(text, ''),
       |                                    c -> CAST(ord(c) AS BIGINT)),
-      |                     (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
-      |  FROM documents)
-      |SELECT doc_id, bucket,
-      |       CASE WHEN bucket < 90 THEN 'train'
-      |            WHEN bucket < 95 THEN 'val'
-      |            ELSE 'test' END AS split
-      |FROM b ORDER BY 1, 2, 3""".stripMargin
+      |                     (a, b) -> (a * 31 + b) % 1000000007) % 100""".stripMargin
+
+  private[graft] val splitCaseSql: String =
+    s"""CASE WHEN $splitBucketSql < 90 THEN 'train'
+       |            WHEN $splitBucketSql < 95 THEN 'val'
+       |            ELSE 'test' END""".stripMargin
+
+  val trainSplitOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         $splitBucketSql AS bucket
+       |  FROM documents)
+       |SELECT doc_id, bucket,
+       |       CASE WHEN bucket < 90 THEN 'train'
+       |            WHEN bucket < 95 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b ORDER BY 1, 2, 3""".stripMargin
 
   /** Per-group top-k: the 3 highest-quality documents per labeled
     * language — the "keep the best N per stratum" curation step. One
@@ -793,15 +804,18 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
 
+  /** The normalization chain as a SQL fragment over a `text` column —
+    * shared by [[normalizeOracle]] and the composed pipeline oracle. */
+  private[graft] val normTextSql: String =
+    """trim(regexp_replace(
+      |              regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |              '  +', ' ', 'g'))""".stripMargin
+
   val normalizeOracle: String =
-    """SELECT doc_id,
-      |       trim(regexp_replace(
-      |              regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-      |              '  +', ' ', 'g')) AS norm_text,
-      |       length(trim(regexp_replace(
-      |              regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-      |              '  +', ' ', 'g'))) AS n_norm_chars
-      |FROM documents ORDER BY 1, 2, 3""".stripMargin
+    s"""SELECT doc_id,
+       |       $normTextSql AS norm_text,
+       |       length($normTextSql) AS n_norm_chars
+       |FROM documents ORDER BY 1, 2, 3""".stripMargin
 
   /** Repetition detection (the Gopher-style boilerplate signal): the
     * fraction of a document's word-3-grams occupied by its single most
@@ -865,6 +879,21 @@ object TextAnalysis {
   val qualityKeepExpr: Column =
     qualityOkLen && qualityOkWordLen && qualityOkSymbols && qualityHasStopword
 
+  /** The keep verdict as a SQL fragment over a `text` column — shared by
+    * [[qualityRulesOracle]] and the composed pipeline oracle
+    * ([[graft.PipelineRun.curatedOracle]]) so the two can never drift. */
+  private[graft] val qualityKeepSql: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val meanWordLen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nTok"
+    val symbolRatio =
+      """CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+        | AS DOUBLE) / CAST(length(text) AS DOUBLE)""".stripMargin
+    s"""(len(string_split(text, ' ')) BETWEEN 5 AND 10000)
+       |         AND ($meanWordLen >= 2.0 AND $meanWordLen <= 12.0)
+       |         AND ($symbolRatio <= 0.2)
+       |         AND (${sqlCount(EnWords)} >= 1)""".stripMargin
+  }
+
   val qualityRulesOracle: String = {
     val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
     val meanWordLen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nTok"
@@ -876,10 +905,7 @@ object TextAnalysis {
        |       $meanWordLen >= 2.0 AND $meanWordLen <= 12.0 AS ok_word_len,
        |       $symbolRatio <= 0.2 AS ok_symbols,
        |       ${sqlCount(EnWords)} >= 1 AS has_stopword,
-       |       (len(string_split(text, ' ')) BETWEEN 5 AND 10000)
-       |         AND ($meanWordLen >= 2.0 AND $meanWordLen <= 12.0)
-       |         AND ($symbolRatio <= 0.2)
-       |         AND (${sqlCount(EnWords)} >= 1) AS keep
+       |       $qualityKeepSql AS keep
        |FROM documents ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
@@ -898,14 +924,30 @@ object TextAnalysis {
     "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
     "[0-9]{8,}" -> "<NUM>")
 
+  /** The default mask chain as a per-row Column over `text` — shared by
+    * [[piiMaskOn]] and the composed curation pipeline's single-scan
+    * projection. */
+  private[graft] val piiMaskedExpr: Column =
+    DefaultPiiPatterns.foldLeft(col("text")) {
+      case (c, (re, rep)) => regexp_replace(c, re, rep)
+    }
+
+  /** Its DuckDB replay, as a fragment over a `text` column. */
+  private[graft] val piiMaskedSql: String =
+    DefaultPiiPatterns.foldLeft("text") {
+      case (c, (re, rep)) => s"regexp_replace($c, '$re', '$rep', 'g')"
+    }
+
   /** PII masking over any (doc_id, text) frame — the sanitization pass
     * before a corpus leaves the pipeline. Single-pass scan, no shuffle;
     * the whole chain stays one codegen'd projection. */
   def piiMaskOn(df: DataFrame,
       patterns: Seq[(String, String)] = DefaultPiiPatterns): DataFrame = {
-    val masked = patterns.foldLeft(col("text")) {
-      case (c, (re, rep)) => regexp_replace(c, re, rep)
-    }
+    val masked =
+      if (patterns == DefaultPiiPatterns) piiMaskedExpr
+      else patterns.foldLeft(col("text")) {
+        case (c, (re, rep)) => regexp_replace(c, re, rep)
+      }
     df.select(col("doc_id"), masked.as("masked_text"),
       (length(col("text")) - length(masked)).cast("long").as("chars_masked"))
   }
@@ -938,9 +980,7 @@ object TextAnalysis {
     piiMaskOn(withPlantedPii(spark, dir))
 
   val piiMaskOracle: String = {
-    val maskedSql = DefaultPiiPatterns.foldLeft("text") {
-      case (c, (re, rep)) => s"regexp_replace($c, '$re', '$rep', 'g')"
-    }
+    val maskedSql = piiMaskedSql
     s"""WITH d AS (
        |  SELECT doc_id,
        |         text

@@ -90,10 +90,9 @@ object StreamingAsof {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(stateFn)
     val sink = s"graft_sasof_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = joined.toDF()
-      .writeStream.format("memory").queryName(sink).outputMode("append")
-      .start()
-    try query.processAllAvailable() finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    StreamingStaging.runAndConsume(spark, sink, streamDir)(
+      joined.toDF()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start())
   }
 }

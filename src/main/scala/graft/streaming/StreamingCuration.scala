@@ -71,10 +71,9 @@ object StreamingCuration {
     val schema = spark.read.parquet(path).schema
     val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val query = curationOf(docs)
-      .writeStream.format("memory").queryName(sink).outputMode("append")
-      .start()
-    try query.processAllAvailable() finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    StreamingStaging.runAndConsume(spark, sink, streamDir)(
+      curationOf(docs)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start())
   }
 }

@@ -52,24 +52,24 @@ object StreamingDecontaminate {
           graft.sources.Tables.documents(spark, dir)
             .select(col("doc_id"), col("text"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val words = TextAnalysis.bloomWordsOf(testShingles)
-    val (docs, streamDir) = streamingDocs(spark, dir)
-    val trainShingles = TextAnalysis.trainShinglesOf(
-      TextAnalysis.contaminationShingled(docs))
-    val flagged = trainShingles
-      .withColumn("h1", TextAnalysis.bloomH1)
-      .withColumn("h2", TextAnalysis.bloomH2)
-      .filter(TextAnalysis.bloomPassExpr(words))
-      .select(col("doc_id"), col("sh"))
-      .join(testShingles, Seq("sh")) // stream-static exact confirm
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    val query = flagged
-      .writeStream.format("memory").queryName(sink).outputMode("complete")
-      .start()
-    try query.processAllAvailable() finally query.stop()
-    val out = StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
-    testShingles.unpersist()
-    out
+    try {
+      val words = TextAnalysis.bloomWordsOf(testShingles)
+      val (docs, streamDir) = streamingDocs(spark, dir)
+      StreamingStaging.runAndConsume(spark, sink, streamDir) {
+        val trainShingles = TextAnalysis.trainShinglesOf(
+          TextAnalysis.contaminationShingled(docs))
+        val flagged = trainShingles
+          .withColumn("h1", TextAnalysis.bloomH1)
+          .withColumn("h2", TextAnalysis.bloomH2)
+          .filter(TextAnalysis.bloomPassExpr(words))
+          .select(col("doc_id"), col("sh"))
+          .join(testShingles, Seq("sh")) // stream-static exact confirm
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+        flagged
+          .writeStream.format("memory").queryName(sink).outputMode("complete")
+          .start()
+      }
+    } finally testShingles.unpersist()
   }
 }

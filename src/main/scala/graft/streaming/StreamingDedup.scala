@@ -69,11 +69,10 @@ object StreamingDedup {
   def exactAggStreaming(spark: SparkSession, dir: String): DataFrame = {
     val sink = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val (docs, streamDir) = streamingDocs(spark, dir)
-    val query = exactAggOf(docs)
-      .writeStream.format("memory").queryName(sink).outputMode("complete")
-      .start()
-    try query.processAllAvailable() finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    StreamingStaging.runAndConsume(spark, sink, streamDir)(
+      exactAggOf(docs)
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .start())
   }
 
   /** Streaming keep-first dedup: stateful `dropDuplicates` on the content
@@ -81,12 +80,11 @@ object StreamingDedup {
   def dropDupStreaming(spark: SparkSession, dir: String): DataFrame = {
     val sink = s"graft_stream_dropdup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val (docs, streamDir) = streamingDocs(spark, dir)
-    val query = docs
-      .withColumn("text_hash", md5(col("text")))
-      .dropDuplicates("text_hash")
-      .writeStream.format("memory").queryName(sink).outputMode("append")
-      .start()
-    try query.processAllAvailable() finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    StreamingStaging.runAndConsume(spark, sink, streamDir)(
+      docs
+        .withColumn("text_hash", md5(col("text")))
+        .dropDuplicates("text_hash")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start())
   }
 }

@@ -82,10 +82,10 @@ object StreamingEvents {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 second")
     val sink = s"graft_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = sessionAggOf(events)
-      .writeStream.format("memory").queryName(sink).outputMode("append")
-      .start()
-    try {
+    StreamingStaging.runAndDrive(spark, sink, streamDir)(
+      sessionAggOf(events)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()) { query =>
       query.processAllAvailable()
       // Sentinel: one event far past the fixture's horizon (raw schema —
       // ts in nanoseconds) advances the watermark so every real session
@@ -101,10 +101,7 @@ object StreamingEvents {
         rawSchema)
       sentinel.write.mode("append").parquet(streamDir.toString)
       query.processAllAvailable()
-    } finally {
-      query.stop()
     }
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
       .filter(col("user_id") =!= -1L)
   }
 
@@ -127,14 +124,9 @@ object StreamingEvents {
     val events = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val sink = s"graft_stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = hourlyAggOf(events)
-      .writeStream.format("memory").queryName(sink).outputMode("complete")
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally {
-      query.stop()
-    }
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    StreamingStaging.runAndConsume(spark, sink, streamDir)(
+      hourlyAggOf(events)
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .start())
   }
 }

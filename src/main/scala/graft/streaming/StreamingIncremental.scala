@@ -76,28 +76,28 @@ object StreamingIncremental {
     val histSh = Dedup.withShingles(history)
       .select(col("doc_id").as("hist_id"), col("sh").as("b_sh"))
     val (delta, streamDir) = streamingDelta(spark, dir)
-    val deltaBands = Dedup.withShingles(delta)
-      .select(col("doc_id").as("delta_id"),
-        graft.functions.SketchScalarFunctions
-          .minhash_bands_of(col("sh"), Dedup.NumHashes, Dedup.NumBands)
-          .as("bands"),
-        col("sh").as("a_sh"))
-      .select(col("delta_id"), col("a_sh"),
-        posexplode(col("bands")).as(Seq("band", "bandHash")))
-    val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-      size(array_union(col("a_sh"), col("b_sh"))).cast("double")
-    val pairs = deltaBands
-      .join(histBands, Seq("band", "bandHash"))
-      .join(histSh, Seq("hist_id"))
-      .select(col("delta_id"), col("hist_id"), jac.as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
-      .groupBy(col("delta_id"), col("hist_id"))
-      .agg(max(col("jaccard")).as("jaccard"))
-    val query = pairs
-      .writeStream.format("memory").queryName(sink).outputMode("complete")
-      .start()
-    try query.processAllAvailable() finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    StreamingStaging.runAndConsume(spark, sink, streamDir) {
+      val deltaBands = Dedup.withShingles(delta)
+        .select(col("doc_id").as("delta_id"),
+          graft.functions.SketchScalarFunctions
+            .minhash_bands_of(col("sh"), Dedup.NumHashes, Dedup.NumBands)
+            .as("bands"),
+          col("sh").as("a_sh"))
+        .select(col("delta_id"), col("a_sh"),
+          posexplode(col("bands")).as(Seq("band", "bandHash")))
+      val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))).cast("double")
+      val pairs = deltaBands
+        .join(histBands, Seq("band", "bandHash"))
+        .join(histSh, Seq("hist_id"))
+        .select(col("delta_id"), col("hist_id"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+        .groupBy(col("delta_id"), col("hist_id"))
+        .agg(max(col("jaccard")).as("jaccard"))
+      pairs
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .start()
+    }
       .groupBy(col("delta_id"))
       .agg(min(col("hist_id")).as("dup_of"),
         count(lit(1)).as("n_dups"),

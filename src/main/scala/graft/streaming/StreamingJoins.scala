@@ -42,9 +42,8 @@ object StreamingJoins {
         (unix_micros(col("purchase_ts")) - unix_micros(col("error_ts")))
           .as("gap_us"))
     val sink = s"graft_sjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    StreamingStaging.runAndConsume(spark, sink, streamDir)(
+      joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start())
   }
 }

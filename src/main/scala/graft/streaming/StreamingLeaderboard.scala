@@ -86,10 +86,10 @@ object StreamingLeaderboard {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(stateFn)
     val sink = s"graft_stream_lead_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = ranked.toDF()
-      .writeStream.format("memory").queryName(sink).outputMode("append")
-      .start()
-    try {
+    StreamingStaging.runAndDrive(spark, sink, streamDir)(
+      ranked.toDF()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()) { query =>
       query.processAllAvailable()
       val maxNs = spark.read.parquet(path).agg(max(col("ts"))).head().getLong(0)
       import scala.jdk.CollectionConverters._
@@ -100,8 +100,7 @@ object StreamingLeaderboard {
         rawSchema)
       sentinel.write.mode("append").parquet(streamDir.toString)
       query.processAllAvailable()
-    } finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    }
       .filter(col("event_id") =!= -1L)
   }
 }

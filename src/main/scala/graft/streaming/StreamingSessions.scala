@@ -102,10 +102,10 @@ object StreamingSessions {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(stateFn)
     val sink = s"graft_fmgws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = sessions.toDF()
-      .writeStream.format("memory").queryName(sink).outputMode("append")
-      .start()
-    try {
+    StreamingStaging.runAndDrive(spark, sink, streamDir)(
+      sessions.toDF()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()) { query =>
       query.processAllAvailable()
       val maxNs = spark.read.parquet(path).agg(max(col("ts"))).head().getLong(0)
       import scala.jdk.CollectionConverters._
@@ -116,8 +116,7 @@ object StreamingSessions {
         rawSchema)
       sentinel.write.mode("append").parquet(streamDir.toString)
       query.processAllAvailable()
-    } finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    }
       .filter(col("user_id") =!= -1L)
   }
 }

@@ -36,11 +36,9 @@ object StreamingSketch {
     val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
     val sketch = TextAnalysis.cmsSketchOf(TextAnalysis.cmsTokensOf(docs))
     val sink = s"graft_stream_cms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = sketch
-      .writeStream.format("memory").queryName(sink).outputMode("complete")
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-    StreamingStaging.cleanupOnConsume(spark, sink, streamDir)
+    StreamingStaging.runAndConsume(spark, sink, streamDir)(
+      sketch
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .start())
   }
 }

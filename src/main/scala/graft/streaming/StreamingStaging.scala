@@ -14,6 +14,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sink table and deletes the staging dir eagerly. */
 object StreamingStaging {
 
+  /** Run a staged replay to completion and consume its memory sink,
+    * cleaning up BOTH the sink view and the staging dir even when the
+    * query — or the static-side build evaluated lazily inside `start` —
+    * throws. Without the failure path, a crashed replay leaks the temp
+    * dir and the sink view for the rest of the session. `start` is
+    * by-name so the whole query construction is covered. */
+  def runAndConsume(spark: SparkSession, sink: String,
+      streamDir: java.nio.file.Path)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): DataFrame =
+    runAndDrive(spark, sink, streamDir)(start)(_.processAllAvailable())
+
+  /** [[runAndConsume]] with a custom drive step — for replays that feed
+    * the source mid-run (e.g. the watermark sentinel batch). */
+  def runAndDrive(spark: SparkSession, sink: String,
+      streamDir: java.nio.file.Path)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)(
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    try {
+      val query = start
+      try drive(query) finally query.stop()
+      cleanupOnConsume(spark, sink, streamDir)
+    } catch { case e: Throwable =>
+      try spark.catalog.dropTempView(sink) catch { case _: Throwable => () }
+      try deleteRecursively(streamDir) catch { case _: Throwable => () }
+      throw e
+    }
+  }
+
   def cleanupOnConsume(spark: SparkSession, sink: String,
       streamDir: java.nio.file.Path): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -57,10 +57,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     "events_sliding_agg" -> 1,
     "events_value_quantiles" -> 1,
     "events_zorder_key" -> 0,
+    "mm_decode_png" -> 0, // encode+decode inside the partition iterator
     "mm_features" -> 0,
     "mm_frame_sample" -> 0,
     "mm_metadata" -> 0,
     "mm_resize" -> 0,
+    "pipeline_curated" -> 1, // single-scan projection; dedup window only
     "q1_stock_lookup" -> 0,
     "q2_brand_filter" -> 0,
     "q3_orders_by_date" -> 0,

@@ -126,6 +126,109 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("REAL decode: compressed PNGs round-trip through decodeMedia") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    // ≥5 rows so every PNG filter type (y % 5) is exercised; a wide image
+    // so the deflated stream spans multiple 512-byte IDAT chunks
+    val images: Seq[(Long, Array[Byte], Int)] = Seq(
+      (1L, Array.tabulate[Byte](16 * 7)(i => (i * 37 % 256).toByte), 16),
+      (2L, Array.fill[Byte](256 * 8)(rng.nextInt(256).toByte), 256),
+      (3L, Array.fill[Byte](4)(0), 2), // constant-black tiny image
+      (4L, Array.tabulate[Byte](3 * 5)(i => (255 - i).toByte), 3))
+    val df = images.map { case (id, px, w) =>
+      (id, Multimodal.pngEncode(px, w))
+    }.toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, Multimodal.pngDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    images.foreach { case (id, px, _) =>
+      val expect = px.map(b => (b & 0xff) / 255.0f).toSeq
+      assert(out(id) == expect, s"image $id")
+    }
+    // multi-IDAT is actually on for the wide image (512-byte chunks)
+    val wide = Multimodal.pngEncode(images(1)._2, 256)
+    var pos = 8
+    var idatCount = 0
+    while (pos + 8 <= wide.length) {
+      val len = ((wide(pos) & 0xff) << 24) | ((wide(pos + 1) & 0xff) << 16) |
+        ((wide(pos + 2) & 0xff) << 8) | (wide(pos + 3) & 0xff)
+      if (new String(wide, pos + 4, 4, "US-ASCII") == "IDAT") idatCount += 1
+      pos += 12 + len
+    }
+    assert(idatCount >= 2, s"expected multi-IDAT, got $idatCount chunk(s)")
+  }
+
+  test("PNG decoder handles truecolor RGB and rejects corrupt payloads") {
+    // hand-built RGB PNG (color type 2, filter 0 rows) — the decoder must
+    // apply the same Rec.601 luma as the BMP path
+    def rgbPng(width: Int, height: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {
+      val raw = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until height) {
+        raw.write(0) // filter: None
+        for (x <- 0 until width) {
+          val (r, g, b) = px(y * width + x)
+          raw.write(r); raw.write(g); raw.write(b)
+        }
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw.toByteArray); deflater.finish()
+      val zbuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream()
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        def be32(v: Long): Unit = (24 to 0 by -8)
+          .foreach(s => out.write(((v >>> s) & 0xff).toInt))
+        be32(data.length.toLong)
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        be32(crc.getValue)
+      }
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+        .putInt(width).putInt(height).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array())
+      chunk("IDAT", zbuf.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (128, 128, 128))
+    val expect = px.map { case (r, g, b) =>
+      (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f }
+    assert(Multimodal.pngDecoder(rgbPng(2, 2, px)).toSeq == expect)
+    // corruption surfaces as clear errors, never silent wrong pixels
+    val good = Multimodal.pngEncode(Array.tabulate[Byte](32)(_.toByte), 16)
+    intercept[IllegalArgumentException] { // flipped payload byte → CRC fail
+      val bad = good.clone(); bad(40) = (bad(40) ^ 0x1).toByte
+      Multimodal.pngDecoder(bad)
+    }
+    intercept[IllegalArgumentException] { // truncated stream
+      Multimodal.pngDecoder(good.take(good.length - 8))
+    }
+    intercept[IllegalArgumentException] { // not a PNG at all
+      Multimodal.pngDecoder("definitely not a png".getBytes("US-ASCII"))
+    }
+  }
+
+  test("mm_decode_png fingerprints equal the text-derived oracle pixels") {
+    // the in-Spark replay of the DuckDB oracle arithmetic: codepoint % 256,
+    // space-padded to a 16-wide raster, Karp–Rabin base 31 mod 1e9+7
+    val got = Multimodal.decodePng(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty && got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val px = Multimodal.pngPixels(text)
+      val fp = px.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      assert(got(id) == ((px.length.toLong, fp)), s"doc $id")
+    }
+  }
+
   test("payload metadata carries byte-accurate sizes") {
     val rows = Multimodal.metadata(spark, dir).collect()
     assert(rows.nonEmpty)
