@@ -1,11 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for the dedup LSH bench hogs (temporary). Mirrors the
-  * CURRENT Dedup stages (materialized token arrays), so stage times add up
-  * to the real pipeline cost. */
+/** Scratch profiler (temporary; repointed per round at the current bench
+  * hog). Round 7: where does `text_decontaminate_bloom`'s ~1.8 s constant
+  * go — the bloom BUILD job (test-shingle distinct + bit_or collect), the
+  * 16 K-long array-literal probe, or the exact-confirm join? */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,54 +27,52 @@ object Profile {
 
     // warmup
     graft.sources.Tables.region(spark, sfDir).count()
+    graft.operators.TextAnalysis.decontaminateBloom(spark, sfDir).count()
+    spark.catalog.clearCache()
 
-    // --- current Dedup stages, replicated ---------------------------------
-    def shinglesOf(ws: Column): Column =
-      graft.functions.StringFunctions.word_shingles(ws, 3)
-
-    def withShingles(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), shinglesOf(col("ws")).as("sh"))
-
-    val d = graft.sources.Tables.documents(spark, sfDir)
+    import graft.operators.TextAnalysis._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-    val ws = col("ws")
-    val truncLen = floor((size(ws) * lit(9)).cast("double") / lit(10.0)).cast("int")
-    val withNear = d.unionAll(d.filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select((col("doc_id") + 100000L).as("doc_id"),
-        concat_ws(" ", slice(ws, lit(1), truncLen)).as("text")))
 
-    time("withNearDups")(withNear.count())
-    val shingled = withShingles(withNear)
-    time("shingle arrays")(shingled.count())
-    val bands = shingled.select(col("doc_id"),
-      graft.functions.SketchScalarFunctions
-        .minhash_bands_of(col("sh"), 64, 16).as("bands"))
-    time("scalar minhash bands")(bands.count())
-    val banded = bands.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band", "bandHash")))
-    time("banded rows (no persist)")(banded.count())
-    time("full minhashLsh")(graft.operators.Dedup.minhashLsh(spark, sfDir).count())
-    spark.catalog.clearCache()
-    time("full minhashLsh (cache cleared)")(
-      graft.operators.Dedup.minhashLsh(spark, sfDir).count())
+    // stage 1: test-shingle distinct (persisted in the real query)
+    val sh = contaminationShingled(docs)
+    val testShingles = testShinglesOf(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("1 test-shingle distinct (persist+count)")(testShingles.count())
 
-    // --- simhash stages ----------------------------------------------------
-    val sbands = shingled.select(col("doc_id"),
-      graft.functions.SketchScalarFunctions.simhash_bands_of(col("sh")).as("b4"))
-    time("scalar simhash bands")(sbands.count())
-    time("full simhash")(graft.operators.Dedup.simhashPairs(spark, sfDir).count())
-    spark.catalog.clearCache()
-    time("full simhash (cache cleared)")(
-      graft.operators.Dedup.simhashPairs(spark, sfDir).count())
+    // stage 2: bloom bitmask build (bit_or groupBy + collect)
+    var words: Array[Long] = null
+    time("2 bloom build (bit_or + collect)") {
+      words = bloomWordsOf(testShingles); words.length.toLong
+    }
 
-    // --- cluster assignment ------------------------------------------------
-    time("full clusterAssign")(
-      graft.operators.Dedup.clusterAssign(spark, sfDir).count())
+    // stage 3: probe only — train shingles through the k literal probes
+    val trainShingles = trainShinglesOf(sh)
+    time("3 probe only (literal bloom filter)")(
+      trainShingles.withColumn("h1", bloomH1).withColumn("h2", bloomH2)
+        .filter(bloomPassExpr(words)).count())
+
+    // stage 4: probe + exact-confirm join + agg (warm persisted shingles)
+    time("4 probe+confirm+agg (warm)") {
+      trainShingles.withColumn("h1", bloomH1).withColumn("h2", bloomH2)
+        .filter(bloomPassExpr(words))
+        .select(col("doc_id"), col("sh"))
+        .join(testShingles, Seq("sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .count()
+    }
+    testShingles.unpersist()
     spark.catalog.clearCache()
-    time("full clusterAssign (cache cleared)")(
-      graft.operators.Dedup.clusterAssign(spark, sfDir).count())
+
+    // end-to-end, cold (what Bench times)
+    time("5 full decontaminateBloom (cold)")(
+      graft.operators.TextAnalysis.decontaminateBloom(spark, sfDir).count())
+    spark.catalog.clearCache()
+    time("6 full decontaminate exact (cold)")(
+      graft.operators.TextAnalysis.decontaminate(spark, sfDir).count())
+    spark.catalog.clearCache()
+    time("7 full decontaminateBloom again (cold)")(
+      graft.operators.TextAnalysis.decontaminateBloom(spark, sfDir).count())
 
     spark.stop()
   }

@@ -145,7 +145,16 @@ object Dedup {
     // semantics-preserving guard.
     val s = withShingles(withNearDups(spark, dir))
       .filter(size(col("sh")) > 0)
-    val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    // repartition the STREAMED side of the nested-loop join: the fixture
+    // arrives as one parquet split, and without this the whole n²·L
+    // intersect work runs as a single task (observed 15+ min single-core
+    // at sf0.1) — the shuffle moves n rows to buy n-way parallelism on
+    // the quadratic part. The partition count is EXPLICIT: task cost here
+    // is rows-per-partition × n, so AQE's size-based coalescing (which
+    // sees a few MB and merges to ~3 partitions) would undo the fan-out.
+    val nParts = spark.sparkContext.defaultParallelism
+    val a = s.repartition(nParts, col("doc_id"))
+      .select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
       size(array_union(col("a_sh"), col("b_sh"))).cast("double")

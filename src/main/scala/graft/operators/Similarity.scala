@@ -73,7 +73,12 @@ object Similarity {
   /** Exact cosine top-k neighbors per vector — O(n²·d) baseline. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val a = v.select(col("vec_id").as("vec_id"), col("ev").as("a_ev"))
+    // repartition the streamed side so the n²·d work parallelizes (the
+    // fixture is one parquet split → one task otherwise; explicit count
+    // because AQE's size-based coalescing would merge the small-byte /
+    // quadratic-cost partitions back — same note as Dedup.jaccardBrute)
+    val a = v.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("vec_id"), col("ev").as("a_ev"))
     val b = v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -123,7 +128,9 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.9). */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = withNearDupVecs(spark, dir)
-    val a = v.select(col("vec_id").as("a_id"), col("ev").as("a_ev"))
+    // streamed-side repartition for cartesian parallelism (see cosineTopK)
+    val a = v.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("a_id"), col("ev").as("a_ev"))
     val b = v.select(col("vec_id").as("b_id"), col("ev").as("b_ev"))
     (a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
