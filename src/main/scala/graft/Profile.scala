@@ -46,17 +46,17 @@ object Profile {
       words = bloomWordsOf(testShingles); words.length.toLong
     }
 
-    // stage 3: probe only — train shingles through the k literal probes
-    val trainShingles = trainShinglesOf(sh)
-    time("3 probe only (literal bloom filter)")(
-      trainShingles.withColumn("h1", bloomH1).withColumn("h2", bloomH2)
-        .filter(bloomPassExpr(words)).count())
+    // stage 3: probe only — native array-level bloom filter on the scan
+    def probed = sh.filter(col("bucket") < 90)
+      .select(col("doc_id"),
+        graft.functions.SketchScalarFunctions
+          .bloom_shingle_filter(col("sh"), words).as("sh_pass"))
+      .select(col("doc_id"), explode(col("sh_pass")).as("sh"))
+    time("3 probe only (native array bloom filter)")(probed.count())
 
     // stage 4: probe + exact-confirm join + agg (warm persisted shingles)
     time("4 probe+confirm+agg (warm)") {
-      trainShingles.withColumn("h1", bloomH1).withColumn("h2", bloomH2)
-        .filter(bloomPassExpr(words))
-        .select(col("doc_id"), col("sh"))
+      probed
         .join(testShingles, Seq("sh"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
         .count()

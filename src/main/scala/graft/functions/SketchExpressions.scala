@@ -185,6 +185,128 @@ object SimHashBandsOf {
   }
 }
 
+/** Bloom-filter hashing shared by the BUILD side ([[BloomPositions]])
+  * and the PROBE side ([[BloomShingleFilter]]) — one definition, so the
+  * two can never drift. ONE 64-bit xxHash64 draw per shingle, split into
+  * the two double-hashing bases (Kirsch–Mitzenmacher: position i =
+  * (h1 + i·h2) mod m); `h2 | 1` keeps the stride nonzero. Replaces the
+  * previous TWO whole-string xxhash64 evaluations per probe — at sf0.1
+  * the second hash alone was ~0.2 s of corpus scan. The family is not
+  * oracle-visible: the bloom only prunes, exactness comes from the
+  * confirm join. */
+object BloomHashing {
+  /** Filter size in bits (2²⁰ = 128 KiB of bitmask) and probe count.
+    * Sized for ~50 k test shingles at k=5 → false-positive rate ≈ 5·10⁻⁴;
+    * at a larger benchmark suite, grow bits — the broadcast stays
+    * kilobytes while the exact shingle set it replaces is gigabytes. */
+  val Bits = 1L << 20
+  val K = 5
+  val Words: Int = (Bits >> 6).toInt
+
+  private def h1h2(s: org.apache.spark.unsafe.types.UTF8String): (Long, Long) = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    (java.lang.Math.floorMod(h, Bits),
+      java.lang.Math.floorMod(h >>> 21, Bits) | 1L)
+  }
+
+  /** The k bit positions of one shingle (build side). */
+  def positions(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val (h1, h2) = h1h2(s)
+    Array.tabulate(K)(i => (h1 + i * h2) % Bits)
+  }
+
+  /** k O(1) probes against the dense bitmask, short-circuiting on the
+    * first clear bit (probe side). */
+  def contains(words: Array[Long], s: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val (h1, h2) = h1h2(s)
+    var i = 0
+    while (i < K) {
+      val p = (h1 + i * h2) % Bits
+      if (((words((p >>> 6).toInt) >>> (p & 63L).toInt) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** Build-side positions of one shingle: k longs. */
+case class BloomPositions(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_positions"
+
+  override def nullSafeEval(input: Any): Any =
+    BloomPositions.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BloomPositions.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): BloomPositions =
+    copy(child = newChild)
+}
+
+object BloomPositions {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    new GenericArrayData(BloomHashing.positions(s))
+}
+
+/** Probe side: filter a shingle ARRAY through the bloom bitmask in one
+  * JVM loop per row — the elements the filter cannot rule out (true
+  * members + the ≈5·10⁻⁴ false-positive residue). Operating on the
+  * array BEFORE the explode is the point: the Generate then emits only
+  * survivors (∝ contamination) instead of every corpus shingle, and the
+  * bitmask rides into codegen as ONE reference object (128 KiB) instead
+  * of per-row literal plumbing. */
+case class BloomShingleFilter(child: Expression, words: Array[Long])
+    extends UnaryExpression {
+
+  require(words.length == BloomHashing.Words,
+    s"bitmask must be ${BloomHashing.Words} words, got ${words.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bloom_shingle_filter"
+
+  override def nullSafeEval(input: Any): Any =
+    BloomShingleFilter.compute(input.asInstanceOf[ArrayData], words)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BloomShingleFilter.compute($a, $wordsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomShingleFilter =
+    copy(child = newChild)
+}
+
+object BloomShingleFilter {
+  def compute(arr: ArrayData, words: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](8)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (BloomHashing.contains(words, s)) out.add(s)
+      i += 1
+    }
+    new GenericArrayData(
+      out.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+  }
+}
+
 object SketchScalarFunctions {
   /** Column-API entry point for [[MinHashBandsOf]]. */
   def minhash_bands_of(shingles: Column, numHashes: Int, numBands: Int): Column =
@@ -194,4 +316,13 @@ object SketchScalarFunctions {
   /** Column-API entry point for [[SimHashBandsOf]]. */
   def simhash_bands_of(shingles: Column): Column =
     ColumnBridge.column(SimHashBandsOf(ColumnBridge.expression(shingles)))
+
+  /** Column-API entry point for [[BloomPositions]]. */
+  def bloom_positions(shingle: Column): Column =
+    ColumnBridge.column(BloomPositions(ColumnBridge.expression(shingle)))
+
+  /** Column-API entry point for [[BloomShingleFilter]]. */
+  def bloom_shingle_filter(shingles: Column, words: Array[Long]): Column =
+    ColumnBridge.column(BloomShingleFilter(
+      ColumnBridge.expression(shingles), words))
 }

@@ -499,43 +499,29 @@ object TextAnalysis {
 
   // --- bloom-prefiltered decontamination -----------------------------------
 
-  /** Bloom filter size in bits (2²⁰ = 128 KiB of bitmask) and hash count.
-    * Sized for ~50 k test shingles at k=5 → false-positive rate ≈ 5·10⁻⁴;
-    * at a larger benchmark suite, grow bits — the broadcast stays
-    * kilobytes while the exact shingle set it replaces is gigabytes. */
-  private val BloomBits = 1L << 20
-  private val BloomK = 5
-
-  /** SQL for the i-th bloom bit position of column `sh` — double hashing
-    * over two independent xxhash64 draws (`h1 + i·h2 mod m`), all
-    * builtin codegen'd expressions. Each draw is reduced mod m BEFORE the
-    * combine so the arithmetic stays far from Long range (ANSI mode makes
-    * a raw `h1 + i·h2` overflow a runtime error, not a wrap). */
-  private def bloomPosSql(i: Int): String =
-    s"pmod(pmod(xxhash64(sh), $BloomBits) " +
-      s"+ $i * pmod(xxhash64(sh, 'graft-bloom'), $BloomBits), $BloomBits)"
-
   /** Bloom-prefiltered decontamination — IDENTICAL answer to
     * [[decontaminate]] (the oracle runs the same SQL), different scale
     * shape. [[decontaminate]] broadcasts the distinct test-shingle SET to
     * every executor; at a real benchmark-suite scale that set is
-    * gigabytes. Here the broadcast is a [[BloomBits]]-bit Bloom filter
-    * (fixed 128 KiB regardless of data): the corpus scan drops every
-    * shingle the filter rejects (all but a ≈5·10⁻⁴ false-positive
-    * residue of the clean ones), and only the survivors — ∝ true
-    * contamination — reach the exact-confirm join that removes bloom
-    * false positives. Counts are therefore exact: the bloom only prunes,
-    * membership truth comes from the real shingle set.
+    * gigabytes. Here it is a fixed-size Bloom bitmask
+    * ([[graft.functions.BloomHashing]]: 2²⁰ bits = 128 KiB regardless of
+    * data, k = 5 probes → ≈5·10⁻⁴ false positives at ~50 k shingles):
+    * the corpus scan drops every shingle the filter rejects, and only
+    * the survivors — ∝ true contamination — reach the exact-confirm
+    * join that removes bloom false positives. Counts are therefore
+    * exact: the bloom only prunes, membership truth comes from the real
+    * shingle set.
     *
-    * Plumbing is all builtins (no UDF, no custom expression): k bit
-    * positions per shingle by double-hashed xxhash64, per-word `bit_or`
-    * of the masks (≤ BloomBits/64 = 16 384 groups — bounded by the
-    * PARAMETER, never the data). The sparse words come back to the
-    * driver (a parameter-bounded 128 KiB, the bloom-build step every
-    * engine ends with) and ship into the scan as ONE dense array
-    * LITERAL — `element_at` on an array literal is O(1) per probe,
-    * where a `map<word,bits>` column would linear-scan its 16 384
-    * entries on every lookup (Spark maps are unsorted array pairs). */
+    * The probe is the native [[graft.functions.BloomShingleFilter]]
+    * expression applied to each document's shingle ARRAY on the scan —
+    * one JVM loop per row, one xxhash64 draw per shingle (split into
+    * the two double-hashing bases), bitmask attached as one codegen
+    * reference object — so the explode that follows emits ONLY
+    * survivors. The previous all-builtins form (explode everything →
+    * two xxhash64 per row → five literal `element_at` probes) paid the
+    * Generate and double-hash on every corpus shingle; at sf0.1 that
+    * was 4× the exact form's wall-clock on a constant that bought
+    * nothing. */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val sh = contaminationShingled(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
@@ -545,52 +531,36 @@ object TextAnalysis {
     // frames; Bench/Verify clear the cache between queries)
     val testShingles = testShinglesOf(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val trainShingles = trainShinglesOf(sh)
     val words = bloomWordsOf(testShingles)
-    val candidates = trainShingles
-      .withColumn("h1", bloomH1).withColumn("h2", bloomH2)
-      .filter(bloomPassExpr(words))
-      .select(col("doc_id"), col("sh"))
+    val candidates = sh.filter(col("bucket") < 90)
+      .select(col("doc_id"),
+        graft.functions.SketchScalarFunctions
+          .bloom_shingle_filter(col("sh"), words).as("sh_pass"))
+      .select(col("doc_id"), explode(col("sh_pass")).as("sh"))
     (candidates.join(testShingles, Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared")))
   }
 
   /** Build the bloom bitmask from a `(sh)` shingle frame: k positions per
-    * shingle, per-word `bit_or` of the masks (≤ BloomBits/64 = 16 384
-    * groups — bounded by the PARAMETER), sparse words collected and
-    * densified driver-side. (`private[graft]` so the streaming twin
-    * builds the identical filter.) */
+    * shingle (the same [[graft.functions.BloomHashing]] the probe uses —
+    * shared definition, no drift), per-word `bit_or` of the masks
+    * (≤ 16 384 groups — bounded by the PARAMETER, never the data),
+    * sparse words collected and densified driver-side (a
+    * parameter-bounded 128 KiB, the bloom-build step every engine ends
+    * with). (`private[graft]` so the streaming twin builds the identical
+    * filter.) */
   private[graft] def bloomWordsOf(testShingles: DataFrame): Array[Long] = {
     val sparse = testShingles
-      .select(explode(array((0 until BloomK).map(i =>
-        expr(bloomPosSql(i))): _*)).as("pos"))
+      .select(explode(graft.functions.SketchScalarFunctions
+        .bloom_positions(col("sh"))).as("pos"))
       .select(expr("shiftright(pos, 6)").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("b"))
       .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
       .collect()
-    val words = new Array[Long]((BloomBits >> 6).toInt)
+    val words = new Array[Long](graft.functions.BloomHashing.Words)
     sparse.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     words
-  }
-
-  /** The two double-hash draws over `sh` — computed once per shingle row
-    * (columns h1/h2), then [[bloomPassExpr]] derives k positions. */
-  private[graft] def bloomH1: Column = pmod(xxhash64(col("sh")), lit(BloomBits))
-  private[graft] def bloomH2: Column =
-    pmod(xxhash64(col("sh"), lit("graft-bloom")), lit(BloomBits))
-
-  /** k O(1) bit probes against the dense bloom LITERAL, over columns
-    * h1/h2. */
-  private[graft] def bloomPassExpr(words: Array[Long]): Column = {
-    val bloom = typedlit(words.toSeq)
-    (0 until BloomK).map { i =>
-      val p = pmod(col("h1") + lit(i.toLong) * col("h2"), lit(BloomBits))
-      val word = element_at(bloom,
-        call_function("shiftright", p, lit(6)).cast("int") + lit(1))
-      (call_function("shiftright", word, (p % 64).cast("int"))
-        .bitwiseAND(lit(1L))) === lit(1L)
-    }.reduce(_ && _)
   }
 
   /** Tokens per packed sequence for [[seqPack]] — the model context

@@ -56,13 +56,16 @@ object StreamingDecontaminate {
       val words = TextAnalysis.bloomWordsOf(testShingles)
       val (docs, streamDir) = streamingDocs(spark, dir)
       StreamingStaging.runAndConsume(spark, sink, streamDir) {
-        val trainShingles = TextAnalysis.trainShinglesOf(
-          TextAnalysis.contaminationShingled(docs))
-        val flagged = trainShingles
-          .withColumn("h1", TextAnalysis.bloomH1)
-          .withColumn("h2", TextAnalysis.bloomH2)
-          .filter(TextAnalysis.bloomPassExpr(words))
-          .select(col("doc_id"), col("sh"))
+        // the same native array-level bloom probe as batch: each
+        // micro-batch document's shingle array filters through the
+        // 128 KiB bitmask in one scan-side loop, and the explode emits
+        // only survivors (∝ contamination)
+        val flagged = TextAnalysis.contaminationShingled(docs)
+          .filter(col("bucket") < 90)
+          .select(col("doc_id"),
+            graft.functions.SketchScalarFunctions
+              .bloom_shingle_filter(col("sh"), words).as("sh_pass"))
+          .select(col("doc_id"), explode(col("sh_pass")).as("sh"))
           .join(testShingles, Seq("sh")) // stream-static exact confirm
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shared"))
