@@ -11,18 +11,24 @@ import graft.sources.Tables
   * training-data pipeline needs over them — decode, feature-extract,
   * resize, frame-sample (SURVEY §2.4 extension surface).
   *
-  * Three REAL pure-JVM decoders run through the `mapPartitions` batch
+  * Five REAL pure-JVM decoders run through the `mapPartitions` batch
   * plumbing ([[decodeMedia]]): WAV/PCM audio ([[wavPcmDecoder]]), 24bpp
-  * BMP ([[bmpDecoder]]), and compressed PNG ([[pngDecoder]] — zlib
-  * inflate via `java.util.zip.Inflater` + all five scanline filters,
-  * grayscale and truecolor, CRC-checked). The PNG path is oracle-gated
-  * end to end (`mm_decode_png`): payloads are synthesized from the
-  * corpus text with [[pngEncode]] (real deflate, filters cycled per
-  * row, multi-IDAT), so DuckDB replays the decoded pixels from the
-  * text directly — any decode defect breaks the hash. Only formats
-  * whose codecs need external libs (JPEG/video) keep a deterministic
-  * stand-in ([[fakeDecoder]]): the expression-based demo stages below
-  * interpret the payload bytes as the sample stream.
+  * BMP ([[bmpDecoder]]), compressed PNG ([[pngDecoder]] — zlib inflate
+  * via `java.util.zip.Inflater` + all five scanline filters, grayscale
+  * and truecolor, CRC-checked), compressed GIF ([[gifDecoder]] — a full
+  * LZW decompressor with variable code widths, clear/EOI and the KwKwK
+  * case, palette mapping), and RIFF/AVI video frame sampling
+  * ([[aviFrameSampler]] — container walk + every-Nth-frame DIB decode).
+  * The compressed and video paths are oracle-gated end to end
+  * (`mm_decode_png` / `mm_decode_gif` / `mm_video_frames`): payloads
+  * are synthesized from the corpus text with real encoders
+  * ([[pngEncode]] — deflate, filters cycled per row, multi-IDAT;
+  * [[gifEncode]] — real LZW with table growth and reset;
+  * [[aviEncode]]), so DuckDB replays the decoded pixels from the text
+  * directly — any decode defect breaks the hash. Only codecs that are
+  * not pure byte arithmetic (JPEG, compressed video) keep a
+  * deterministic stand-in ([[fakeDecoder]]): the expression-based demo
+  * stages below interpret the payload bytes as the sample stream.
   *
   * The expression-based stages are DuckDB-oracle-gated (byte/codepoint
   * arithmetic is exact in both engines); the `mapPartitions` path is
@@ -490,6 +496,372 @@ object Multimodal {
     out
   }
 
+  // --- GIF: the LZW-compressed image decode path ----------------------------
+
+  /** GIF's LZW: variable-width codes (min+1 up to 12 bits, LSB-first bit
+    * packing), clear/EOI codes, code width growing when the NEXT code to
+    * assign would overflow the current width, full table → clear+reset.
+    * One definition of the width-growth convention shared by both sides
+    * (the round-trip spec exercises table growth past 4096 entries). */
+  private def lzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var nBits = 0
+    var codeSize = minCodeSize + 1
+    def putCode(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits; nBits += codeSize
+      while (nBits >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBits -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Long, Integer]()
+    var next = eoi + 1
+    putCode(clear)
+    var w = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (w < 0) w = k
+      else {
+        val key = (w.toLong << 8) | k
+        val e = dict.get(key)
+        if (e != null) w = e.intValue()
+        else {
+          putCode(w)
+          if (next < 4096) {
+            dict.put(key, next)
+            next += 1
+            // a code of value 2^codeSize now exists, so subsequent codes
+            // need the wider width
+            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          } else { // table full at 12 bits: clear and start over
+            putCode(clear)
+            dict = new java.util.HashMap[Long, Integer]()
+            next = eoi + 1
+            codeSize = minCodeSize + 1
+          }
+          w = k
+        }
+      }
+      i += 1
+    }
+    if (w >= 0) putCode(w)
+    putCode(eoi)
+    if (nBits > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      maxPixels: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var codeSize = minCodeSize + 1
+    var bitBuf = 0L
+    var nBits = 0
+    var pos = 0
+    def readCode(): Int = {
+      while (nBits < codeSize && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << nBits; nBits += 8; pos += 1
+      }
+      if (nBits < codeSize) return eoi // truncated stream ends the image
+      val c = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize; nBits -= codeSize
+      c
+    }
+    // code table: prefix link + last byte (GIF tables are ≤ 4096 entries)
+    val prefix = new Array[Int](4096)
+    val last = new Array[Byte](4096)
+    var next = eoi + 1
+    def emit(code: Int): Byte = { // append code's sequence; return first byte
+      if (code < clear) { out.write(code); code.toByte }
+      else {
+        val head = emit(prefix(code))
+        out.write(last(code) & 0xff)
+        head
+      }
+    }
+    var prev = -1
+    var done = false
+    while (!done && out.size() <= maxPixels) {
+      val code = readCode()
+      if (code == eoi) done = true
+      else if (code == clear) {
+        next = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (prev < 0) {
+        require(code < clear, "first code after clear must be a literal")
+        out.write(code)
+        prev = code
+      } else {
+        require(code <= next, s"corrupt LZW code $code (next=$next)")
+        val head =
+          if (code < next && (code < clear || code >= eoi + 1)) emit(code)
+          else { // code == next: the KwKwK case
+            val h = emit(prev)
+            out.write(h & 0xff)
+            h
+          }
+        if (next < 4096) {
+          prefix(next) = prev; last(next) = head
+          next += 1
+          // the decoder's table lags the encoder's by one entry (an entry
+          // completes only when the NEXT code reveals its first byte), so
+          // it widens at 2^codeSize where the encoder widens at +1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    require(out.size() <= maxPixels, "LZW stream decodes past the image size")
+    out.toByteArray
+  }
+
+  /** A REAL LZW-compressed image ENCODER with zero external dependencies:
+    * GIF89a, 8-bit indexed with a 256-entry grayscale palette (entry i =
+    * (i, i, i)) — a genuinely different compression family from PNG's
+    * deflate. Used to synthesize the `mm_decode_gif` fixtures and by
+    * `MultimodalSpec`'s round-trips. */
+  def gifEncode(pixels: Array[Byte], width: Int): Array[Byte] = {
+    require(width > 0 && pixels.length > 0 && pixels.length % width == 0,
+      "pixels must be a positive multiple of width")
+    val height = pixels.length / width
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(width); le16(height)
+    out.write(0xF7) // global color table, 8-bit resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size
+    val lzw = lzwEncode(pixels, 8)
+    lzw.grouped(255).foreach { g =>
+      out.write(g.length); out.write(g)
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** A REAL LZW-compressed image DECODER with zero external dependencies:
+    * GIF87a/89a, non-interlaced, global or local color table. Walks the
+    * block stream (extensions skipped), reassembles the data sub-blocks,
+    * LZW-decompresses with variable code widths and clear/EOI handling
+    * (including the KwKwK case and the 4096-entry reset), then maps
+    * indices through the palette to row-major grayscale floats in [0, 1]
+    * via the Rec.601 luma weights — the same output contract as
+    * [[bmpDecoder]]/[[pngDecoder]]. Oracle-gated end to end by
+    * `mm_decode_gif` (the GIF round trip is lossless for ≤256-value
+    * pixels, so DuckDB replays the decoded pixels straight from the
+    * text). */
+  def gifDecoder(payload: Array[Byte]): Array[Float] = {
+    require(payload.length >= 13, "not a GIF payload")
+    val magic = new String(payload, 0, 6,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    require(magic == "GIF87a" || magic == "GIF89a", "not a GIF payload")
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    val packed = payload(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      gct = java.util.Arrays.copyOfRange(payload, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    while (pos < payload.length) {
+      (payload(pos) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          while ((payload(pos) & 0xff) != 0) pos += 1 + (payload(pos) & 0xff)
+          pos += 1
+        case 0x2C => // image descriptor — decode and return
+          val width = u16(pos + 5)
+          val height = u16(pos + 7)
+          val ipacked = payload(pos + 9) & 0xff
+          require(width >= 1 && height >= 1 &&
+            width < (1 << 16) && height < (1 << 16),
+            s"implausible dimensions ${width}x$height")
+          require((ipacked & 0x40) == 0, "interlaced GIF not supported")
+          pos += 10
+          var palette = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 1 << ((ipacked & 7) + 1)
+            palette = java.util.Arrays.copyOfRange(payload, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          require(palette != null, "missing color table")
+          val minCodeSize = payload(pos) & 0xff
+          require(minCodeSize >= 2 && minCodeSize <= 8, "bad LZW code size")
+          pos += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          while ((payload(pos) & 0xff) != 0) {
+            val n = payload(pos) & 0xff
+            require(pos + 1 + n <= payload.length, "truncated sub-block")
+            lzw.write(payload, pos + 1, n)
+            pos += 1 + n
+          }
+          val nPx = width * height
+          val idx = lzwDecode(lzw.toByteArray, minCodeSize, nPx)
+          require(idx.length == nPx,
+            s"decoded ${idx.length} pixels, expected $nPx")
+          val out = new Array[Float](nPx)
+          val maxIdx = palette.length / 3
+          var i = 0
+          while (i < nPx) {
+            val c = idx(i) & 0xff
+            require(c < maxIdx, s"palette index $c out of range")
+            val r = palette(3 * c) & 0xff
+            val g = palette(3 * c + 1) & 0xff
+            val b = palette(3 * c + 2) & 0xff
+            out(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+            i += 1
+          }
+          return out
+        case 0x3B => throw new IllegalArgumentException("GIF has no image")
+        case other => throw new IllegalArgumentException(
+          s"unknown GIF block 0x${other.toHexString}")
+      }
+    }
+    throw new IllegalArgumentException("truncated GIF (no trailer)")
+  }
+
+  // --- AVI: the video frame-sampling decode path ----------------------------
+
+  private[operators] val FrameW = 4
+  private[operators] val FrameH = 4
+  private[operators] val FrameEvery = 2
+
+  /** A REAL video CONTAINER writer with zero external dependencies:
+    * minimal RIFF/AVI holding uncompressed 24bpp DIB frames ('00db'
+    * chunks inside LIST movi; bottom-up BGR rows, 4-byte padded — the
+    * same pixel block as [[bmpDecoder]]). `frames` are row-major
+    * TOP-DOWN grayscale bytes. */
+  def aviEncode(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height),
+      "every frame must be width*height bytes")
+    val rowBytes = ((24 * width + 31) / 32) * 4
+    val frameBytes = rowBytes * height
+    val bb = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit =
+      bb.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le32(v: Int): Unit = {
+      bb.write(v & 0xff); bb.write((v >>> 8) & 0xff)
+      bb.write((v >>> 16) & 0xff); bb.write((v >>> 24) & 0xff)
+    }
+    val avihSize = 56
+    val strhSize = 56
+    val strfSize = 40
+    val hdrlSize = 4 + (8 + avihSize) + (8 + 4 + (8 + strhSize) + (8 + strfSize))
+    val moviSize = 4 + frames.length * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(avihSize)
+    le32(40000); le32(0); le32(0); le32(0) // usec/frame, maxbps, pad, flags
+    le32(frames.length); le32(0); le32(1); le32(0) // frames, initial, streams, bufsize
+    le32(width); le32(height)
+    le32(0); le32(0); le32(0); le32(0) // reserved
+    tag("LIST"); le32(4 + (8 + strhSize) + (8 + strfSize)); tag("strl")
+    tag("strh"); le32(strhSize)
+    tag("vids"); tag("DIB ")
+    le32(0); le32(0); le32(0) // flags, prio+lang, initial frames
+    le32(1); le32(25) // scale, rate
+    le32(0); le32(frames.length); le32(frameBytes) // start, length, bufsize
+    le32(0); le32(0) // quality, sample size
+    le32(0); le32(0) // frame rect: 4 int16s = 8 bytes
+    tag("strf"); le32(strfSize)
+    le32(40); le32(width); le32(height)
+    bb.write(1); bb.write(0); bb.write(24); bb.write(0) // planes=1, bpp=24
+    le32(0); le32(frameBytes); le32(2835); le32(2835); le32(0); le32(0)
+    tag("LIST"); le32(moviSize); tag("movi")
+    frames.foreach { f =>
+      tag("00db"); le32(frameBytes)
+      var y = height - 1 // DIB stores bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val v = f(y * width + x) & 0xff
+          bb.write(v); bb.write(v); bb.write(v) // BGR of a gray pixel
+          x += 1
+        }
+        var padi = 3 * width
+        while (padi < rowBytes) { bb.write(0); padi += 1 }
+        y -= 1
+      }
+    }
+    bb.toByteArray
+  }
+
+  /** A REAL video frame-sampling DECODER with zero external dependencies:
+    * parses the RIFF/AVI container (header LIST for the 24bpp DIB format,
+    * LIST movi for the '00db'/'00dc' frame chunks), decodes every
+    * `every`-th uncompressed frame's bottom-up BGR rows to top-down
+    * grayscale luma, and concatenates the sampled frames — frame
+    * sampling as a decode-time operation, the shape a video ingest
+    * pipeline needs (decode only the frames you keep). Compressed video
+    * codecs stay out of scope: they are not pure byte arithmetic. */
+  def aviFrameSampler(every: Int)(payload: Array[Byte]): Array[Float] = {
+    require(every >= 1, "sampling stride must be >= 1")
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def tagAt(i: Int): String = new String(payload, i, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    require(payload.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
+      "not a RIFF/AVI payload")
+    var width = -1
+    var height = -1
+    val out = new scala.collection.mutable.ArrayBuilder.ofFloat
+    var frameIdx = 0
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = tagAt(pos)
+        val len = u32(pos + 4)
+        require(pos + 8 + len <= to, s"truncated chunk $id")
+        if (id == "LIST") walk(pos + 12, pos + 8 + len.toInt)
+        else if (id == "strf") {
+          width = u32(pos + 12).toInt
+          height = u32(pos + 16).toInt
+          require(width >= 1 && height >= 1 &&
+            width < (1 << 16) && height < (1 << 16),
+            s"implausible dimensions ${width}x$height")
+          require(u16(pos + 22) == 24, "only 24bpp DIB frames supported")
+        } else if (id == "00db" || id == "00dc") {
+          require(width > 0, "frame chunk before the strf header")
+          if (frameIdx % every == 0) {
+            val rowBytes = (((24L * width + 31) / 32) * 4).toInt
+            require(rowBytes.toLong * height <= len, "truncated frame")
+            val base = pos + 8
+            var y = 0
+            while (y < height) {
+              val row = base + (height - 1 - y) * rowBytes
+              var x = 0
+              while (x < width) {
+                val b = payload(row + 3 * x) & 0xff
+                val g = payload(row + 3 * x + 1) & 0xff
+                val r = payload(row + 3 * x + 2) & 0xff
+                out += (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+                x += 1
+              }
+              y += 1
+            }
+          }
+          frameIdx += 1
+        }
+        pos += 8 + len.toInt + (len.toInt & 1) // RIFF chunks 2-byte aligned
+      }
+    }
+    walk(12, payload.length)
+    require(frameIdx > 0, "no frames in the movi list")
+    out.result()
+  }
+
   private[operators] val PngWidth = 16
 
   /** Deterministic pixel synthesis both engines can derive from `text`:
@@ -535,21 +907,101 @@ object Multimodal {
       fp.as("px_fp"))
   }
 
-  val decodePngOracle: String =
-    """WITH w AS (SELECT doc_id,
-      |                  list_transform(
-      |                    list_filter(string_split(text, ''), c -> len(c) = 1),
-      |                    c -> ord(c) % 256) AS px0
-      |           FROM documents),
+  /** Shared pixel-derivation CTEs: codepoint % 256, space-padded to a
+    * full 16-wide raster — what [[pngPixels]] computes in the JVM. */
+  private val pixelCtes: String =
+    """w AS (SELECT doc_id,
+      |             list_transform(
+      |               list_filter(string_split(text, ''), c -> len(c) = 1),
+      |               c -> ord(c) % 256) AS px0
+      |      FROM documents),
       |p AS (SELECT doc_id, px0,
       |             greatest(16, CAST(ceil(len(px0) / 16.0) AS INT) * 16) AS n
-      |      FROM w)
-      |SELECT doc_id, CAST(n AS BIGINT) AS n_px,
-      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |                     [CAST(coalesce(px0[i], 32) AS BIGINT)
-      |                      for i in range(1, n + 1)]),
-      |                   (a, b) -> (a * 31 + b) % 1000000007) AS px_fp
-      |FROM p ORDER BY 1, 2, 3""".stripMargin
+      |      FROM w)""".stripMargin
+
+  /** The whole-raster fingerprint both lossless image round trips
+    * (deflate/PNG and LZW/GIF) must reproduce. */
+  private val rasterFpOracle: String =
+    s"""WITH $pixelCtes
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_px,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                     [CAST(coalesce(px0[i], 32) AS BIGINT)
+       |                      for i in range(1, n + 1)]),
+       |                   (a, b) -> (a * 31 + b) % 1000000007) AS px_fp
+       |FROM p ORDER BY 1, 2, 3""".stripMargin
+
+  val decodePngOracle: String = rasterFpOracle
+
+  /** `mm_decode_gif`: the [[decodePng]] contract through the OTHER
+    * compression family — synthesize a real LZW-compressed GIF per
+    * document from the same pixel derivation, decode through
+    * [[decodeMedia]] with [[gifDecoder]], fingerprint the pixels. Same
+    * oracle as PNG (both round trips are lossless over the same raster);
+    * only the engine-side codec differs. */
+  def decodeGif(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.product[MediaRow]
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        MediaRow(id, gifEncode(pngPixels(text), PngWidth))
+      }(enc).toDF()
+    val decoded = decodeMedia(src, gifDecoder)
+    val px = transform(col("features"),
+      f => round(f.cast("double") * 255).cast("long"))
+    val fp = aggregate(px, lit(0L),
+      (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
+    decoded.select(
+      col("doc_id"),
+      size(col("features")).cast("long").as("n_px"),
+      fp.as("px_fp"))
+  }
+
+  val decodeGifOracle: String = rasterFpOracle
+
+  /** `mm_video_frames`: video-modality decode + frame sampling —
+    * synthesize a real RIFF/AVI of 4×4 uncompressed DIB frames from the
+    * document's raster (one frame per 16 pixels), then decode every 2nd
+    * frame through [[decodeMedia]] with [[aviFrameSampler]] and
+    * fingerprint the sampled pixels. The oracle replays the
+    * frame-partition + stride in SQL — a wrong frame boundary, row
+    * flip, or stride breaks the hash. */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.product[MediaRow]
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val px = pngPixels(text) // multiple of 16 = one 4x4 frame each
+        val frames = px.grouped(FrameW * FrameH).toSeq
+        MediaRow(id, aviEncode(frames, FrameW, FrameH))
+      }(enc).toDF()
+    val decoded = decodeMedia(src, aviFrameSampler(FrameEvery))
+    val px = transform(col("features"),
+      f => round(f.cast("double") * 255).cast("long"))
+    val fp = aggregate(px, lit(0L),
+      (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
+    decoded.select(
+      col("doc_id"),
+      size(col("features")).cast("long").as("n_px"),
+      fp.as("px_fp"))
+  }
+
+  val videoFramesOracle: String =
+    s"""WITH $pixelCtes,
+       |f AS (SELECT doc_id,
+       |             [CAST(coalesce(px0[i], 32) AS BIGINT)
+       |              for i in range(1, n + 1)] AS px,
+       |             n // 16 AS n_frames
+       |      FROM p),
+       |s AS (SELECT doc_id,
+       |             flatten([px[(fr - 1) * 16 + 1 : fr * 16]
+       |                      for fr in range(1, n_frames + 1, 2)]) AS spx
+       |      FROM f)
+       |SELECT doc_id, CAST(len(spx) AS BIGINT) AS n_px,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), spx),
+       |                   (a, b) -> (a * 31 + b) % 1000000007) AS px_fp
+       |FROM s ORDER BY 1, 2, 3""".stripMargin
 
   // --- registry ------------------------------------------------------------
 
@@ -558,12 +1010,16 @@ object Multimodal {
     "mm_features" -> (features _),
     "mm_frame_sample" -> (frameSample _),
     "mm_resize" -> (resize _),
-    "mm_decode_png" -> (decodePng _))
+    "mm_decode_png" -> (decodePng _),
+    "mm_decode_gif" -> (decodeGif _),
+    "mm_video_frames" -> (videoFrames _))
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> metadataOracle,
     "mm_features" -> featuresOracle,
     "mm_frame_sample" -> frameSampleOracle,
     "mm_resize" -> resizeOracle,
-    "mm_decode_png" -> decodePngOracle)
+    "mm_decode_png" -> decodePngOracle,
+    "mm_decode_gif" -> decodeGifOracle,
+    "mm_video_frames" -> videoFramesOracle)
 }

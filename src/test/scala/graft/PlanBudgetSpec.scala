@@ -68,8 +68,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "events_sliding_agg" -> (1, 0),
     "events_value_quantiles" -> (1, 0),
     "events_zorder_key" -> (0, 0),
+    "mm_decode_gif" -> (0, 0), // encode+decode inside the partition iterator
     "mm_decode_png" -> (0, 0), // encode+decode inside the partition iterator
     "mm_features" -> (0, 0),
+    "mm_video_frames" -> (0, 0), // encode+sample inside the partition iterator
     "mm_frame_sample" -> (0, 0),
     "mm_metadata" -> (0, 0),
     "mm_resize" -> (0, 0),

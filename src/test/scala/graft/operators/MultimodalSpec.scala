@@ -229,6 +229,64 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("REAL decode: LZW-compressed GIFs round-trip through decodeMedia") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // the large random image drives the LZW table past 4096 entries, so
+    // code-width growth AND the clear/reset path are both exercised
+    val images: Seq[(Long, Array[Byte], Int)] = Seq(
+      (1L, Array.tabulate[Byte](16 * 7)(i => (i * 37 % 256).toByte), 16),
+      (2L, Array.fill[Byte](128 * 128)(rng.nextInt(256).toByte), 128),
+      (3L, Array.fill[Byte](64 * 4)(5), 8), // constant runs compress hard
+      (4L, Array.tabulate[Byte](3 * 5)(i => (255 - i).toByte), 3))
+    val df = images.map { case (id, px, w) =>
+      (id, Multimodal.gifEncode(px, w))
+    }.toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, Multimodal.gifDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    images.foreach { case (id, px, _) =>
+      // grayscale palette entry (v, v, v) comes back as float luma —
+      // same rounding as the BMP/PNG decoders
+      val expect = px.map { bb =>
+        val v = bb & 0xff
+        (0.299f * v + 0.587f * v + 0.114f * v) / 255.0f
+      }.toSeq
+      assert(out(id) == expect, s"image $id")
+    }
+    // corruption fails loudly: a bad magic and a truncated stream
+    intercept[IllegalArgumentException] {
+      Multimodal.gifDecoder("GIF99a not really".getBytes("US-ASCII"))
+    }
+    intercept[Exception] {
+      val good = Multimodal.gifEncode(Array.tabulate[Byte](64)(_.toByte), 8)
+      Multimodal.gifDecoder(good.take(good.length / 2))
+    }
+  }
+
+  test("REAL decode: AVI frame sampling keeps every Nth frame, top-down") {
+    import spark.implicits._
+    // 5 distinct 4x4 frames; stride 2 keeps frames 0, 2, 4
+    val frames = (0 until 5).map(f =>
+      Array.tabulate[Byte](16)(i => (f * 40 + i).toByte))
+    val avi = Multimodal.aviEncode(frames, 4, 4)
+    val df = Seq((1L, avi)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, Multimodal.aviFrameSampler(2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // gray pixels come back as float luma of (v, v, v) — same rounding
+    // as the BMP/PNG decoders
+    val expect = Seq(0, 2, 4).flatMap(f => frames(f)).map { bb =>
+      val v = bb & 0xff
+      (0.299f * v + 0.587f * v + 0.114f * v) / 255.0f
+    }
+    assert(out(1L) == expect)
+    // stride 1 keeps everything
+    assert(Multimodal.aviFrameSampler(1)(avi).length == 5 * 16)
+    // corrupt container fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.aviFrameSampler(2)("RIFFxxxxNOTAVI".getBytes("US-ASCII"))
+    }
+  }
+
   test("payload metadata carries byte-accurate sizes") {
     val rows = Multimodal.metadata(spark, dir).collect()
     assert(rows.nonEmpty)
