@@ -17,7 +17,7 @@ object PlanAudit {
   /** Shuffle exchanges only — BroadcastExchange moves no fact-side data
     * and is usually the DESIRED plan, so it is counted separately. */
   def shuffleCount(plan: String): Int =
-    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+    "Exchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)"
       .r.findAllIn(plan).size
 
   def broadcastJoinCount(plan: String): Int =

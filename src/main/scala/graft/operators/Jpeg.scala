@@ -1,0 +1,585 @@
+package graft.operators
+
+/** A REAL baseline-sequential JPEG codec (ITU T.81) with zero external
+  * dependencies — 8-bit grayscale, one component, no subsampling. This
+  * is the transform-coding compression family (DCT + quantization +
+  * Huffman entropy coding), genuinely different from PNG's deflate and
+  * GIF's LZW:
+  *
+  *   - encoder: level shift → separable FDCT per 8×8 block (edge blocks
+  *     padded by replication) → quantization (zigzag order) → DC
+  *     prediction + magnitude-category Huffman coding, AC run-length
+  *     (ZRL/EOB) coding with the standard Annex K luminance tables →
+  *     entropy bytes with 0xFF stuffing, optional DRI/RSTn restart
+  *     markers. Emits SOI/APP0(JFIF)/DQT/SOF0/DHT×2/[DRI]/SOS/EOI.
+  *   - decoder: marker walk (APPn/COM skipped, multiple DQT/DHT
+  *     segments supported), canonical Huffman table reconstruction
+  *     (mincode/maxcode/valptr per spec §F.2.2.3), entropy decode with
+  *     stuffed-byte and restart handling, dequantize → separable IDCT →
+  *     level shift + clamp, MCU-grid crop to the SOF dimensions.
+  *
+  * Exactness contract the `mm_decode_jpeg` oracle leans on: a block
+  * that is CONSTANT has only a DC coefficient (8·(v−128), the AC sums
+  * cancel), so with [[ExactQuant]] (DC step 8) the quantized DC is the
+  * level-shifted value itself and the round trip is bit-exact for every
+  * v ∈ [0, 255] — DuckDB replays decoded pixels straight from the text
+  * with no DCT. General images take the normal lossy path, bounded by
+  * `MultimodalSpec`'s tolerance round-trips (all-ones and Annex K
+  * quantization).
+  */
+object Jpeg {
+
+  /** Zigzag scan: zigzag position → natural (row-major) position. */
+  private[operators] val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K Table K.1 luminance quantization (natural order) — the
+    * realistic lossy table, spec-gated with a tolerance round trip. */
+  val StdQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** DC step 8, AC step 1: constant blocks (DC = 8·shifted, ACs = 0)
+    * quantize to the shifted value exactly → lossless round trip. */
+  val ExactQuant: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 1)
+
+  /** All-ones: the minimal-loss general table for tolerance specs. */
+  val UnitQuant: Array[Int] = Array.fill(64)(1)
+
+  // Annex K Tables K.3/K.5: standard luminance Huffman specs.
+  // bits(l) = number of codes of length l (1-indexed, 1..16).
+  private val DcBits: Array[Int] =
+    Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  private val AcBits: Array[Int] =
+    Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical code assignment (spec §C.2): per symbol, (code, length). */
+  private def encoderCodes(bits: Array[Int],
+      vals: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out
+  }
+
+  private val DcEnc = encoderCodes(DcBits, DcVals)
+  private val AcEnc = encoderCodes(AcBits, AcVals)
+
+  // 1D DCT basis: cosTab(u)(x) = C(u)/2 · cos((2x+1)uπ/16), C(0)=1/√2 —
+  // applying it twice (rows then columns) is the 2D 0.25·C(u)C(v) form.
+  private val cosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Separable 2D FDCT of a level-shifted 8×8 block (row-major). */
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // 1D over each row: tmp(y, u) = Σ_x block(y, x)·c(u, x)
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += block(y * 8 + x) * cosTab(u)(x); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // 1D down each column
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * cosTab(v)(yy); yy += 1 }
+        out(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** Separable 2D IDCT (the exact transpose of [[fdct]]). */
+  private def idct(coef: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // 1D over each coefficient row: tmp(v, x) = Σ_u coef(v, u)·c(u, x)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(v * 8 + u) * cosTab(u)(x); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += tmp(vv * 8 + x) * cosTab(vv)(y); vv += 1 }
+        out(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Magnitude category: number of bits in |v| (0 for v = 0). */
+  private def category(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** MSB-first bit accumulator with JPEG byte stuffing (0xFF → 0xFF 00). */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(buf & 0xff)
+          if ((buf & 0xff) == 0xff) out.write(0x00)
+          buf = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the tail with 1-bits to a byte boundary (spec §F.1.2.3). */
+    def flush(): Unit = if (n > 0) { put(0x7f, 8 - n) }
+  }
+
+  /** Encode a grayscale raster as a baseline JPEG. `restartEvery` > 0
+    * emits a DRI segment and RSTn markers every that many MCUs (blocks),
+    * exercising the decoder's restart path. */
+  def encodeGray(pixels: Array[Byte], width: Int,
+      quant: Array[Int] = StdQuant, restartEvery: Int = 0): Array[Byte] = {
+    require(width > 0 && pixels.length > 0 && pixels.length % width == 0,
+      "pixels must be a positive multiple of width")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in [1, 255]")
+    val height = pixels.length / width
+    require(width < (1 << 16) && height < (1 << 16), "dimensions exceed u16")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0: JFIF 1.1, no density, no thumbnail
+    u16(16)
+    out.write("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(0); out.write(1); out.write(1) // version 1.1
+    out.write(0); u16(1); u16(1) // aspect-ratio units, 1:1
+    out.write(0); out.write(0) // no thumbnail
+    marker(0xdb) // DQT: table 0, 8-bit, zigzag order
+    u16(67)
+    out.write(0x00)
+    var zz = 0
+    while (zz < 64) { out.write(quant(ZigZag(zz))); zz += 1 }
+    marker(0xc0) // SOF0: 8-bit, 1 component, 1×1 sampling, q-table 0
+    u16(11)
+    out.write(8); u16(height); u16(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      u16(2 + 1 + 16 + vals.length)
+      out.write(tcTh)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0x00, DcBits, DcVals) // DC table 0
+    dht(0x10, AcBits, AcVals) // AC table 0
+    if (restartEvery > 0) { marker(0xdd); u16(4); u16(restartEvery) }
+    marker(0xda) // SOS: 1 component, DC/AC tables 0, full spectral range
+    u16(8)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val block = new Array[Double](64)
+    var pred = 0
+    var mcu = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+          bw.flush()
+          marker(0xd0 + ((mcu / restartEvery - 1) % 8))
+          pred = 0
+        }
+        var y = 0
+        while (y < 8) { // level shift; edge blocks pad by replication
+          val sy = math.min(by * 8 + y, height - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bx * 8 + x, width - 1)
+            block(y * 8 + x) = (pixels(sy * width + sx) & 0xff) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        var constant = true
+        var ci = 1
+        while (ci < 64 && constant) {
+          constant = block(ci) == block(0); ci += 1
+        }
+        val q = new Array[Int](64)
+        if (constant) {
+          // flat-block fast path: the AC basis sums cancel exactly, so a
+          // uniform block's FDCT is DC-only (8·shifted) — skip the
+          // transform and quantize the DC directly. This is the common
+          // case for synthetic/flat regions and what makes the constant-
+          // block oracle queries cheap; the emitted bitstream is the same
+          // DC + EOB the general path produces.
+          q(0) = Math.round(block(0) * 8.0 / quant(0)).toInt
+        } else {
+          val coef = fdct(block)
+          var i = 0 // quantize in zigzag order
+          while (i < 64) {
+            val nat = ZigZag(i)
+            q(i) = Math.round(coef(nat) / quant(nat)).toInt
+            i += 1
+          }
+        }
+        val diff = q(0) - pred
+        pred = q(0)
+        val s = category(diff)
+        val (dcCode, dcLen) = DcEnc(s)
+        bw.put(dcCode, dcLen)
+        if (s > 0)
+          bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          if (q(k) == 0) run += 1
+          else {
+            while (run > 15) { // ZRL: 16 zeros
+              val (c, l) = AcEnc(0xf0); bw.put(c, l); run -= 16
+            }
+            val sz = category(q(k))
+            val (c, l) = AcEnc((run << 4) | sz)
+            bw.put(c, l)
+            bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (c, l) = AcEnc(0x00); bw.put(c, l) } // EOB
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decoder-side canonical Huffman table (spec §F.2.2.3). */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) maxCode(l) = -1
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l); k += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+    def inRange(len: Int, code: Int): Boolean =
+      maxCode(len) >= 0 && code <= maxCode(len)
+  }
+
+  /** Entropy-segment bit reader: unstuffs 0xFF 00, surfaces RSTn and EOI
+    * as events rather than data. */
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var n = 0
+    var atMarker: Int = -1 // the marker byte when one interrupts the stream
+    def nextBit(): Int = {
+      if (n == 0) {
+        require(pos < data.length, "entropy stream ran past the payload")
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < data.length, "dangling 0xFF at payload end")
+          val m = data(pos) & 0xff
+          pos += 1
+          if (m == 0x00) () // stuffed literal 0xFF
+          else { atMarker = m; b = 0 } // marker: feed zero bits (spec §F.2.2.5 handles via restart/EOI)
+        }
+        buf = b; n = 8
+      }
+      n -= 1
+      (buf >>> n) & 1
+    }
+    def decodeHuff(t: HuffTable): Int = {
+      var code = nextBit()
+      var len = 1
+      while (!t.inRange(len, code)) {
+        require(len < 16, "invalid Huffman code")
+        code = (code << 1) | nextBit()
+        len += 1
+      }
+      t.value(len, code)
+    }
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def consumeRestart(expected: Int): Unit = {
+      n = 0
+      if (atMarker < 0) {
+        require(pos + 1 < data.length && (data(pos) & 0xff) == 0xff,
+          "expected restart marker")
+        atMarker = data(pos + 1) & 0xff
+        pos += 2
+      }
+      require(atMarker == 0xd0 + expected,
+        f"expected RST$expected, got marker 0x${atMarker}%02x")
+      atMarker = -1
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline grayscale JPEG → (width, height, row-major pixel
+    * bytes). Accepts any single-component baseline stream (multiple
+    * DQT/DHT segments, APPn/COM, DRI/RSTn), not just this encoder's. */
+  def decodeGray(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(payload.length >= 4 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
+      "not a JPEG payload (missing SOI)")
+    def u16(i: Int): Int =
+      ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+    val quants = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var width = -1
+    var height = -1
+    var qId = -1
+    var restartInterval = 0
+    var pos = 2
+    var sosAt = -1
+    var dcId = -1
+    var acId = -1
+    while (sosAt < 0) {
+      require(pos + 4 <= payload.length, "truncated marker stream")
+      require((payload(pos) & 0xff) == 0xff,
+        f"expected marker, got 0x${payload(pos) & 0xff}%02x")
+      val m = payload(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      require(pos + 2 + len <= payload.length, f"truncated segment 0x$m%02x")
+      val seg = pos + 4
+      m match {
+        case 0xdb => // DQT: one or more tables per segment
+          var p = seg
+          while (p < pos + 2 + len) {
+            require((payload(p) & 0xf0) == 0, "only 8-bit quant tables supported")
+            val id = payload(p) & 0x0f
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(ZigZag(i)) = payload(p + 1 + i) & 0xff; i += 1 }
+            quants(id) = t
+            p += 65
+          }
+        case 0xc0 => // SOF0 (baseline)
+          require((payload(seg) & 0xff) == 8, "only 8-bit precision supported")
+          height = u16(seg + 1)
+          width = u16(seg + 3)
+          require(width >= 1 && height >= 1, "degenerate dimensions")
+          require((payload(seg + 5) & 0xff) == 1,
+            "only single-component (grayscale) JPEG supported")
+          require((payload(seg + 7) & 0xff) == 0x11,
+            "subsampling not applicable to one component")
+          qId = payload(seg + 8) & 0x0f
+        case 0xc4 => // DHT: one or more tables per segment
+          var p = seg
+          while (p < pos + 2 + len) {
+            val tcTh = payload(p) & 0xff
+            val bits = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) {
+              bits(l) = payload(p + l) & 0xff; total += bits(l); l += 1
+            }
+            val vals = new Array[Int](total)
+            var i = 0
+            while (i < total) { vals(i) = payload(p + 17 + i) & 0xff; i += 1 }
+            val t = new HuffTable(bits, vals)
+            if ((tcTh >> 4) == 0) dcTabs(tcTh & 0x0f) = t
+            else acTabs(tcTh & 0x0f) = t
+            p += 17 + total
+          }
+        case 0xdd => restartInterval = u16(seg)
+        case 0xda => // SOS
+          require((payload(seg) & 0xff) == 1, "one scan component expected")
+          dcId = (payload(seg + 2) & 0xf0) >> 4
+          acId = payload(seg + 2) & 0x0f
+          require((payload(seg + 3) & 0xff) == 0 &&
+            (payload(seg + 4) & 0xff) == 63,
+            "baseline full-spectrum scan expected")
+          sosAt = pos + 2 + len
+        case x if x >= 0xe0 && x <= 0xef => () // APPn
+        case 0xfe => () // COM
+        case 0xc2 => throw new IllegalArgumentException(
+          "progressive JPEG not supported (baseline only)")
+        case other => throw new IllegalArgumentException(
+          f"unsupported marker 0xff$other%02x")
+      }
+      pos += 2 + len
+    }
+    require(width > 0, "missing SOF0")
+    val quant = quants(qId)
+    require(quant != null, s"missing quant table $qId")
+    val dcTab = dcTabs(dcId)
+    val acTab = acTabs(acId)
+    require(dcTab != null && acTab != null, "missing Huffman tables")
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val out = new Array[Byte](width * height)
+    val br = new BitReader(payload, sosAt)
+    val coef = new Array[Double](64)
+    var pred = 0
+    var mcu = 0
+    var restartCount = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.consumeRestart(restartCount % 8)
+          restartCount += 1
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0.0)
+        val s = br.decodeHuff(dcTab)
+        pred += extend(br.receive(s), s)
+        coef(0) = pred.toDouble * quant(0)
+        var k = 1
+        var done = false
+        var hasAc = false
+        while (k < 64 && !done) {
+          val sym = br.decodeHuff(acTab)
+          if (sym == 0x00) done = true // EOB
+          else if (sym == 0xf0) k += 16 // ZRL
+          else {
+            k += sym >> 4
+            require(k < 64, "AC run past block end")
+            val sz = sym & 0x0f
+            coef(ZigZag(k)) = extend(br.receive(sz), sz).toDouble * quant(ZigZag(k))
+            hasAc = true
+            k += 1
+          }
+        }
+        val px =
+          if (hasAc) idct(coef)
+          else {
+            // DC-only fast path: the IDCT of a DC-only block is flat. The
+            // fill value applies the SAME two cosTab multiplications the
+            // separable IDCT would (row pass then column pass), so the
+            // result is bit-identical to the general path — just without
+            // the 64 redundant per-sample sums.
+            val flat = coef(0) * cosTab(0)(0) * cosTab(0)(0)
+            val a = new Array[Double](64)
+            java.util.Arrays.fill(a, flat)
+            a
+          }
+        var y = 0
+        while (y < 8) {
+          val oy = by * 8 + y
+          if (oy < height) {
+            var x = 0
+            while (x < 8) {
+              val ox = bx * 8 + x
+              if (ox < width) {
+                val v = Math.round(px(y * 8 + x) + 128.0)
+                out(oy * width + ox) =
+                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    (width, height, out)
+  }
+}

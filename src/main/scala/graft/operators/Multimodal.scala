@@ -11,24 +11,29 @@ import graft.sources.Tables
   * training-data pipeline needs over them — decode, feature-extract,
   * resize, frame-sample (SURVEY §2.4 extension surface).
   *
-  * Five REAL pure-JVM decoders run through the `mapPartitions` batch
+  * Seven REAL pure-JVM decoders run through the `mapPartitions` batch
   * plumbing ([[decodeMedia]]): WAV/PCM audio ([[wavPcmDecoder]]), 24bpp
   * BMP ([[bmpDecoder]]), compressed PNG ([[pngDecoder]] — zlib inflate
   * via `java.util.zip.Inflater` + all five scanline filters, grayscale
   * and truecolor, CRC-checked), compressed GIF ([[gifDecoder]] — a full
   * LZW decompressor with variable code widths, clear/EOI and the KwKwK
-  * case, palette mapping), and RIFF/AVI video frame sampling
-  * ([[aviFrameSampler]] — container walk + every-Nth-frame DIB decode).
-  * The compressed and video paths are oracle-gated end to end
-  * (`mm_decode_png` / `mm_decode_gif` / `mm_video_frames`): payloads
-  * are synthesized from the corpus text with real encoders
-  * ([[pngEncode]] — deflate, filters cycled per row, multi-IDAT;
-  * [[gifEncode]] — real LZW with table growth and reset;
-  * [[aviEncode]]), so DuckDB replays the decoded pixels from the text
-  * directly — any decode defect breaks the hash. Only codecs that are
-  * not pure byte arithmetic (JPEG, compressed video) keep a
-  * deterministic stand-in ([[fakeDecoder]]): the expression-based demo
-  * stages below interpret the payload bytes as the sample stream.
+  * case, palette mapping), compressed JPEG ([[jpegDecoder]] — a full
+  * baseline decoder in [[Jpeg]]: canonical Huffman reconstruction,
+  * entropy decode with byte unstuffing and restart markers, dequantize,
+  * separable IDCT), RIFF/AVI uncompressed-video frame sampling, and
+  * MJPEG compressed-video frame sampling (both [[aviFrameSampler]] —
+  * container walk + every-Nth-frame DIB or JPEG decode). The
+  * compressed and video paths are oracle-gated end to end
+  * (`mm_decode_png` / `mm_decode_gif` / `mm_decode_jpeg` /
+  * `mm_video_frames` / `mm_video_mjpeg`): payloads are synthesized from
+  * the corpus text with real encoders ([[pngEncode]] — deflate, filters
+  * cycled per row, multi-IDAT; [[gifEncode]] — real LZW with table
+  * growth and reset; [[Jpeg.encodeGray]] — FDCT + quantization + Annex
+  * K Huffman coding; [[aviEncode]]/[[aviEncodeMjpeg]]), so DuckDB
+  * replays the decoded pixels from the text directly — any decode
+  * defect breaks the hash. [[fakeDecoder]] survives only as the
+  * demo stand-in for the expression-based stages below, which interpret
+  * the payload bytes as the sample stream.
   *
   * The expression-based stages are DuckDB-oracle-gated (byte/codepoint
   * arithmetic is exact in both engines); the `mapPartitions` path is
@@ -191,8 +196,7 @@ object Multimodal {
     * Parses the chunked RIFF container (fmt: PCM, 16-bit), then decodes
     * little-endian int16 samples to [-1, 1) floats. Interleaved channels
     * come back as-is (channel count is in the fmt chunk). This is the
-    * audio modality's actual decode; image/video remain stubbed because
-    * their codecs aren't pure byte arithmetic. `MultimodalSpec` decodes
+    * audio modality's actual decode. `MultimodalSpec` decodes
     * synthesized WAV payloads through [[decodeMedia]] and checks samples
     * round-trip exactly. */
   def wavPcmDecoder(payload: Array[Byte]): Array[Float] = {
@@ -238,9 +242,8 @@ object Multimodal {
     * exactly as [[wavPcmDecoder]] does for audio. Decodes BGR pixel rows
     * (4-byte padded, bottom-up by default, top-down when height < 0) to
     * row-major top-down grayscale floats in [0, 1] via the Rec.601 luma
-    * weights. Compressed formats (JPEG/PNG) remain stubbed: their codecs
-    * are not pure byte arithmetic and the libs aren't in this
-    * environment. `MultimodalSpec` decodes synthesized BMPs through
+    * weights — the uncompressed sibling of [[pngDecoder]]/[[gifDecoder]]/
+    * [[jpegDecoder]]. `MultimodalSpec` decodes synthesized BMPs through
     * [[decodeMedia]] and checks pixels round-trip exactly. */
   def bmpDecoder(payload: Array[Byte]): Array[Float] = {
     def u16(i: Int): Int =
@@ -730,6 +733,25 @@ object Multimodal {
     throw new IllegalArgumentException("truncated GIF (no trailer)")
   }
 
+  // --- JPEG: the transform-coding image decode path -------------------------
+
+  /** A REAL baseline JPEG image DECODER with zero external dependencies
+    * ([[Jpeg.decodeGray]]): marker walk, canonical Huffman table
+    * reconstruction, entropy decode with stuffed-byte/restart-marker
+    * handling, dequantization, separable IDCT — the transform-coding
+    * compression family, alongside PNG's deflate and GIF's LZW. Emits
+    * the same output contract as the other image decoders: row-major
+    * grayscale floats in [0, 1]. Oracle-gated end to end by
+    * `mm_decode_jpeg` and round-trip/corrupt-payload gated by
+    * `MultimodalSpec`. */
+  def jpegDecoder(payload: Array[Byte]): Array[Float] = {
+    val (w, h, px) = Jpeg.decodeGray(payload)
+    val out = new Array[Float](w * h)
+    var i = 0
+    while (i < out.length) { out(i) = (px(i) & 0xff) / 255.0f; i += 1 }
+    out
+  }
+
   // --- AVI: the video frame-sampling decode path ----------------------------
 
   private[operators] val FrameW = 4
@@ -797,14 +819,75 @@ object Multimodal {
     bb.toByteArray
   }
 
+  /** The 'MJPG' fourcc as the little-endian u32 biCompression value. */
+  private val MjpgFourcc = 0x47504a4dL
+
+  /** A REAL COMPRESSED-video writer with zero external dependencies:
+    * RIFF/AVI with fourcc 'MJPG' — every frame is an independently
+    * decodable baseline JPEG ([[Jpeg.encodeGray]], [[Jpeg.ExactQuant]])
+    * in a '00dc' chunk (odd-length chunks padded per RIFF). `frames`
+    * are row-major top-down grayscale bytes. MJPEG is the simplest
+    * genuinely compressed video interchange form — and because frames
+    * are independent, a frame-sampling decoder can skip the entropy
+    * decode of frames it drops. */
+  def aviEncodeMjpeg(frames: Seq[Array[Byte]], width: Int,
+      height: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height),
+      "every frame must be width*height bytes")
+    val encoded = frames.map(f => Jpeg.encodeGray(f, width, Jpeg.ExactQuant))
+    val bb = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit =
+      bb.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le32(v: Int): Unit = {
+      bb.write(v & 0xff); bb.write((v >>> 8) & 0xff)
+      bb.write((v >>> 16) & 0xff); bb.write((v >>> 24) & 0xff)
+    }
+    val avihSize = 56
+    val strhSize = 56
+    val strfSize = 40
+    val hdrlSize = 4 + (8 + avihSize) + (8 + 4 + (8 + strhSize) + (8 + strfSize))
+    val maxFrame = encoded.map(_.length).max
+    val moviSize = 4 + encoded.map(e => 8 + e.length + (e.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(avihSize)
+    le32(40000); le32(0); le32(0); le32(0) // usec/frame, maxbps, pad, flags
+    le32(encoded.length); le32(0); le32(1); le32(0) // frames, initial, streams, bufsize
+    le32(width); le32(height)
+    le32(0); le32(0); le32(0); le32(0) // reserved
+    tag("LIST"); le32(4 + (8 + strhSize) + (8 + strfSize)); tag("strl")
+    tag("strh"); le32(strhSize)
+    tag("vids"); tag("MJPG")
+    le32(0); le32(0); le32(0) // flags, prio+lang, initial frames
+    le32(1); le32(25) // scale, rate
+    le32(0); le32(encoded.length); le32(maxFrame) // start, length, bufsize
+    le32(0); le32(0) // quality, sample size
+    le32(0); le32(0) // frame rect
+    tag("strf"); le32(strfSize)
+    le32(40); le32(width); le32(height)
+    bb.write(1); bb.write(0); bb.write(8); bb.write(0) // planes=1, bpp=8
+    le32(MjpgFourcc.toInt) // biCompression = 'MJPG'
+    le32(maxFrame); le32(2835); le32(2835); le32(0); le32(0)
+    tag("LIST"); le32(moviSize); tag("movi")
+    encoded.foreach { e =>
+      tag("00dc"); le32(e.length)
+      bb.write(e)
+      if ((e.length & 1) == 1) bb.write(0) // RIFF chunks are 2-byte aligned
+    }
+    bb.toByteArray
+  }
+
   /** A REAL video frame-sampling DECODER with zero external dependencies:
-    * parses the RIFF/AVI container (header LIST for the 24bpp DIB format,
+    * parses the RIFF/AVI container (header LIST for the frame format,
     * LIST movi for the '00db'/'00dc' frame chunks), decodes every
-    * `every`-th uncompressed frame's bottom-up BGR rows to top-down
-    * grayscale luma, and concatenates the sampled frames — frame
+    * `every`-th frame, and concatenates the sampled frames — frame
     * sampling as a decode-time operation, the shape a video ingest
-    * pipeline needs (decode only the frames you keep). Compressed video
-    * codecs stay out of scope: they are not pure byte arithmetic. */
+    * pipeline needs (decode only the frames you keep). Two frame codecs:
+    * uncompressed 24bpp DIB (bottom-up BGR rows → top-down grayscale
+    * luma) and COMPRESSED MJPEG (biCompression 'MJPG': each frame chunk
+    * is a baseline JPEG, decoded via [[Jpeg.decodeGray]] — skipped
+    * frames skip the entropy decode entirely). */
   def aviFrameSampler(every: Int)(payload: Array[Byte]): Array[Float] = {
     require(every >= 1, "sampling stride must be >= 1")
     def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
@@ -816,6 +899,7 @@ object Multimodal {
       "not a RIFF/AVI payload")
     var width = -1
     var height = -1
+    var mjpeg = false
     val out = new scala.collection.mutable.ArrayBuilder.ofFloat
     var frameIdx = 0
     def walk(from: Int, to: Int): Unit = {
@@ -831,10 +915,27 @@ object Multimodal {
           require(width >= 1 && height >= 1 &&
             width < (1 << 16) && height < (1 << 16),
             s"implausible dimensions ${width}x$height")
-          require(u16(pos + 22) == 24, "only 24bpp DIB frames supported")
+          val compression = u32(pos + 24)
+          mjpeg = compression == MjpgFourcc
+          require(mjpeg || compression == 0L,
+            f"unsupported biCompression 0x$compression%08x (DIB/MJPG only)")
+          require(mjpeg || u16(pos + 22) == 24,
+            "only 24bpp uncompressed DIB frames supported")
         } else if (id == "00db" || id == "00dc") {
           require(width > 0, "frame chunk before the strf header")
-          if (frameIdx % every == 0) {
+          if (mjpeg) {
+            if (frameIdx % every == 0) {
+              val (fw, fh, px) = Jpeg.decodeGray(
+                java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len.toInt))
+              require(fw == width && fh == height,
+                s"frame is ${fw}x$fh, header says ${width}x$height")
+              var i = 0
+              while (i < px.length) {
+                out += (px(i) & 0xff) / 255.0f
+                i += 1
+              }
+            }
+          } else if (frameIdx % every == 0) {
             val rowBytes = (((24L * width + 31) / 32) * 4).toInt
             require(rowBytes.toLong * height <= len, "truncated frame")
             val base = pos + 8
@@ -959,6 +1060,123 @@ object Multimodal {
 
   val decodeGifOracle: String = rasterFpOracle
 
+  /** `mm_decode_jpeg`: the transform-coding family end to end —
+    * upsample the document's raster so every raster pixel becomes a
+    * CONSTANT 8×8 block (a constant block has only a DC coefficient, so
+    * with [[Jpeg.ExactQuant]] the lossy pipeline is exact — see
+    * [[Jpeg]]), encode a real baseline JPEG (FDCT + quantization +
+    * Annex K Huffman + a restart marker per block row), decode back
+    * through the [[decodeMedia]] batch path with [[jpegDecoder]], and
+    * fingerprint ALL decoded pixels. The DuckDB oracle replays the
+    * 8×8 upsampling from `text` directly: any Huffman/DCT/restart/
+    * quantization defect breaks the hash on every row. */
+  def decodeJpeg(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.product[MediaRow]
+    // The synthesis+codec map inflates each text byte ~64× and is
+    // CPU-bound, so scan splits (sized for IO) under-provision it —
+    // spread the small (doc_id, text) rows across the cluster BEFORE
+    // the heavy map. One pinned shuffle of the narrow projection.
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val px = pngPixels(text) // PngWidth-wide raster
+        val h = px.length / PngWidth
+        val img = new Array[Byte](px.length * 64) // 8x8 block per pixel
+        var yy = 0
+        while (yy < h * 8) {
+          var xx = 0
+          while (xx < PngWidth * 8) {
+            img(yy * PngWidth * 8 + xx) = px((yy / 8) * PngWidth + (xx / 8))
+            xx += 1
+          }
+          yy += 1
+        }
+        MediaRow(id, Jpeg.encodeGray(img, PngWidth * 8, Jpeg.ExactQuant,
+          restartEvery = PngWidth)) // one restart per block row
+      }(enc).toDF()
+    val decoded = decodeMedia(src, jpegDecoder)
+    val px = transform(col("features"),
+      f => round(f.cast("double") * 255).cast("long"))
+    val fp = aggregate(px, lit(0L),
+      (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
+    decoded.select(
+      col("doc_id"),
+      size(col("features")).cast("long").as("n_px"),
+      fp.as("px_fp"))
+  }
+
+  val decodeJpegOracle: String =
+    s"""WITH $pixelCtes,
+       |f AS (SELECT doc_id,
+       |             [CAST(coalesce(px0[i], 32) AS BIGINT)
+       |              for i in range(1, n + 1)] AS px,
+       |             n FROM p),
+       |s AS (SELECT doc_id,
+       |             flatten([[px[(yy // 8) * 16 + (xx // 8) + 1]
+       |                       for xx in range(0, 128)]
+       |                      for yy in range(0, (n // 16) * 8)]) AS spx
+       |      FROM f)
+       |SELECT doc_id, CAST(len(spx) AS BIGINT) AS n_px,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), spx),
+       |                   (a, b) -> (a * 31 + b) % 1000000007) AS px_fp
+       |FROM s ORDER BY 1, 2, 3""".stripMargin
+
+  /** `mm_video_mjpeg`: COMPRESSED video decode + frame sampling — a
+    * 16×16 MJPEG frame per FOUR raster pixels (each pixel a constant
+    * 8×8 block in a 2×2 grid → exact round trip, as in [[decodeJpeg]],
+    * while amortizing the per-frame JPEG header/table cost), every 2nd
+    * frame decoded via [[aviFrameSampler]]'s MJPEG path (dropped frames
+    * never pay the entropy decode), decoded pixels fingerprinted. The
+    * oracle replays sampling + the block layout in SQL. */
+  def videoMjpeg(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.product[MediaRow]
+    // same CPU-bound inflation as [[decodeJpeg]]: decouple codec
+    // parallelism from scan-split count with one narrow-row shuffle
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val px = pngPixels(text) // length is a multiple of 16
+        val frames = px.grouped(4).map { g =>
+          Array.tabulate[Byte](256) { i =>
+            val yy = i / 16; val xx = i % 16
+            g((yy / 8) * 2 + (xx / 8))
+          }
+        }.toSeq
+        MediaRow(id, aviEncodeMjpeg(frames, 16, 16))
+      }(enc).toDF()
+    val decoded = decodeMedia(src, aviFrameSampler(FrameEvery))
+    val px = transform(col("features"),
+      f => round(f.cast("double") * 255).cast("long"))
+    val fp = aggregate(px, lit(0L),
+      (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
+    decoded.select(
+      col("doc_id"),
+      size(col("features")).cast("long").as("n_px"),
+      fp.as("px_fp"))
+  }
+
+  val videoMjpegOracle: String =
+    s"""WITH $pixelCtes,
+       |f AS (SELECT doc_id,
+       |             [CAST(coalesce(px0[i], 32) AS BIGINT)
+       |              for i in range(1, n + 1)] AS px,
+       |             n FROM p),
+       |s AS (SELECT doc_id,
+       |             flatten([flatten([[px[(fr - 1) * 4
+       |                                  + (yy // 8) * 2 + (xx // 8) + 1]
+       |                                for xx in range(0, 16)]
+       |                               for yy in range(0, 16)])
+       |                      for fr in range(1, n // 4 + 1, 2)]) AS spx
+       |      FROM f)
+       |SELECT doc_id, CAST(len(spx) AS BIGINT) AS n_px,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), spx),
+       |                   (a, b) -> (a * 31 + b) % 1000000007) AS px_fp
+       |FROM s ORDER BY 1, 2, 3""".stripMargin
+
   /** `mm_video_frames`: video-modality decode + frame sampling —
     * synthesize a real RIFF/AVI of 4×4 uncompressed DIB frames from the
     * document's raster (one frame per 16 pixels), then decode every 2nd
@@ -1012,7 +1230,9 @@ object Multimodal {
     "mm_resize" -> (resize _),
     "mm_decode_png" -> (decodePng _),
     "mm_decode_gif" -> (decodeGif _),
-    "mm_video_frames" -> (videoFrames _))
+    "mm_decode_jpeg" -> (decodeJpeg _),
+    "mm_video_frames" -> (videoFrames _),
+    "mm_video_mjpeg" -> (videoMjpeg _))
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> metadataOracle,
@@ -1021,5 +1241,7 @@ object Multimodal {
     "mm_resize" -> resizeOracle,
     "mm_decode_png" -> decodePngOracle,
     "mm_decode_gif" -> decodeGifOracle,
-    "mm_video_frames" -> videoFramesOracle)
+    "mm_decode_jpeg" -> decodeJpegOracle,
+    "mm_video_frames" -> videoFramesOracle,
+    "mm_video_mjpeg" -> videoMjpegOracle)
 }

@@ -69,7 +69,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     "events_value_quantiles" -> (1, 0),
     "events_zorder_key" -> (0, 0),
     "mm_decode_gif" -> (0, 0), // encode+decode inside the partition iterator
+    // the two JPEG-family queries repartition the narrow (id, text)
+    // projection before the CPU-bound codec map — codec parallelism must
+    // not inherit IO-sized scan splits (the map inflates bytes ~64×)
+    "mm_decode_jpeg" -> (1, 0),
     "mm_decode_png" -> (0, 0), // encode+decode inside the partition iterator
+    "mm_video_mjpeg" -> (1, 0),
     "mm_features" -> (0, 0),
     "mm_video_frames" -> (0, 0), // encode+sample inside the partition iterator
     "mm_frame_sample" -> (0, 0),

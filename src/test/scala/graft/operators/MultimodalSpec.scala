@@ -263,6 +263,117 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("REAL decode: constant-block JPEGs round-trip exactly (incl. restarts)") {
+    import spark.implicits._
+    // constant 8×8 blocks have only a DC coefficient; with ExactQuant
+    // (DC step 8) the quantized DC is the level-shifted value itself, so
+    // the lossy pipeline is bit-exact — the property mm_decode_jpeg's
+    // oracle leans on. 4×3 blocks of every-other value + restart markers
+    // every 5 MCUs (12 MCUs → RST0, RST1 mid-scan).
+    def blockImage(vals: Seq[Int], blocksX: Int): Array[Byte] = {
+      val blocksY = vals.length / blocksX
+      Array.tabulate[Byte](blocksX * 8 * blocksY * 8) { i =>
+        val xx = i % (blocksX * 8); val yy = i / (blocksX * 8)
+        vals((yy / 8) * blocksX + (xx / 8)).toByte
+      }
+    }
+    val vals = Seq(0, 255, 128, 1, 254, 127, 63, 192, 31, 17, 200, 99)
+    val img = blockImage(vals, 4)
+    val payloads = Seq(
+      1L -> Jpeg.encodeGray(img, 32, Jpeg.ExactQuant),
+      2L -> Jpeg.encodeGray(img, 32, Jpeg.ExactQuant, restartEvery = 5))
+    val df = payloads.toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, Multimodal.jpegDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expect = img.map(b => (b & 0xff) / 255.0f).toSeq
+    assert(out(1L) == expect)
+    assert(out(2L) == expect, "restart-marker path must decode identically")
+    // the DRI payload really contains restart markers
+    val hex = payloads(1)._2.map(b => f"${b & 0xff}%02x").mkString
+    assert(hex.contains("ffd0") && hex.contains("ffd1"))
+  }
+
+  test("JPEG general path: odd dimensions crop, quant error is bounded") {
+    val rng = new scala.util.Random(11)
+    // 21×13 random image: MCU grid is 3×2 blocks, edge blocks padded —
+    // decode must crop back to the SOF dims. All-ones quant bounds the
+    // reconstruction error to DCT rounding (≪ 1 gray level per pixel on
+    // average; assert a conservative per-pixel ceiling).
+    val px = Array.fill[Byte](21 * 13)(rng.nextInt(256).toByte)
+    val (w, h, got) = Jpeg.decodeGray(Jpeg.encodeGray(px, 21, Jpeg.UnitQuant))
+    assert(w == 21 && h == 13 && got.length == px.length)
+    val maxErr = px.indices.map(i => math.abs((px(i) & 0xff) - (got(i) & 0xff))).max
+    assert(maxErr <= 2, s"unit-quant max error $maxErr")
+    // the realistic Annex K table on a smooth gradient stays visually
+    // faithful (coarse high-frequency steps never fire on smooth input)
+    val grad = Array.tabulate[Byte](64 * 32)(i => ((i % 64) * 4).toByte)
+    val (_, _, gotStd) = Jpeg.decodeGray(Jpeg.encodeGray(grad, 64, Jpeg.StdQuant))
+    val gradErr = grad.indices.map(i =>
+      math.abs((grad(i) & 0xff) - (gotStd(i) & 0xff))).max
+    assert(gradErr <= 16, s"std-quant gradient max error $gradErr")
+    // corruption fails loudly, never silent wrong pixels
+    intercept[IllegalArgumentException] {
+      Jpeg.decodeGray("not a jpeg".getBytes("US-ASCII"))
+    }
+    intercept[Exception] {
+      val good = Jpeg.encodeGray(px, 21, Jpeg.UnitQuant)
+      Jpeg.decodeGray(good.take(good.length / 2))
+    }
+    intercept[IllegalArgumentException] { // progressive SOF2 rejected clearly
+      val prog = Jpeg.encodeGray(px, 21, Jpeg.UnitQuant)
+      val at = prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+      prog(at + 1) = 0xc2.toByte
+      Jpeg.decodeGray(prog)
+    }
+  }
+
+  test("REAL decode: MJPEG AVI samples every Nth compressed frame") {
+    import spark.implicits._
+    // 5 constant 8×8 frames (exact JPEG round trip), stride 2 keeps 0, 2, 4
+    val vals = Seq(10, 60, 110, 160, 210)
+    val frames = vals.map(v => Array.fill[Byte](64)(v.toByte))
+    val avi = Multimodal.aviEncodeMjpeg(frames, 8, 8)
+    val df = Seq((1L, avi)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, Multimodal.aviFrameSampler(2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expect = Seq(0, 2, 4).flatMap(f =>
+      Seq.fill(64)(vals(f) / 255.0f))
+    assert(out(1L) == expect)
+    assert(Multimodal.aviFrameSampler(1)(avi).length == 5 * 64)
+  }
+
+  test("mm_decode_jpeg / mm_video_mjpeg fingerprints equal the oracle pixels") {
+    // in-Spark replay of the DuckDB oracle arithmetic: the 16-wide raster
+    // upsampled 8×8 per pixel (JPEG), and 64-fold per sampled frame (MJPEG)
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    def kr(vs: Iterator[Int]): Long =
+      vs.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
+    val gotJpeg = Multimodal.decodeJpeg(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val gotMjpeg = Multimodal.videoMjpeg(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    texts.foreach { case (id, text) =>
+      val px = Multimodal.pngPixels(text)
+      val h = px.length / 16
+      val jfp = kr(for {
+        yy <- Iterator.range(0, h * 8)
+        xx <- Iterator.range(0, 128)
+      } yield px((yy / 8) * 16 + (xx / 8)) & 0xff)
+      assert(gotJpeg(id) == ((px.length * 64L, jfp)), s"jpeg doc $id")
+      // MJPEG: 4 pixels per 16×16 frame (2×2 grid of constant 8×8
+      // blocks), every 2nd frame kept
+      val sampledFrames = (0 until px.length / 4).filter(_ % 2 == 0)
+      val mfp = kr(sampledFrames.iterator.flatMap(fr => for {
+        yy <- Iterator.range(0, 16)
+        xx <- Iterator.range(0, 16)
+      } yield px(fr * 4 + (yy / 8) * 2 + (xx / 8)) & 0xff))
+      assert(gotMjpeg(id) == ((sampledFrames.size * 256L, mfp)), s"mjpeg doc $id")
+    }
+  }
+
   test("REAL decode: AVI frame sampling keeps every Nth frame, top-down") {
     import spark.implicits._
     // 5 distinct 4x4 frames; stride 2 keeps frames 0, 2, 4
