@@ -51,7 +51,9 @@ object SparkEntry {
     "text_inverted_index" -> (TextAnalysis.invertedIndexCapped _),
     "events_value_quantiles" -> (Events.valueQuantilesApprox _),
     "sim_quantize_sq" -> (Similarity.quantizeSqProd _),
-    "sim_ann_ivf_sq" -> (Similarity.annIvfSqProd _))
+    "sim_ann_ivf_sq" -> (Similarity.annIvfSqProd _),
+    "sim_quantize_pq" -> (Similarity.quantizePqProd _),
+    "sim_ann_ivfpq" -> (Similarity.annIvfPqProd _))
 
   /** The PRODUCTION registry: every operator as a user would run it at
     * scale — no canonicalization, no global sort, no unbounded per-group

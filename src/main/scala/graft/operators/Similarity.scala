@@ -923,6 +923,340 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("rnk"), col("cosine")))
   }
 
+  // --- product quantization (PQ) and IVF-PQ --------------------------------
+
+  /** PQ geometry: [[Dim]] = 64 splits into [[PqM]] = 16 subspaces of
+    * [[PqS]] = 4 dims; each subspace gets a [[PqK]] = 16-centroid
+    * codebook → a vector compresses to 16 four-bit codes (8 BYTES total
+    * vs 256 for the raw floats, vs 64 for SQ int8) — product
+    * quantization per Jégou et al., the compression behind
+    * billion-vector IVF-PQ indexes. 4-dim subspaces are the fine end of
+    * the standard configs: on unstructured (random) corpora — the worst
+    * case for any trained quantizer — coarser subspaces reconstruct too
+    * poorly to rank candidates. */
+  private val PqM = 16
+  private val PqS = Dim / PqM
+  private val PqK = 16
+
+  /** Preselect width for the PQ-approximate ranking — wider than the
+    * int8 [[SqPreK]] because 4-bit codes rank more coarsely; real IVF-PQ
+    * deployments rerank 4–10× the final k for the same reason. Still a
+    * fixed constant: candidates per query grow as nprobe·√n, so the
+    * prune ratio IMPROVES with corpus size. */
+  private val PqPreK = 32
+
+  /** Squared-L2 over subvectors — PQ's standard metric (subvectors are
+    * not meaningfully normalized, so cosine is wrong here). Same
+    * left-fold-in-index-order discipline as [[dot]]. */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+
+  private def sqlL2(a: String, b: String): String =
+    s"list_reduce([($a[i] - $b[i]) * ($a[i] - $b[i]) " +
+      s"for i in range(1, len($a) + 1)], (x, y) -> x + y)"
+
+  /** (vec_id, m, sub): every vector split into its PqM subvectors. */
+  private def pqSubsOf(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+      slice(col("ev"), m * PqS + 1, PqS)): _*)).as(Seq("m", "sub")))
+
+  /** The per-subspace codebooks after one deterministic Lloyd iteration
+    * (L2): seeds are the subvectors of the [[PqK]] smallest vec_ids,
+    * each (vector, subspace) assigns to its nearest seed (ties on
+    * centroid_id), and each surviving cell's centroid becomes the
+    * fold-exact member MEAN (sum in vec_id order / count — L2 is not
+    * scale-invariant, so unlike the cosine k-means the division is
+    * required). `code` is the centroid's dense index within its
+    * subspace (row_number over centroid_id) — what a 4-bit register
+    * would store. Returns (m, code, cv). */
+  private def pqCodebookExact(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val subs = pqSubsOf(v)
+    val seedSubs = pqSubsOf(v.orderBy(col("vec_id")).limit(PqK))
+      .select(col("m"), col("vec_id").as("centroid_id"), col("sub").as("cv"))
+    val wHome = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("sdist").asc, col("centroid_id"))
+    val home = subs.join(broadcast(seedSubs), Seq("m"))
+      .select(col("vec_id"), col("m"), col("centroid_id"),
+        l2(col("sub"), col("cv")).as("sdist"))
+      .withColumn("r", row_number().over(wHome))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("centroid_id"))
+    val cent = home.join(subs, Seq("vec_id", "m"))
+      .select(col("m"), col("centroid_id"), col("vec_id"),
+        posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("centroid_id"), col("dim"))
+      .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"),
+        count(lit(1)).as("cnt"))
+      .select(col("m"), col("centroid_id"), col("dim"),
+        (aggregate(sort_array(col("xs")), lit(0.0),
+          (acc, s) => acc + s.getField("x")) / col("cnt")).as("mu"))
+      .groupBy(col("m"), col("centroid_id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+      .select(col("m"), col("centroid_id"),
+        transform(col("dm"), s => s.getField("mu")).as("cv"))
+    val wCode = Window.partitionBy(col("m")).orderBy(col("centroid_id"))
+    cent.withColumn("code", (row_number().over(wCode) - 1).cast("long"))
+      .select(col("m"), col("code"), col("cv"))
+  }
+
+  /** Every (vector, subspace) assigned to its nearest codebook centroid
+    * (L2, ties on code): (vec_id, m, code, sub, cv). */
+  private def pqAssignExact(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val subs = pqSubsOf(v)
+    val wA = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("adist").asc, col("code"))
+    subs.join(broadcast(pqCodebookExact(spark, dir)), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"), col("sub"), col("cv"),
+        l2(col("sub"), col("cv")).as("adist"))
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") === 1)
+      .drop("r", "adist")
+  }
+
+  /** Product quantization of the embedding column — ORACLE form: the
+    * fold-exact Lloyd codebooks, codes assembled per vector in subspace
+    * order, plus the max per-dimension reconstruction error against the
+    * assigned centroids (output shape mirrors [[quantizeSq]]). The whole
+    * pipeline is deterministic (seeded k-means, index-order folds,
+    * explicit tie-breaks), so DuckDB replays it and results hash-match. */
+  def quantizePq(spark: SparkSession, dir: String): DataFrame =
+    (pqAssignExact(spark, dir)
+      .select(col("vec_id"), col("m"), col("code"),
+        aggregate(zip_with(col("sub"), col("cv"), (x, c) => abs(x - c)),
+          lit(0.0), (acc, t) => greatest(acc, t)).as("err"))
+      .groupBy(col("vec_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("m"), col("code")))),
+          s => s.getField("code")), ",").as("codes"),
+        max(col("err")).as("max_err")))
+
+  /** The PQ CTE chain (sub → seeds → one L2 Lloyd iteration → mean →
+    * assignment) mirroring [[pqAssignExact]] — requires the `v` CTE in
+    * scope. */
+  private val pqCtes: String =
+    s"""sub AS (SELECT vec_id, m,
+       |               ev[m * $PqS + 1 : m * $PqS + $PqS] AS sub
+       |        FROM v, range(0, $PqM) t(m)),
+       |seedid AS (SELECT vec_id FROM v
+       |           QUALIFY row_number() OVER (ORDER BY vec_id) <= $PqK),
+       |sseed AS (SELECT b.m, b.vec_id AS centroid_id, b.sub AS cv
+       |          FROM sub b JOIN seedid USING (vec_id)),
+       |phome AS (SELECT vec_id, m, centroid_id FROM (
+       |            SELECT s.vec_id, s.m, c.centroid_id,
+       |                   row_number() OVER (
+       |                     PARTITION BY s.vec_id, s.m
+       |                     ORDER BY ${sqlL2("s.sub", "c.cv")}, c.centroid_id)
+       |                     AS r
+       |            FROM sub s JOIN sseed c ON s.m = c.m)
+       |          WHERE r = 1),
+       |pmx AS (SELECT h.m, h.centroid_id, s.vec_id,
+       |               CAST(i AS BIGINT) - 1 AS dim, s.sub[CAST(i AS INT)] AS x
+       |        FROM phome h
+       |        JOIN sub s ON h.vec_id = s.vec_id AND h.m = s.m,
+       |             range(1, $PqS + 1) t(i)),
+       |pmd AS (SELECT m, centroid_id, dim,
+       |               list_reduce(list_transform(
+       |                   list_sort(array_agg({'vec_id': vec_id, 'x': x})),
+       |                   s -> s.x),
+       |                 (a, b) -> a + b) / count(*) AS mu
+       |        FROM pmx GROUP BY 1, 2, 3),
+       |pcent AS (SELECT m, centroid_id,
+       |                 list_transform(
+       |                   list_sort(array_agg({'dim': dim, 'mu': mu})),
+       |                   s -> s.mu) AS cv
+       |          FROM pmd GROUP BY 1, 2),
+       |pcb AS (SELECT m, cv,
+       |               row_number() OVER (PARTITION BY m
+       |                                  ORDER BY centroid_id) - 1 AS code
+       |        FROM pcent),
+       |pasg AS (SELECT vec_id, m, code, sub, cv FROM (
+       |           SELECT s.vec_id, s.m, c.code, s.sub, c.cv,
+       |                  row_number() OVER (
+       |                    PARTITION BY s.vec_id, s.m
+       |                    ORDER BY ${sqlL2("s.sub", "c.cv")}, c.code) AS r
+       |           FROM sub s JOIN pcb c ON s.m = c.m)
+       |         WHERE r = 1)""".stripMargin
+
+  val quantizePqOracle: String =
+    s"""WITH $vCte,
+       |$pqCtes,
+       |er AS (SELECT vec_id, m, code,
+       |              list_reduce(list_prepend(0.0,
+       |                  [abs(sub[i] - cv[i]) for i in range(1, $PqS + 1)]),
+       |                (a, b) -> greatest(a, b)) AS err
+       |       FROM pasg)
+       |SELECT vec_id,
+       |       array_to_string(list(code ORDER BY m), ',') AS codes,
+       |       max(err) AS max_err
+       |FROM er GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
+
+  /** The collected PQ codebooks for the scan-side production forms:
+    * cb(m)(code) = the centroid subvector. Built with the fixed-buffer
+    * Lloyd cell sums (no per-cell collect_list), collected as
+    * [[PqM]]·[[PqK]]·[[PqS]] ≤ 1024 doubles — a literal kilobyte, the
+    * whole point of PQ. */
+  private def pqCodebookProd(spark: SparkSession,
+      dir: String): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val subs = pqSubsOf(v)
+    val seedSubs = pqSubsOf(v.orderBy(col("vec_id")).limit(PqK))
+      .select(col("m"), col("vec_id").as("centroid_id"), col("sub").as("cv"))
+    val wHome = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("sdist").asc, col("centroid_id"))
+    val home = subs.join(broadcast(seedSubs), Seq("m"))
+      .select(col("vec_id"), col("m"), col("centroid_id"),
+        l2(col("sub"), col("cv")).as("sdist"))
+      .withColumn("r", row_number().over(wHome))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("centroid_id"))
+    val rows = home.join(subs, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("centroid_id"))
+      .agg(graft.functions.SketchFunctions.vector_sum(col("sub"), PqS).as("sv"),
+        count(lit(1)).as("cnt"))
+      .select(col("m"), col("centroid_id"),
+        transform(col("sv"), s => s / col("cnt")).as("cv"))
+      .collect()
+    (0 until PqM).map { m =>
+      rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))
+        .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** PRODUCTION PQ ([[graft.SparkEntry.productionOverrides]]): the
+    * collected codebooks fold into ONE scan-side projection — per
+    * subspace, distances to all [[PqK]] centroid literals, argmin via
+    * `array_position(dists, array_min(dists))` (first match = smallest
+    * code, the oracle's tie-break) — no explode, no join, no shuffle;
+    * the 100 TB shape (assignment cost is n·K·d flops against a
+    * kilobyte codebook riding the closure). Codebook training still
+    * runs the two bounded driver jobs. Agreement with the fold-exact
+    * oracle form is pinned in `SimilaritySpec` (fraction ≥ floor — the
+    * fixed-buffer cell sums are last-ulp order-dependent, which can
+    * flip a near-tie assignment, same caveat as [[annIvfProd]]). */
+  def quantizePqProd(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebookProd(spark, dir)
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    def cbLit(m: Int): Column =
+      array(cb(m).map(cv => array(cv.map(lit): _*)): _*)
+    def subOf(m: Int): Column = slice(xs, m * PqS + 1, PqS)
+    def distsOf(m: Int): Column =
+      transform(cbLit(m), cv => l2(subOf(m), cv))
+    def codeOf(m: Int): Column =
+      (array_position(distsOf(m), array_min(distsOf(m))) - 1).cast("long")
+    def errOf(m: Int): Column =
+      aggregate(
+        zip_with(subOf(m),
+          element_at(cbLit(m), (codeOf(m) + 1).cast("int")),
+          (x, c) => abs(x - c)),
+        lit(0.0), (acc, t) => greatest(acc, t))
+    (Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      concat_ws(",", (0 until PqM).map(m => codeOf(m).cast("string")): _*)
+        .as("codes"),
+      greatest((0 until PqM).map(errOf): _*).as("max_err")))
+  }
+
+  /** IVF-PQ — the billion-vector ANN architecture (FAISS's workhorse)
+    * composed from this library's pieces: the IVF coarse quantizer
+    * prunes to nprobe/√n candidate cells, the candidate scan ranks with
+    * the ASYMMETRIC distance (full-precision query against the
+    * candidate's PQ-decoded 4-byte approximation — cheaper AND more
+    * accurate than symmetric code-vs-code), and only the top [[PqPreK]]
+    * survivors rerank at full precision. Versus [[annIvfSq]]'s int8
+    * path, the resident candidate payload shrinks another 8× (8 bytes
+    * vs 64 per vector). Fully deterministic → DuckDB-replayed; recall
+    * retention vs the un-quantized [[annIvf]] is floored in
+    * `SimilaritySpec`. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val dec = pqAssignExact(spark, dir)
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("cv")))),
+        s => s.getField("cv"))).as("qv"))
+    annIvfPqFrom(spark, dir, v, dec, exactFold = true)
+  }
+
+  /** PRODUCTION IVF-PQ: the scan-side decoded approximation (codebook
+    * literals, as in [[quantizePqProd]]) and the fixed-buffer IVF cell
+    * sums — no per-group collection anywhere. */
+  def annIvfPqProd(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebookProd(spark, dir)
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    def cbLit(m: Int): Column =
+      array(cb(m).map(cv => array(cv.map(lit): _*)): _*)
+    def subOf(m: Int): Column = slice(xs, m * PqS + 1, PqS)
+    def decOf(m: Int): Column = {
+      val dists = transform(cbLit(m), cv => l2(subOf(m), cv))
+      element_at(cbLit(m), array_position(dists, array_min(dists)).cast("int"))
+    }
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val dec = Tables.embeddings(spark, dir).select(col("vec_id"),
+      concat((0 until PqM).map(decOf): _*).as("qv"))
+    annIvfPqFrom(spark, dir, v, dec, exactFold = false)
+  }
+
+  /** Shared IVF-PQ tail: candidates → asymmetric preselect → rerank. */
+  private def annIvfPqFrom(spark: SparkSession, dir: String, v: DataFrame,
+      dec: DataFrame, exactFold: Boolean): DataFrame = {
+    val cand = ivfCandidates(spark, dir, exactFold)
+    val wPre = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val pre = cand
+      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .join(dec.select(col("vec_id").as("neighbor_id"), col("qv").as("b_qv")),
+        "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("a_ev"), col("b_qv")).as("acos"))
+      .withColumn("prernk", row_number().over(wPre))
+      .filter(col("prernk") <= PqPreK)
+      .select(col("vec_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    (pre
+      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev")),
+        "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("a_ev"), col("b_ev")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= AnnK)
+      .select(col("vec_id"), col("neighbor_id"), col("rnk"), col("cosine")))
+  }
+
+  val annIvfPqOracle: String =
+    s"""WITH $ivfCandCtes,
+       |$pqCtes,
+       |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |        FROM pasg GROUP BY 1),
+       |a0q AS (SELECT c.vec_id, c.neighbor_id,
+       |               ${sqlCos("a.ev", "d.qv")} AS acos
+       |        FROM cand c
+       |        JOIN v a ON c.vec_id = a.vec_id
+       |        JOIN dec d ON c.neighbor_id = d.vec_id),
+       |pre AS (SELECT vec_id, neighbor_id FROM (
+       |          SELECT vec_id, neighbor_id,
+       |                 row_number() OVER (PARTITION BY vec_id
+       |                                    ORDER BY acos DESC, neighbor_id)
+       |                   AS prernk
+       |          FROM a0q)
+       |        WHERE prernk <= $PqPreK),
+       |p AS (SELECT c.vec_id, c.neighbor_id,
+       |             ${sqlCos("a.ev", "b.ev")} AS cosine
+       |      FROM pre c
+       |      JOIN v a ON c.vec_id = a.vec_id
+       |      JOIN v b ON c.neighbor_id = b.vec_id),
+       |r AS (SELECT vec_id, neighbor_id, cosine,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                                ORDER BY cosine DESC, neighbor_id) AS rnk
+       |      FROM p)
+       |SELECT vec_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
@@ -932,7 +1266,9 @@ object Similarity {
     "dedup_semantic" -> (semanticDedup _),
     "sim_centroid_by_lang" -> (centroidByLang _),
     "sim_quantize_sq" -> (quantizeSq _),
-    "sim_ann_ivf_sq" -> (annIvfSq _))
+    "sim_ann_ivf_sq" -> (annIvfSq _),
+    "sim_quantize_pq" -> (quantizePq _),
+    "sim_ann_ivfpq" -> (annIvfPq _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
@@ -943,5 +1279,7 @@ object Similarity {
     "dedup_semantic" -> semanticDedupOracle,
     "sim_centroid_by_lang" -> centroidByLangOracle,
     "sim_quantize_sq" -> quantizeSqOracle,
-    "sim_ann_ivf_sq" -> annIvfSqOracle)
+    "sim_ann_ivf_sq" -> annIvfSqOracle,
+    "sim_quantize_pq" -> quantizePqOracle,
+    "sim_ann_ivfpq" -> annIvfPqOracle)
 }

@@ -100,6 +100,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q13_scalar_subquery" -> (3, 1),
     "sim_ann_ivf" -> (7, 5),
     "sim_ann_ivf_sq" -> (7, 7),
+    "sim_ann_ivfpq" -> (7, 7), // IVF candidates + scan-side PQ decode join
+    // PQ assignment is ONE scan-side projection against codebook
+    // literals (the two bounded codebook-training jobs run beforehand)
+    "sim_quantize_pq" -> (0, 0),
     "sim_ann_lsh" -> (1, 3),
     "sim_centroid_by_lang" -> (1, 1),
     "sim_cosine_neardup" -> (1, 1), // + streamed-side repartition (baseline)

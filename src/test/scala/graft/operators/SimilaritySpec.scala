@@ -112,6 +112,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.annIvfSqProd(spark, dir).collect().nonEmpty)
   }
 
+  test("PQ production codes agree with the fold-exact oracle form") {
+    // the scan-side argmin against codebook literals vs the explode/join
+    // oracle: identical algorithm, but the production codebook's
+    // fixed-buffer cell sums are last-ulp order-dependent, which can
+    // flip a near-tie subspace assignment — so pin a high agreement
+    // fraction, not equality (same caveat as the IVF variants)
+    val exact = Similarity.quantizePq(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val prod = Similarity.quantizePqProd(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prod.keySet == exact.keySet && prod.nonEmpty)
+    val positions = exact.keys.toSeq.flatMap { id =>
+      exact(id).split(',').zip(prod(id).split(','))
+    }
+    val agree = positions.count { case (a, b) => a == b }.toDouble / positions.size
+    info(f"PQ prod/oracle code agreement: $agree%.4f over ${positions.size} positions")
+    assert(agree >= 0.98,
+      f"PQ production codes diverged from the oracle: $agree%.4f (floor 0.98)")
+    // code alphabet sanity: every code is a valid 4-bit index
+    exact.values.foreach(_.split(',').foreach { c =>
+      assert(c.toInt >= 0 && c.toInt < 16, s"code $c outside [0, 16)")
+    })
+    // and the production plan is the PQ promise: one scan-side
+    // projection — no explode, no join, no shuffle
+    val plan = Similarity.quantizePqProd(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Exchange"), plan)
+  }
+
+  test("PQ-reranked IVF retains (nearly all of) the un-quantized IVF's answers") {
+    // asymmetric-distance preselect over 4-byte codes (16x smaller than
+    // the SQ candidate payload) must still not lose what full precision
+    // finds; same isolation as the SQ retention test
+    val ivf = Similarity.annIvf(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    val pq = Similarity.annIvfPq(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    assert(ivf.nonEmpty)
+    val retention = ivf.map { case (v, ex) =>
+      (ex intersect pq.getOrElse(v, Set.empty)).size.toDouble / ex.size
+    }.sum / ivf.size
+    info(f"PQ retention vs un-quantized IVF: $retention%.3f")
+    assert(retention >= 0.8,
+      f"PQ rerank lost too much vs full precision: $retention%.3f (floor 0.8)")
+    // and the production (scan-side decode) variant returns results too
+    assert(Similarity.annIvfPqProd(spark, dir).collect().nonEmpty)
+  }
+
   test("ANN recall@3 vs exact top-k has a pinned floor (measured ~0.81)") {
     // Random near-orthogonal vectors are hyperplane LSH's worst case (no
     // cluster structure), so this is the recall floor, not the typical
