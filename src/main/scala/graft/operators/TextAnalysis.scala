@@ -1192,7 +1192,63 @@ object TextAnalysis {
        |FROM q JOIN sk ON q.i = sk.i AND q.bkt = sk.bkt
        |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin
 
+  /** `text_html_extract`: REAL HTML text extraction — the web-crawl
+    * boilerplate strip. Each document is wrapped in deterministic HTML
+    * (head with title/style/script raw-text blocks — the script body
+    * contains `<`, quoted `"</p>"` and an unterminated-looking entity;
+    * every 11th word entity-quoted, every 7th bold or wrapped in an
+    * attribute-bearing anchor whose href holds `&amp;` and a `?`, every
+    * 13th preceded by a comment containing tags), then the native
+    * one-pass state machine ([[graft.functions.HtmlExtractText]]) takes
+    * it back apart: tags stripped honoring quoted attributes, raw-text
+    * and comment blocks dropped, entities decoded, whitespace
+    * collapsed. The DuckDB oracle derives the expected text straight
+    * from `text` (only the entity-quoted words change), so any state
+    * machine defect — a script leak, a comment leak, an attribute `>`
+    * split, a bad entity — breaks the hash on every row. Scale: one
+    * scan-side projection, no shuffle, codegen-friendly static call. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val marked = transform(ws, (w, i) =>
+      when(i % 11 === 3, concat(lit("&quot;"), w, lit("&quot;")))
+        .otherwise(when(i % 7 === 2, concat(lit("<b>"), w, lit("</b>")))
+          .otherwise(when(i % 7 === 5,
+            concat(lit("<a href=\"https://x.example/q?a=1&amp;b=2\">"), w,
+              lit("</a>")))
+            .otherwise(when(i % 13 === 7,
+              concat(lit("<!-- <p>junk&amp;</p> -->\n<span class=\"k\">"), w,
+                lit("</span>")))
+              .otherwise(w)))))
+    val html = concat(
+      lit("<html><head><title>drop this</title>" +
+        "<style>p { color: #000; content: \"<never>\"; }</style>" +
+        "<script>var x = \"</p>\"; if (x < 'y' && 1 > 0) { z = x; }</script>" +
+        "</head>\n<body><p>"),
+      array_join(marked, " "),
+      lit("</p><hr/></body></html>"))
+    (Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.HtmlFunctions.html_extract_text(html).as("text_out"))
+      .select(col("doc_id"), col("text_out"),
+        length(col("text_out")).cast("long").as("n_out")))
+  }
+
+  val htmlExtractOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |       array_to_string([CASE WHEN (i - 1) % 11 = 3
+      |                             THEN '"' || ws[i] || '"'
+      |                             ELSE ws[i] END
+      |                        for i in range(1, len(ws) + 1)], ' ') AS text_out,
+      |       length(array_to_string([CASE WHEN (i - 1) % 11 = 3
+      |                                    THEN '"' || ws[i] || '"'
+      |                                    ELSE ws[i] END
+      |                               for i in range(1, len(ws) + 1)], ' '))
+      |         AS n_out
+      |FROM w ORDER BY 1, 2, 3""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_html_extract" -> (htmlExtract _),
     "sketch_heavy_hitters" -> (heavyHittersCms _),
     "curate_mix_resample" -> (mixResample _),
     "text_tfidf_topk" -> (tfidfTopk _),
@@ -1221,6 +1277,7 @@ object TextAnalysis {
     "text_top_quality_by_lang" -> (topQualityByLang _))
 
   val oracles: Map[String, String] = Map(
+    "text_html_extract" -> htmlExtractOracle,
     "sketch_heavy_hitters" -> heavyHittersCmsOracle,
     "curate_mix_resample" -> mixResampleOracle,
     "text_tfidf_topk" -> tfidfTopkOracle,

@@ -123,6 +123,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // exact-confirm join, the bloom itself is a scan-side literal
     "text_decontaminate_bloom" -> (2, 1),
     "text_fingerprint" -> (0, 0),
+    "text_html_extract" -> (0, 0), // scan-side synthesis + native extract
     "text_inverted_index" -> (2, 1),
     "text_inverted_index_capped" -> (2, 1),
     "text_lang_id" -> (0, 0),
