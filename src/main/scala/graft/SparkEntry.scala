@@ -53,7 +53,8 @@ object SparkEntry {
     "sim_quantize_sq" -> (Similarity.quantizeSqProd _),
     "sim_ann_ivf_sq" -> (Similarity.annIvfSqProd _),
     "sim_quantize_pq" -> (Similarity.quantizePqProd _),
-    "sim_ann_ivfpq" -> (Similarity.annIvfPqProd _))
+    "sim_ann_ivfpq" -> (Similarity.annIvfPqProd _),
+    "sketch_distinct_hll" -> (TextAnalysis.distinctHllProd _))
 
   /** The PRODUCTION registry: every operator as a user would run it at
     * scale — no canonicalization, no global sort, no unbounded per-group

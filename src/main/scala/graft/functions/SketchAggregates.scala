@@ -225,6 +225,80 @@ case class VectorSumSketch(
     copy(child = newChildren.head)
 }
 
+/** HyperLogLog register vector as a native `TypedImperativeAggregate` —
+  * the cardinality sketch's canonical mergeable form: a FIXED `m`-byte
+  * buffer per group (m = 2^p registers, one byte each), update = max,
+  * merge = element-wise max, shuffle carries m bytes per group no
+  * matter the corpus size. Consumes the combined ~60-bit replayable
+  * hash `h1·(1e9+7) + h2` (two [[PolyHash]] bases — NOT a private mixer,
+  * so the DuckDB oracle derives identical registers): bucket = h mod m,
+  * rho = leading-zero count of the remaining `wBits`-bit word plus one.
+  * Evaluates to the full `array<long>` register vector in bucket order
+  * (zeros included) — the estimate arithmetic stays OUTSIDE the sketch,
+  * scan-side and engine-replayable. */
+case class HllRegisters(
+    child: Expression,
+    m: Int,
+    wBits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(m >= 2 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+  require(wBits >= 1 && wBits <= 57, s"wBits out of range: $wBits")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hll_registers"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h % m).toInt
+      val w = h / m
+      // rho = one-based position of the leftmost 1 in the wBits-wide
+      // word; an all-zero word scores wBits + 1
+      val rho =
+        if (w == 0L) wBits + 1
+        else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rho > buffer(bucket)) buffer(bucket) = rho.toByte
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (b2(i) > b1(i)) b1(i) = b2(i)
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buffer: Array[Byte]): Any = {
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) { out(i) = buffer(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllRegisters =
+    copy(child = newChildren.head)
+}
+
 object SketchFunctions {
   /** Aggregate column: MinHash signature of the group's feature hashes. */
   def minhash_sketch(featureHash: Column, numHashes: Int): Column =
@@ -249,4 +323,11 @@ object SketchFunctions {
   def vector_sum(vec: Column, dim: Int): Column =
     ColumnBridge.column(
       VectorSumSketch(ColumnBridge.expression(vec), dim).toAggregateExpression())
+
+  /** Aggregate column: the group's HLL register vector (m-byte buffer,
+    * max-merge) over a combined replayable hash. */
+  def hll_registers(combinedHash: Column, m: Int, wBits: Int): Column =
+    ColumnBridge.column(
+      HllRegisters(ColumnBridge.expression(combinedHash), m, wBits)
+        .toAggregateExpression())
 }

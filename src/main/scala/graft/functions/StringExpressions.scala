@@ -76,13 +76,16 @@ object WordShingles {
   }
 }
 
-/** Karp–Rabin polynomial hash of a string's code points (base 31, mod
-  * 1e9+7), left-folded in index order — identical to the HOF form
-  * `aggregate(transform(filter(split(c,""), len=1), ascii), 0L,
-  * (acc,ch) -> (acc*31+ch) % M)` and to DuckDB's
+/** Karp–Rabin polynomial hash of a string's code points (base `base`,
+  * default 31, mod 1e9+7), left-folded in index order — identical to the
+  * HOF form `aggregate(transform(filter(split(c,""), len=1), ascii), 0L,
+  * (acc,ch) -> (acc*base+ch) % M)` and to DuckDB's
   * `list_reduce(list_transform(string_split(w,''), c -> ord(c)), …)`:
-  * all three iterate Unicode code points. Empty string folds to 0. */
-case class PolyHash(child: Expression) extends UnaryExpression {
+  * all three iterate Unicode code points. Empty string folds to 0. A
+  * second base (131) gives an independent replayable hash — two bases
+  * combine into the ~60-bit key the HLL sketch buckets on. */
+case class PolyHash(child: Expression, base: Int = 31)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -93,11 +96,11 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "poly_hash"
 
   override def nullSafeEval(input: Any): Any =
-    PolyHash.compute(input.asInstanceOf[UTF8String])
+    PolyHash.compute(input.asInstanceOf[UTF8String], base)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.PolyHash.compute($a);")
+      s"${ev.value} = graft.functions.PolyHash.compute($a, $base);")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
@@ -106,14 +109,17 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 object PolyHash {
   private val M = 1000000007L
 
+  /** The default base-31 hash ([[WinnowFingerprints]]' shingle hash). */
+  def compute(str: UTF8String): Long = compute(str, 31)
+
   /** Static so generated code can call it. */
-  def compute(str: UTF8String): Long = {
+  def compute(str: UTF8String, base: Int): Long = {
     val s = str.toString
     var acc = 0L
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      acc = (acc * 31L + cp) % M
+      acc = (acc * base + cp) % M
       i += Character.charCount(cp)
     }
     acc
@@ -255,6 +261,11 @@ object StringFunctions {
   /** Column-API entry point for [[PolyHash]]. */
   def poly_hash(c: Column): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+
+  /** [[PolyHash]] with an explicit base (e.g. 131 for the second,
+    * independent hash of the HLL bucket key). */
+  def poly_hash_base(c: Column, base: Int): Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(c), base))
 
   /** Column-API entry point for [[CodepointHistogram]]. */
   def codepoint_histogram(c: Column, bins: Int): Column =

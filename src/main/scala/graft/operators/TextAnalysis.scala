@@ -667,9 +667,11 @@ object TextAnalysis {
   private val KmvK = 64
 
   /** K-minimum-values distinct-count sketch over per-language word-3-gram
-    * shingles — the DETERMINISTIC alternative to HLL (Spark's
+    * shingles — a DETERMINISTIC cardinality sketch (Spark's built-in
     * `approx_count_distinct` is not oracle-replayable; KMV with a pinned
-    * hash is, bit-for-bit): keep the [[KmvK]] smallest distinct
+    * hash is, bit-for-bit — as is the replayable [[distinctHll]], which
+    * trades KMV's exact-below-k fallback for a fixed 64-byte mergeable
+    * buffer): keep the [[KmvK]] smallest distinct
     * `poly_hash(shingle)` values per language, estimate distinct count as
     * `(k-1) · M / h_k` (hashes uniform on [0, M)), falling back to the
     * exact kept count when a group has fewer than k values.
@@ -722,6 +724,144 @@ object TextAnalysis {
       |       END AS est_distinct
       |FROM r WHERE rnk <= 64
       |GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
+
+  // --- HyperLogLog distinct sketch -----------------------------------------
+
+  /** HLL geometry: m = 64 registers (p = 6). The combined hash
+    * `poly31·(1e9+7) + poly131` is < (1e9+7)² < 2^60; after the 6 bucket
+    * bits the remaining word has ≤ 54 bits, so rho ∈ [1, 55]. */
+  private val HllM = 64
+  private val HllWBits = 54
+  /** The standard HLL bias constant α_m = 0.7213/(1 + 1.079/m). */
+  private val HllAlpha = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** (lang, h): per-language distinct-per-doc word-3-gram shingles under
+    * the combined two-base replayable hash — shared by the batch forms
+    * and the streaming twin. */
+  private[graft] def hllHashedOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        explode(graft.functions.StringFunctions
+          .word_shingles(split(col("text"), " "), 3)).as("sh"))
+      .select(col("lang"),
+        (graft.functions.StringFunctions.poly_hash(col("sh")) *
+          lit(1000000007L) +
+          graft.functions.StringFunctions.poly_hash_base(col("sh"), 131))
+          .as("h"))
+
+  /** The estimate tail over a `regs` array<long> column (64 registers in
+    * bucket order): register checksum (order-fixed integer fold), set
+    * count, and the raw HLL estimate αm²/Σ2^(−M_j) — with the harmonic
+    * sum accumulated as an EXACT integer (Σ 2^(55−M_j), each term a
+    * power of two ≤ 2^55, 64 terms < 2^62) so no floating-point
+    * ordering can perturb it; the only fp ops are one long→double
+    * conversion and two IEEE divisions/multiplications in fixed order,
+    * identical in DuckDB. (No small-range `ln` correction: a
+    * transcendental is not bit-portable across engines; `v_zero` is
+    * emitted so a caller can apply linear counting client-side.) */
+  private[graft] def hllEstimated(regs: DataFrame): DataFrame =
+    regs.select(
+      col("lang"),
+      size(filter(col("regs"), r => r > 0)).cast("long").as("n_set"),
+      (lit(HllM.toLong) -
+        size(filter(col("regs"), r => r > 0)).cast("long")).as("v_zero"),
+      expr("aggregate(regs, 0L, (a, r) -> (a * 31 + r) % 1000000007)")
+        .as("reg_checksum"),
+      (lit(HllAlpha) * lit((HllM * HllM).toDouble) /
+        (expr("aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, cast(55 - r as int)))")
+          .cast("double") / lit(math.pow(2.0, 55))))
+        .as("est_distinct"))
+
+  /** HyperLogLog distinct-count sketch per language — the canonical
+    * cardinality estimator alongside [[distinctKmv]] (KMV trades a
+    * slightly larger summary for an exact-below-k fallback; HLL is the
+    * fixed-64-byte mergeable form every streaming/OLAP engine ships).
+    * This ORACLE form computes registers relationally — (lang, bucket)
+    * max-aggregate, then the 64-slot vector assembled per language — so
+    * DuckDB replays every step bit-for-bit, including the estimate
+    * (see [[hllEstimated]] for why no step depends on fp ordering or
+    * transcendentals). [[distinctHllProd]] is the same pipeline on the
+    * native 64-byte [[graft.functions.HllRegisters]] buffer (ONE
+    * shuffle, max-merge); `SketchSpec` pins prod ≡ oracle exactly and
+    * the estimate within the theoretical error of the true count. */
+  def distinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val withRho = hllHashedOf(Tables.documents(spark, dir))
+      .select(col("lang"),
+        (col("h") % HllM).as("bucket"),
+        shiftright(col("h"), 6).as("wv"))
+      .select(col("lang"), col("bucket"),
+        when(col("wv") === 0, lit((HllWBits + 1).toLong))
+          .otherwise(lit((HllWBits + 1).toLong) -
+            length(bin(col("wv"))).cast("long")).as("rho"))
+    val regs = withRho
+      .groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .groupBy(col("lang"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("reg"))))
+        .as("mp"))
+      .select(col("lang"),
+        transform(sequence(lit(0L), lit(63L)),
+          b => coalesce(element_at(col("mp"), b), lit(0L))).as("regs"))
+    hllEstimated(regs)
+  }
+
+  /** PRODUCTION HLL ([[graft.SparkEntry.productionOverrides]]): the
+    * native fixed-buffer register aggregate — one shuffle carrying 64
+    * bytes per language, the mergeable shape the streaming twin
+    * ([[graft.streaming.StreamingSketch]]) runs verbatim. Registers are
+    * a deterministic max, so this is value-IDENTICAL to the oracle
+    * form, not merely close (spec-pinned). */
+  def distinctHllProd(spark: SparkSession, dir: String): DataFrame =
+    hllEstimated(hllRegistersOf(hllHashedOf(Tables.documents(spark, dir))))
+
+  /** The native register build — shared with the streaming twin. */
+  private[graft] def hllRegistersOf(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("lang"))
+      .agg(graft.functions.SketchFunctions
+        .hll_registers(col("h"), HllM, HllWBits).as("regs"))
+
+  private val hllShingleCtes: String =
+    """w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT lang,
+      |             unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                                   for i in range(1, len(ws) - 1)])) AS sh
+      |      FROM w)""".stripMargin
+
+  val distinctHllOracle: String =
+    s"""WITH $hllShingleCtes,
+       |hh AS (SELECT lang,
+       |              list_reduce(list_transform(string_split(sh, ''),
+       |                                         c -> CAST(ord(c) AS BIGINT)),
+       |                          (a, b) -> (a * 31 + b) % 1000000007)
+       |                * 1000000007
+       |              + list_reduce(list_transform(string_split(sh, ''),
+       |                                           c -> CAST(ord(c) AS BIGINT)),
+       |                            (a, b) -> (a * 131 + b) % 1000000007) AS h
+       |       FROM s),
+       |rr AS (SELECT lang, h % 64 AS bucket, h // 64 AS wv FROM hh),
+       |rho AS (SELECT lang, bucket,
+       |               CASE WHEN wv = 0 THEN 55
+       |                    ELSE 55 - length(bin(wv)) END AS rho
+       |        FROM rr),
+       |reg AS (SELECT lang, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+       |langs AS (SELECT DISTINCT lang FROM reg),
+       |grid AS (SELECT l.lang, t.b AS bucket FROM langs l, range(0, 64) t(b)),
+       |filled AS (SELECT g.lang, g.bucket,
+       |                  coalesce(r.reg, CAST(0 AS BIGINT)) AS reg
+       |           FROM grid g LEFT JOIN reg r
+       |             ON g.lang = r.lang AND g.bucket = r.bucket),
+       |vec AS (SELECT lang, list(reg ORDER BY bucket) AS regs
+       |        FROM filled GROUP BY 1)
+       |SELECT lang,
+       |       CAST(len(list_filter(regs, r -> r > 0)) AS BIGINT) AS n_set,
+       |       64 - CAST(len(list_filter(regs, r -> r > 0)) AS BIGINT) AS v_zero,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), regs),
+       |                   (a, r) -> (a * 31 + r) % 1000000007) AS reg_checksum,
+       |       CAST($HllAlpha AS DOUBLE) * 4096.0 /
+       |         (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), regs),
+       |                 (a, r) -> a + (CAST(1 AS BIGINT) << CAST(55 - r AS INT)))
+       |               AS DOUBLE) / 36028797018963968.0) AS est_distinct
+       |FROM vec ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
   /** Deterministic stratified sample: 20 documents per language, chosen
     * by content-hash order (poly_hash is uniform, so this is a
@@ -1264,6 +1404,7 @@ object TextAnalysis {
     "text_decontaminate_bloom" -> (decontaminateBloom _),
     "text_seq_pack" -> (seqPack _),
     "sketch_distinct_kmv" -> (distinctKmv _),
+    "sketch_distinct_hll" -> (distinctHll _),
     "text_bigram_familiarity" -> (bigramFamiliarity _),
     "text_stratified_sample" -> (stratifiedSample _),
     "text_token_stats" -> (tokenStats _),
@@ -1295,6 +1436,7 @@ object TextAnalysis {
     "text_decontaminate_bloom" -> decontaminateOracle,
     "text_seq_pack" -> seqPackOracle,
     "sketch_distinct_kmv" -> distinctKmvOracle,
+    "sketch_distinct_hll" -> distinctHllOracle,
     "text_bigram_familiarity" -> bigramFamiliarityOracle,
     "text_stratified_sample" -> stratifiedSampleOracle,
     "text_token_stats" -> tokenStatsOracle,

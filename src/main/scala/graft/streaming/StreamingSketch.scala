@@ -41,4 +41,28 @@ object StreamingSketch {
         .writeStream.format("memory").queryName(sink).outputMode("complete")
         .start())
   }
+
+  /** Streaming twin of the HLL register build behind
+    * `sketch_distinct_hll`: the native max-merge register aggregate
+    * (`HllRegisters`) IS the streaming state — 64 bytes per language in
+    * the state store, never growing, no watermark needed (max-merge
+    * state cannot shrink or grow). The same shared Columns
+    * (`TextAnalysis.hllHashedOf` / `hllRegistersOf` / `hllEstimated`)
+    * run batch and stream, so the finite replay's final estimates equal
+    * the batch query's bit-for-bit (`StreamingSketchSpec`). */
+  def hllSketchStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_hll")
+    java.nio.file.Files.createLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val regs = TextAnalysis.hllRegistersOf(TextAnalysis.hllHashedOf(docs))
+    val sink = s"graft_stream_hll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    TextAnalysis.hllEstimated(
+      StreamingStaging.runAndConsume(spark, sink, streamDir)(
+        regs
+          .writeStream.format("memory").queryName(sink).outputMode("complete")
+          .start()))
+  }
 }

@@ -112,6 +112,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "sim_cosine_topk" -> (1, 1),
     "sim_neardup_lsh" -> (1, 3),
     "sim_quantize_sq" -> (0, 0),
+    "sketch_distinct_hll" -> (1, 0), // native 64-byte register aggregate
     "sketch_distinct_kmv" -> (2, 0),
     "sketch_heavy_hitters" -> (3, 1),
     "sql_challenge_q1" -> (0, 0),

@@ -186,6 +186,38 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally graft.plans.TopKPlanning.unregister(spark)
   }
 
+  test("HLL: production registers equal the relational oracle form exactly") {
+    // max-merged registers are order-insensitive and the estimate tail
+    // is integer-exact up to two fixed IEEE ops — prod ≡ oracle, not
+    // merely close; and the estimate lands within HLL's theoretical
+    // error band of the true distinct count
+    val dir = TestSpark.sfDir
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val oracle = rows(TextAnalysis.distinctHll(spark, dir))
+    val prod = rows(TextAnalysis.distinctHllProd(spark, dir))
+    assert(oracle.nonEmpty && prod == oracle)
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(StringFunctions.word_shingles(
+        split(col("text"), " "), 3)).as("sh"))
+      .select(col("lang"), StringFunctions.poly_hash(col("sh")).as("h"))
+      .distinct().groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prod.keySet == exact.keySet)
+    for ((lang, (nSet, vZero, _, est)) <- prod) {
+      assert(nSet + vZero == 64L, s"$lang register accounting")
+      // 1.04/√64 = 13% standard error; allow 4 sigma on the fixture
+      val n = exact(lang).toDouble
+      assert(est > n * 0.48 && est < n * 1.52,
+        f"$lang: est $est%.1f vs exact $n%.0f outside 4-sigma band")
+    }
+    // one shuffle: the native register aggregate, no second pass
+    val plan = TextAnalysis.distinctHllProd(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(graft.PlanAudit.shuffleCount(plan) == 1, plan)
+  }
+
   // --- Count-Min heavy hitters ---------------------------------------------
 
   test("CMS heavy hitters: exact top-k candidates, estimate >= exact always") {

@@ -24,4 +24,20 @@ class StreamingSketchSpec extends AnyFunSuite {
     // the 100 TB claim: state can never exceed d*W rows
     assert(streamed.size <= 4 * 256)
   }
+
+  test("streaming HLL estimates equal the batch production form bit-for-bit") {
+    // max-merged registers have no order sensitivity either; the
+    // estimate tail is shared Column code, so even the fp estimate
+    // matches exactly
+    val batch = graft.operators.TextAnalysis.distinctHllProd(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val streamed = StreamingSketch.hllSketchStreaming(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
 }
