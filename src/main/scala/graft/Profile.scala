@@ -3,9 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch profiler (temporary; repointed per round at the current bench
-  * hog). Round 7 (late): the new JPEG/MJPEG multimodal queries at sf0.1 —
-  * per-row codec work is the cost, so confirm the partition-parallel
-  * wall-clock stays in family with the other mm_ rows. */
+  * hog). Round 7 (late): the PQ production forms after the native
+  * PqAssign expression replaced the interpreted HOF assignment. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,22 +23,17 @@ object Profile {
       println(f"PROFILE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
     }
 
-    // warmup: scan + codegen + the mapPartitions encoder path JIT
     graft.sources.Tables.region(spark, sfDir).count()
-    graft.operators.Multimodal.decodePng(spark, sfDir).count()
+    graft.operators.Similarity.quantizePqProd(spark, sfDir).count()
 
     var i = 0
     while (i < 3) {
-      time("mm_decode_png")(
-        graft.operators.Multimodal.decodePng(spark, sfDir).count())
-      time("mm_decode_gif")(
-        graft.operators.Multimodal.decodeGif(spark, sfDir).count())
-      time("mm_decode_jpeg")(
-        graft.operators.Multimodal.decodeJpeg(spark, sfDir).count())
-      time("mm_video_frames")(
-        graft.operators.Multimodal.videoFrames(spark, sfDir).count())
-      time("mm_video_mjpeg")(
-        graft.operators.Multimodal.videoMjpeg(spark, sfDir).count())
+      time("sim_quantize_pq (prod)")(
+        graft.operators.Similarity.quantizePqProd(spark, sfDir).count())
+      spark.catalog.clearCache()
+      time("sim_ann_ivfpq (prod)")(
+        graft.operators.Similarity.annIvfPqProd(spark, sfDir).count())
+      spark.catalog.clearCache()
       i += 1
     }
     spark.stop()

@@ -187,14 +187,173 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance — PQ's subspace metric, the same left fold in
+  * index order as the HOF form `aggregate(zip_with(a, b,
+  * (x,y)=>(x-y)*(x-y)), 0.0, _+_)` and DuckDB's `list_reduce`, so
+  * swapping it in changes no oracle hashes. */
+case class SquaredL2(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+
+  override def prettyName: String = "squared_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (elementsNullable && hasNullElement(x, y, n)) return null
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val t = x.getDouble(i) - y.getDouble(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      s"""
+         |${guardCode(ctx, ev, a, b, n)}
+         |if (!${ev.isNull}) {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = $a.getDouble($i) - $b.getDouble($i);
+         |    $d += $t * $t;
+         |  }
+         |  ${ev.value} = $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-API entry point for [[CosineSimilarity]]. */
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Column-API entry point for [[SquaredL2]]. */
+  def squared_l2(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredL2(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Column-API entry point for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API entry point for [[PqAssign]]. */
+  def pq_assign(embedding: Column,
+      codebook: Array[Array[Array[Double]]], subDim: Int): Column =
+    ColumnBridge.column(PqAssign(
+      ColumnBridge.expression(embedding), codebook, subDim))
+}
+
+/** Product-quantization assignment of a raw `array<float>` embedding
+  * against trained per-subspace codebooks — the scan-side hot loop of
+  * `sim_quantize_pq`/`sim_ann_ivfpq`'s PRODUCTION forms as ONE native
+  * expression instead of ~1000 interpreted HOF lambda evaluations per
+  * row (the same interpreted-lambda trap `graft.functions`' other
+  * expressions exist for; the HOF formulation cost ~0.6 ms/row).
+  *
+  * Emits `struct(codes string, max_err double, qv array<double>)`: the
+  * comma-joined per-subspace centroid indices, the max per-dimension
+  * reconstruction error, and the decoded (concatenated-centroid)
+  * approximation. Arithmetic is BIT-IDENTICAL to the HOF/oracle form:
+  * floats cast to double, squared-L2 left-folded from 0.0 in dimension
+  * order, first-minimum tie-break (strict `<`) = the oracle's smallest
+  * code. The codebook rides into codegen as one reference object
+  * (≤ 8 KiB), like [[BloomShingleFilter]]'s bitmask. */
+case class PqAssign(child: Expression,
+    codebook: Array[Array[Array[Double]]], subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = PqAssign.Out
+  override def prettyName: String = "pq_assign"
+
+  override def nullSafeEval(input: Any): Any =
+    PqAssign.compute(input.asInstanceOf[ArrayData], codebook, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqAssign.compute($a, $cbRef, $subDim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssign =
+    copy(child = newChild)
+}
+
+object PqAssign {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+  val Out: StructType = StructType(Seq(
+    StructField("codes", StringType, nullable = false),
+    StructField("max_err", DoubleType, nullable = false),
+    StructField("qv", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  /** Static so generated code can call it; one tight pass. */
+  def compute(arr: ArrayData,
+      cb: Array[Array[Array[Double]]], s: Int): Any = {
+    val m = cb.length
+    require(arr.numElements() == m * s,
+      s"embedding has ${arr.numElements()} dims, codebook expects ${m * s}")
+    val codes = new java.lang.StringBuilder(m * 3)
+    val qv = new Array[Double](m * s)
+    var maxErr = 0.0
+    var mi = 0
+    while (mi < m) {
+      val cells = cb(mi)
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var ki = 0
+      while (ki < cells.length) {
+        val cv = cells(ki)
+        var d = 0.0
+        var si = 0
+        while (si < s) {
+          val t = arr.getFloat(mi * s + si).toDouble - cv(si)
+          d += t * t
+          si += 1
+        }
+        if (d < bestD) { bestD = d; best = ki } // first min = smallest code
+        ki += 1
+      }
+      if (mi > 0) codes.append(',')
+      codes.append(best)
+      val cv = cells(best)
+      var si = 0
+      while (si < s) {
+        val e = math.abs(arr.getFloat(mi * s + si).toDouble - cv(si))
+        if (e > maxErr) maxErr = e
+        qv(mi * s + si) = cv(si)
+        si += 1
+      }
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(codes.toString),
+      maxErr,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(qv))
+  }
 }

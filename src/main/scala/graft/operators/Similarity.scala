@@ -946,11 +946,12 @@ object Similarity {
   private val PqPreK = 32
 
   /** Squared-L2 over subvectors — PQ's standard metric (subvectors are
-    * not meaningfully normalized, so cosine is wrong here). Same
-    * left-fold-in-index-order discipline as [[dot]]. */
+    * not meaningfully normalized, so cosine is wrong here). The native
+    * [[graft.functions.SquaredL2]]: same left-fold-in-index-order
+    * discipline as [[dot]], so the DuckDB replay is unchanged; the HOF
+    * form it replaces ran interpreted in the codebook-training join. */
   private def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, t) => acc + t)
+    graft.functions.VectorFunctions.squared_l2(a, b)
 
   private def sqlL2(a: String, b: String): String =
     s"list_reduce([($a[i] - $b[i]) * ($a[i] - $b[i]) " +
@@ -1100,7 +1101,7 @@ object Similarity {
     * [[PqM]]·[[PqK]]·[[PqS]] ≤ 1024 doubles — a literal kilobyte, the
     * whole point of PQ. */
   private def pqCodebookProd(spark: SparkSession,
-      dir: String): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+      dir: String): Array[Array[Array[Double]]] = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val subs = pqSubsOf(v)
     val seedSubs = pqSubsOf(v.orderBy(col("vec_id")).limit(PqK))
@@ -1122,42 +1123,29 @@ object Similarity {
       .collect()
     (0 until PqM).map { m =>
       rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))
-        .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
-    }
+        .map(_.getSeq[Double](2).toArray).toArray
+    }.toArray
   }
 
   /** PRODUCTION PQ ([[graft.SparkEntry.productionOverrides]]): the
-    * collected codebooks fold into ONE scan-side projection — per
-    * subspace, distances to all [[PqK]] centroid literals, argmin via
-    * `array_position(dists, array_min(dists))` (first match = smallest
-    * code, the oracle's tie-break) — no explode, no join, no shuffle;
-    * the 100 TB shape (assignment cost is n·K·d flops against a
-    * kilobyte codebook riding the closure). Codebook training still
-    * runs the two bounded driver jobs. Agreement with the fold-exact
-    * oracle form is pinned in `SimilaritySpec` (fraction ≥ floor — the
-    * fixed-buffer cell sums are last-ulp order-dependent, which can
-    * flip a near-tie assignment, same caveat as [[annIvfProd]]). */
+    * collected codebooks ride into ONE scan-side projection as a
+    * codegen reference object, and the whole assignment — distances,
+    * argmin with the oracle's smallest-code tie-break, error, decode —
+    * runs in the native [[graft.functions.PqAssign]] loop (the HOF
+    * formulation cost ~0.6 ms/row interpreted). No explode, no join,
+    * no shuffle; the 100 TB shape (assignment is n·K·d flops against a
+    * kilobyte codebook). Codebook training still runs the two bounded
+    * driver jobs. Agreement with the fold-exact oracle form is pinned
+    * in `SimilaritySpec` (fraction ≥ floor — the fixed-buffer cell
+    * sums are last-ulp order-dependent, which can flip a near-tie
+    * assignment, same caveat as [[annIvfProd]]). */
   def quantizePqProd(spark: SparkSession, dir: String): DataFrame = {
-    val cb = pqCodebookProd(spark, dir)
-    val xs = transform(col("embedding"), x => x.cast("double"))
-    def cbLit(m: Int): Column =
-      array(cb(m).map(cv => array(cv.map(lit): _*)): _*)
-    def subOf(m: Int): Column = slice(xs, m * PqS + 1, PqS)
-    def distsOf(m: Int): Column =
-      transform(cbLit(m), cv => l2(subOf(m), cv))
-    def codeOf(m: Int): Column =
-      (array_position(distsOf(m), array_min(distsOf(m))) - 1).cast("long")
-    def errOf(m: Int): Column =
-      aggregate(
-        zip_with(subOf(m),
-          element_at(cbLit(m), (codeOf(m) + 1).cast("int")),
-          (x, c) => abs(x - c)),
-        lit(0.0), (acc, t) => greatest(acc, t))
-    (Tables.embeddings(spark, dir).select(
-      col("vec_id"),
-      concat_ws(",", (0 until PqM).map(m => codeOf(m).cast("string")): _*)
-        .as("codes"),
-      greatest((0 until PqM).map(errOf): _*).as("max_err")))
+    val pq = graft.functions.VectorFunctions
+      .pq_assign(col("embedding"), pqCodebookProd(spark, dir), PqS)
+    (Tables.embeddings(spark, dir)
+      .select(col("vec_id"), pq.as("pq"))
+      .select(col("vec_id"),
+        col("pq.codes").as("codes"), col("pq.max_err").as("max_err")))
   }
 
   /** IVF-PQ — the billion-vector ANN architecture (FAISS's workhorse)
@@ -1181,22 +1169,17 @@ object Similarity {
     annIvfPqFrom(spark, dir, v, dec, exactFold = true)
   }
 
-  /** PRODUCTION IVF-PQ: the scan-side decoded approximation (codebook
-    * literals, as in [[quantizePqProd]]) and the fixed-buffer IVF cell
-    * sums — no per-group collection anywhere. */
+  /** PRODUCTION IVF-PQ: the scan-side native decode
+    * ([[graft.functions.PqAssign]]'s `qv` field, as in
+    * [[quantizePqProd]]) and the fixed-buffer IVF cell sums — no
+    * per-group collection anywhere. */
   def annIvfPqProd(spark: SparkSession, dir: String): DataFrame = {
-    val cb = pqCodebookProd(spark, dir)
-    val xs = transform(col("embedding"), x => x.cast("double"))
-    def cbLit(m: Int): Column =
-      array(cb(m).map(cv => array(cv.map(lit): _*)): _*)
-    def subOf(m: Int): Column = slice(xs, m * PqS + 1, PqS)
-    def decOf(m: Int): Column = {
-      val dists = transform(cbLit(m), cv => l2(subOf(m), cv))
-      element_at(cbLit(m), array_position(dists, array_min(dists)).cast("int"))
-    }
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val dec = Tables.embeddings(spark, dir).select(col("vec_id"),
-      concat((0 until PqM).map(decOf): _*).as("qv"))
+    val pq = graft.functions.VectorFunctions
+      .pq_assign(col("embedding"), pqCodebookProd(spark, dir), PqS)
+    val dec = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), pq.as("pq"))
+      .select(col("vec_id"), col("pq.qv").as("qv"))
     annIvfPqFrom(spark, dir, v, dec, exactFold = false)
   }
 
