@@ -273,7 +273,14 @@ object VectorFunctions {
   * floats cast to double, squared-L2 left-folded from 0.0 in dimension
   * order, first-minimum tie-break (strict `<`) = the oracle's smallest
   * code. The codebook rides into codegen as one reference object
-  * (≤ 8 KiB), like [[BloomShingleFilter]]'s bitmask. */
+  * (≤ 8 KiB), like [[BloomShingleFilter]]'s bitmask.
+  *
+  * Degenerate-input contract (same as [[VectorFoldExpression]]): a
+  * wrong-dimension embedding or one with null elements yields NULL
+  * rather than throwing or reading garbage — on a 100 TB scan one
+  * malformed row must not kill the stage. The null-element scan is
+  * skipped when the array type carries `containsNull = false` (the
+  * parquet-read hot path). */
 case class PqAssign(child: Expression,
     codebook: Array[Array[Array[Double]]], subDim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -289,14 +296,26 @@ case class PqAssign(child: Expression,
     }
   override def dataType: DataType = PqAssign.Out
   override def prettyName: String = "pq_assign"
+  // wrong dims / null elements yield null even for a non-null input
+  override def nullable: Boolean = true
+
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
 
   override def nullSafeEval(input: Any): Any =
-    PqAssign.compute(input.asInstanceOf[ArrayData], codebook, subDim)
+    PqAssign.compute(input.asInstanceOf[ArrayData], codebook, subDim,
+      elementsNullable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.PqAssign.compute($a, $cbRef, $subDim);")
+      s"""
+         |${ev.value} =
+         |  graft.functions.PqAssign.compute($a, $cbRef, $subDim, $elementsNullable);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqAssign =
@@ -312,12 +331,22 @@ object PqAssign {
     StructField("qv", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
-  /** Static so generated code can call it; one tight pass. */
+  /** Static so generated code can call it; one tight pass. Returns
+    * null (→ SQL NULL) on dimension mismatch or (when `checkNulls`)
+    * any null element. */
   def compute(arr: ArrayData,
-      cb: Array[Array[Array[Double]]], s: Int): Any = {
+      cb: Array[Array[Array[Double]]], s: Int,
+      checkNulls: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val m = cb.length
-    require(arr.numElements() == m * s,
-      s"embedding has ${arr.numElements()} dims, codebook expects ${m * s}")
+    val dims = m * s
+    if (arr.numElements() != dims) return null
+    if (checkNulls) {
+      var i = 0
+      while (i < dims) {
+        if (arr.isNullAt(i)) return null
+        i += 1
+      }
+    }
     val codes = new java.lang.StringBuilder(m * 3)
     val qv = new Array[Double](m * s)
     var maxErr = 0.0

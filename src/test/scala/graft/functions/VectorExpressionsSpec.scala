@@ -91,6 +91,51 @@ class VectorExpressionsSpec extends AnyFunSuite {
     try check() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("native squared L2 is bit-identical to the HOF fold") {
+    val hofL2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val both = pairs.select(
+      hofL2(col("x"), col("y")).as("hof"),
+      VectorFunctions.squared_l2(col("x"), col("y")).as("native"))
+    val rows = both.collect()
+    assert(rows.length > 1000)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("pq_assign: codes/err/decode on a hand-built codebook; degenerate rows null") {
+    import spark.implicits._
+    // 2 subspaces x 2 centroids, subDim 2. Row 1 sits nearest centroid 1
+    // then centroid 0; row 2 is equidistant in subspace 0 (tie -> smallest
+    // code); row 3 has the wrong dimension count; row 4 a null element.
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val df = Seq(
+      (1L, Seq[java.lang.Float](9f, 9f, 1f, 1f)),
+      (2L, Seq[java.lang.Float](5f, 5f, 0f, 0f)),
+      (3L, Seq[java.lang.Float](1f, 2f, 3f)),
+      (4L, Seq[java.lang.Float](1f, null, 3f, 4f)))
+      .toDF("id", "embedding")
+    def check(): Unit = {
+      val rows = df.select(col("id"),
+        VectorFunctions.pq_assign(col("embedding"), cb, 2).as("pq"))
+        .select(col("id"), col("pq.codes"), col("pq.max_err"), col("pq.qv"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(rows(1L).getString(1) == "1,0")
+      assert(rows(1L).getDouble(2) == 1.0)
+      assert(rows(1L).getSeq[Double](3) == Seq(10.0, 10.0, 0.0, 0.0))
+      assert(rows(2L).getString(1) == "0,0", "equidistant tie -> smallest code")
+      assert(rows(3L).isNullAt(1), "wrong dims must be null, not an exception")
+      assert(rows(4L).isNullAt(1), "null element must be null, not garbage")
+    }
+    check() // codegen path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("type checking rejects non-array-of-double inputs") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       // Dataset analysis is eager — the type-check fires at select()
