@@ -248,6 +248,85 @@ object WinnowFingerprints {
   }
 }
 
+/** One-pass C4-style boilerplate strip: given a document's `source` and
+  * its newline-separated `text`, drop every line whose exact
+  * `source + " " + line` key is in the frequent-line set (lines
+  * whose document frequency within the source met the threshold —
+  * computed by a separate bounded aggregation and collected like
+  * [[BloomShingleFilter]]'s bitmask, but EXACT strings, so there are no
+  * collisions to confirm away). Emits `struct(text_out string,
+  * n_removed bigint)`; surviving lines keep their order and are
+  * re-joined with `\n`; a document whose every line is frequent yields
+  * the empty string. The set rides into codegen as one reference
+  * object; the corpus side stays a pure scan — no join, no shuffle. */
+case class StripFrequentLines(left: Expression, right: Expression,
+    frequent: java.util.HashSet[String])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string source, string text), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = StripFrequentLines.Out
+  override def prettyName: String = "strip_frequent_lines"
+
+  override def nullSafeEval(src: Any, txt: Any): Any =
+    StripFrequentLines.compute(
+      src.asInstanceOf[UTF8String], txt.asInstanceOf[UTF8String], frequent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("frequentLines", frequent,
+      "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, (s, t) =>
+      s"${ev.value} = graft.functions.StripFrequentLines.compute($s, $t, $setRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StripFrequentLines =
+    copy(left = newLeft, right = newRight)
+}
+
+object StripFrequentLines {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val Out: StructType = StructType(Seq(
+    StructField("text_out", StringType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+
+  /** Membership key — shared by the build (driver) and probe (executor)
+    * sides so the two cannot drift. */
+  def key(source: String, line: String): String = source + " " + line
+
+  /** Static so generated code can call it; one pass over the text. */
+  def compute(src: UTF8String, txt: UTF8String,
+      frequent: java.util.HashSet[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val source = src.toString
+    val text = txt.toString
+    val out = new java.lang.StringBuilder(text.length)
+    var removed = 0L
+    var kept = 0
+    var start = 0
+    while (start <= text.length) {
+      val nl = text.indexOf('\n', start)
+      val end = if (nl < 0) text.length else nl
+      val line = text.substring(start, end)
+      if (frequent.contains(key(source, line))) removed += 1L
+      else {
+        if (kept > 0) out.append('\n')
+        out.append(line)
+        kept += 1
+      }
+      start = end + 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(out.toString), removed)
+  }
+}
+
 object StringFunctions {
   /** Column-API entry point for [[WordShingles]] (distinct shingles). */
   def word_shingles(ws: Column, n: Int): Column =
@@ -275,4 +354,10 @@ object StringFunctions {
   def winnow_fingerprints(ws: Column, k: Int, w: Int): Column =
     ColumnBridge.column(
       WinnowFingerprints(ColumnBridge.expression(ws), k, w))
+
+  /** Column-API entry point for [[StripFrequentLines]]. */
+  def strip_frequent_lines(source: Column, text: Column,
+      frequent: java.util.HashSet[String]): Column =
+    ColumnBridge.column(StripFrequentLines(
+      ColumnBridge.expression(source), ColumnBridge.expression(text), frequent))
 }

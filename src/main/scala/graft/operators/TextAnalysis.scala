@@ -1387,7 +1387,124 @@ object TextAnalysis {
       |         AS n_out
       |FROM w ORDER BY 1, 2, 3""".stripMargin
 
+  /** Document-frequency threshold for [[lineDedup]]: a line is
+    * boilerplate when at least this many documents of the SAME source
+    * contain it. At the correctness fixtures each source holds ≥ 25
+    * docs, so the planted header/footer (every doc) and the every-3rd
+    * line clear it while body lines mostly do not; at sf0.001's 2–3
+    * docs per source nothing clears it — the operator still runs, a
+    * no-op strip. */
+  private val LineDedupDf = 5L
+
+  /** Words per synthesized body line for [[lineDedup]]. */
+  private val LineWords = 8
+
+  /** Deterministic multi-line synthesis for [[lineDedup]] — the corpus
+    * text is single-line, so (same discipline as the multimodal payloads
+    * and [[htmlExtract]]'s wrapper) each doc is rebuilt as newline-
+    * separated lines both engines derive identically from `text`:
+    * a per-source subscribe header, the body in [[LineWords]]-word
+    * chunks, a `follow` line in every 3rd doc (df ≈ n/3 — clears the
+    * threshold only where sources are big enough), and a per-source
+    * copyright footer. */
+  private def lineDedupLines: Column = {
+    val ws = split(col("text"), " ")
+    val lastBody = floor((size(ws) - 1) / lit(LineWords)).cast("int")
+    val body = transform(sequence(lit(0), lastBody), i =>
+      array_join(slice(ws, i * LineWords + 1, lit(LineWords)), " "))
+    concat(
+      array(concat(lit("subscribe to "), col("source"), lit(" weekly"))),
+      body,
+      when(col("doc_id") % 3 === 0,
+        array(concat(lit("follow "), col("source"), lit(" for more"))))
+        .otherwise(array().cast("array<string>")),
+      array(concat(lit("copyright "), col("source"))))
+  }
+
+  /** `text_line_dedup`: C4-style line-level boilerplate removal — strip
+    * every line whose document frequency within its source reaches
+    * [[LineDedupDf]] (the "subscribe / copyright / navigation" killer;
+    * C4 and RefinedWeb both ship this pass). Two stages:
+    *
+    *   1. line DF: explode the synthesized lines once and count
+    *      DISTINCT docs per (source, line) — the one corpus-sized
+    *      shuffle, the same aggregation C4 runs. Frequent lines are
+    *      BOILERPLATE, so the result is structurally tiny; a conf-capped
+    *      `limit(max+1).collect()` (`spark.graft.linededup.maxFrequent`)
+    *      guards the driver and fails with the conf key in the message
+    *      rather than OOMing.
+    *   2. strip: the frequent set rides into ONE scan-side native
+    *      expression ([[graft.functions.StripFrequentLines]], exact
+    *      string membership — no collisions to confirm away) that
+    *      rebuilds each doc minus its frequent lines in one pass. No
+    *      join, no shuffle on the output path; a 100 TB corpus pays
+    *      stage 1's aggregation plus a pure scan. (If the line SHUFFLE
+    *      itself ever dominates, the next lever is hashing lines to 8 B
+    *      for the DF count and resolving only frequent hashes back to
+    *      strings — not needed at these fixtures.)
+    *
+    * Output: (doc_id, text_out, n_removed) — surviving lines re-joined
+    * by `\n` in order; a fully-boilerplate doc yields the empty string. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), lineDedupLines.as("lines"))
+    val maxFrequent = spark.conf.getOption("spark.graft.linededup.maxFrequent")
+      .map { v =>
+        try v.toLong.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.linededup.maxFrequent must be a long, got '$v'")
+        }
+      }.getOrElse(1000000)
+    val frequent = docs
+      .select(col("source"), explode(col("lines")).as("line"), col("doc_id"))
+      .groupBy(col("source"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= LineDedupDf)
+      .select(col("source"), col("line"))
+      .limit(maxFrequent + 1)
+      .collect()
+    require(frequent.length <= maxFrequent,
+      s"frequent-line set exceeds spark.graft.linededup.maxFrequent=" +
+        s"$maxFrequent — raise it or lower the threshold")
+    val set = new java.util.HashSet[String](math.max(16, frequent.length * 2))
+    frequent.foreach(r => set.add(
+      graft.functions.StripFrequentLines.key(r.getString(0), r.getString(1))))
+    (Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.StringFunctions.strip_frequent_lines(
+          col("source"), array_join(lineDedupLines, "\n"), set).as("s"))
+      .select(col("doc_id"), col("s.text_out").as("text_out"),
+        col("s.n_removed").as("n_removed")))
+  }
+
+  val lineDedupOracle: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |L AS (SELECT doc_id, source,
+      |        ['subscribe to ' || source || ' weekly'] ||
+      |        [array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ')
+      |         for i in range(1, CAST(floor((len(ws) - 1) / 8) AS INT) + 2)] ||
+      |        (CASE WHEN doc_id % 3 = 0
+      |              THEN ['follow ' || source || ' for more'] ELSE [] END) ||
+      |        ['copyright ' || source] AS lines
+      |      FROM w),
+      |E AS (SELECT doc_id, source, generate_subscripts(lines, 1) AS pos,
+      |             unnest(lines) AS line FROM L),
+      |F AS (SELECT source, line FROM E
+      |      GROUP BY source, line HAVING count(DISTINCT doc_id) >= 5),
+      |K AS (SELECT e.doc_id, e.pos, e.line
+      |      FROM E e ANTI JOIN F f
+      |        ON e.source = f.source AND e.line = f.line),
+      |R AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_out,
+      |             count(*) AS n_kept FROM K GROUP BY doc_id),
+      |C AS (SELECT doc_id, count(*) AS n_total FROM E GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |       coalesce(r.text_out, '') AS text_out,
+      |       CAST(c.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM C c LEFT JOIN R r USING (doc_id) ORDER BY 1, 2, 3""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_line_dedup" -> (lineDedup _),
     "text_html_extract" -> (htmlExtract _),
     "sketch_heavy_hitters" -> (heavyHittersCms _),
     "curate_mix_resample" -> (mixResample _),
@@ -1418,6 +1535,7 @@ object TextAnalysis {
     "text_top_quality_by_lang" -> (topQualityByLang _))
 
   val oracles: Map[String, String] = Map(
+    "text_line_dedup" -> lineDedupOracle,
     "text_html_extract" -> htmlExtractOracle,
     "sketch_heavy_hitters" -> heavyHittersCmsOracle,
     "curate_mix_resample" -> mixResampleOracle,

@@ -125,6 +125,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "text_decontaminate_bloom" -> (2, 1),
     "text_fingerprint" -> (0, 0),
     "text_html_extract" -> (0, 0), // scan-side synthesis + native extract
+    // the line-DF aggregation runs as a bounded side job at build time;
+    // the output path is a pure scan through the native strip expression
+    "text_line_dedup" -> (0, 0),
     "text_inverted_index" -> (2, 1),
     "text_inverted_index_capped" -> (2, 1),
     "text_lang_id" -> (0, 0),

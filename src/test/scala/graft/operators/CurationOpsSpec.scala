@@ -305,4 +305,50 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(out == Set(("mirror", "s1", 2L), ("s1", "s2", 1L)))
   }
+
+  // --- line-level boilerplate removal --------------------------------------
+
+  test("lineDedup strips planted boilerplate and frequent body lines only") {
+    // Source "a": 6 docs whose first 8 words coincide (a shared body
+    // line, df 6 >= 5) and whose tail words are unique (df 1). The
+    // synthesized subscribe/copyright lines hit df 6 too. Only ids 12
+    // and 15 carry the every-3rd `follow` line, so its df 2 stays UNDER
+    // the threshold — it must survive. Source "b" has 2 docs: nothing
+    // in it reaches df 5.
+    val shared = "shared eight word line goes right here now"
+    val rows =
+      (10L to 15L).map(i =>
+        (i, s"$shared uniq$i b c d e f g h", "en", "a")) ++
+        Seq((20L, "lonely text one two three", "en", "b"),
+          (21L, "other words four five six", "en", "b"))
+    val out = TextAnalysis.lineDedup(spark, corpusDir(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    // df-6 header, shared body line and footer stripped; unique body kept
+    assert(out(10L) == (("uniq10 b c d e f g h", 3L)))
+    assert(out(11L) == (("uniq11 b c d e f g h", 3L)))
+    // follow line (df 2) survives on the every-3rd docs
+    assert(out(12L) == (("uniq12 b c d e f g h\nfollow a for more", 3L)))
+    assert(out(15L) == (("uniq15 b c d e f g h\nfollow a for more", 3L)))
+    // small source: nothing reaches the threshold, nothing removed
+    assert(out(21L)._2 == 0L)
+    assert(out(21L)._1 ==
+      "subscribe to b weekly\nother words four five six\nfollow b for more\ncopyright b")
+  }
+
+  test("lineDedup driver cap and conf parse fail with the conf key named") {
+    val dir = corpusDir((1L to 6L).map(i => (i, "same text every doc", "en", "s")))
+    try {
+      spark.conf.set("spark.graft.linededup.maxFrequent", "1")
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.lineDedup(spark, dir)
+      }
+      assert(e.getMessage.contains("spark.graft.linededup.maxFrequent"))
+      spark.conf.set("spark.graft.linededup.maxFrequent", "not-a-number")
+      val e2 = intercept[IllegalArgumentException] {
+        TextAnalysis.lineDedup(spark, dir)
+      }
+      assert(e2.getMessage.contains("spark.graft.linededup.maxFrequent"))
+    } finally spark.conf.unset("spark.graft.linededup.maxFrequent")
+  }
 }
