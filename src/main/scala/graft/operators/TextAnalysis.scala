@@ -1445,9 +1445,16 @@ object TextAnalysis {
     *
     * Output: (doc_id, text_out, n_removed) — surviving lines re-joined
     * by `\n` in order; a fully-boilerplate doc yields the empty string. */
-  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), lineDedupLines.as("lines"))
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupStrip(Tables.documents(spark, dir),
+      lineDedupFrequentSet(spark, dir))
+
+  /** Stage 1 of [[lineDedup]] — the conf-capped frequent-line set.
+    * `private[graft]` so the streaming twin screens new documents
+    * against the set built from the SAME static history, making
+    * batch ≡ stream equality hold by construction. */
+  private[graft] def lineDedupFrequentSet(spark: SparkSession,
+      dir: String): java.util.HashSet[String] = {
     val maxFrequent = spark.conf.getOption("spark.graft.linededup.maxFrequent")
       .map { v =>
         try v.toLong.toInt catch {
@@ -1455,7 +1462,8 @@ object TextAnalysis {
             s"spark.graft.linededup.maxFrequent must be a long, got '$v'")
         }
       }.getOrElse(1000000)
-    val frequent = docs
+    val frequent = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), lineDedupLines.as("lines"))
       .select(col("source"), explode(col("lines")).as("line"), col("doc_id"))
       .groupBy(col("source"), col("line"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -1469,13 +1477,20 @@ object TextAnalysis {
     val set = new java.util.HashSet[String](math.max(16, frequent.length * 2))
     frequent.foreach(r => set.add(
       graft.functions.StripFrequentLines.key(r.getString(0), r.getString(1))))
-    (Tables.documents(spark, dir)
+    set
+  }
+
+  /** Stage 2 of [[lineDedup]] — the pure scan-side strip, shared with
+    * the streaming twin (stateless, so it streams as a plain
+    * projection). */
+  private[graft] def lineDedupStrip(docs: DataFrame,
+      set: java.util.HashSet[String]): DataFrame =
+    (docs
       .select(col("doc_id"),
         graft.functions.StringFunctions.strip_frequent_lines(
           col("source"), array_join(lineDedupLines, "\n"), set).as("s"))
       .select(col("doc_id"), col("s.text_out").as("text_out"),
         col("s.n_removed").as("n_removed")))
-  }
 
   val lineDedupOracle: String =
     """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
