@@ -510,6 +510,11 @@ object Jpeg {
     require(dcTab != null && acTab != null, "missing Huffman tables")
     val blocksX = (width + 7) / 8
     val blocksY = (height + 7) / 8
+    // u16 dims can still claim ~4.3e9 pixels from a 20-byte header — cap
+    // BEFORE allocating (same bound as the PNG decoder), in Long so the
+    // product cannot wrap into a NegativeArraySizeException
+    require(width.toLong * height.toLong <= (1L << 28),
+      s"decoded image too large: ${width}x$height")
     val out = new Array[Byte](width * height)
     val br = new BitReader(payload, sosAt)
     val coef = new Array[Double](64)

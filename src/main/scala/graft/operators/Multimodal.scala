@@ -689,6 +689,11 @@ object Multimodal {
           require(width >= 1 && height >= 1 &&
             width < (1 << 16) && height < (1 << 16),
             s"implausible dimensions ${width}x$height")
+          // per-dim bounds still admit a ~4.3e9-pixel claim from a tiny
+          // header — cap the PRODUCT in Long before any allocation sized
+          // from it (same bound as the PNG/JPEG decoders)
+          require(width.toLong * height.toLong <= (1L << 28),
+            s"decoded image too large: ${width}x$height")
           require((ipacked & 0x40) == 0, "interlaced GIF not supported")
           pos += 10
           var palette = gct

@@ -261,6 +261,20 @@ class MultimodalSpec extends AnyFunSuite {
       val good = Multimodal.gifEncode(Array.tabulate[Byte](64)(_.toByte), 8)
       Multimodal.gifDecoder(good.take(good.length / 2))
     }
+    // hostile image descriptor claiming 65535x65535: the Long product cap
+    // must fire before any allocation sized from the wrapped Int product
+    val hostile = Multimodal.gifEncode(Array.tabulate[Byte](64)(_.toByte), 8)
+    // descriptor sits after the 13-byte header + global color table:
+    // 2C left(2) top(2) width(2) height(2) packed
+    val hpacked = hostile(10) & 0xff
+    val desc = 13 + (if ((hpacked & 0x80) != 0) 3 << ((hpacked & 7) + 1) else 0)
+    assert((hostile(desc) & 0xff) == 0x2C, "descriptor offset")
+    hostile(desc + 5) = 0xff.toByte; hostile(desc + 6) = 0xff.toByte
+    hostile(desc + 7) = 0xff.toByte; hostile(desc + 8) = 0xff.toByte
+    val big = intercept[IllegalArgumentException] {
+      Multimodal.gifDecoder(hostile)
+    }
+    assert(big.getMessage.contains("too large"))
   }
 
   test("REAL decode: constant-block JPEGs round-trip exactly (incl. restarts)") {
@@ -325,6 +339,16 @@ class MultimodalSpec extends AnyFunSuite {
       prog(at + 1) = 0xc2.toByte
       Jpeg.decodeGray(prog)
     }
+    // a hostile SOF0 claiming 65535x65535 (~4.3e9 px) must hit the Long
+    // product cap, not wrap Int into a NegativeArraySizeException or
+    // attempt a multi-GB allocation
+    val hostile = Jpeg.encodeGray(px, 21, Jpeg.UnitQuant)
+    val sof = hostile.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    // SOF0 layout: FF C0 len(2) prec(1) height(2) width(2) ...
+    hostile(sof + 5) = 0xff.toByte; hostile(sof + 6) = 0xff.toByte
+    hostile(sof + 7) = 0xff.toByte; hostile(sof + 8) = 0xff.toByte
+    val big = intercept[IllegalArgumentException] { Jpeg.decodeGray(hostile) }
+    assert(big.getMessage.contains("too large"))
   }
 
   test("REAL decode: MJPEG AVI samples every Nth compressed frame") {
