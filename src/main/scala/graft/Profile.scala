@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch profiler (temporary; repointed per round at the current bench
-  * hog). Round 7 (late): the PQ production forms after the native
-  * PqAssign expression replaced the interpreted HOF assignment. */
+  * hog). Round 7 (late): dedup_clusters — the slowest bench row at
+  * sf0.1 — against its candidate-pair machinery alone
+  * (dedup_minhash_lsh) to see what the union-find + assignment add. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,15 +25,19 @@ object Profile {
     }
 
     graft.sources.Tables.region(spark, sfDir).count()
-    graft.operators.Similarity.quantizePqProd(spark, sfDir).count()
+    graft.operators.Dedup.minhashLsh(spark, sfDir).count()
+    spark.catalog.clearCache()
 
     var i = 0
     while (i < 3) {
-      time("sim_quantize_pq (prod)")(
-        graft.operators.Similarity.quantizePqProd(spark, sfDir).count())
+      time("dedup_minhash_lsh")(
+        graft.operators.Dedup.minhashLsh(spark, sfDir).count())
       spark.catalog.clearCache()
-      time("sim_ann_ivfpq (prod)")(
-        graft.operators.Similarity.annIvfPqProd(spark, sfDir).count())
+      time("dedup_clusters")(
+        graft.operators.Dedup.clusterAssign(spark, sfDir).count())
+      spark.catalog.clearCache()
+      time("dedup_semantic")(
+        graft.operators.Similarity.semanticDedup(spark, sfDir).count())
       spark.catalog.clearCache()
       i += 1
     }

@@ -1457,10 +1457,13 @@ object TextAnalysis {
       dir: String): java.util.HashSet[String] = {
     val maxFrequent = spark.conf.getOption("spark.graft.linededup.maxFrequent")
       .map { v =>
-        try v.toLong.toInt catch {
+        val n = try v.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"spark.graft.linededup.maxFrequent must be a long, got '$v'")
         }
+        require(n >= 1 && n < Int.MaxValue,
+          s"spark.graft.linededup.maxFrequent must be in [1, ${Int.MaxValue - 1}], got $n")
+        n.toInt
       }.getOrElse(1000000)
     val frequent = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), lineDedupLines.as("lines"))
