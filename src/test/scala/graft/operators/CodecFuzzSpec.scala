@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic fuzz over every pure-JVM codec entry point: a decoder
+  * fed garbage must either decode or throw a CLEAN exception. What it
+  * must never do — the failure classes the hostile-header guards exist
+  * for — is wrap an Int into a NegativeArraySizeException, NPE, blow
+  * the stack, or attempt an absurd allocation. Three corpora per codec:
+  * pure random bytes (wrong or accidental magic), single-byte
+  * mutations of a valid payload (bit rot / truncated proxies hitting
+  * every parser state), and prefix truncations of a valid payload.
+  *
+  * Seeded `scala.util.Random` throughout — failures reproduce exactly.
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val decoders: Seq[(String, Array[Byte] => Array[Float])] = Seq(
+    "wav" -> Multimodal.wavPcmDecoder _,
+    "bmp" -> Multimodal.bmpDecoder _,
+    "png" -> Multimodal.pngDecoder _,
+    "gif" -> Multimodal.gifDecoder _,
+    "jpeg" -> Multimodal.jpegDecoder _,
+    "avi" -> Multimodal.aviFrameSampler(2) _)
+
+  /** Run one payload; fail the suite only on the banned failure classes. */
+  private def mustFailCleanly(codec: String, tag: String,
+      decode: Array[Byte] => Array[Float], payload: Array[Byte]): Unit =
+    try { decode(payload); () }
+    catch {
+      case e @ (_: NegativeArraySizeException | _: NullPointerException |
+                _: StackOverflowError | _: OutOfMemoryError) =>
+        fail(s"$codec/$tag: banned failure ${e.getClass.getSimpleName}: " +
+          s"${e.getMessage} (len=${payload.length})")
+      case _: Exception => () // clean rejection — the expected outcome
+    }
+
+  /** Minimal valid WAV (mono 16-bit PCM) — same shape MultimodalSpec
+    * round-trips. */
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Minimal valid bottom-up 24bpp BMP of a grayscale ramp. */
+  private def bmpBytes(width: Int, height: Int): Array[Byte] = {
+    val rowBytes = ((24 * width + 31) / 32) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * height)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (height - 1) to 0 by -1) {
+      var written = 0
+      for (x <- 0 until width) {
+        val v = ((y * width + x) * 5 % 256).toByte
+        bb.put(v).put(v).put(v)
+        written += 3
+      }
+      while (written < rowBytes) { bb.put(0.toByte); written += 1 }
+    }
+    bb.array()
+  }
+
+  private def validPayloads: Map[String, Array[Byte]] = {
+    val px = Array.tabulate[Byte](24 * 16)(i => (i * 7).toByte)
+    Map(
+      "bmp" -> bmpBytes(24, 16),
+      "png" -> Multimodal.pngEncode(px, 24),
+      "gif" -> Multimodal.gifEncode(px, 24),
+      "jpeg" -> Jpeg.encodeGray(px, 24, Jpeg.StdQuant),
+      "avi" -> Multimodal.aviEncode(Seq(px, px, px), 24, 16),
+      "wav" -> wavBytes(Array.tabulate[Short](256)(i => (i * 121).toShort)))
+  }
+
+  test("random payloads never hit a banned failure class") {
+    val rng = new scala.util.Random(0xC0DEC5L)
+    for ((codec, decode) <- decoders; _ <- 0 until 250) {
+      val payload = new Array[Byte](rng.nextInt(1024))
+      rng.nextBytes(payload)
+      mustFailCleanly(codec, "random", decode, payload)
+    }
+  }
+
+  test("single-byte mutations of valid payloads fail cleanly or decode") {
+    val rng = new scala.util.Random(0xBADF00DL)
+    val valid = validPayloads
+    for ((codec, decode) <- decoders) {
+      val good = valid(codec)
+      // sanity: the unmutated payload decodes
+      assert(decode(good).nonEmpty, s"$codec: valid payload must decode")
+      for (_ <- 0 until 400) {
+        val mutated = good.clone()
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+        mustFailCleanly(codec, "mutate", decode, mutated)
+      }
+    }
+  }
+
+  test("prefix truncations of valid payloads fail cleanly") {
+    val rng = new scala.util.Random(0x7501CA7EL)
+    val valid = validPayloads
+    for ((codec, decode) <- decoders; _ <- 0 until 60) {
+      val good = valid(codec)
+      val cut = rng.nextInt(good.length)
+      mustFailCleanly(codec, s"truncate@$cut", decode, good.take(cut))
+    }
+  }
+}
