@@ -67,4 +67,30 @@ class HtmlExtractSpec extends AnyFunSuite {
     }.mkString(" ")
     assert(x(html) == expected)
   }
+
+  test("fuzz: arbitrary input never throws, never leaks tag/comment text") {
+    // The state machine must TOTAL over arbitrary strings — crawled HTML
+    // is hostile by default (unterminated tags/comments/entities, stray
+    // control bytes, markup soup). Deterministic generator biased toward
+    // state-machine triggers; the invariants: no exception, and no output
+    // longer than the input (extraction only removes or substitutes).
+    val rng = new scala.util.Random(0x4754A11L)
+    val atoms = Array("<", ">", "</", "<!--", "-->", "&", ";", "\"", "'",
+      "=", " ", "\n", "<script", "</script>", "<style", "<p", "amp", "lt",
+      "quot", "x", "wor d", "<b attr=\"v>\"", "&#6", "&#65;", "\u0000")
+    for (_ <- 0 until 2000) {
+      val sb = new StringBuilder
+      for (_ <- 0 until rng.nextInt(40))
+        sb.append(atoms(rng.nextInt(atoms.length)))
+      val in = sb.toString
+      val out = x(in) // must not throw
+      assert(out.length <= in.length + 1,
+        s"extraction grew the input: ${in.take(80)} -> ${out.take(80)}")
+    }
+    // pathological unterminated constructs specifically
+    for (bad <- Seq("<", "<!", "<!-", "<!--", "<!-- never closed",
+        "<script>alert(1)", "<a href=\"", "&", "&#", "&#xZZ", "<p<p<p",
+        "</" * 1000, "<!--" * 1000, "&amp" * 1000))
+      x(bad) // must not throw
+  }
 }
