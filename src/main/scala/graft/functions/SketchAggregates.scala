@@ -235,7 +235,12 @@ case class VectorSumSketch(
   * rho = leading-zero count of the remaining `wBits`-bit word plus one.
   * Evaluates to the full `array<long>` register vector in bucket order
   * (zeros included) — the estimate arithmetic stays OUTSIDE the sketch,
-  * scan-side and engine-replayable. */
+  * scan-side and engine-replayable.
+  *
+  * The combined hash is non-negative by construction; bucket/word are
+  * nevertheless derived with UNSIGNED division so the aggregate is
+  * total over arbitrary long inputs (identical results on the
+  * documented domain, no executor crash off it). */
 case class HllRegisters(
     child: Expression,
     m: Int,
@@ -258,8 +263,8 @@ case class HllRegisters(
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      val bucket = (h % m).toInt
-      val w = h / m
+      val bucket = java.lang.Long.remainderUnsigned(h, m).toInt
+      val w = java.lang.Long.divideUnsigned(h, m)
       // rho = one-based position of the leftmost 1 in the wBits-wide
       // word; an all-zero word scores wBits + 1
       val rho =

@@ -37,9 +37,11 @@ class SketchAggregatesSpec extends AnyFunSuite {
     def sigs(parts: Int) = df.repartition(parts)
       .groupBy("id")
       .agg(SketchFunctions.minhash_sketch(col("h"), 64).as("sig"),
-        SketchFunctions.simhash_sketch(pmod(col("h"), lit(1000000007L))).as("b4"))
+        SketchFunctions.simhash_sketch(pmod(col("h"), lit(1000000007L))).as("b4"),
+        SketchFunctions.hll_registers(col("h"), 64, 57).as("regs"))
       .collect()
-      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2))))
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Byte](3))))
       .toMap
     assert(sigs(1) == sigs(7))
   }
