@@ -153,11 +153,15 @@ object HtmlExtractText {
     case "nbsp" => ' '.toInt
     case _ =>
       try {
-        if (body.startsWith("#x") || body.startsWith("#X"))
-          Integer.parseInt(body.substring(2), 16)
-        else if (body.startsWith("#"))
-          Integer.parseInt(body.substring(1), 10)
-        else -1
+        val cp =
+          if (body.startsWith("#x") || body.startsWith("#X"))
+            Integer.parseInt(body.substring(2), 16)
+          else if (body.startsWith("#"))
+            Integer.parseInt(body.substring(1), 10)
+          else -1
+        // &#x110000; parses but is not a Unicode code point —
+        // appendCodePoint would throw; pass it through literally instead
+        if (Character.isValidCodePoint(cp)) cp else -1
       } catch { case _: NumberFormatException => -1 }
   }
 

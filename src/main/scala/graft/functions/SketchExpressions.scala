@@ -298,8 +298,12 @@ object BloomShingleFilter {
     val out = new java.util.ArrayList[AnyRef](8)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      if (BloomHashing.contains(words, s)) out.add(s)
+      // the declared input type admits null elements; a null shingle is
+      // in no set, so it is skipped rather than NPE'ing the task
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (BloomHashing.contains(words, s)) out.add(s)
+      }
       i += 1
     }
     new GenericArrayData(

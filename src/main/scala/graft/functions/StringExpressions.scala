@@ -250,7 +250,7 @@ object WinnowFingerprints {
 
 /** One-pass C4-style boilerplate strip: given a document's `source` and
   * its newline-separated `text`, drop every line whose exact
-  * `source + " " + line` key is in the frequent-line set (lines
+  * `key(source, line)` is in the frequent-line set (lines
   * whose document frequency within the source met the threshold —
   * computed by a separate bounded aggregation and collected like
   * [[BloomShingleFilter]]'s bitmask, but EXACT strings, so there are no
@@ -297,8 +297,12 @@ object StripFrequentLines {
     StructField("n_removed", LongType, nullable = false)))
 
   /** Membership key — shared by the build (driver) and probe (executor)
-    * sides so the two cannot drift. */
-  def key(source: String, line: String): String = source + " " + line
+    * sides so the two cannot drift. The '\n' separator makes the
+    * key unambiguous no matter what the inputs contain: a LINE can
+    * never hold '\n' (text is split on it), so the first separator in
+    * the key always delimits the line exactly - two distinct
+    * (source, line) pairs cannot collide. */
+  def key(source: String, line: String): String = line + "\n" + source
 
   /** Static so generated code can call it; one pass over the text. */
   def compute(src: UTF8String, txt: UTF8String,

@@ -368,6 +368,10 @@ object PqAssign {
         if (d < bestD) { bestD = d; best = ki } // first min = smallest code
         ki += 1
       }
+      // NaN (or all-Infinity) distances compare false against every bound,
+      // leaving best = -1 — a non-finite embedding is a degenerate input
+      // and yields NULL like the other malformed shapes, not an AIOOBE
+      if (best < 0) return null
       if (mi > 0) codes.append(',')
       codes.append(best)
       val cv = cells(best)

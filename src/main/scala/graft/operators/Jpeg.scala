@@ -450,6 +450,9 @@ object Jpeg {
           while (p < pos + 2 + len) {
             require((payload(p) & 0xf0) == 0, "only 8-bit quant tables supported")
             val id = payload(p) & 0x0f
+            // the nibble admits 0-15 but JPEG defines ids 0-3; a hostile
+            // id must fail here, not as a raw AIOOBE on the 4-slot array
+            require(id < 4, s"quant table id $id out of range")
             val t = new Array[Int](64)
             var i = 0
             while (i < 64) { t(ZigZag(i)) = payload(p + 1 + i) & 0xff; i += 1 }
@@ -466,10 +469,12 @@ object Jpeg {
           require((payload(seg + 7) & 0xff) == 0x11,
             "subsampling not applicable to one component")
           qId = payload(seg + 8) & 0x0f
+          require(qId < 4, s"quant table id $qId out of range")
         case 0xc4 => // DHT: one or more tables per segment
           var p = seg
           while (p < pos + 2 + len) {
             val tcTh = payload(p) & 0xff
+            require((tcTh & 0x0f) < 4, s"Huffman table id ${tcTh & 0x0f} out of range")
             val bits = new Array[Int](17)
             var total = 0
             var l = 1
@@ -489,6 +494,8 @@ object Jpeg {
           require((payload(seg) & 0xff) == 1, "one scan component expected")
           dcId = (payload(seg + 2) & 0xf0) >> 4
           acId = payload(seg + 2) & 0x0f
+          require(dcId < 4 && acId < 4,
+            s"scan Huffman table ids ($dcId, $acId) out of range")
           require((payload(seg + 3) & 0xff) == 0 &&
             (payload(seg + 4) & 0xff) == 63,
             "baseline full-spectrum scan expected")

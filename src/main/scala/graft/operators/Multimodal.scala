@@ -444,6 +444,10 @@ object Multimodal {
     var off = 0
     while (off < rawLen && !inflater.finished()) {
       val n = inflater.inflate(raw, off, rawLen - off)
+      // a zlib header with FDICT set yields n=0, needsInput=false,
+      // needsDictionary=true forever — without the dictionary check the
+      // loop spins, hanging the task (PNG forbids FDICT; reject it)
+      require(!inflater.needsDictionary(), "zlib preset dictionary not allowed in PNG")
       require(n > 0 || !inflater.needsInput(), "truncated zlib stream")
       off += n
     }
@@ -1003,6 +1007,14 @@ object Multimodal {
         MediaRow(id, pngEncode(pngPixels(text), PngWidth))
       }(enc).toDF()
     val decoded = decodeMedia(src, pngDecoder)
+    rasterFingerprinted(decoded)
+  }
+
+  /** Shared tail of every real-codec decode query: gray levels back
+    * from unit floats, Karp–Rabin fingerprint over ALL decoded pixels,
+    * `(doc_id, n_px, px_fp)`. ONE definition so the five codecs cannot
+    * drift from each other or from the shared DuckDB raster oracle. */
+  private def rasterFingerprinted(decoded: DataFrame): DataFrame = {
     val px = transform(col("features"),
       f => round(f.cast("double") * 255).cast("long"))
     val fp = aggregate(px, lit(0L),
@@ -1053,14 +1065,7 @@ object Multimodal {
         MediaRow(id, gifEncode(pngPixels(text), PngWidth))
       }(enc).toDF()
     val decoded = decodeMedia(src, gifDecoder)
-    val px = transform(col("features"),
-      f => round(f.cast("double") * 255).cast("long"))
-    val fp = aggregate(px, lit(0L),
-      (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
-    decoded.select(
-      col("doc_id"),
-      size(col("features")).cast("long").as("n_px"),
-      fp.as("px_fp"))
+    rasterFingerprinted(decoded)
   }
 
   val decodeGifOracle: String = rasterFpOracle
@@ -1102,14 +1107,7 @@ object Multimodal {
           restartEvery = PngWidth)) // one restart per block row
       }(enc).toDF()
     val decoded = decodeMedia(src, jpegDecoder)
-    val px = transform(col("features"),
-      f => round(f.cast("double") * 255).cast("long"))
-    val fp = aggregate(px, lit(0L),
-      (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
-    decoded.select(
-      col("doc_id"),
-      size(col("features")).cast("long").as("n_px"),
-      fp.as("px_fp"))
+    rasterFingerprinted(decoded)
   }
 
   val decodeJpegOracle: String =
@@ -1154,14 +1152,7 @@ object Multimodal {
         MediaRow(id, aviEncodeMjpeg(frames, 16, 16))
       }(enc).toDF()
     val decoded = decodeMedia(src, aviFrameSampler(FrameEvery))
-    val px = transform(col("features"),
-      f => round(f.cast("double") * 255).cast("long"))
-    val fp = aggregate(px, lit(0L),
-      (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
-    decoded.select(
-      col("doc_id"),
-      size(col("features")).cast("long").as("n_px"),
-      fp.as("px_fp"))
+    rasterFingerprinted(decoded)
   }
 
   val videoMjpegOracle: String =
@@ -1200,14 +1191,7 @@ object Multimodal {
         MediaRow(id, aviEncode(frames, FrameW, FrameH))
       }(enc).toDF()
     val decoded = decodeMedia(src, aviFrameSampler(FrameEvery))
-    val px = transform(col("features"),
-      f => round(f.cast("double") * 255).cast("long"))
-    val fp = aggregate(px, lit(0L),
-      (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
-    decoded.select(
-      col("doc_id"),
-      size(col("features")).cast("long").as("n_px"),
-      fp.as("px_fp"))
+    rasterFingerprinted(decoded)
   }
 
   val videoFramesOracle: String =

@@ -75,12 +75,9 @@ object StreamingAsof {
     * purchases emit in their own batch). */
   def asofJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = s"$dir/events.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_asof")
-    val rawSchema = spark.read.parquet(path).schema
-    java.nio.file.Files.createLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val events = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "events", "graft_stream_asof")
+    val events = raw
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 second")
       .filter(col("event_type").isin("click", "purchase"))

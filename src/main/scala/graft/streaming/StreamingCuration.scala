@@ -61,16 +61,9 @@ object StreamingCuration {
   /** Streaming curation run to completion on the finite fixture replay. */
   def curatedStreaming(spark: SparkSession, dir: String): DataFrame = {
     val sink = s"graft_stream_curation_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_cur")
-    val staged = streamDir.resolve("documents.parquet")
-    try java.nio.file.Files.createLink(staged, java.nio.file.Paths.get(path))
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-    }
-    val schema = spark.read.parquet(path).schema
-    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "documents", "graft_stream_cur")
+    val docs = raw.select(col("doc_id"), col("text"), col("lang"), col("source"))
     StreamingStaging.runAndConsume(spark, sink, streamDir)(
       curationOf(docs)
         .writeStream.format("memory").queryName(sink).outputMode("append")

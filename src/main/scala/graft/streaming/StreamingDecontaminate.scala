@@ -26,17 +26,9 @@ object StreamingDecontaminate {
   /** Stage the fixture parquet into a watchable dir (hard link when
     * possible); return (streaming documents frame, staging dir). */
   private def streamingDocs(spark: SparkSession,
-      dir: String): (DataFrame, java.nio.file.Path) = {
-    val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_deco")
-    val staged = streamDir.resolve("documents.parquet")
-    try java.nio.file.Files.createLink(staged, java.nio.file.Paths.get(path))
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-    }
-    val schema = spark.read.parquet(path).schema
-    (spark.readStream.schema(schema).parquet(streamDir.toString), streamDir)
-  }
+      dir: String): (DataFrame, java.nio.file.Path) =
+    StreamingStaging.stageParquetStream(
+      spark, dir, "documents", "graft_stream_deco")
 
   /** Per-document contamination counts over the streamed corpus — the
     * batch operator's output shape, for the equality spec. */

@@ -33,16 +33,9 @@ object StreamingDedup {
     * dir for post-consume cleanup. */
   private def streamingDocs(spark: SparkSession,
       dir: String): (DataFrame, java.nio.file.Path) = {
-    val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-    val staged = streamDir.resolve("documents.parquet")
-    try java.nio.file.Files.createLink(staged, java.nio.file.Paths.get(path))
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-    }
-    val schema = spark.read.parquet(path).schema
-    val d = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .select(col("doc_id"), col("text"))
+    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "documents", "graft_stream_docs")
+    val d = raw.select(col("doc_id"), col("text"))
     (d.unionAll(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))), streamDir)
   }

@@ -73,12 +73,10 @@ object StreamingEvents {
     * filters the sentinel user from the result. */
   def sessionizeStreaming(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_sessions")
-    java.nio.file.Files.createLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-
     val rawSchema = spark.read.parquet(path).schema
-    val events = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "events", "graft_stream_sessions")
+    val events = raw
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 second")
     val sink = s"graft_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -109,19 +107,11 @@ object StreamingEvents {
     * the final windowed aggregate (runs the stream to completion on the
     * finite input, then reads the in-memory sink). */
   def hourlyAggStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // The streaming file source wants a DIRECTORY to watch; the fixture is
-    // a single file — stage it into a temp dir (hardlink, else copy).
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_events")
-    val staged = streamDir.resolve("events.parquet")
-    try java.nio.file.Files.createLink(staged, java.nio.file.Paths.get(path))
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-    }
-    // schema from a batch read (ts arrives as long nanos under
-    // nanosAsLong; converted exactly like Tables.events)
-    val rawSchema = spark.read.parquet(path).schema
-    val events = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+    // ts arrives as long nanos under nanosAsLong; converted exactly like
+    // Tables.events
+    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "events", "graft_stream_events")
+    val events = raw
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val sink = s"graft_stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     StreamingStaging.runAndConsume(spark, sink, streamDir)(

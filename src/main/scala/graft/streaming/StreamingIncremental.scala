@@ -48,17 +48,9 @@ object StreamingIncremental {
     * doc, exactly `Dedup.withNearDups`' delta branch) + staging dir. */
   private def streamingDelta(spark: SparkSession,
       dir: String): (DataFrame, java.nio.file.Path) = {
-    val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_inc")
-    val staged = streamDir.resolve("documents.parquet")
-    try java.nio.file.Files.createLink(staged, java.nio.file.Paths.get(path))
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-    }
-    val schema = spark.read.parquet(path).schema
-    val delta = Dedup.plantedDelta(
-      spark.readStream.schema(schema).parquet(streamDir.toString)
-        .select(col("doc_id"), col("text")))
+    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "documents", "graft_stream_inc")
+    val delta = Dedup.plantedDelta(raw.select(col("doc_id"), col("text")))
     (delta, streamDir)
   }
 

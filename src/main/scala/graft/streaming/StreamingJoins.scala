@@ -19,9 +19,10 @@ object StreamingJoins {
 
   def rangeJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_join")
-    java.nio.file.Files.createLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    // the two join sides each need their own file-source stream over the
+    // same staged dir, so only the staging half of the helper is used
+    val (_, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "events", "graft_stream_join")
     val rawSchema = spark.read.parquet(path).schema
     def stream() = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -18,28 +18,14 @@ import graft.operators.TextAnalysis
   */
 object StreamingLineDedup {
 
-  /** Stage the fixture parquet into a watchable dir (hard link when
-    * possible); return (streaming documents frame, staging dir). */
-  private def streamingDocs(spark: SparkSession,
-      dir: String): (DataFrame, java.nio.file.Path) = {
-    val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_ld")
-    val staged = streamDir.resolve("documents.parquet")
-    try java.nio.file.Files.createLink(staged, java.nio.file.Paths.get(path))
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-    }
-    val schema = spark.read.parquet(path).schema
-    (spark.readStream.schema(schema).parquet(streamDir.toString), streamDir)
-  }
-
   /** The streamed corpus minus its frequent lines — the batch operator's
     * output shape, for the equality spec. */
   def lineDedupStreaming(spark: SparkSession, dir: String): DataFrame = {
     val sink =
       s"graft_stream_ld_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val set = TextAnalysis.lineDedupFrequentSet(spark, dir)
-    val (docs, streamDir) = streamingDocs(spark, dir)
+    val (docs, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "documents", "graft_stream_ld")
     StreamingStaging.runAndConsume(spark, sink, streamDir) {
       TextAnalysis.lineDedupStrip(docs, set)
         .writeStream.format("memory").queryName(sink).outputMode("append")

@@ -90,11 +90,10 @@ object StreamingSessions {
   def sessionizeCustomState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = s"$dir/events.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_fmgws")
-    java.nio.file.Files.createLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val rawSchema = spark.read.parquet(path).schema
-    val events = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "events", "graft_stream_fmgws")
+    val events = raw
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 second")
       .select(col("user_id"), col("ts"), col("value")).as[Ev]

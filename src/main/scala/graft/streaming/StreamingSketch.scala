@@ -28,12 +28,8 @@ object StreamingSketch {
   /** Replay the documents fixture through the streaming sketch build and
     * return the final (r, bkt, c) counters. */
   def cmsSketchStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_cms")
-    java.nio.file.Files.createLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
-    val schema = spark.read.parquet(path).schema
-    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val (docs, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "documents", "graft_stream_cms")
     val sketch = TextAnalysis.cmsSketchOf(TextAnalysis.cmsTokensOf(docs))
     val sink = s"graft_stream_cms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     StreamingStaging.runAndConsume(spark, sink, streamDir)(
@@ -51,12 +47,8 @@ object StreamingSketch {
     * run batch and stream, so the finite replay's final estimates equal
     * the batch query's bit-for-bit (`StreamingSketchSpec`). */
   def hllSketchStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_hll")
-    java.nio.file.Files.createLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
-    val schema = spark.read.parquet(path).schema
-    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val (docs, streamDir) = StreamingStaging.stageParquetStream(
+      spark, dir, "documents", "graft_stream_hll")
     val regs = TextAnalysis.hllRegistersOf(TextAnalysis.hllHashedOf(docs))
     val sink = s"graft_stream_hll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     TextAnalysis.hllEstimated(

@@ -14,6 +14,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sink table and deletes the staging dir eagerly. */
 object StreamingStaging {
 
+  /** Stage `dir/table.parquet` behind a fresh temp dir and open it as a
+    * file-source stream (the streaming source wants a DIRECTORY to
+    * watch; the fixture is a single file). Hard link when the
+    * filesystem allows it, copy otherwise — the copy fallback matters
+    * when the temp dir and the fixture live on different filesystems.
+    * Every replay helper stages through here, so none can fork the
+    * weaker no-fallback variant again. Returns (streaming frame whose
+    * schema comes from a batch read, staging dir for the
+    * [[runAndConsume]] teardown). */
+  def stageParquetStream(spark: SparkSession, dir: String, table: String,
+      prefix: String): (DataFrame, java.nio.file.Path) = {
+    val path = s"$dir/$table.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory(prefix)
+    val staged = streamDir.resolve(s"$table.parquet")
+    try java.nio.file.Files.createLink(staged, java.nio.file.Paths.get(path))
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
+    }
+    val schema = spark.read.parquet(path).schema
+    (spark.readStream.schema(schema).parquet(streamDir.toString), streamDir)
+  }
+
   /** Run a staged replay to completion and consume its memory sink,
     * cleaning up BOTH the sink view and the staging dir even when the
     * query — or the static-side build evaluated lazily inside `start` —

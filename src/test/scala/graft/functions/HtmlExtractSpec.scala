@@ -38,6 +38,11 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(x("&#34;q&#34; &#x22;h&#x22;") == "\"q\" \"h\"")
     assert(x("AT&T and fish &chips; &bogus12345; x") ==
       "AT&T and fish &chips; &bogus12345; x")
+    // a numeric reference beyond U+10FFFF parses as an int but is not a
+    // code point — it must pass through literally, not crash
+    // appendCodePoint (real crawl HTML contains malformed entities)
+    assert(x("a &#x110000; b") == "a &#x110000; b")
+    assert(x("a &#1114112; b") == "a &#1114112; b")
   }
 
   test("whitespace collapses across text, tags and newlines") {

@@ -117,7 +117,10 @@ class VectorExpressionsSpec extends AnyFunSuite {
       (1L, Seq[java.lang.Float](9f, 9f, 1f, 1f)),
       (2L, Seq[java.lang.Float](5f, 5f, 0f, 0f)),
       (3L, Seq[java.lang.Float](1f, 2f, 3f)),
-      (4L, Seq[java.lang.Float](1f, null, 3f, 4f)))
+      (4L, Seq[java.lang.Float](1f, null, 3f, 4f)),
+      (5L, Seq[java.lang.Float](Float.NaN, 1f, 2f, 3f)),
+      (6L, Seq[java.lang.Float](Float.PositiveInfinity,
+        Float.PositiveInfinity, 0f, 0f)))
       .toDF("id", "embedding")
     def check(): Unit = {
       val rows = df.select(col("id"),
@@ -130,6 +133,10 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(rows(2L).getString(1) == "0,0", "equidistant tie -> smallest code")
       assert(rows(3L).isNullAt(1), "wrong dims must be null, not an exception")
       assert(rows(4L).isNullAt(1), "null element must be null, not garbage")
+      // NaN / all-Infinity distances compare false against every bound —
+      // no argmin exists; must be null, not an AIOOBE on cells(-1)
+      assert(rows(5L).isNullAt(1), "NaN element must be null, not a crash")
+      assert(rows(6L).isNullAt(1), "all-Inf subvector must be null, not a crash")
     }
     check() // codegen path
     spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -117,4 +117,43 @@ class CodecFuzzSpec extends AnyFunSuite {
       mustFailCleanly(codec, s"truncate@$cut", decode, good.take(cut))
     }
   }
+
+  test("PNG with a zlib FDICT header is rejected, not an infinite loop") {
+    // FDICT makes Inflater return 0 with needsInput=false and
+    // needsDictionary=true forever — a crafted payload must hit the
+    // dictionary require, not hang the task. Patch the IDAT body's
+    // first two bytes to CMF=0x78 FLG=0x20 (FDICT set, check valid:
+    // 0x7820 % 31 == 0) and re-stamp the chunk CRC so the CRC gate
+    // passes and the inflate loop is actually reached.
+    val good = validPayloads("png")
+    val idat = good.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    assert(idat > 0, "IDAT chunk present")
+    val len = ((good(idat - 4) & 0xff) << 24) | ((good(idat - 3) & 0xff) << 16) |
+      ((good(idat - 2) & 0xff) << 8) | (good(idat - 1) & 0xff)
+    val hostile = good.clone()
+    hostile(idat + 4) = 0x78.toByte
+    hostile(idat + 5) = 0x20.toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(hostile, idat, 4 + len) // type + data
+    val c = crc.getValue
+    hostile(idat + 4 + len) = ((c >>> 24) & 0xff).toByte
+    hostile(idat + 5 + len) = ((c >>> 16) & 0xff).toByte
+    hostile(idat + 6 + len) = ((c >>> 8) & 0xff).toByte
+    hostile(idat + 7 + len) = (c & 0xff).toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.pngDecoder(hostile)
+    }
+    assert(e.getMessage.contains("dictionary"))
+  }
+
+  test("JPEG table ids above 3 fail with the clean range message") {
+    val good = validPayloads("jpeg")
+    // DQT: FF DB len(2) then the id nibble in the first table byte
+    val dqt = good.indexOfSlice(Seq(0xff.toByte, 0xdb.toByte))
+    assert(dqt > 0)
+    val hostile = good.clone()
+    hostile(dqt + 4) = 0x05.toByte // 8-bit precision nibble 0, id 5
+    val e = intercept[IllegalArgumentException] { Jpeg.decodeGray(hostile) }
+    assert(e.getMessage.contains("out of range"))
+  }
 }

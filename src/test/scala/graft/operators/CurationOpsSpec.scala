@@ -336,6 +336,27 @@ class CurationOpsSpec extends AnyFunSuite {
       "subscribe to b weekly\nother words four five six\nfollow b for more\ncopyright b")
   }
 
+  test("frequent-line keys cannot collide across sources") {
+    import graft.functions.StripFrequentLines.key
+    // with a naive separator these pairs collide, and a line frequent in
+    // one source silently strips a RARE line in another; the line-first
+    // '\n' key makes that impossible because no line can contain '\n'
+    assert(key("cc news", "2024 all rights reserved") !=
+      key("cc", "news 2024 all rights reserved"))
+    assert(key("a", "b\nc") != key("a\nb", "c"))
+  }
+
+  test("bloom shingle filter skips null elements instead of NPEing") {
+    import spark.implicits._
+    val words = new Array[Long](graft.functions.BloomHashing.Words)
+    java.util.Arrays.fill(words, -1L) // all bits set: everything "matches"
+    val out = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("sh")
+      .select(graft.functions.SketchScalarFunctions
+        .bloom_shingle_filter(col("sh"), words).as("pass"))
+      .head().getSeq[String](0)
+    assert(out == Seq("a", "b"))
+  }
+
   test("lineDedup driver cap and conf parse fail with the conf key named") {
     val dir = corpusDir((1L to 6L).map(i => (i, "same text every doc", "en", "s")))
     try {
