@@ -159,9 +159,12 @@ object HtmlExtractText {
           else if (body.startsWith("#"))
             Integer.parseInt(body.substring(1), 10)
           else -1
-        // &#x110000; parses but is not a Unicode code point —
-        // appendCodePoint would throw; pass it through literally instead
-        if (Character.isValidCodePoint(cp)) cp else -1
+        // &#x110000; parses but is not a Unicode code point
+        // (appendCodePoint would throw), and a surrogate like &#xD800;
+        // would append a lone surrogate that the UTF-8 encoder mangles
+        // to '?' — both pass through literally instead
+        if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF)) cp
+        else -1
       } catch { case _: NumberFormatException => -1 }
   }
 

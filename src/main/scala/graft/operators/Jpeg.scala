@@ -474,6 +474,7 @@ object Jpeg {
           var p = seg
           while (p < pos + 2 + len) {
             val tcTh = payload(p) & 0xff
+            require((tcTh >> 4) <= 1, s"Huffman table class ${tcTh >> 4} out of range")
             require((tcTh & 0x0f) < 4, s"Huffman table id ${tcTh & 0x0f} out of range")
             val bits = new Array[Int](17)
             var total = 0

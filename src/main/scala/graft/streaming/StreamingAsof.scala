@@ -75,7 +75,7 @@ object StreamingAsof {
     * purchases emit in their own batch). */
   def asofJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+    val (raw, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_asof")
     val events = raw
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

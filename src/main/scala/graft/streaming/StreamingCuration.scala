@@ -61,7 +61,7 @@ object StreamingCuration {
   /** Streaming curation run to completion on the finite fixture replay. */
   def curatedStreaming(spark: SparkSession, dir: String): DataFrame = {
     val sink = s"graft_stream_curation_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+    val (raw, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "documents", "graft_stream_cur")
     val docs = raw.select(col("doc_id"), col("text"), col("lang"), col("source"))
     StreamingStaging.runAndConsume(spark, sink, streamDir)(

@@ -26,9 +26,11 @@ object StreamingDecontaminate {
   /** Stage the fixture parquet into a watchable dir (hard link when
     * possible); return (streaming documents frame, staging dir). */
   private def streamingDocs(spark: SparkSession,
-      dir: String): (DataFrame, java.nio.file.Path) =
-    StreamingStaging.stageParquetStream(
+      dir: String): (DataFrame, java.nio.file.Path) = {
+    val (docs, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "documents", "graft_stream_deco")
+    (docs, streamDir)
+  }
 
   /** Per-document contamination counts over the streamed corpus — the
     * batch operator's output shape, for the equality spec. */

@@ -33,7 +33,7 @@ object StreamingDedup {
     * dir for post-consume cleanup. */
   private def streamingDocs(spark: SparkSession,
       dir: String): (DataFrame, java.nio.file.Path) = {
-    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+    val (raw, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "documents", "graft_stream_docs")
     val d = raw.select(col("doc_id"), col("text"))
     (d.unionAll(d.filter(col("doc_id") % 10 === 0)

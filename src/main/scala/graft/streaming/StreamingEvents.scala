@@ -73,8 +73,7 @@ object StreamingEvents {
     * filters the sentinel user from the result. */
   def sessionizeStreaming(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
-    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+    val (raw, streamDir, rawSchema) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_sessions")
     val events = raw
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -109,7 +108,7 @@ object StreamingEvents {
   def hourlyAggStreaming(spark: SparkSession, dir: String): DataFrame = {
     // ts arrives as long nanos under nanosAsLong; converted exactly like
     // Tables.events
-    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+    val (raw, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_events")
     val events = raw
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

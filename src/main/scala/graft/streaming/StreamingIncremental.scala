@@ -48,7 +48,7 @@ object StreamingIncremental {
     * doc, exactly `Dedup.withNearDups`' delta branch) + staging dir. */
   private def streamingDelta(spark: SparkSession,
       dir: String): (DataFrame, java.nio.file.Path) = {
-    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+    val (raw, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "documents", "graft_stream_inc")
     val delta = Dedup.plantedDelta(raw.select(col("doc_id"), col("text")))
     (delta, streamDir)

@@ -18,12 +18,11 @@ import org.apache.spark.sql.functions._
 object StreamingJoins {
 
   def rangeJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // the two join sides each need their own file-source stream over the
-    // same staged dir, so only the staging half of the helper is used
-    val (_, streamDir) = StreamingStaging.stageParquetStream(
+    // the two join sides each need their OWN file-source stream over the
+    // same staged dir, so the helper's stream seeds one side's schema and
+    // both sides are rebuilt from the returned schema
+    val (_, streamDir, rawSchema) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_join")
-    val rawSchema = spark.read.parquet(path).schema
     def stream() = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val errs = stream().filter(col("event_type") === "error")

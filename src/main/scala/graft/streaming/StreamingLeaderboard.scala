@@ -72,8 +72,7 @@ object StreamingLeaderboard {
   def hourlyTopStreaming(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
-    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+    val (raw, streamDir, rawSchema) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_lead")
     val events = raw
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -24,7 +24,7 @@ object StreamingLineDedup {
     val sink =
       s"graft_stream_ld_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val set = TextAnalysis.lineDedupFrequentSet(spark, dir)
-    val (docs, streamDir) = StreamingStaging.stageParquetStream(
+    val (docs, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "documents", "graft_stream_ld")
     StreamingStaging.runAndConsume(spark, sink, streamDir) {
       TextAnalysis.lineDedupStrip(docs, set)

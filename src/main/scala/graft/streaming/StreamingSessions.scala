@@ -90,8 +90,7 @@ object StreamingSessions {
   def sessionizeCustomState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
-    val (raw, streamDir) = StreamingStaging.stageParquetStream(
+    val (raw, streamDir, rawSchema) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_fmgws")
     val events = raw
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -28,7 +28,7 @@ object StreamingSketch {
   /** Replay the documents fixture through the streaming sketch build and
     * return the final (r, bkt, c) counters. */
   def cmsSketchStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val (docs, streamDir) = StreamingStaging.stageParquetStream(
+    val (docs, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "documents", "graft_stream_cms")
     val sketch = TextAnalysis.cmsSketchOf(TextAnalysis.cmsTokensOf(docs))
     val sink = s"graft_stream_cms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -47,7 +47,7 @@ object StreamingSketch {
     * run batch and stream, so the finite replay's final estimates equal
     * the batch query's bit-for-bit (`StreamingSketchSpec`). */
   def hllSketchStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val (docs, streamDir) = StreamingStaging.stageParquetStream(
+    val (docs, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "documents", "graft_stream_hll")
     val regs = TextAnalysis.hllRegistersOf(TextAnalysis.hllHashedOf(docs))
     val sink = s"graft_stream_hll_${java.util.UUID.randomUUID().toString.replace("-", "")}"

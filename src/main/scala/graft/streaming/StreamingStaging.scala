@@ -20,11 +20,13 @@ object StreamingStaging {
     * filesystem allows it, copy otherwise — the copy fallback matters
     * when the temp dir and the fixture live on different filesystems.
     * Every replay helper stages through here, so none can fork the
-    * weaker no-fallback variant again. Returns (streaming frame whose
-    * schema comes from a batch read, staging dir for the
-    * [[runAndConsume]] teardown). */
+    * weaker no-fallback variant again. Returns (streaming frame, staging
+    * dir for the [[runAndConsume]] teardown, raw batch schema — already
+    * read to type the stream, and needed again by the sentinel-feeding
+    * replays, so returning it saves those a second footer read). */
   def stageParquetStream(spark: SparkSession, dir: String, table: String,
-      prefix: String): (DataFrame, java.nio.file.Path) = {
+      prefix: String)
+      : (DataFrame, java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
     val path = s"$dir/$table.parquet"
     val streamDir = java.nio.file.Files.createTempDirectory(prefix)
     val staged = streamDir.resolve(s"$table.parquet")
@@ -33,7 +35,8 @@ object StreamingStaging {
       java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
     }
     val schema = spark.read.parquet(path).schema
-    (spark.readStream.schema(schema).parquet(streamDir.toString), streamDir)
+    (spark.readStream.schema(schema).parquet(streamDir.toString), streamDir,
+      schema)
   }
 
   /** Run a staged replay to completion and consume its memory sink,

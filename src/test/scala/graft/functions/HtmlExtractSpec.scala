@@ -43,6 +43,11 @@ class HtmlExtractSpec extends AnyFunSuite {
     // appendCodePoint (real crawl HTML contains malformed entities)
     assert(x("a &#x110000; b") == "a &#x110000; b")
     assert(x("a &#1114112; b") == "a &#1114112; b")
+    // a surrogate reference is "valid" to isValidCodePoint but appending
+    // it makes a lone surrogate the UTF-8 encoder mangles to '?' —
+    // it must also pass through literally
+    assert(x("a &#xD800; b") == "a &#xD800; b")
+    assert(x("a &#xDFFF; b") == "a &#xDFFF; b")
   }
 
   test("whitespace collapses across text, tags and newlines") {

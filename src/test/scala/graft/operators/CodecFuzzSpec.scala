@@ -155,5 +155,13 @@ class CodecFuzzSpec extends AnyFunSuite {
     hostile(dqt + 4) = 0x05.toByte // 8-bit precision nibble 0, id 5
     val e = intercept[IllegalArgumentException] { Jpeg.decodeGray(hostile) }
     assert(e.getMessage.contains("out of range"))
+    // DHT class nibble 2-15 would silently overwrite the AC table slot
+    // via `else acTabs(...)` — it must be rejected, not misfiled
+    val dht = good.indexOfSlice(Seq(0xff.toByte, 0xc4.toByte))
+    assert(dht > 0)
+    val hostile2 = good.clone()
+    hostile2(dht + 4) = 0x20.toByte // class 2, id 0
+    val e2 = intercept[IllegalArgumentException] { Jpeg.decodeGray(hostile2) }
+    assert(e2.getMessage.contains("class"))
   }
 }
