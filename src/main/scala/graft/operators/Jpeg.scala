@@ -448,6 +448,7 @@ object Jpeg {
         case 0xdb => // DQT: one or more tables per segment
           var p = seg
           while (p < pos + 2 + len) {
+            require(p + 65 <= pos + 2 + len, "truncated DQT segment")
             require((payload(p) & 0xf0) == 0, "only 8-bit quant tables supported")
             val id = payload(p) & 0x0f
             // the nibble admits 0-15 but JPEG defines ids 0-3; a hostile
@@ -476,12 +477,14 @@ object Jpeg {
             val tcTh = payload(p) & 0xff
             require((tcTh >> 4) <= 1, s"Huffman table class ${tcTh >> 4} out of range")
             require((tcTh & 0x0f) < 4, s"Huffman table id ${tcTh & 0x0f} out of range")
+            require(p + 17 <= pos + 2 + len, "truncated DHT segment")
             val bits = new Array[Int](17)
             var total = 0
             var l = 1
             while (l <= 16) {
               bits(l) = payload(p + l) & 0xff; total += bits(l); l += 1
             }
+            require(p + 17 + total <= pos + 2 + len, "truncated DHT segment")
             val vals = new Array[Int](total)
             var i = 0
             while (i < total) { vals(i) = payload(p + 17 + i) & 0xff; i += 1 }

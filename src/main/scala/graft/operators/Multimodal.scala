@@ -216,6 +216,7 @@ object Multimodal {
       val id = tag(pos)
       val len = u32(pos + 4)
       if (id == "fmt ") {
+        require(len >= 16 && pos + 24 <= payload.length, "truncated fmt chunk")
         require(u16(pos + 8) == 1, "only PCM (format 1) supported")
         bits = u16(pos + 22)
         require(bits == 16, "only 16-bit PCM supported")
@@ -223,7 +224,10 @@ object Multimodal {
         dataAt = pos + 8
         dataLen = len
       }
-      pos += 8 + len.toInt + (len.toInt & 1) // chunks are 2-byte aligned
+      // advance in Long: a crafted u32 len near 2^32 would wrap to a
+      // negative Int and make the advance 0 — an infinite chunk-walk loop
+      val next = pos.toLong + 8L + len + (len & 1L) // chunks 2-byte aligned
+      pos = math.min(next, payload.length.toLong).toInt
     }
     require(dataAt >= 0 && bits == 16, "missing fmt/data chunk")
     val n = (math.min(dataLen, payload.length - dataAt) / 2).toInt
@@ -919,6 +923,9 @@ object Multimodal {
         require(pos + 8 + len <= to, s"truncated chunk $id")
         if (id == "LIST") walk(pos + 12, pos + 8 + len.toInt)
         else if (id == "strf") {
+          // the fields read below sit at data offsets 4..27 — a shorter
+          // declared len would read bytes belonging to the next chunk
+          require(len >= 28, "truncated strf chunk")
           width = u32(pos + 12).toInt
           height = u32(pos + 16).toInt
           require(width >= 1 && height >= 1 &&

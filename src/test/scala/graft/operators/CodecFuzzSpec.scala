@@ -146,6 +146,68 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dictionary"))
   }
 
+  test("WAV with a near-2^32 chunk length terminates instead of spinning") {
+    // len=0xFFFFFFF8 truncates to Int -8, making the old Int advance
+    // 8 + (-8) + 0 = 0 — the chunk walk would spin forever on an
+    // unrecognized chunk id. The Long advance must terminate cleanly.
+    val good = wavBytes(Array.tabulate[Short](16)(_.toShort))
+    val bb = java.nio.ByteBuffer.allocate(good.length + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(good, 0, 12) // RIFF....WAVE
+    bb.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    bb.put(good, 12, good.length - 12)
+    val hostile = bb.array()
+    val t = new Thread(() => mustFailCleanly("wav", "hugechunk",
+      Multimodal.wavPcmDecoder _, hostile))
+    t.setDaemon(true)
+    t.start()
+    t.join(10000)
+    assert(!t.isAlive, "wav decoder hung on a crafted 0xFFFFFFF8 chunk length")
+    // same shape with an ODD wrapped length (advance would go negative)
+    val bb2 = java.nio.ByteBuffer.allocate(good.length + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.put(good, 0, 12)
+    bb2.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF7)
+    bb2.put(good, 12, good.length - 12)
+    mustFailCleanly("wav", "oddhugechunk", Multimodal.wavPcmDecoder _, bb2.array())
+  }
+
+  test("JPEG DHT/DQT segments shorter than their tables are rejected") {
+    val good = validPayloads("jpeg")
+    // shrink the DHT segment length so the declared tables overrun it:
+    // parsing must fail with the clean truncation message, not silently
+    // consume bytes of the following segment
+    val dht = good.indexOfSlice(Seq(0xff.toByte, 0xc4.toByte))
+    assert(dht > 0)
+    val hostileDht = good.clone()
+    hostileDht(dht + 2) = 0
+    hostileDht(dht + 3) = 10 // len 10 < 2 + 17 needed for one table header
+    val e = intercept[IllegalArgumentException] { Jpeg.decodeGray(hostileDht) }
+    assert(e.getMessage.contains("truncated DHT") ||
+      e.getMessage.contains("truncated segment"))
+    val dqt = good.indexOfSlice(Seq(0xff.toByte, 0xdb.toByte))
+    assert(dqt > 0)
+    val hostileDqt = good.clone()
+    hostileDqt(dqt + 2) = 0
+    hostileDqt(dqt + 3) = 30 // len 30 < 2 + 65 needed for one 8-bit table
+    val e2 = intercept[IllegalArgumentException] { Jpeg.decodeGray(hostileDqt) }
+    assert(e2.getMessage.contains("truncated DQT") ||
+      e2.getMessage.contains("truncated segment"))
+  }
+
+  test("AVI with a truncated strf chunk is rejected cleanly") {
+    val good = validPayloads("avi")
+    val strf = good.indexOfSlice("strf".getBytes("US-ASCII"))
+    assert(strf > 0)
+    val hostile = good.clone()
+    hostile(strf + 4) = 20 // declared len 20 < the 28 data bytes read
+    hostile(strf + 5) = 0; hostile(strf + 6) = 0; hostile(strf + 7) = 0
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.aviFrameSampler(2)(hostile)
+    }
+    assert(e.getMessage.contains("strf") || e.getMessage.contains("truncated"))
+  }
+
   test("JPEG table ids above 3 fail with the clean range message") {
     val good = validPayloads("jpeg")
     // DQT: FF DB len(2) then the id nibble in the first table byte
