@@ -22,150 +22,320 @@ import graft.sources.Tables
   * entropy decode with byte unstuffing and restart markers, dequantize,
   * separable IDCT), RIFF/AVI uncompressed-video frame sampling, and
   * MJPEG compressed-video frame sampling (both [[aviFrameSampler]] —
-  * container walk + every-Nth-frame DIB or JPEG decode). The
-  * compressed and video paths are oracle-gated end to end
-  * (`mm_decode_png` / `mm_decode_gif` / `mm_decode_jpeg` /
-  * `mm_video_frames` / `mm_video_mjpeg`): payloads are synthesized from
-  * the corpus text with real encoders ([[pngEncode]] — deflate, filters
-  * cycled per row, multi-IDAT; [[gifEncode]] — real LZW with table
-  * growth and reset; [[Jpeg.encodeGray]] — FDCT + quantization + Annex
-  * K Huffman coding; [[aviEncode]]/[[aviEncodeMjpeg]]), so DuckDB
-  * replays the decoded pixels from the text directly — any decode
-  * defect breaks the hash. [[fakeDecoder]] survives only as the
-  * demo stand-in for the expression-based stages below, which interpret
-  * the payload bytes as the sample stream.
+  * container walk + every-Nth-frame DIB or JPEG decode). Every mm query
+  * is oracle-gated end to end over REAL codec output: payloads are
+  * synthesized from the corpus text with real encoders ([[pngEncode]] —
+  * deflate, filters cycled per row, multi-IDAT; [[gifEncode]] — real
+  * LZW with table growth and reset; [[Jpeg.encodeGray]] — FDCT +
+  * quantization + Annex K Huffman coding;
+  * [[aviEncode]]/[[aviEncodeMjpeg]]), so DuckDB replays the decoded
+  * pixels from the text directly — any decode defect breaks the hash.
   *
-  * The expression-based stages are DuckDB-oracle-gated (byte/codepoint
-  * arithmetic is exact in both engines); the `mapPartitions` path is
-  * spec-gated against the expression path.
+  * The four pipeline-stage queries consume the real codecs too:
+  * `mm_metadata` parses container headers via [[mediaMetadata]] without
+  * touching pixel data, `mm_features` histograms PNG-decoded pixels,
+  * `mm_frame_sample` samples real AVI frames, `mm_resize`
+  * nearest-neighbor-resamples the PNG-decoded raster. Each runs its
+  * whole encode→decode→feature pass inside the partition iterator —
+  * one JVM loop, codegen-independent, no interpreted expression HOFs.
   *
   * Scale: every stage is a single-pass narrow projection over the scan —
   * no shuffle, embarrassingly parallel across splits; payload bytes never
-  * leave their partition. A real decoder runs inside [[decodeFeatures]]'s
+  * leave their partition. A real decoder runs inside [[decodeMedia]]'s
   * partition iterator, amortizing per-batch setup exactly where
   * vectorized UDF batches would.
   */
 object Multimodal {
 
-  /** The opaque media column: payload + typed metadata struct. */
-  private def media(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(lit("utf8").as("format"),
-        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
-        .as("meta"))
+  /** Shared pixel-derivation CTEs: codepoint % 256, space-padded to a
+    * full 16-wide raster — what [[pngPixels]] computes in the JVM.
+    * (Declared ahead of the oracle strings below that interpolate it —
+    * object vals initialize in declaration order.) */
+  private val pixelCtes: String =
+    """w AS (SELECT doc_id,
+      |             list_transform(
+      |               list_filter(string_split(text, ''), c -> len(c) = 1),
+      |               c -> ord(c) % 256) AS px0
+      |      FROM documents),
+      |p AS (SELECT doc_id, px0,
+      |             greatest(16, CAST(ceil(len(px0) / 16.0) AS INT) * 16) AS n
+      |      FROM w)""".stripMargin
 
-  /** Decoded sample stream (THE STUB): codepoints of the payload. A real
-    * image decoder would produce pixel values here instead. */
-  private val chars: Column =
-    filter(split(col("text"), ""), c => length(c) === 1)
-  private val codes: Column = transform(chars, c => ascii(c).cast("long"))
+  /** Karp–Rabin fold (base 31, mod 1e9+7) over gray levels — the one
+    * fingerprint every mm query and every DuckDB oracle shares. */
+  private def krFold(acc: Long, grayLevel: Int): Long =
+    (acc * 31L + grayLevel) % 1000000007L
 
-  /** Metadata extraction over the binary column — format, size, checksum. */
-  def metadata(spark: SparkSession, dir: String): DataFrame = (
-    media(spark, dir).select(
-      col("doc_id"),
-      col("meta.format").as("format"),
-      col("meta.n_bytes").as("n_bytes"),
-      md5(col("payload")).as("checksum")))
+  /** Unit-float luma back to its 0–255 gray level (the synthesized byte
+    * for an exact decode — every codec here is lossless on its fixtures). */
+  private def grayLevel(f: Float): Int = math.round(f * 255f)
+
+  /** Header-only container probe: sniffs the magic bytes and parses
+    * `(format, width, height, n_frames)` from the container header WITHOUT
+    * decoding any pixel/sample data — the metadata pass a 100 TB media
+    * crawl runs first (cheap, scan-side) to route payloads to per-format
+    * decode stages. Understands the five container families the decoders
+    * above handle: PNG (IHDR), GIF (logical screen descriptor), BMP
+    * (BITMAPINFOHEADER), RIFF/AVI (avih main header: dwTotalFrames,
+    * dwWidth, dwHeight) and RIFF/WAVE (fmt + data chunks: width = samples
+    * per channel, height = channel count). Hostile lengths are walked in
+    * Long arithmetic with the same bounds discipline as the decoders. */
+  def mediaMetadata(payload: Array[Byte]): (String, Int, Int, Int) = {
+    def u16(i: Int): Int =
+      (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def be32(i: Int): Int =
+      ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+        ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+    def tag(i: Int): String = new String(payload, i, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    def checkDims(w: Int, h: Int): Unit =
+      require(w >= 1 && h >= 1 && w < (1 << 16) && h < (1 << 16),
+        s"implausible dimensions ${w}x$h")
+    if (payload.length >= 33 &&
+      (0 until 8).forall(i => (payload(i) & 0xff) == PngSignature(i))) {
+      require(tag(12) == "IHDR", "PNG missing leading IHDR")
+      val w = be32(16); val h = be32(20)
+      checkDims(w, h)
+      ("png", w, h, 1)
+    } else if (payload.length >= 13 &&
+      (tag(0).startsWith("GIF") &&
+        (new String(payload, 0, 6, java.nio.charset.StandardCharsets.US_ASCII) == "GIF87a" ||
+         new String(payload, 0, 6, java.nio.charset.StandardCharsets.US_ASCII) == "GIF89a"))) {
+      val w = u16(6); val h = u16(8)
+      checkDims(w, h)
+      ("gif", w, h, 1)
+    } else if (payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) {
+      val w = u32(18).toInt // LE i32
+      val hRaw = u32(22).toInt
+      val h = math.abs(hRaw)
+      checkDims(w, h)
+      ("bmp", w, h, 1)
+    } else if (payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ") {
+      var pos = 12
+      var res: (String, Int, Int, Int) = null
+      while (pos + 8 <= payload.length && res == null) {
+        val len = u32(pos + 4)
+        if (tag(pos) == "LIST" && len >= 4 &&
+          pos + 12 <= payload.length && tag(pos + 8) == "hdrl") {
+          val ap = pos + 12 // the avih main header leads the hdrl list
+          require(ap + 8 <= payload.length && tag(ap) == "avih",
+            "hdrl list does not start with avih")
+          require(u32(ap + 4) >= 40 && ap + 48 <= payload.length,
+            "truncated avih chunk")
+          val frames = u32(ap + 8 + 16).toInt
+          val w = u32(ap + 8 + 32).toInt
+          val h = u32(ap + 8 + 36).toInt
+          checkDims(w, h)
+          require(frames >= 0, "negative frame count")
+          res = ("avi", w, h, frames)
+        }
+        val next = pos.toLong + 8L + len + (len & 1L)
+        pos = math.min(next, payload.length.toLong).toInt
+      }
+      require(res != null, "AVI without an hdrl header list")
+      res
+    } else if (payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var pos = 12
+      var channels = -1
+      var dataLen = -1L
+      while (pos + 8 <= payload.length && (channels < 0 || dataLen < 0)) {
+        val id = tag(pos)
+        val len = u32(pos + 4)
+        if (id == "fmt ") {
+          require(len >= 16 && pos + 24 <= payload.length, "truncated fmt chunk")
+          channels = u16(pos + 10)
+          require(channels >= 1, "zero channels")
+        } else if (id == "data") {
+          dataLen = math.min(len, (payload.length - pos - 8).toLong)
+        }
+        val next = pos.toLong + 8L + len + (len & 1L)
+        pos = math.min(next, payload.length.toLong).toInt
+      }
+      require(channels >= 1 && dataLen >= 0, "missing fmt/data chunk")
+      ("wav", (dataLen / 2 / channels).toInt, channels, 1)
+    } else throw new IllegalArgumentException(
+      "unrecognized container (png/gif/bmp/avi/wav supported)")
+  }
+
+  /** `mm_metadata`: REAL container-header metadata extraction — each
+    * document's raster is packaged into a real container (format cycled
+    * by `doc_id % 3`: compressed PNG, LZW GIF, or a multi-frame DIB AVI)
+    * and [[mediaMetadata]] parses format/dimensions/frame-count back from
+    * the container bytes alone, never touching pixel data. Scan-side
+    * narrow map, no shuffle. The DuckDB oracle replays the dimensions
+    * from the text length (the raster is 16 wide for images, 4×4-frame
+    * video for AVI), so a header mis-parse on any row breaks the match. */
+  def metadata(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val px = pngPixels(text)
+        val payload = (id % 3) match {
+          case 0 => pngEncode(px, PngWidth)
+          case 1 => gifEncode(px, PngWidth)
+          case _ => aviEncode(px.grouped(FrameW * FrameH).toSeq, FrameW, FrameH)
+        }
+        val (format, w, h, frames) = mediaMetadata(payload)
+        (id, format, w.toLong, h.toLong, frames.toLong)
+      }(enc)
+      .toDF("doc_id", "format", "width", "height", "n_frames")
+  }
 
   val metadataOracle: String =
-    """SELECT doc_id, 'utf8' AS format,
-      |       octet_length(encode(text)) AS n_bytes,
-      |       md5(text) AS checksum
-      |FROM documents ORDER BY 1, 2, 3, 4""".stripMargin
+    s"""WITH $pixelCtes
+       |SELECT doc_id,
+       |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+       |            ELSE 'avi' END AS format,
+       |       CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 16 END AS BIGINT) AS width,
+       |       CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE n // 16 END AS BIGINT) AS height,
+       |       CAST(CASE WHEN doc_id % 3 = 2 THEN n // 16 ELSE 1 END AS BIGINT) AS n_frames
+       |FROM p ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
-  /** Feature extraction: 16-bin histogram over the decoded samples
-    * (mod-16 binning — the stand-in for e.g. a color histogram). One
-    * native [[graft.functions.CodepointHistogram]] pass per row (the 16
-    * per-bin interpreted `filter` lambdas this replaces were the r5
-    * verdict's remaining hot-lambda note); `element_at` fans the array
-    * out into the same 16 scalar columns. */
+  /** `mm_features`: 16-bin histogram over REAL PNG-decoded pixels — the
+    * color-histogram feature head of an image pipeline, computed from an
+    * actual compressed payload: encode the document raster as a real PNG
+    * (deflate, cycled filters, multi-IDAT), decode it back with
+    * [[pngDecoder]], histogram the decoded gray levels mod 16. The whole
+    * encode→decode→histogram runs inside the partition iterator — one
+    * JVM pass, no shuffle, payload bytes never leave their split. Any
+    * filter/inflate defect moves a pixel between bins and breaks the
+    * oracle match. */
   def features(spark: SparkSession, dir: String): DataFrame = {
-    val hist = graft.functions.StringFunctions
-      .codepoint_histogram(col("text"), 16)
-    val bins = (0 until 16).map(b =>
-      element_at(col("hist"), b + 1).as(s"h$b"))
-    (Tables.documents(spark, dir)
-      .select(col("doc_id"), hist.as("hist"))
-      .select(col("doc_id") +: bins: _*))
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +:
+        (0 until 16).map(b => StructField(s"h$b", LongType, nullable = false)))
+    val rowEnc = Encoders.row(outSchema)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val gray = pngDecoder(pngEncode(pngPixels(text), PngWidth))
+        val bins = new Array[Long](16)
+        var i = 0
+        while (i < gray.length) {
+          bins(grayLevel(gray(i)) % 16) += 1L
+          i += 1
+        }
+        Row.fromSeq(id +: bins.toSeq)
+      }(rowEnc).toDF()
   }
 
   val featuresOracle: String = {
     val bins = (0 until 16).map(b =>
-      s"len(list_filter(list_transform(string_split(text, ''), c -> ord(c) % 16), x -> x = $b)) AS h$b")
-    s"""SELECT doc_id, ${bins.mkString(",\n       ")}
-       |FROM documents ORDER BY ${(1 to 17).mkString(", ")}""".stripMargin
+      s"CAST(len(list_filter(bins, x -> x = $b)) AS BIGINT) AS h$b")
+    s"""WITH $pixelCtes,
+       |f AS (SELECT doc_id,
+       |             [coalesce(px0[i], 32) % 16 for i in range(1, n + 1)] AS bins
+       |      FROM p)
+       |SELECT doc_id, ${bins.mkString(",\n       ")}
+       |FROM f ORDER BY ${(1 to 17).mkString(", ")}""".stripMargin
   }
 
-  /** Frame sampling: every 16th sample of the decoded stream, polynomial
-    * fingerprint over the sampled frames (Karp–Rabin, base 31 mod 1e9+7 —
-    * the fold both engines evaluate identically). */
+  /** Stride for [[frameSample]] — deliberately different from
+    * [[FrameEvery]] so this query and `mm_video_frames` pin different
+    * sampling paths. */
+  private[operators] val FrameSampleEvery = 4
+
+  /** `mm_frame_sample`: REAL video frame sampling — package the document
+    * raster as a real RIFF/AVI (one 4×4 DIB frame per 16 pixels), then
+    * keep every 4th frame via [[aviFrameSampler]] (dropped frames are
+    * never pixel-decoded — the decode-only-what-you-keep shape a video
+    * ingest pipeline needs) and report the kept-frame count plus a
+    * Karp–Rabin fingerprint of the sampled pixels. Scan-side, no
+    * shuffle. The oracle replays the frame partition + stride in SQL —
+    * a wrong frame boundary, row flip or stride breaks the hash. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
-    // guard: sequence(1, 0, 16) errors in Spark rather than yielding
-    // empty, so an empty decoded stream needs the explicit branch
-    val sampled = when(size(chars) >= 1, transform(
-      sequence(lit(1), size(chars), lit(16)),
-      i => ascii(element_at(chars, i)).cast("long")))
-      .otherwise(typedlit(Seq.empty[Long]))
-    val fp = aggregate(sampled, lit(0L),
-      (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
-    (Tables.documents(spark, dir).select(
-      col("doc_id"),
-      size(sampled).cast("long").as("n_frames"),
-      fp.as("frame_fp")))
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val px = pngPixels(text)
+        val avi = aviEncode(px.grouped(FrameW * FrameH).toSeq, FrameW, FrameH)
+        val gray = aviFrameSampler(FrameSampleEvery)(avi)
+        var fp = 0L
+        var i = 0
+        while (i < gray.length) { fp = krFold(fp, grayLevel(gray(i))); i += 1 }
+        (id, (gray.length / (FrameW * FrameH)).toLong, fp)
+      }(enc)
+      .toDF("doc_id", "n_frames", "frame_fp")
   }
 
   val frameSampleOracle: String =
-    """WITH w AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
-      |s AS (SELECT doc_id,
-      |             [CAST(ord(cs[i]) AS BIGINT)
-      |              for i in range(1, len(cs) + 1, 16)] AS frames
-      |      FROM w)
-      |SELECT doc_id, len(frames) AS n_frames,
-      |       list_reduce(list_prepend(CAST(0 AS BIGINT), frames),
-      |                   (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
-      |FROM s ORDER BY 1, 2, 3""".stripMargin
+    s"""WITH $pixelCtes,
+       |f AS (SELECT doc_id,
+       |             [CAST(coalesce(px0[i], 32) AS BIGINT)
+       |              for i in range(1, n + 1)] AS px,
+       |             n // 16 AS nf
+       |      FROM p),
+       |s AS (SELECT doc_id,
+       |             flatten([px[(fr - 1) * 16 + 1 : fr * 16]
+       |                      for fr in range(1, nf + 1, 4)]) AS spx,
+       |             len([fr for fr in range(1, nf + 1, 4)]) AS n_frames
+       |      FROM f)
+       |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), spx),
+       |                   (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
+       |FROM s ORDER BY 1, 2, 3""".stripMargin
 
-  /** Resize: truncate-or-pad the decoded stream to a fixed 64 samples
-    * (pad value 32 = space), fingerprinted. The guard keeps Spark's ANSI
-    * `element_at` from faulting out-of-range, matching DuckDB's NULL →
-    * coalesce semantics. */
+  /** Output side of [[resize]]'s fixed thumbnail. */
+  private[operators] val ResizeTo = 8
+
+  /** `mm_resize`: REAL raster resize — decode the document's compressed
+    * PNG back to its 16×H raster, nearest-neighbor resample to a fixed
+    * 8×8 thumbnail (the embedding-head input shape), fingerprint the 64
+    * resized pixels. Decode + resample run in one JVM pass inside the
+    * partition iterator; no shuffle. The oracle replays the
+    * nearest-neighbor index arithmetic (`sy = ty*H/8`, `sx = tx*2`)
+    * against the text-derived raster. */
   def resize(spark: SparkSession, dir: String): DataFrame = {
-    val fixed = transform(sequence(lit(1), lit(64)),
-      i => when(i <= size(chars), ascii(element_at(chars, i)).cast("long"))
-        .otherwise(lit(32L)))
-    val fp = aggregate(fixed, lit(0L),
-      (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
-    (Tables.documents(spark, dir)
-      .select(col("doc_id"), fp.as("resized_fp")))
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val gray = pngDecoder(pngEncode(pngPixels(text), PngWidth))
+        val h = gray.length / PngWidth
+        var fp = 0L
+        var ty = 0
+        while (ty < ResizeTo) {
+          val sy = ty * h / ResizeTo
+          var tx = 0
+          while (tx < ResizeTo) {
+            val sx = tx * PngWidth / ResizeTo
+            fp = krFold(fp, grayLevel(gray(sy * PngWidth + sx)))
+            tx += 1
+          }
+          ty += 1
+        }
+        (id, fp)
+      }(enc)
+      .toDF("doc_id", "resized_fp")
   }
 
   val resizeOracle: String =
-    """WITH w AS (SELECT doc_id, string_split(text, '') AS cs FROM documents)
-      |SELECT doc_id,
-      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |                     [CAST(coalesce(ord(cs[i]), 32) AS BIGINT)
-      |                      for i in range(1, 65)]),
-      |                   (a, b) -> (a * 31 + b) % 1000000007) AS resized_fp
-      |FROM w ORDER BY 1, 2""".stripMargin
+    s"""WITH $pixelCtes
+       |SELECT doc_id,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                     flatten([[CAST(coalesce(
+       |                         px0[(ty * (n // 16) // 8) * 16 + tx * 2 + 1],
+       |                         32) AS BIGINT)
+       |                       for tx in range(0, 8)]
+       |                      for ty in range(0, 8)])),
+       |                   (a, b) -> (a * 31 + b) % 1000000007) AS resized_fp
+       |FROM p ORDER BY 1, 2""".stripMargin
 
   // --- mapPartitions batch plumbing (where a REAL codec slots in) ----------
 
   /** One media row as the decoder sees it. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-
-  /** The deterministic fake decoder: byte histogram (16 bins) normalized
-    * to unit sum — shaped like an embedding head over decoded pixels.
-    * Replace with an actual codec (`Array[Byte] => Array[Float]`) and
-    * nothing else changes. */
-  def fakeDecoder(payload: Array[Byte]): Array[Float] = {
-    val bins = new Array[Float](16)
-    payload.foreach(b => bins((b & 0xff) % 16) += 1f)
-    val n = math.max(payload.length, 1).toFloat
-    bins.map(_ / n)
-  }
 
   /** Generic batched decode: any (doc_id, payload) frame through any
     * `Array[Byte] => Array[Float]` codec, one codec init per PARTITION —
@@ -184,12 +354,6 @@ object Multimodal {
       rows.map(r => Row(r.doc_id, decoder(r.payload).toSeq))
     }(rowEnc).toDF()
   }
-
-  /** Batched decode of the fixture corpus with the fake (histogram)
-    * decoder — spec-gated against the expression path. */
-  def decodeFeatures(spark: SparkSession, dir: String,
-      decoder: Array[Byte] => Array[Float] = fakeDecoder): DataFrame =
-    decodeMedia(media(spark, dir), decoder)
 
   /** A REAL decoder with zero external dependencies: RIFF/WAVE 16-bit PCM
     * (the uncompressed audio interchange format) — byte arithmetic only.
@@ -1031,18 +1195,6 @@ object Multimodal {
       size(col("features")).cast("long").as("n_px"),
       fp.as("px_fp"))
   }
-
-  /** Shared pixel-derivation CTEs: codepoint % 256, space-padded to a
-    * full 16-wide raster — what [[pngPixels]] computes in the JVM. */
-  private val pixelCtes: String =
-    """w AS (SELECT doc_id,
-      |             list_transform(
-      |               list_filter(string_split(text, ''), c -> len(c) = 1),
-      |               c -> ord(c) % 256) AS px0
-      |      FROM documents),
-      |p AS (SELECT doc_id, px0,
-      |             greatest(16, CAST(ceil(len(px0) / 16.0) AS INT) * 16) AS n
-      |      FROM w)""".stripMargin
 
   /** The whole-raster fingerprint both lossless image round trips
     * (deflate/PNG and LZW/GIF) must reproduce. */

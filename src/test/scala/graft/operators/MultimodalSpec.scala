@@ -4,32 +4,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** The mapPartitions decode plumbing must agree with the expression-based
-  * feature path (same byte histogram, normalized), proving a real codec
-  * can slot into [[Multimodal.decodeFeatures]] without touching the
-  * Spark-side shape. */
+/** Round-trip specs for every pure-JVM codec through the mapPartitions
+  * decode plumbing, plus in-Spark replays of the mm oracle arithmetic:
+  * every mm query consumes REAL codec output, so each spec re-derives the
+  * expected value from `text`/the synthesized pixels independently. */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
 
-  test("mapPartitions decode equals the expression histogram (normalized)") {
-    val viaExpr = Multimodal.features(spark, dir).collect()
-      .map { r =>
-        val total = (1 to 16).map(r.getLong).sum.toFloat
-        r.getLong(0) -> (1 to 16).map(i => r.getLong(i) / total).toVector
-      }.toMap
-    val viaPartitions = Multimodal.decodeFeatures(spark, dir).collect()
-      .map { r =>
-        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble.toFloat).toVector
-      }.toMap
-    assert(viaExpr.nonEmpty)
-    assert(viaPartitions.keySet == viaExpr.keySet)
-    viaExpr.foreach { case (id, expected) =>
-      val actual = viaPartitions(id)
-      expected.zip(actual).foreach { case (e, a) =>
-        assert(math.abs(e - a) < 1e-6f, s"doc $id: $expected vs $actual")
-      }
+  test("mm_features histograms the real PNG-decoded pixels") {
+    val got = Multimodal.features(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector).toMap
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty && got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val px = Multimodal.pngPixels(text)
+      val expect = Array.fill(16)(0L)
+      px.foreach(b => expect((b & 0xff) % 16) += 1L)
+      assert(got(id) == expect.toVector, s"doc $id")
     }
   }
 
@@ -422,16 +417,78 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("payload metadata carries byte-accurate sizes") {
-    val rows = Multimodal.metadata(spark, dir).collect()
-    assert(rows.nonEmpty)
-    assert(rows.forall(_.getString(1) == "utf8"))
-    assert(rows.forall(_.getLong(2) > 0))
+  test("mediaMetadata parses container headers without decoding pixels") {
+    val px = Array.tabulate[Byte](16 * 3)(i => (i * 11).toByte)
+    assert(Multimodal.mediaMetadata(Multimodal.pngEncode(px, 16)) ==
+      (("png", 16, 3, 1)))
+    assert(Multimodal.mediaMetadata(Multimodal.gifEncode(px, 16)) ==
+      (("gif", 16, 3, 1)))
+    val frames = (0 until 5).map(_ => Array.fill[Byte](16)(7))
+    assert(Multimodal.mediaMetadata(Multimodal.aviEncode(frames, 4, 4)) ==
+      (("avi", 4, 4, 5)))
+    assert(Multimodal.mediaMetadata(
+      Multimodal.aviEncodeMjpeg(frames.map(_ => Array.fill[Byte](64)(9)), 8, 8)) ==
+      (("avi", 8, 8, 5)))
+    // WAV: width = samples per channel, height = channels
+    val bb = java.nio.ByteBuffer.allocate(44 + 32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 32)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(32000)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(32)
+    assert(Multimodal.mediaMetadata(bb.array()) == (("wav", 8, 2, 1)))
+    // BMP: dims from the BITMAPINFOHEADER, |height| for bottom-up files
+    val bmp = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      .putInt(40).putInt(6).putInt(-2).putShort(1).putShort(24)
+    assert(Multimodal.mediaMetadata(bmp.array()) == (("bmp", 6, 2, 1)))
+    // unknown containers and headerless AVIs are rejected cleanly
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaMetadata("no such container".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaMetadata(
+        "RIFF    AVI LIST".getBytes("ISO-8859-1"))
+    }
   }
 
-  test("resize fingerprints are stable across runs (fixed 64-sample frame)") {
-    val a = Multimodal.resize(spark, dir).collect().toSeq
-    val b = Multimodal.resize(spark, dir).collect().toSeq
-    assert(a == b && a.nonEmpty)
+  test("mm_metadata / mm_frame_sample / mm_resize replay from the text raster") {
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    val gotMeta = Multimodal.metadata(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val gotFrames = Multimodal.frameSample(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val gotResize = Multimodal.resize(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, text) =>
+      val px = Multimodal.pngPixels(text)
+      val h = px.length / 16
+      val expectMeta = (id % 3) match {
+        case 0 => ("png", 16L, h.toLong, 1L)
+        case 1 => ("gif", 16L, h.toLong, 1L)
+        case _ => ("avi", 4L, 4L, (px.length / 16).toLong)
+      }
+      assert(gotMeta(id) == expectMeta, s"metadata doc $id")
+      // frame sampling: 16-px frames, every 4th kept
+      val nf = px.length / 16
+      val kept = (0 until nf).filter(_ % 4 == 0)
+      val ffp = kept.foldLeft(0L) { (acc, fr) =>
+        (fr * 16 until (fr + 1) * 16).foldLeft(acc)((a, i) =>
+          (a * 31 + (px(i) & 0xff)) % 1000000007L)
+      }
+      assert(gotFrames(id) == ((kept.size.toLong, ffp)), s"frames doc $id")
+      // resize: nearest-neighbor 16×h → 8×8
+      var rfp = 0L
+      for (ty <- 0 until 8; tx <- 0 until 8)
+        rfp = (rfp * 31 + (px((ty * h / 8) * 16 + tx * 2) & 0xff)) % 1000000007L
+      assert(gotResize(id) == rfp, s"resize doc $id")
+    }
   }
 }
