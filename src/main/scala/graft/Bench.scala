@@ -47,14 +47,22 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val firstErr = runs.collectFirst { case (_, Some(e)) => e }
-      (name, if (firstErr.isEmpty) runs.map(_._1).min else -1.0, firstErr)
+      val times = runs.map(_._1).sorted
+      (name, if (firstErr.isEmpty) times.head else -1.0, times, firstErr)
     }
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    // Per-run [min, median, max]: the r7 official artifact diverged 6-12x
+    // from a builder re-run of the same commit on the mm family — pure
+    // environment contention. With the spread in the artifact, a noisy
+    // query shows max >> min and can't be misread as a plan regression.
+    val spread = results.map { case (k, _, t, _) =>
+      jstr(k) + s":[${t.head},${t(t.length / 2)},${t.last}]"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","agg":"min-of-$Iterations per query, cache cleared per run","registry":"production (no canonicalization sort)"}"""
+    val total = results.collect { case (_, v, _, None) => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir","agg":"min-of-$Iterations per query, cache cleared per run; spread=[min,median,max]","registry":"production (no canonicalization sort)"}"""
     println(line)
     // also write the summary to a file: the driver's stdout tail-capture
     // truncated the r6 artifact mid-line, losing the total — the file is

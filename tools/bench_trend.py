@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Bench trend gate: diff a fresh bench_out.json against a prior round's
+artifact per query, flagging real regressions instead of leaving them to a
+judge recomputation.
+
+Usage: bench_trend.py <prior.json> <current.json> [threshold]
+
+A query is FLAGGED when current_min > threshold * prior_min (default 1.5x)
+AND the spread data (when present) doesn't explain it away: if the
+current run's own min..max spread is wider than the apparent regression
+(max/min >= current/prior ratio), the row is reported as NOISY instead —
+the r7 lesson, where driver-vs-builder contention produced 6-12x phantom
+regressions on the mm family.
+
+Accepts either Bench's own bench_out.json shape or the driver's
+BENCH_r{N}.json wrapper ({"tail": "<truncated line>"}) — for the latter,
+per-query times are recovered by regex from the tail fragment (possibly
+partial; prefer `git show <prior-round>:bench_out.json` as the prior).
+
+Exit code 1 iff any FLAGGED rows remain.
+"""
+import json
+import re
+import sys
+
+prior_path, cur_path = sys.argv[1], sys.argv[2]
+threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+
+
+def load(path):
+    d = json.load(open(path))
+    if "queries" not in d and "tail" in d:  # driver wrapper
+        pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)', d["tail"])
+        qs = {k: float(v) for k, v in pairs if not k.startswith("sf")}
+        total = qs.pop("value", sum(v for v in qs.values() if v > 0))
+        d = {"queries": qs, "value": total, "sf": d.get("sf"),
+             "partial": True}
+        print(f"NOTE {path}: driver wrapper — recovered {len(qs)} "
+              "query times from the truncated tail")
+    return d
+
+
+prior = load(prior_path)
+cur = load(cur_path)
+if prior.get("sf") != cur.get("sf"):
+    print(f"NOTE sf differs: prior={prior.get('sf')} current={cur.get('sf')} "
+          "— ratios are not comparable across scale factors")
+
+pq, cq = prior["queries"], cur["queries"]
+spread = cur.get("spread", {})
+flagged, noisy, improved = [], [], []
+for name in sorted(cq):
+    c = cq[name]
+    p = pq.get(name)
+    if p is None:
+        print(f"NEW  {name}: {c:.3f}s (no prior)")
+        continue
+    if c < 0 or p < 0:
+        print(f"ERR  {name}: errored (prior={p}, current={c})")
+        flagged.append(name)
+        continue
+    ratio = c / p if p > 0 else float("inf")
+    if ratio > threshold:
+        s = spread.get(name)
+        own_spread = (s[2] / s[0]) if s and s[0] > 0 else 1.0
+        if s and own_spread >= ratio:
+            noisy.append(name)
+            print(f"NOISY {name}: {p:.3f} -> {c:.3f}s ({ratio:.2f}x) but own "
+                  f"spread min..max = {s[0]:.3f}..{s[2]:.3f} ({own_spread:.2f}x)")
+        else:
+            flagged.append(name)
+            extra = (f"; spread {s[0]:.3f}..{s[2]:.3f}" if s else "")
+            print(f"FLAG {name}: {p:.3f} -> {c:.3f}s ({ratio:.2f}x){extra}")
+    elif ratio < 1 / threshold:
+        improved.append(name)
+
+gone = sorted(set(pq) - set(cq))
+for name in gone:
+    print(f"GONE {name}: in prior but not current")
+
+print(f"-- {len(cq)} queries: {len(flagged)} flagged, {len(noisy)} noisy, "
+      f"{len(improved)} improved >{threshold}x, "
+      f"total {prior['value']:.1f} -> {cur['value']:.1f}s")
+sys.exit(1 if flagged else 0)
