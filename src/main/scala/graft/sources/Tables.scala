@@ -47,15 +47,30 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
-  /** `ts` arrives as long nanoseconds (see [[requiredConfs]]); convert to a
-    * microsecond timestamp with integer division (`DIV` — exact long
-    * arithmetic; a double division would round at 1e18 magnitudes), which
-    * truncates exactly like DuckDB's native TIMESTAMP_NS → TIMESTAMP read
-    * of the same file. */
+  /** `ts` normalizes to a microsecond [[org.apache.spark.sql.types.TimestampType]]
+    * whatever the fixture generation stored:
+    *   - INT64 TIMESTAMP(NANOS) (surfaced as long via [[requiredConfs]]):
+    *     integer division (`DIV` — exact long arithmetic; a double
+    *     division would round at 1e18 magnitudes) truncates exactly like
+    *     DuckDB's native TIMESTAMP_NS → TIMESTAMP read of the same file;
+    *   - native TIMESTAMP/TIMESTAMP_NTZ micros: a cast under the UTC
+    *     session timezone, which preserves the stored wall-clock value
+    *     bit-for-bit. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** The `ts` normalization above for ANY events frame — batch or
+    * streaming (the streaming twins stage the same parquet, so they
+    * dispatch on the same schema). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -78,7 +78,7 @@ object StreamingAsof {
     val (raw, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_asof")
     val events = raw
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "1 second")
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),

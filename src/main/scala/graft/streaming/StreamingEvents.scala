@@ -76,7 +76,7 @@ object StreamingEvents {
     val (raw, streamDir, rawSchema) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_sessions")
     val events = raw
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "1 second")
     val sink = s"graft_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     StreamingStaging.runAndDrive(spark, sink, streamDir)(
@@ -84,17 +84,15 @@ object StreamingEvents {
         .writeStream.format("memory").queryName(sink).outputMode("append")
         .start()) { query =>
       query.processAllAvailable()
-      // Sentinel: one event far past the fixture's horizon (raw schema —
-      // ts in nanoseconds) advances the watermark so every real session
-      // closes and is appended.
-      val maxNs = spark.read.parquet(path)
-        .agg(max(col("ts"))).head().getLong(0)
+      // Sentinel: one event far past the fixture's horizon (in the raw
+      // schema's own ts type) advances the watermark so every real
+      // session closes and is appended.
+      val farTs = StreamingStaging.sentinelTs(spark, path)
       val sentinelUser = -1L
       import scala.jdk.CollectionConverters._
       val sentinel = spark.createDataFrame(
         List(org.apache.spark.sql.Row(
-          -1L, maxNs + 30L * 24 * 3600 * 1000000000L, sentinelUser,
-          "sentinel", 0.0, "{}")).asJava,
+          -1L, farTs, sentinelUser, "sentinel", 0.0, "{}")).asJava,
         rawSchema)
       sentinel.write.mode("append").parquet(streamDir.toString)
       query.processAllAvailable()
@@ -106,12 +104,12 @@ object StreamingEvents {
     * the final windowed aggregate (runs the stream to completion on the
     * finite input, then reads the in-memory sink). */
   def hourlyAggStreaming(spark: SparkSession, dir: String): DataFrame = {
-    // ts arrives as long nanos under nanosAsLong; converted exactly like
-    // Tables.events
+    // ts normalizes to a micros timestamp whatever the fixture stored —
+    // same dispatch as Tables.events
     val (raw, streamDir, _) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_events")
     val events = raw
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
     val sink = s"graft_stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     StreamingStaging.runAndConsume(spark, sink, streamDir)(
       hourlyAggOf(events)

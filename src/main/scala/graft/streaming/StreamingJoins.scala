@@ -24,7 +24,7 @@ object StreamingJoins {
     val (_, streamDir, rawSchema) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_join")
     def stream() = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
     val errs = stream().filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
         col("ts").as("error_ts"))

@@ -75,7 +75,7 @@ object StreamingLeaderboard {
     val (raw, streamDir, rawSchema) = StreamingStaging.stageParquetStream(
       spark, dir, "events", "graft_stream_lead")
     val events = raw
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "1 second")
       .select(col("ts"), col("event_type"), col("event_id"), col("value"))
       .as[Ev]
@@ -89,12 +89,11 @@ object StreamingLeaderboard {
         .writeStream.format("memory").queryName(sink).outputMode("append")
         .start()) { query =>
       query.processAllAvailable()
-      val maxNs = spark.read.parquet(path).agg(max(col("ts"))).head().getLong(0)
+      val farTs = StreamingStaging.sentinelTs(spark, path)
       import scala.jdk.CollectionConverters._
       val sentinel = spark.createDataFrame(
         List(org.apache.spark.sql.Row(
-          -1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L,
-          "sentinel", 0.0, "{}")).asJava,
+          -1L, farTs, -1L, "sentinel", 0.0, "{}")).asJava,
         rawSchema)
       sentinel.write.mode("append").parquet(streamDir.toString)
       query.processAllAvailable()

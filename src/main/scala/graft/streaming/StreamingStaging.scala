@@ -78,6 +78,26 @@ object StreamingStaging {
     local
   }
 
+  /** A far-future `ts` value (30 days past the fixture's max event
+    * time) IN THE RAW SCHEMA'S OWN TYPE, for the sentinel batches the
+    * watermark-advancing replays append — long nanoseconds for the
+    * INT64 TIMESTAMP(NANOS) fixture generation, a timestamp object for
+    * the native-timestamp generation (see
+    * [[graft.sources.Tables.normalizeEventTs]]). */
+  def sentinelTs(spark: SparkSession, path: String): Any = {
+    import org.apache.spark.sql.functions.{col, max}
+    spark.read.parquet(path).agg(max(col("ts"))).head().get(0) match {
+      case ns: java.lang.Long =>
+        java.lang.Long.valueOf(ns + 30L * 24 * 3600 * 1000000000L)
+      case t: java.time.LocalDateTime => t.plusDays(30)
+      case t: java.sql.Timestamp =>
+        java.sql.Timestamp.from(t.toInstant.plus(java.time.Duration.ofDays(30)))
+      case t: java.time.Instant => t.plus(java.time.Duration.ofDays(30))
+      case other => throw new IllegalArgumentException(
+        s"unexpected raw ts type ${other.getClass.getName}")
+    }
+  }
+
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     import java.nio.file.Files
