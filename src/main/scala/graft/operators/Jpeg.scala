@@ -1,31 +1,46 @@
 package graft.operators
 
 /** A REAL baseline-sequential JPEG codec (ITU T.81) with zero external
-  * dependencies — 8-bit grayscale, one component, no subsampling. This
-  * is the transform-coding compression family (DCT + quantization +
-  * Huffman entropy coding), genuinely different from PNG's deflate and
-  * GIF's LZW:
+  * dependencies — 8-bit grayscale (one component) AND 3-component
+  * YCbCr color with 4:2:0 chroma subsampling. This is the
+  * transform-coding compression family (DCT + quantization + Huffman
+  * entropy coding), genuinely different from PNG's deflate and GIF's
+  * LZW:
   *
-  *   - encoder: level shift → separable FDCT per 8×8 block (edge blocks
-  *     padded by replication) → quantization (zigzag order) → DC
-  *     prediction + magnitude-category Huffman coding, AC run-length
-  *     (ZRL/EOB) coding with the standard Annex K luminance tables →
+  *   - encoders: level shift → separable FDCT per 8×8 block (edge
+  *     blocks padded by replication) → quantization (zigzag order) →
+  *     DC prediction + magnitude-category Huffman coding, AC
+  *     run-length (ZRL/EOB) coding with the standard Annex K tables
+  *     (K.3/K.5 luminance; K.4/K.6 chrominance for the color path) →
   *     entropy bytes with 0xFF stuffing, optional DRI/RSTn restart
-  *     markers. Emits SOI/APP0(JFIF)/DQT/SOF0/DHT×2/[DRI]/SOS/EOI.
-  *   - decoder: marker walk (APPn/COM skipped, multiple DQT/DHT
-  *     segments supported), canonical Huffman table reconstruction
-  *     (mincode/maxcode/valptr per spec §F.2.2.3), entropy decode with
-  *     stuffed-byte and restart handling, dequantize → separable IDCT →
-  *     level shift + clamp, MCU-grid crop to the SOF dimensions.
+  *     markers. [[encodeGray]] emits SOI/APP0(JFIF)/DQT/SOF0/DHT×2/
+  *     [DRI]/SOS/EOI; [[encodeYcbcr420]] takes Y at full resolution
+  *     plus half-resolution Cb/Cr planes (color conversion is a JFIF
+  *     concern, outside T.81 — the caller owns it) and emits
+  *     interleaved 16×16 MCUs (four Y blocks + Cb + Cr) with
+  *     per-component quant/Huffman table selection.
+  *   - decoder ([[decode]]): marker walk (APPn/COM skipped, multiple
+  *     DQT/DHT segments supported), canonical Huffman table
+  *     reconstruction (mincode/maxcode/valptr per spec §F.2.2.3),
+  *     interleaved-MCU entropy decode with per-component sampling
+  *     factors and predictors, stuffed-byte and restart handling,
+  *     dequantize → separable IDCT → level shift + clamp, chroma
+  *     upsample by sample replication, JFIF YCbCr→RGB, MCU-grid crop
+  *     to the SOF dimensions. [[decodeGray]]/[[decodeColor]] are the
+  *     single/3-component fronts over the same core.
   *
-  * Exactness contract the `mm_decode_jpeg` oracle leans on: a block
-  * that is CONSTANT has only a DC coefficient (8·(v−128), the AC sums
-  * cancel), so with [[ExactQuant]] (DC step 8) the quantized DC is the
-  * level-shifted value itself and the round trip is bit-exact for every
-  * v ∈ [0, 255] — DuckDB replays decoded pixels straight from the text
-  * with no DCT. General images take the normal lossy path, bounded by
-  * `MultimodalSpec`'s tolerance round-trips (all-ones and Annex K
-  * quantization).
+  * Exactness contract the `mm_decode_jpeg[_color]` oracles lean on: a
+  * block that is CONSTANT has only a DC coefficient (8·(v−128), the AC
+  * sums cancel), so with [[ExactQuant]] (DC step 8) the quantized DC is
+  * the level-shifted value itself and the round trip is bit-exact for
+  * every v ∈ [0, 255]. The argument extends per component: constant
+  * 8×8 luma blocks and constant 8×8 chroma blocks (= constant chroma
+  * over a 16×16 image region) each round-trip exactly, and the
+  * YCbCr→RGB step is deterministic binary64 arithmetic
+  * (floor(v + 0.5), clamp) that DuckDB replays bit-identically —
+  * decoded pixels derive straight from the text with no DCT. General
+  * images take the normal lossy path, bounded by `MultimodalSpec`'s
+  * tolerance round-trips (all-ones and Annex K quantization).
   */
 object Jpeg {
 
@@ -59,6 +74,17 @@ object Jpeg {
   /** All-ones: the minimal-loss general table for tolerance specs. */
   val UnitQuant: Array[Int] = Array.fill(64)(1)
 
+  /** Annex K Table K.2 chrominance quantization (natural order). */
+  val StdQuantChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
   // Annex K Tables K.3/K.5: standard luminance Huffman specs.
   // bits(l) = number of codes of length l (1-indexed, 1..16).
   private val DcBits: Array[Int] =
@@ -89,6 +115,35 @@ object Jpeg {
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
+  // Annex K Tables K.4/K.6: standard chrominance Huffman specs.
+  private val DcBitsCh: Array[Int] =
+    Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcValsCh: Array[Int] = (0 to 11).toArray
+  private val AcBitsCh: Array[Int] =
+    Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcValsCh: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
   /** Canonical code assignment (spec §C.2): per symbol, (code, length). */
   private def encoderCodes(bits: Array[Int],
       vals: Array[Int]): Array[(Int, Int)] = {
@@ -110,6 +165,8 @@ object Jpeg {
 
   private val DcEnc = encoderCodes(DcBits, DcVals)
   private val AcEnc = encoderCodes(AcBits, AcVals)
+  private val DcEncCh = encoderCodes(DcBitsCh, DcValsCh)
+  private val AcEncCh = encoderCodes(AcBitsCh, AcValsCh)
 
   // 1D DCT basis: cosTab(u)(x) = C(u)/2 · cos((2x+1)uπ/16), C(0)=1/√2 —
   // applying it twice (rows then columns) is the 2D 0.25·C(u)C(v) form.
@@ -205,6 +262,79 @@ object Jpeg {
     def flush(): Unit = if (n > 0) { put(0x7f, 8 - n) }
   }
 
+  /** Load one level-shifted 8×8 block from a `pw`×`ph` plane at block
+    * position (`bx`, `by`), edge samples replicated past the border. */
+  private def loadBlock(plane: Array[Byte], pw: Int, ph: Int,
+      bx: Int, by: Int, block: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(by * 8 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx * 8 + x, pw - 1)
+        block(y * 8 + x) = (plane(sy * pw + sx) & 0xff) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** FDCT + quantize + Huffman-emit one level-shifted block against the
+    * given quant/Huffman tables; returns the quantized DC (the scan's
+    * next predictor for this component). Shared by the grayscale and
+    * interleaved-color encoders so the bitstream grammar cannot drift. */
+  private def emitBlock(bw: BitWriter, block: Array[Double],
+      quant: Array[Int], dcEnc: Array[(Int, Int)], acEnc: Array[(Int, Int)],
+      pred: Int): Int = {
+    var constant = true
+    var ci = 1
+    while (ci < 64 && constant) {
+      constant = block(ci) == block(0); ci += 1
+    }
+    val q = new Array[Int](64)
+    if (constant) {
+      // flat-block fast path: the AC basis sums cancel exactly, so a
+      // uniform block's FDCT is DC-only (8·shifted) — skip the
+      // transform and quantize the DC directly. This is the common
+      // case for synthetic/flat regions and what makes the constant-
+      // block oracle queries cheap; the emitted bitstream is the same
+      // DC + EOB the general path produces.
+      q(0) = Math.round(block(0) * 8.0 / quant(0)).toInt
+    } else {
+      val coef = fdct(block)
+      var i = 0 // quantize in zigzag order
+      while (i < 64) {
+        val nat = ZigZag(i)
+        q(i) = Math.round(coef(nat) / quant(nat)).toInt
+        i += 1
+      }
+    }
+    val diff = q(0) - pred
+    val s = category(diff)
+    val (dcCode, dcLen) = dcEnc(s)
+    bw.put(dcCode, dcLen)
+    if (s > 0)
+      bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      if (q(k) == 0) run += 1
+      else {
+        while (run > 15) { // ZRL: 16 zeros
+          val (c, l) = acEnc(0xf0); bw.put(c, l); run -= 16
+        }
+        val sz = category(q(k))
+        val (c, l) = acEnc((run << 4) | sz)
+        bw.put(c, l)
+        bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (c, l) = acEnc(0x00); bw.put(c, l) } // EOB
+    q(0)
+  }
+
   /** Encode a grayscale raster as a baseline JPEG. `restartEvery` > 0
     * emits a DRI segment and RSTn markers every that many MCUs (blocks),
     * exercising the decoder's restart path. */
@@ -265,68 +395,120 @@ object Jpeg {
           marker(0xd0 + ((mcu / restartEvery - 1) % 8))
           pred = 0
         }
-        var y = 0
-        while (y < 8) { // level shift; edge blocks pad by replication
-          val sy = math.min(by * 8 + y, height - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx * 8 + x, width - 1)
-            block(y * 8 + x) = (pixels(sy * width + sx) & 0xff) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        var constant = true
-        var ci = 1
-        while (ci < 64 && constant) {
-          constant = block(ci) == block(0); ci += 1
-        }
-        val q = new Array[Int](64)
-        if (constant) {
-          // flat-block fast path: the AC basis sums cancel exactly, so a
-          // uniform block's FDCT is DC-only (8·shifted) — skip the
-          // transform and quantize the DC directly. This is the common
-          // case for synthetic/flat regions and what makes the constant-
-          // block oracle queries cheap; the emitted bitstream is the same
-          // DC + EOB the general path produces.
-          q(0) = Math.round(block(0) * 8.0 / quant(0)).toInt
-        } else {
-          val coef = fdct(block)
-          var i = 0 // quantize in zigzag order
-          while (i < 64) {
-            val nat = ZigZag(i)
-            q(i) = Math.round(coef(nat) / quant(nat)).toInt
-            i += 1
-          }
-        }
-        val diff = q(0) - pred
-        pred = q(0)
-        val s = category(diff)
-        val (dcCode, dcLen) = DcEnc(s)
-        bw.put(dcCode, dcLen)
-        if (s > 0)
-          bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-        var k = 1
-        var run = 0
-        while (k < 64) {
-          if (q(k) == 0) run += 1
-          else {
-            while (run > 15) { // ZRL: 16 zeros
-              val (c, l) = AcEnc(0xf0); bw.put(c, l); run -= 16
-            }
-            val sz = category(q(k))
-            val (c, l) = AcEnc((run << 4) | sz)
-            bw.put(c, l)
-            bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (c, l) = AcEnc(0x00); bw.put(c, l) } // EOB
+        loadBlock(pixels, width, height, bx, by, block)
+        pred = emitBlock(bw, block, quant, DcEnc, AcEnc, pred)
         mcu += 1
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a YCbCr image as a 3-component baseline JPEG with 4:2:0
+    * chroma subsampling — the shape of essentially every camera/crawl
+    * JPEG. `y` is the full-resolution `width`×`height` luma plane;
+    * `cb`/`cr` are the half-resolution (`ceil(w/2)`×`ceil(h/2)`) chroma
+    * planes (RGB→YCbCr conversion and the 2×2 chroma box filter are
+    * JFIF-level concerns that sit with the caller, outside T.81). The
+    * scan is interleaved 16×16 MCUs — four Y blocks then one Cb and one
+    * Cr — with per-component quant (luma id 0, chroma id 1) and Huffman
+    * (Annex K luminance/chrominance) tables, independent DC predictors,
+    * and optional restart markers every `restartEvery` MCUs. */
+  def encodeYcbcr420(y: Array[Byte], cb: Array[Byte], cr: Array[Byte],
+      width: Int, height: Int, quantY: Array[Int] = StdQuant,
+      quantC: Array[Int] = StdQuantChroma,
+      restartEvery: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && y.length == width * height,
+      "luma plane must be width*height bytes")
+    val cw = (width + 1) / 2
+    val ch = (height + 1) / 2
+    require(cb.length == cw * ch && cr.length == cw * ch,
+      "chroma planes must be ceil(w/2)*ceil(h/2) bytes")
+    require(width < (1 << 16) && height < (1 << 16), "dimensions exceed u16")
+    Seq(quantY, quantC).foreach(q =>
+      require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
+        "quant tables must be 64 entries in [1, 255]"))
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0: JFIF 1.1, no density, no thumbnail
+    u16(16)
+    out.write("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(0); out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1)
+    out.write(0); out.write(0)
+    marker(0xdb) // DQT: both tables in one segment (id 0 luma, 1 chroma)
+    u16(2 + 65 * 2)
+    Seq((0x00, quantY), (0x01, quantC)).foreach { case (id, q) =>
+      out.write(id)
+      var zz = 0
+      while (zz < 64) { out.write(q(ZigZag(zz))); zz += 1 }
+    }
+    marker(0xc0) // SOF0: 3 components, Y 2×2 / Cb 1×1 / Cr 1×1 sampling
+    u16(8 + 3 * 3)
+    out.write(8); u16(height); u16(width); out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y: h=2, v=2, quant 0
+    out.write(2); out.write(0x11); out.write(1) // Cb: h=1, v=1, quant 1
+    out.write(3); out.write(0x11); out.write(1) // Cr
+    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      u16(2 + 1 + 16 + vals.length)
+      out.write(tcTh)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0x00, DcBits, DcVals) // DC luma → table 0
+    dht(0x10, AcBits, AcVals) // AC luma → table 0
+    dht(0x01, DcBitsCh, DcValsCh) // DC chroma → table 1
+    dht(0x11, AcBitsCh, AcValsCh) // AC chroma → table 1
+    if (restartEvery > 0) { marker(0xdd); u16(4); u16(restartEvery) }
+    marker(0xda) // SOS: 3 components, luma tables 0/0, chroma 1/1
+    u16(6 + 2 * 3)
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    val block = new Array[Double](64)
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+          bw.flush()
+          marker(0xd0 + ((mcu / restartEvery - 1) % 8))
+          predY = 0; predCb = 0; predCr = 0
+        }
+        var vy = 0 // four luma blocks, raster order within the MCU
+        while (vy < 2) {
+          var hx = 0
+          while (hx < 2) {
+            loadBlock(y, width, height, mx * 2 + hx, my * 2 + vy, block)
+            predY = emitBlock(bw, block, quantY, DcEnc, AcEnc, predY)
+            hx += 1
+          }
+          vy += 1
+        }
+        loadBlock(cb, cw, ch, mx, my, block)
+        predCb = emitBlock(bw, block, quantC, DcEncCh, AcEncCh, predCb)
+        loadBlock(cr, cw, ch, mx, my, block)
+        predCr = emitBlock(bw, block, quantC, DcEncCh, AcEncCh, predCr)
+        mcu += 1
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     marker(0xd9) // EOI
@@ -420,6 +602,37 @@ object Jpeg {
     * bytes). Accepts any single-component baseline stream (multiple
     * DQT/DHT segments, APPn/COM, DRI/RSTn), not just this encoder's. */
   def decodeGray(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, nc, px) = decode(payload)
+    require(nc == 1, "only single-component (grayscale) JPEG supported")
+    (w, h, px)
+  }
+
+  /** Decode a 3-component baseline JPEG → (width, height, interleaved
+    * row-major RGB bytes, JFIF-converted). Accepts 4:4:4, 4:2:2 and
+    * 4:2:0 sampling grids. */
+  def decodeColor(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, nc, px) = decode(payload)
+    require(nc == 3, "expected a 3-component (color) JPEG")
+    (w, h, px)
+  }
+
+  /** One component's SOF description plus its SOS table bindings. */
+  private final class Component(val id: Int, val h: Int, val v: Int,
+      val qId: Int) {
+    var dcId: Int = -1
+    var acId: Int = -1
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** The general baseline decoder both fronts share → (width, height,
+    * component count, pixels): grayscale bytes for one component,
+    * interleaved JFIF-converted RGB for three. Handles any h,v ∈ {1,2}
+    * sampling grid, per-component quant/Huffman table selection,
+    * interleaved MCUs with independent DC predictors, restart markers,
+    * multiple DQT/DHT segments, APPn/COM — any baseline stream, not
+    * just this encoder's. */
+  def decode(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     require(payload.length >= 4 &&
       (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
       "not a JPEG payload (missing SOI)")
@@ -430,12 +643,10 @@ object Jpeg {
     val acTabs = new Array[HuffTable](4)
     var width = -1
     var height = -1
-    var qId = -1
+    var comps: Array[Component] = null
     var restartInterval = 0
     var pos = 2
     var sosAt = -1
-    var dcId = -1
-    var acId = -1
     while (sosAt < 0) {
       require(pos + 4 <= payload.length, "truncated marker stream")
       require((payload(pos) & 0xff) == 0xff,
@@ -465,12 +676,24 @@ object Jpeg {
           height = u16(seg + 1)
           width = u16(seg + 3)
           require(width >= 1 && height >= 1, "degenerate dimensions")
-          require((payload(seg + 5) & 0xff) == 1,
-            "only single-component (grayscale) JPEG supported")
-          require((payload(seg + 7) & 0xff) == 0x11,
-            "subsampling not applicable to one component")
-          qId = payload(seg + 8) & 0x0f
-          require(qId < 4, s"quant table id $qId out of range")
+          val nc = payload(seg + 5) & 0xff
+          require(nc == 1 || nc == 3,
+            s"unsupported component count $nc (grayscale or YCbCr expected)")
+          require(len >= 8 + 3 * nc, "truncated SOF0 segment")
+          comps = Array.tabulate(nc) { i =>
+            val o = seg + 6 + 3 * i
+            val hv = payload(o + 1) & 0xff
+            val sh = hv >> 4
+            val sv = hv & 0x0f
+            require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
+              s"unsupported sampling factor ${sh}x$sv")
+            val qId = payload(o + 2) & 0x0f
+            require(qId < 4, s"quant table id $qId out of range")
+            new Component(payload(o) & 0xff, sh, sv, qId)
+          }
+          if (nc == 1)
+            require(comps(0).h == 1 && comps(0).v == 1,
+              "subsampling not applicable to one component")
         case 0xc4 => // DHT: one or more tables per segment
           var p = seg
           while (p < pos + 2 + len) {
@@ -494,14 +717,26 @@ object Jpeg {
             p += 17 + total
           }
         case 0xdd => restartInterval = u16(seg)
-        case 0xda => // SOS
-          require((payload(seg) & 0xff) == 1, "one scan component expected")
-          dcId = (payload(seg + 2) & 0xf0) >> 4
-          acId = payload(seg + 2) & 0x0f
-          require(dcId < 4 && acId < 4,
-            s"scan Huffman table ids ($dcId, $acId) out of range")
-          require((payload(seg + 3) & 0xff) == 0 &&
-            (payload(seg + 4) & 0xff) == 63,
+        case 0xda => // SOS: one interleaved scan covering every component
+          require(comps != null, "SOS before SOF0")
+          val ns = payload(seg) & 0xff
+          require(ns == comps.length, "scan component count must match SOF0")
+          require(len >= 6 + 2 * ns, "truncated SOS segment")
+          var i = 0
+          while (i < ns) {
+            val cid = payload(seg + 1 + 2 * i) & 0xff
+            val c = comps.find(_.id == cid).getOrElse(
+              throw new IllegalArgumentException(
+                s"scan references unknown component id $cid"))
+            val tt = payload(seg + 2 + 2 * i) & 0xff
+            c.dcId = (tt & 0xf0) >> 4
+            c.acId = tt & 0x0f
+            require(c.dcId < 4 && c.acId < 4,
+              s"scan Huffman table ids (${c.dcId}, ${c.acId}) out of range")
+            i += 1
+          }
+          require((payload(seg + 1 + 2 * ns) & 0xff) == 0 &&
+            (payload(seg + 2 + 2 * ns) & 0xff) == 63,
             "baseline full-spectrum scan expected")
           sosAt = pos + 2 + len
         case x if x >= 0xe0 && x <= 0xef => () // APPn
@@ -513,89 +748,152 @@ object Jpeg {
       }
       pos += 2 + len
     }
-    require(width > 0, "missing SOF0")
-    val quant = quants(qId)
-    require(quant != null, s"missing quant table $qId")
-    val dcTab = dcTabs(dcId)
-    val acTab = acTabs(acId)
-    require(dcTab != null && acTab != null, "missing Huffman tables")
-    val blocksX = (width + 7) / 8
-    val blocksY = (height + 7) / 8
+    require(width > 0 && comps != null, "missing SOF0")
+    val nc = comps.length
+    comps.foreach { c =>
+      require(quants(c.qId) != null, s"missing quant table ${c.qId}")
+      require(c.dcId >= 0 && dcTabs(c.dcId) != null && acTabs(c.acId) != null,
+        "missing Huffman tables")
+    }
     // u16 dims can still claim ~4.3e9 pixels from a 20-byte header — cap
     // BEFORE allocating (same bound as the PNG decoder), in Long so the
     // product cannot wrap into a NegativeArraySizeException
     require(width.toLong * height.toLong <= (1L << 28),
       s"decoded image too large: ${width}x$height")
-    val out = new Array[Byte](width * height)
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // per-component planes on the MCU-padded grid; cropped at assembly
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = Array.tabulate(nc)(i => new Array[Byte](planeW(i) * planeH(i)))
     val br = new BitReader(payload, sosAt)
     val coef = new Array[Double](64)
-    var pred = 0
+    val preds = new Array[Int](nc)
+
+    def decodeBlock(ci: Int, bx: Int, by: Int): Unit = {
+      val c = comps(ci)
+      val quant = quants(c.qId)
+      val acTab = acTabs(c.acId)
+      java.util.Arrays.fill(coef, 0.0)
+      val s = br.decodeHuff(dcTabs(c.dcId))
+      preds(ci) += extend(br.receive(s), s)
+      coef(0) = preds(ci).toDouble * quant(0)
+      var k = 1
+      var done = false
+      var hasAc = false
+      while (k < 64 && !done) {
+        val sym = br.decodeHuff(acTab)
+        if (sym == 0x00) done = true // EOB
+        else if (sym == 0xf0) k += 16 // ZRL
+        else {
+          k += sym >> 4
+          require(k < 64, "AC run past block end")
+          val sz = sym & 0x0f
+          coef(ZigZag(k)) = extend(br.receive(sz), sz).toDouble * quant(ZigZag(k))
+          hasAc = true
+          k += 1
+        }
+      }
+      val px =
+        if (hasAc) idct(coef)
+        else {
+          // DC-only fast path: the IDCT of a DC-only block is flat. The
+          // fill value applies the SAME two cosTab multiplications the
+          // separable IDCT would (row pass then column pass), so the
+          // result is bit-identical to the general path — just without
+          // the 64 redundant per-sample sums.
+          val flat = coef(0) * cosTab(0)(0) * cosTab(0)(0)
+          val a = new Array[Double](64)
+          java.util.Arrays.fill(a, flat)
+          a
+        }
+      val pw = planeW(ci)
+      val plane = planes(ci)
+      var y = 0
+      while (y < 8) {
+        val rowBase = (by * 8 + y) * pw + bx * 8
+        var x = 0
+        while (x < 8) {
+          val v = Math.round(px(y * 8 + x) + 128.0)
+          plane(rowBase + x) =
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+
     var mcu = 0
     var restartCount = 0
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.consumeRestart(restartCount % 8)
           restartCount += 1
-          pred = 0
+          java.util.Arrays.fill(preds, 0)
         }
-        java.util.Arrays.fill(coef, 0.0)
-        val s = br.decodeHuff(dcTab)
-        pred += extend(br.receive(s), s)
-        coef(0) = pred.toDouble * quant(0)
-        var k = 1
-        var done = false
-        var hasAc = false
-        while (k < 64 && !done) {
-          val sym = br.decodeHuff(acTab)
-          if (sym == 0x00) done = true // EOB
-          else if (sym == 0xf0) k += 16 // ZRL
-          else {
-            k += sym >> 4
-            require(k < 64, "AC run past block end")
-            val sz = sym & 0x0f
-            coef(ZigZag(k)) = extend(br.receive(sz), sz).toDouble * quant(ZigZag(k))
-            hasAc = true
-            k += 1
-          }
-        }
-        val px =
-          if (hasAc) idct(coef)
-          else {
-            // DC-only fast path: the IDCT of a DC-only block is flat. The
-            // fill value applies the SAME two cosTab multiplications the
-            // separable IDCT would (row pass then column pass), so the
-            // result is bit-identical to the general path — just without
-            // the 64 redundant per-sample sums.
-            val flat = coef(0) * cosTab(0)(0) * cosTab(0)(0)
-            val a = new Array[Double](64)
-            java.util.Arrays.fill(a, flat)
-            a
-          }
-        var y = 0
-        while (y < 8) {
-          val oy = by * 8 + y
-          if (oy < height) {
-            var x = 0
-            while (x < 8) {
-              val ox = bx * 8 + x
-              if (ox < width) {
-                val v = Math.round(px(y * 8 + x) + 128.0)
-                out(oy * width + ox) =
-                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-              }
-              x += 1
+        var ci = 0 // interleaved: each component's v×h block grid in turn
+        while (ci < nc) {
+          val c = comps(ci)
+          var vy = 0
+          while (vy < c.v) {
+            var hx = 0
+            while (hx < c.h) {
+              decodeBlock(ci, mx * c.h + hx, my * c.v + vy)
+              hx += 1
             }
+            vy += 1
           }
-          y += 1
+          ci += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    (width, height, out)
+    if (nc == 1) {
+      val out = new Array[Byte](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * pw, out, y * width, width)
+        y += 1
+      }
+      (width, height, 1, out)
+    } else {
+      // chroma upsample by sample replication + JFIF YCbCr→RGB. The
+      // conversion is plain binary64 arithmetic with floor(v + 0.5)
+      // rounding so a SQL oracle can replay it bit-identically.
+      val out = new Array[Byte](width * height * 3)
+      val cY = comps(0); val cCb = comps(1); val cCr = comps(2)
+      var o = 0
+      var y = 0
+      while (y < height) {
+        val rY = (y * cY.v / vMax) * planeW(0)
+        val rCb = (y * cCb.v / vMax) * planeW(1)
+        val rCr = (y * cCr.v / vMax) * planeW(2)
+        var x = 0
+        while (x < width) {
+          val yd = (planes(0)(rY + x * cY.h / hMax) & 0xff).toDouble
+          val cb = planes(1)(rCb + x * cCb.h / hMax) & 0xff
+          val cr = planes(2)(rCr + x * cCr.h / hMax) & 0xff
+          val r = math.floor(yd + 1.402 * (cr - 128) + 0.5).toInt
+          val g = math.floor(
+            yd - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt
+          val b = math.floor(yd + 1.772 * (cb - 128) + 0.5).toInt
+          out(o) = clamp255(r).toByte
+          out(o + 1) = clamp255(g).toByte
+          out(o + 2) = clamp255(b).toByte
+          o += 3
+          x += 1
+        }
+        y += 1
+      }
+      (width, height, 3, out)
+    }
   }
 }

@@ -1285,6 +1285,115 @@ object Multimodal {
        |                   (a, b) -> (a * 31 + b) % 1000000007) AS px_fp
        |FROM s ORDER BY 1, 2, 3""".stripMargin
 
+  /** The 3-component batch-path hook for [[decodeMedia]]: full color
+    * decode ([[Jpeg.decodeColor]] — interleaved MCUs, per-component
+    * tables, chroma upsample, JFIF YCbCr→RGB) to interleaved unit
+    * floats, 3 per pixel. */
+  def jpegColorDecoder(payload: Array[Byte]): Array[Float] = {
+    val (_, _, rgb) = Jpeg.decodeColor(payload)
+    val out = new Array[Float](rgb.length)
+    var i = 0
+    while (i < rgb.length) { out(i) = (rgb(i) & 0xff) / 255f; i += 1 }
+    out
+  }
+
+  /** `mm_decode_jpeg_color`: the [[decodeJpeg]] contract through the
+    * COLOR path — the shape of essentially every crawl JPEG: 3-component
+    * YCbCr baseline with 4:2:0 chroma subsampling, interleaved 16×16
+    * MCUs, per-component quant/Huffman tables, restart markers.
+    * Synthesis keeps every component block CONSTANT so [[Jpeg.ExactQuant]]
+    * makes each plane's round trip bit-exact (see [[Jpeg]]): luma is the
+    * raster upsampled 8× (one constant 8×8 block per raster pixel, as in
+    * [[decodeJpeg]]), and the half-resolution chroma planes take the
+    * top-left/top-right raster value of each 2×2 raster group (constant
+    * per 8×8 chroma block = per 16×16 image region — exactly the 4:2:0
+    * geometry). The decoder's JFIF YCbCr→RGB tail is deterministic
+    * binary64 arithmetic (`floor(v + 0.5)`, clamp), so the DuckDB oracle
+    * replays the full RGB stream from `text` — any defect in the
+    * interleave order, predictor handling, chroma upsample or color
+    * conversion breaks the hash on every row. */
+  def decodeJpegColor(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.product[MediaRow]
+    // CPU-bound ~192× inflation per text byte: decouple codec
+    // parallelism from scan-split count, as in [[decodeJpeg]]
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val px = pngPixels(text)
+        val h = px.length / PngWidth
+        val hh = h + (h & 1) // 4:2:0 needs an even raster-row count
+        val w = PngWidth * 8
+        val ih = hh * 8
+        val yPlane = new Array[Byte](w * ih)
+        var yy = 0
+        while (yy < ih) {
+          val sr = math.min(yy / 8, h - 1) * PngWidth
+          var xx = 0
+          while (xx < w) {
+            yPlane(yy * w + xx) = px(sr + xx / 8)
+            xx += 1
+          }
+          yy += 1
+        }
+        val cw = w / 2
+        val chh = ih / 2
+        val cbPlane = new Array[Byte](cw * chh)
+        val crPlane = new Array[Byte](cw * chh)
+        var cy = 0
+        while (cy < chh) {
+          val sr = math.min((cy / 8) * 2, h - 1) * PngWidth
+          var cx = 0
+          while (cx < cw) {
+            cbPlane(cy * cw + cx) = px(sr + (cx / 8) * 2)
+            crPlane(cy * cw + cx) = px(sr + (cx / 8) * 2 + 1)
+            cx += 1
+          }
+          cy += 1
+        }
+        MediaRow(id, Jpeg.encodeYcbcr420(yPlane, cbPlane, crPlane, w, ih,
+          Jpeg.ExactQuant, Jpeg.ExactQuant, restartEvery = PngWidth / 2))
+      }(enc).toDF()
+    val decoded = decodeMedia(src, jpegColorDecoder)
+    rasterFingerprinted(decoded)
+  }
+
+  /** Replays the decoder's output pixel-for-pixel: the Y/Cb/Cr planes
+    * from the raster geometry above, then the SAME JFIF conversion
+    * (binary64 literals, left-associated, floor(v + 0.5), clamp). */
+  val decodeJpegColorOracle: String =
+    s"""WITH $pixelCtes,
+       |f AS (SELECT doc_id,
+       |             [CAST(coalesce(px0[i], 32) AS BIGINT)
+       |              for i in range(1, n + 1)] AS px,
+       |             n // 16 AS h FROM p),
+       |yc AS (SELECT doc_id,
+       |              flatten(
+       |                [[[px[least(yy // 8, h - 1) * 16 + xx // 8 + 1],
+       |                   px[least((yy // 16) * 2, h - 1) * 16
+       |                      + (xx // 16) * 2 + 1],
+       |                   px[least((yy // 16) * 2, h - 1) * 16
+       |                      + (xx // 16) * 2 + 2]]
+       |                  for xx in range(0, 128)]
+       |                 for yy in range(0, (h + h % 2) * 8)]) AS t
+       |       FROM f),
+       |s AS (SELECT doc_id,
+       |             flatten(list_transform(t, v ->
+       |               [greatest(0, least(255, CAST(floor(
+       |                  v[1] + 1.402 * (v[3] - 128) + 0.5) AS BIGINT))),
+       |                greatest(0, least(255, CAST(floor(
+       |                  v[1] - 0.344136 * (v[2] - 128)
+       |                       - 0.714136 * (v[3] - 128) + 0.5) AS BIGINT))),
+       |                greatest(0, least(255, CAST(floor(
+       |                  v[1] + 1.772 * (v[2] - 128) + 0.5) AS BIGINT)))]))
+       |               AS spx
+       |      FROM yc)
+       |SELECT doc_id, CAST(len(spx) AS BIGINT) AS n_px,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), spx),
+       |                   (a, b) -> (a * 31 + b) % 1000000007) AS px_fp
+       |FROM s ORDER BY 1, 2, 3""".stripMargin
+
   /** `mm_video_mjpeg`: COMPRESSED video decode + frame sampling — a
     * 16×16 MJPEG frame per FOUR raster pixels (each pixel a constant
     * 8×8 block in a 2×2 grid → exact round trip, as in [[decodeJpeg]],
@@ -1379,6 +1488,7 @@ object Multimodal {
     "mm_decode_png" -> (decodePng _),
     "mm_decode_gif" -> (decodeGif _),
     "mm_decode_jpeg" -> (decodeJpeg _),
+    "mm_decode_jpeg_color" -> (decodeJpegColor _),
     "mm_video_frames" -> (videoFrames _),
     "mm_video_mjpeg" -> (videoMjpeg _))
 
@@ -1390,6 +1500,7 @@ object Multimodal {
     "mm_decode_png" -> decodePngOracle,
     "mm_decode_gif" -> decodeGifOracle,
     "mm_decode_jpeg" -> decodeJpegOracle,
+    "mm_decode_jpeg_color" -> decodeJpegColorOracle,
     "mm_video_frames" -> videoFramesOracle,
     "mm_video_mjpeg" -> videoMjpegOracle)
 }

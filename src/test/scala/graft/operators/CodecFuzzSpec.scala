@@ -21,6 +21,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "png" -> Multimodal.pngDecoder _,
     "gif" -> Multimodal.gifDecoder _,
     "jpeg" -> Multimodal.jpegDecoder _,
+    "jpeg_color" -> Multimodal.jpegColorDecoder _,
     "avi" -> Multimodal.aviFrameSampler(2) _)
 
   /** Run one payload; fail the suite only on the banned failure classes. */
@@ -80,6 +81,9 @@ class CodecFuzzSpec extends AnyFunSuite {
       "png" -> Multimodal.pngEncode(px, 24),
       "gif" -> Multimodal.gifEncode(px, 24),
       "jpeg" -> Jpeg.encodeGray(px, 24, Jpeg.StdQuant),
+      "jpeg_color" -> Jpeg.encodeYcbcr420(px,
+        Array.tabulate[Byte](12 * 8)(i => (i * 11).toByte),
+        Array.tabulate[Byte](12 * 8)(i => (255 - i * 13).toByte), 24, 16),
       "avi" -> Multimodal.aviEncode(Seq(px, px, px), 24, 16),
       "wav" -> wavBytes(Array.tabulate[Short](256)(i => (i * 121).toShort)))
   }

@@ -346,6 +346,124 @@ class MultimodalSpec extends AnyFunSuite {
     assert(big.getMessage.contains("too large"))
   }
 
+  /** The decoder's JFIF YCbCr→RGB tail, re-derived independently. */
+  private def jfifRgb(yv: Int, cb: Int, cr: Int): Seq[Int] = {
+    def cl(v: Double): Int =
+      math.max(0, math.min(255, math.floor(v).toInt))
+    Seq(
+      cl(yv.toDouble + 1.402 * (cr - 128) + 0.5),
+      cl(yv.toDouble - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+      cl(yv.toDouble + 1.772 * (cb - 128) + 0.5))
+  }
+
+  test("COLOR JPEG: constant-block 4:2:0 round-trips exactly (incl. restarts)") {
+    // 32×32 image = 2×2 interleaved MCUs: 16 distinct constant luma
+    // blocks + 4 distinct constant chroma blocks per plane, so any
+    // mistake in the MCU interleave order, per-component predictors or
+    // chroma upsample geometry moves a value and fails the comparison.
+    val yVals = (0 until 16).map(i => 16 * i + 8)
+    val cbVals = Seq(40, 90, 140, 190)
+    val crVals = Seq(200, 150, 100, 50)
+    val y = Array.tabulate[Byte](32 * 32) { i =>
+      val xx = i % 32; val yy = i / 32
+      yVals((yy / 8) * 4 + xx / 8).toByte
+    }
+    def chroma(vals: Seq[Int]) = Array.tabulate[Byte](16 * 16) { i =>
+      val xx = i % 16; val yy = i / 16
+      vals((yy / 8) * 2 + xx / 8).toByte
+    }
+    val cb = chroma(cbVals)
+    val cr = chroma(crVals)
+    val expect = (0 until 32).flatMap { yy =>
+      (0 until 32).flatMap { xx =>
+        jfifRgb(yVals((yy / 8) * 4 + xx / 8),
+          cbVals((yy / 16) * 2 + xx / 16),
+          crVals((yy / 16) * 2 + xx / 16))
+      }
+    }
+    for (restart <- Seq(0, 1, 3)) {
+      val payload = Jpeg.encodeYcbcr420(y, cb, cr, 32, 32,
+        Jpeg.ExactQuant, Jpeg.ExactQuant, restartEvery = restart)
+      val (w, h, rgb) = Jpeg.decodeColor(payload)
+      assert(w == 32 && h == 32 && rgb.length == 32 * 32 * 3)
+      assert(rgb.map(_ & 0xff).toSeq == expect, s"restartEvery=$restart")
+    }
+    // the DRI payload really carries restart markers
+    val hex = Jpeg.encodeYcbcr420(y, cb, cr, 32, 32,
+      Jpeg.ExactQuant, Jpeg.ExactQuant, restartEvery = 1)
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(hex.contains("ffd0") && hex.contains("ffd1"))
+  }
+
+  test("COLOR JPEG general path: odd dims crop, quant error bounded, errors loud") {
+    val rng = new scala.util.Random(23)
+    // 21×13: MCU grid 2×1, luma 42 edge-padded blocks cropped back; the
+    // chroma planes are smooth so 4:2:0's replication upsample dominates
+    // the error budget only through the DCT rounding of each plane.
+    val w = 21; val h = 13
+    val y = Array.tabulate[Byte](w * h)(i => ((i * 7) % 256).toByte)
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val cb = Array.tabulate[Byte](cw * ch)(i => (60 + (i % 5)).toByte)
+    val cr = Array.tabulate[Byte](cw * ch)(i => (180 - (i % 7)).toByte)
+    val (gw, gh, rgb) = Jpeg.decodeColor(
+      Jpeg.encodeYcbcr420(y, cb, cr, w, h, Jpeg.UnitQuant, Jpeg.UnitQuant))
+    assert(gw == w && gh == h && rgb.length == w * h * 3)
+    // compare against the JFIF conversion of the ORIGINAL planes: with
+    // all-ones quant each plane's reconstruction error is DCT rounding
+    // (≤ 2 gray levels), amplified ≤ ~2× by the color matrix
+    var maxErr = 0
+    for (yy <- 0 until h; xx <- 0 until w) {
+      val exp = jfifRgb(y(yy * w + xx) & 0xff,
+        cb((yy / 2) * cw + xx / 2) & 0xff, cr((yy / 2) * cw + xx / 2) & 0xff)
+      for (c <- 0 until 3) {
+        val gotV = rgb((yy * w + xx) * 3 + c) & 0xff
+        maxErr = math.max(maxErr, math.abs(gotV - exp(c)))
+      }
+    }
+    assert(maxErr <= 6, s"unit-quant color max error $maxErr")
+    // wrong-front rejections are clean and specific
+    val gray = Jpeg.encodeGray(y, w, Jpeg.UnitQuant)
+    val color = Jpeg.encodeYcbcr420(y, cb, cr, w, h)
+    val e1 = intercept[IllegalArgumentException] { Jpeg.decodeGray(color) }
+    assert(e1.getMessage.contains("single-component"))
+    val e2 = intercept[IllegalArgumentException] { Jpeg.decodeColor(gray) }
+    assert(e2.getMessage.contains("3-component"))
+    intercept[Exception] { Jpeg.decodeColor(color.take(color.length / 2)) }
+    // mismatched plane sizes rejected at encode time
+    intercept[IllegalArgumentException] {
+      Jpeg.encodeYcbcr420(y, cb.take(3), cr, w, h)
+    }
+  }
+
+  test("mm_decode_jpeg_color fingerprints equal the oracle pixels") {
+    // in-Spark replay of the DuckDB oracle: Y from the 8×-upsampled
+    // raster, Cb/Cr from the top-left/top-right of each 2×2 raster
+    // group, the same binary64 JFIF conversion, fingerprint interleaved
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    def kr(vs: Iterator[Int]): Long =
+      vs.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
+    val got = Multimodal.decodeJpegColor(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    texts.foreach { case (id, text) =>
+      val px = Multimodal.pngPixels(text)
+      val h = px.length / 16
+      val hh = h + (h & 1)
+      val fp = kr(for {
+        yy <- Iterator.range(0, hh * 8)
+        xx <- Iterator.range(0, 128)
+        v <- jfifRgb(
+          px(math.min(yy / 8, h - 1) * 16 + xx / 8) & 0xff,
+          px(math.min((yy / 16) * 2, h - 1) * 16 + (xx / 16) * 2) & 0xff,
+          px(math.min((yy / 16) * 2, h - 1) * 16 + (xx / 16) * 2 + 1) & 0xff
+        ).iterator
+      } yield v)
+      assert(got(id) == ((hh * 8L * 128L * 3L, fp)), s"color jpeg doc $id")
+    }
+  }
+
   test("REAL decode: MJPEG AVI samples every Nth compressed frame") {
     import spark.implicits._
     // 5 constant 8×8 frames (exact JPEG round trip), stride 2 keeps 0, 2, 4
