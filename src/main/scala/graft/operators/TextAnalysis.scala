@@ -1426,10 +1426,18 @@ object TextAnalysis {
     * [[LineDedupDf]] (the "subscribe / copyright / navigation" killer;
     * C4 and RefinedWeb both ship this pass). Two stages:
     *
-    *   1. line DF: explode the synthesized lines once and count
-    *      DISTINCT docs per (source, line) — the one corpus-sized
-    *      shuffle, the same aggregation C4 runs. Frequent lines are
-    *      BOILERPLATE, so the result is structurally tiny; a conf-capped
+    *   1. line DF: explode the synthesized lines and count DISTINCT
+    *      docs per line key — the one corpus-sized shuffle, the same
+    *      aggregation C4 runs, except the shuffle rows carry an 8-byte
+    *      `xxhash64(source, line)` instead of the line string (~10× off
+    *      the dominant cost at 100 TB; a typical line is 60–120 B). The
+    *      tiny frequent-hash set then broadcast-resolves back to exact
+    *      (source, line) strings on a second scan, with an exact df
+    *      recount over just those candidates — so a 64-bit collision
+    *      can only ever add a row to the structurally tiny recount,
+    *      never a wrong line to the frequent set; the result is
+    *      bit-identical to the unhashed aggregation. Frequent lines are
+    *      BOILERPLATE, so the set is structurally tiny; a conf-capped
     *      `limit(max+1).collect()` (`spark.graft.linededup.maxFrequent`)
     *      guards the driver and fails with the conf key in the message
     *      rather than OOMing.
@@ -1438,10 +1446,7 @@ object TextAnalysis {
     *      string membership — no collisions to confirm away) that
     *      rebuilds each doc minus its frequent lines in one pass. No
     *      join, no shuffle on the output path; a 100 TB corpus pays
-    *      stage 1's aggregation plus a pure scan. (If the line SHUFFLE
-    *      itself ever dominates, the next lever is hashing lines to 8 B
-    *      for the DF count and resolving only frequent hashes back to
-    *      strings — not needed at these fixtures.)
+    *      stage 1's hash-keyed aggregation plus scans.
     *
     * Output: (doc_id, text_out, n_removed) — surviving lines re-joined
     * by `\n` in order; a fully-boilerplate doc yields the empty string. */
@@ -1465,9 +1470,25 @@ object TextAnalysis {
           s"spark.graft.linededup.maxFrequent must be in [1, ${Int.MaxValue - 1}], got $n")
         n.toInt
       }.getOrElse(1000000)
-    val frequent = Tables.documents(spark, dir)
+    def lines = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), lineDedupLines.as("lines"))
       .select(col("source"), explode(col("lines")).as("line"), col("doc_id"))
+    // corpus-sized DF count over 8-byte keys: the one full shuffle
+    // carries (xxhash64(source, line), doc_id) rows, not line strings
+    val freqHashes = lines
+      .select(xxhash64(col("source"), col("line")).as("lh"), col("doc_id"))
+      .groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= LineDedupDf)
+      .select(col("lh"))
+    // resolve hashes → strings on a second scan (broadcast semi-join;
+    // the frequent set is tiny), then recount df over the EXACT
+    // (source, line) candidates: a hash collision can inflate only the
+    // hash-level df, and any sub-threshold line it drags in dies here —
+    // bit-identical to the unhashed aggregation, at ~1/10 the shuffle
+    val frequent = lines
+      .join(broadcast(freqHashes),
+        xxhash64(col("source"), col("line")) === col("lh"), "left_semi")
       .groupBy(col("source"), col("line"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= LineDedupDf)
