@@ -54,45 +54,92 @@ object StreamingIncremental {
     (delta, streamDir)
   }
 
-  /** Per-delta verdict over the streamed pair set — the batch operator's
-    * output shape, for the equality spec. */
-  def incrementalStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val sink = s"graft_stream_inc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+  /** The static sides a real pipeline persists (bucketed by join key via
+    * Layouts at scale): the history band index and shingle store. */
+  private def staticSides(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val history = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-    // static sides: the band index and shingle store a real pipeline
-    // persists (bucketed by join key via Layouts at scale)
     val histBands = Dedup.bandHashes(history)
       .select(col("doc_id").as("hist_id"),
         posexplode(col("bands")).as(Seq("band", "bandHash")))
     val histSh = Dedup.withShingles(history)
       .select(col("doc_id").as("hist_id"), col("sh").as("b_sh"))
-    val (delta, streamDir) = streamingDelta(spark, dir)
-    StreamingStaging.runAndConsume(spark, sink, streamDir) {
-      val deltaBands = Dedup.withShingles(delta)
-        .select(col("doc_id").as("delta_id"),
-          graft.functions.SketchScalarFunctions
-            .minhash_bands_of(col("sh"), Dedup.NumHashes, Dedup.NumBands)
-            .as("bands"),
-          col("sh").as("a_sh"))
-        .select(col("delta_id"), col("a_sh"),
-          posexplode(col("bands")).as(Seq("band", "bandHash")))
-      val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-        size(array_union(col("a_sh"), col("b_sh"))).cast("double")
-      val pairs = deltaBands
-        .join(histBands, Seq("band", "bandHash"))
-        .join(histSh, Seq("hist_id"))
-        .select(col("delta_id"), col("hist_id"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
-        .groupBy(col("delta_id"), col("hist_id"))
-        .agg(max(col("jaccard")).as("jaccard"))
-      pairs
-        .writeStream.format("memory").queryName(sink).outputMode("complete")
-        .start()
-    }
+    (histBands, histSh)
+  }
+
+  /** Steps 1–4 over a delta stream: band hashes, stream-static candidate
+    * join, exact-Jaccard confirm, the one pair-keyed streaming
+    * aggregation. Shared by both sink variants so the dataflow cannot
+    * drift between the gate surface and the production path. */
+  private def confirmedPairs(delta: DataFrame, histBands: DataFrame,
+      histSh: DataFrame): DataFrame = {
+    val deltaBands = Dedup.withShingles(delta)
+      .select(col("doc_id").as("delta_id"),
+        graft.functions.SketchScalarFunctions
+          .minhash_bands_of(col("sh"), Dedup.NumHashes, Dedup.NumBands)
+          .as("bands"),
+        col("sh").as("a_sh"))
+      .select(col("delta_id"), col("a_sh"),
+        posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+      size(array_union(col("a_sh"), col("b_sh"))).cast("double")
+    deltaBands
+      .join(histBands, Seq("band", "bandHash"))
+      .join(histSh, Seq("hist_id"))
+      .select(col("delta_id"), col("hist_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .groupBy(col("delta_id"), col("hist_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
+  /** The batch operator's per-delta output shape over a pair set. */
+  private def verdicts(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy(col("delta_id"))
       .agg(min(col("hist_id")).as("dup_of"),
         count(lit(1)).as("n_dups"),
         max(col("jaccard")).as("best_jaccard"))
+
+  /** Per-delta verdict over the streamed pair set — the batch operator's
+    * output shape, for the equality spec. */
+  def incrementalStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"graft_stream_inc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val (histBands, histSh) = staticSides(spark, dir)
+    val (delta, streamDir) = streamingDelta(spark, dir)
+    verdicts(StreamingStaging.runAndConsume(spark, sink, streamDir) {
+      confirmedPairs(delta, histBands, histSh)
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .start()
+    })
+  }
+
+  /** PRODUCTION-SINK variant: the identical per-micro-batch dataflow,
+    * but the confirmed-pair state lands in PARQUET through
+    * `foreachBatch` — executors write the files directly; no memory
+    * sink, no driver materialization (every other twin collects through
+    * the memory sink, a documented gate/demo surface). `complete`
+    * output + overwrite makes each micro-batch a consistent whole
+    * snapshot of the pair state, so the writer is idempotent under
+    * micro-batch retry — exactly the contract foreachBatch demands.
+    * Returns the verdict rollup read back FROM the parquet, as a
+    * downstream consumer would; `StreamingIncrementalSpec` pins
+    * equality with the memory-sink twin (and therefore with the batch
+    * operator). */
+  def incrementalStreamingToParquet(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val (histBands, histSh) = staticSides(spark, dir)
+    val (delta, streamDir) = streamingDelta(spark, dir)
+    try {
+      val query = confirmedPairs(delta, histBands, histSh)
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    } finally StreamingStaging.deleteRecursively(streamDir)
+    verdicts(spark.read.parquet(outDir))
   }
 }

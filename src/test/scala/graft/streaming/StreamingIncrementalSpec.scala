@@ -30,4 +30,25 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       assert(deltaId >= 100000L && dupOf <= deltaId - 100000L)
     }
   }
+
+  test("foreachBatch parquet sink equals the memory-sink twin exactly") {
+    // the production path: executors write the pair snapshot straight to
+    // parquet, the driver never materializes a row — verdicts read back
+    // from the files must match the memory-sink (and batch) form
+    val outDir = java.nio.file.Files.createTempDirectory("graft_inc_pq")
+    val pairsDir = outDir.resolve("pairs").toString
+    try {
+      val viaParquet = StreamingIncremental
+        .incrementalStreamingToParquet(spark, dir, pairsDir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      val viaMemory = StreamingIncremental.incrementalStreaming(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(viaParquet.nonEmpty)
+      assert(viaParquet == viaMemory)
+    } finally StreamingStaging.deleteRecursively(outDir)
+  }
 }
