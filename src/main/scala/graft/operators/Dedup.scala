@@ -287,11 +287,24 @@ object Dedup {
     * Caching contract (same as [[minhashLshOn]]): the candidate frame is
     * persisted because it feeds three consumers, and it must outlive this
     * call — the returned DataFrame still references it lazily, so it
-    * cannot be unpersisted here. CacheManager dedups repeated calls by
-    * canonicalized plan; callers running many batches through the public
-    * API should `spark.catalog.clearCache()` between batches (Bench and
-    * Verify do). */
-  def incrementalOn(history: DataFrame, delta: DataFrame): DataFrame = {
+    * cannot be unpersisted here. One-shot callers can leave it to
+    * CacheManager (which dedups repeated calls by canonicalized plan) or
+    * `spark.catalog.clearCache()` (Bench and Verify do); callers running
+    * many batches in one session should use [[incrementalOnManaged]] and
+    * release each batch's cache after consuming its verdicts. */
+  def incrementalOn(history: DataFrame, delta: DataFrame): DataFrame =
+    incrementalOnManaged(history, delta)._1
+
+  /** [[incrementalOn]] with cache-lifetime control: returns the verdict
+    * frame plus a `release()` that unpersists the batch's candidate
+    * frame. A continuous-ingest loop calls `release()` after consuming
+    * each batch's verdicts, so N batches hold ONE batch's cache at a
+    * time instead of accumulating N for the session
+    * (`DedupSpec` pins that with a repeated-batch run). Calling
+    * `release()` before consumption is safe — the plan recomputes — it
+    * just forfeits the reuse the persist exists for. */
+  def incrementalOnManaged(history: DataFrame,
+      delta: DataFrame): (DataFrame, () => Unit) = {
     val histBands = bandHashes(history)
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "bandHash")))
@@ -321,7 +334,7 @@ object Dedup {
       .select(col("doc_id").as("hist_id"), col("sh").as("b_sh"))
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
       size(array_union(col("a_sh"), col("b_sh"))).cast("double")
-    (cand
+    val out = cand
       .join(aSh, "delta_id")
       .join(bSh, "hist_id")
       .select(col("delta_id"), col("hist_id"), jac.as("jaccard"))
@@ -329,7 +342,8 @@ object Dedup {
       .groupBy(col("delta_id"))
       .agg(min(col("hist_id")).as("dup_of"),
         count(lit(1)).as("n_dups"),
-        max(col("jaccard")).as("best_jaccard")))
+        max(col("jaccard")).as("best_jaccard"))
+    (out, () => { cand.unpersist(); () })
   }
 
   /** DuckDB replay: brute delta×history Jaccard over the same planted

@@ -107,6 +107,28 @@ class DedupSpec extends AnyFunSuite {
     assert(collided == Map(1L -> ((2L, 1L))), collided.toString)
   }
 
+  test("managed incremental batches release their cache — no session growth") {
+    import spark.implicits._
+    val origin = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val copy = origin.split(" ").dropRight(1).mkString(" ")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // a continuous-ingest loop: each batch consumes its verdicts, then
+    // releases — at no point should more than one batch's candidate
+    // cache be live, and after the loop the session must be back to its
+    // starting cache footprint
+    (0 until 3).foreach { i =>
+      val (out, release) = Dedup.incrementalOnManaged(
+        Seq((10L + i, origin)).toDF("doc_id", "text"),
+        Seq((20L + i, copy)).toDF("doc_id", "text"))
+      assert(out.collect().length == 1)
+      release()
+      assert(spark.sparkContext.getPersistentRDDs.size <= before,
+        s"batch $i left its candidate frame cached")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("property: union-find reps equal brute-force reachability on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
