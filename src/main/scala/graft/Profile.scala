@@ -3,9 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch profiler (temporary; repointed per round at the current bench
-  * hog). Round 7 (late): dedup_clusters — the slowest bench row at
-  * sf0.1 — against its candidate-pair machinery alone
-  * (dedup_minhash_lsh) to see what the union-find + assignment add. */
+  * hog). Round 8: mm_video_mjpeg regressed 2.6× vs the round-7 builder
+  * artifact right after the JPEG decoder was generalized to 1-or-3
+  * components. Hypothesis: the tiny-frame MJPEG hot loop (190 k 16×16
+  * frame decodes at sf0.1) was monomorphic before; running the color
+  * query in the same session makes the shared decode path bimorphic and
+  * the JIT profile degrades. Protocol: time MJPEG alone (fresh JVM →
+  * monomorphic), then run the color decode once, then time MJPEG again
+  * — a jump in the second set isolates the JIT-profile interaction from
+  * plain per-call overhead. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,20 +31,18 @@ object Profile {
     }
 
     graft.sources.Tables.region(spark, sfDir).count()
-    graft.operators.Dedup.minhashLsh(spark, sfDir).count()
-    spark.catalog.clearCache()
-
     var i = 0
-    while (i < 3) {
-      time("dedup_minhash_lsh")(
-        graft.operators.Dedup.minhashLsh(spark, sfDir).count())
-      spark.catalog.clearCache()
-      time("dedup_clusters")(
-        graft.operators.Dedup.clusterAssign(spark, sfDir).count())
-      spark.catalog.clearCache()
-      time("dedup_semantic")(
-        graft.operators.Similarity.semanticDedup(spark, sfDir).count())
-      spark.catalog.clearCache()
+    while (i < 4) {
+      time("mm_video_mjpeg (pre-color)")(
+        graft.operators.Multimodal.videoMjpeg(spark, sfDir).count())
+      i += 1
+    }
+    time("mm_decode_jpeg_color (once)")(
+      graft.operators.Multimodal.decodeJpegColor(spark, sfDir).count())
+    i = 0
+    while (i < 4) {
+      time("mm_video_mjpeg (post-color)")(
+        graft.operators.Multimodal.videoMjpeg(spark, sfDir).count())
       i += 1
     }
     spark.stop()
