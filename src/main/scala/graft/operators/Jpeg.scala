@@ -407,26 +407,38 @@ object Jpeg {
     out.toByteArray
   }
 
-  /** Encode a YCbCr image as a 3-component baseline JPEG with 4:2:0
-    * chroma subsampling — the shape of essentially every camera/crawl
-    * JPEG. `y` is the full-resolution `width`×`height` luma plane;
-    * `cb`/`cr` are the half-resolution (`ceil(w/2)`×`ceil(h/2)`) chroma
-    * planes (RGB→YCbCr conversion and the 2×2 chroma box filter are
-    * JFIF-level concerns that sit with the caller, outside T.81). The
-    * scan is interleaved 16×16 MCUs — four Y blocks then one Cb and one
-    * Cr — with per-component quant (luma id 0, chroma id 1) and Huffman
-    * (Annex K luminance/chrominance) tables, independent DC predictors,
-    * and optional restart markers every `restartEvery` MCUs. */
+  /** [[encodeYcbcr]] at 4:2:0 — the shape of essentially every
+    * camera/crawl JPEG. */
   def encodeYcbcr420(y: Array[Byte], cb: Array[Byte], cr: Array[Byte],
       width: Int, height: Int, quantY: Array[Int] = StdQuant,
       quantC: Array[Int] = StdQuantChroma,
+      restartEvery: Int = 0): Array[Byte] =
+    encodeYcbcr(y, cb, cr, width, height, 2, 2, quantY, quantC, restartEvery)
+
+  /** Encode a YCbCr image as a 3-component baseline JPEG with the luma
+    * sampling grid (`hSamp`, `vSamp`) ∈ {1, 2}²: (2,2) = 4:2:0,
+    * (2,1) = 4:2:2, (1,1) = 4:4:4 — the three grids real crawls carry
+    * (and the three the decoder accepts). `y` is the full-resolution
+    * `width`×`height` luma plane; `cb`/`cr` are the
+    * `ceil(w/hSamp)`×`ceil(h/vSamp)` chroma planes (RGB→YCbCr
+    * conversion and the chroma box filter are JFIF-level concerns that
+    * sit with the caller, outside T.81). The scan is interleaved MCUs —
+    * `vSamp`×`hSamp` Y blocks then one Cb and one Cr — with
+    * per-component quant (luma id 0, chroma id 1) and Huffman (Annex K
+    * luminance/chrominance) tables, independent DC predictors, and
+    * optional restart markers every `restartEvery` MCUs. */
+  def encodeYcbcr(y: Array[Byte], cb: Array[Byte], cr: Array[Byte],
+      width: Int, height: Int, hSamp: Int, vSamp: Int,
+      quantY: Array[Int] = StdQuant, quantC: Array[Int] = StdQuantChroma,
       restartEvery: Int = 0): Array[Byte] = {
+    require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+      s"unsupported sampling factor ${hSamp}x$vSamp")
     require(width > 0 && height > 0 && y.length == width * height,
       "luma plane must be width*height bytes")
-    val cw = (width + 1) / 2
-    val ch = (height + 1) / 2
+    val cw = (width + hSamp - 1) / hSamp
+    val ch = (height + vSamp - 1) / vSamp
     require(cb.length == cw * ch && cr.length == cw * ch,
-      "chroma planes must be ceil(w/2)*ceil(h/2) bytes")
+      "chroma planes must be ceil(w/hSamp)*ceil(h/vSamp) bytes")
     require(width < (1 << 16) && height < (1 << 16), "dimensions exceed u16")
     Seq(quantY, quantC).foreach(q =>
       require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
@@ -448,10 +460,10 @@ object Jpeg {
       var zz = 0
       while (zz < 64) { out.write(q(ZigZag(zz))); zz += 1 }
     }
-    marker(0xc0) // SOF0: 3 components, Y 2×2 / Cb 1×1 / Cr 1×1 sampling
+    marker(0xc0) // SOF0: 3 components, Y hSamp×vSamp / chroma 1×1
     u16(8 + 3 * 3)
     out.write(8); u16(height); u16(width); out.write(3)
-    out.write(1); out.write(0x22); out.write(0) // Y: h=2, v=2, quant 0
+    out.write(1); out.write((hSamp << 4) | vSamp); out.write(0) // Y, quant 0
     out.write(2); out.write(0x11); out.write(1) // Cb: h=1, v=1, quant 1
     out.write(3); out.write(0x11); out.write(1) // Cr
     def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
@@ -475,8 +487,8 @@ object Jpeg {
     out.write(3); out.write(0x11)
     out.write(0); out.write(63); out.write(0)
     val bw = new BitWriter(out)
-    val mcusX = (width + 15) / 16
-    val mcusY = (height + 15) / 16
+    val mcusX = (width + 8 * hSamp - 1) / (8 * hSamp)
+    val mcusY = (height + 8 * vSamp - 1) / (8 * vSamp)
     val block = new Array[Double](64)
     var predY = 0
     var predCb = 0
@@ -491,11 +503,11 @@ object Jpeg {
           marker(0xd0 + ((mcu / restartEvery - 1) % 8))
           predY = 0; predCb = 0; predCr = 0
         }
-        var vy = 0 // four luma blocks, raster order within the MCU
-        while (vy < 2) {
+        var vy = 0 // the vSamp×hSamp luma blocks, raster order within the MCU
+        while (vy < vSamp) {
           var hx = 0
-          while (hx < 2) {
-            loadBlock(y, width, height, mx * 2 + hx, my * 2 + vy, block)
+          while (hx < hSamp) {
+            loadBlock(y, width, height, mx * hSamp + hx, my * vSamp + vy, block)
             predY = emitBlock(bw, block, quantY, DcEnc, AcEnc, predY)
             hx += 1
           }

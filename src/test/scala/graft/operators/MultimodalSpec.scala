@@ -395,6 +395,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hex.contains("ffd0") && hex.contains("ffd1"))
   }
 
+  test("COLOR JPEG: 4:4:4 and 4:2:2 sampling grids round-trip exactly") {
+    // 16×16 image, distinct constants per 8×8 block in every plane, so
+    // a wrong MCU geometry or chroma-upsample stride moves a value.
+    val yVals = Seq(30, 80, 130, 180)
+    val y = Array.tabulate[Byte](16 * 16) { i =>
+      val xx = i % 16; val yy = i / 16
+      yVals((yy / 8) * 2 + xx / 8).toByte
+    }
+    // 4:4:4 — full-resolution chroma, MCU = one 8×8 block per component
+    val cbVals = Seq(60, 110, 160, 210)
+    val crVals = Seq(220, 170, 120, 70)
+    def fullChroma(vals: Seq[Int]) = Array.tabulate[Byte](16 * 16) { i =>
+      val xx = i % 16; val yy = i / 16
+      vals((yy / 8) * 2 + xx / 8).toByte
+    }
+    val p444 = Jpeg.encodeYcbcr(y, fullChroma(cbVals), fullChroma(crVals),
+      16, 16, 1, 1, Jpeg.ExactQuant, Jpeg.ExactQuant)
+    val (w444, h444, rgb444) = Jpeg.decodeColor(p444)
+    assert(w444 == 16 && h444 == 16)
+    val expect444 = (0 until 16).flatMap { yy =>
+      (0 until 16).flatMap { xx =>
+        jfifRgb(yVals((yy / 8) * 2 + xx / 8),
+          cbVals((yy / 8) * 2 + xx / 8), crVals((yy / 8) * 2 + xx / 8))
+      }
+    }
+    assert(rgb444.map(_ & 0xff).toSeq == expect444)
+    // 4:2:2 — chroma halved horizontally only: plane 8×16, two 8×8
+    // blocks stacked vertically, each covering a 16×8 image band
+    val cb22 = Seq(50, 200)
+    val cr22 = Seq(190, 40)
+    def halfChroma(vals: Seq[Int]) = Array.tabulate[Byte](8 * 16) { i =>
+      vals((i / 8) / 8).toByte
+    }
+    val p422 = Jpeg.encodeYcbcr(y, halfChroma(cb22), halfChroma(cr22),
+      16, 16, 2, 1, Jpeg.ExactQuant, Jpeg.ExactQuant, restartEvery = 1)
+    val (w422, h422, rgb422) = Jpeg.decodeColor(p422)
+    assert(w422 == 16 && h422 == 16)
+    val expect422 = (0 until 16).flatMap { yy =>
+      (0 until 16).flatMap { xx =>
+        jfifRgb(yVals((yy / 8) * 2 + xx / 8), cb22(yy / 8), cr22(yy / 8))
+      }
+    }
+    assert(rgb422.map(_ & 0xff).toSeq == expect422)
+  }
+
   test("COLOR JPEG general path: odd dims crop, quant error bounded, errors loud") {
     val rng = new scala.util.Random(23)
     // 21×13: MCU grid 2×1, luma 42 edge-padded blocks cropped back; the
