@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Measured scale evidence past the sf0.1 fixtures: synthesize a
+  * documents/embeddings corpus N× the sf0.1 shape — same 31-word
+  * vocabulary, 10–100-word uniform length distribution, 5 langs,
+  * 20 sources, 64-dim embeddings with 10 labels — then time the
+  * scale-sensitive production queries at 1× and N× and report wall-clock
+  * against the row ratio. The "survives 100×" story otherwise rests only
+  * on plan properties (pinned budgets, bounded state, AQE skew proof);
+  * this main turns it into a measured slope on the heaviest families
+  * (banded dedup self-joins, connected components, trained-quantizer
+  * ANN, corpus-shuffle text passes, the composed pipeline).
+  *
+  * Deliberately EXCLUDED: `text_winnow_matches` / `dedup_dup_spans` —
+  * with a fixed 31-word vocabulary, shared-window density itself grows
+  * linearly with corpus size (every 3-gram's document frequency rises ∝
+  * n), so their pair volume grows ∝ n² in the SYNTHETIC data while real
+  * corpora grow vocabulary with size; the df-cap mitigation documented
+  * in SCALING.md is the lever for corpora that really look like that.
+  * The O(n²) oracle baselines are excluded for the usual reason.
+  *
+  * Usage: runMain graft.StressScale <sf0.1Dir> <outRoot> <factor>
+  * (re-uses an existing synthesized corpus at outRoot/x<factor>; delete
+  * the directory to regenerate). Prints one JSON line and writes it to
+  * SPARK_GRAFT_STRESS_OUT (default target/stress_report.json).
+  */
+object StressScale {
+
+  /** The sf0.1 corpus vocabulary (TESTDATA.md fixtures). */
+  private val Vocab: Array[String] = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+  private val Langs: Array[String] = Array("en", "zh", "es", "de", "fr")
+
+  /** Deterministic per-row synthesis (seeded by id — partitioning-
+    * independent, reproducible across runs and cluster sizes). */
+  def synthDocuments(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val rng = new scala.util.Random(id * 2654435761L + 12345L)
+      val len = 10 + rng.nextInt(91)
+      val text = Array.fill(len)(Vocab(rng.nextInt(Vocab.length))).mkString(" ")
+      (id, text, Langs(rng.nextInt(Langs.length)),
+        s"src${rng.nextInt(20)}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  def synthEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val rng = new scala.util.Random(id * 40503L + 99991L)
+      val v = Array.fill(64)((rng.nextGaussian() * 0.12).toFloat)
+      (id, v, (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  /** The scale-sensitive subset: every family whose cost at 100 TB is a
+    * real question (self-joins, CC, trained ANN, corpus shuffles, the
+    * composed pipeline) plus two linear controls (exact dedup, HLL). */
+  val StressQueries: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_incremental", "dedup_semantic", "sim_ann_lsh", "sim_ann_ivf",
+    "sim_ann_ivfpq", "text_line_dedup", "text_decontaminate_bloom",
+    "text_tfidf_topk", "sketch_distinct_hll", "curate_mix_resample",
+    "pipeline_curated")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: StressScale <sf0.1Dir> <outRoot> <factor>")
+    val sfDir = args(0)
+    val outRoot = args(1)
+    val factor = args(2).toInt
+    require(factor >= 2, "factor must be >= 2")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.sources.Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKPlanning.register(spark)
+
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val baseVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val scaledDir = s"$outRoot/x$factor"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$scaledDir/embeddings.parquet"))) {
+      // 32 output files: the same files-per-core shape as the fixtures
+      synthDocuments(spark, baseDocs * factor).repartition(32)
+        .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+      synthEmbeddings(spark, baseVecs * factor).repartition(32)
+        .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+    }
+
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val runs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.min
+    }
+    // warmup
+    try spark.read.parquet(s"$sfDir/documents.parquet").count()
+    catch { case _: Throwable => () }
+
+    val registry = SparkEntry.benchQueries
+    val rows = StressQueries.map { name =>
+      val fn = registry(name)
+      val base = time(fn, sfDir)
+      val scaled = time(fn, scaledDir)
+      val ratio = scaled / math.max(base, 1e-9)
+      (name, base, scaled, ratio)
+    }
+    def jstr(s: String) = "\"" + s + "\""
+    val body = rows.map { case (n, b, s, r) =>
+      jstr(n) + s""":{"base_sec":${f"$b%.3f"},"scaled_sec":${f"$s%.3f"},"wall_ratio":${f"$r%.2f"}}"""
+    }.mkString("{", ",", "}")
+    val worst = rows.maxBy(_._4)
+    val line = s"""{"metric":"stress_scale","row_factor":$factor,"queries":$body,"worst":${jstr(worst._1)},"worst_ratio":${f"${worst._4}%.2f"},"base_docs":$baseDocs,"scaled_docs":${baseDocs * factor},"agg":"min-of-2 per point, cache cleared per run"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
+      "target/stress_report.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[stress] could not write $outPath: ${e.getMessage}") }
+    spark.stop()
+  }
+}
