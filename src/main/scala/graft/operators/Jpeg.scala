@@ -168,6 +168,16 @@ object Jpeg {
   private val DcEncCh = encoderCodes(DcBitsCh, DcValsCh)
   private val AcEncCh = encoderCodes(AcBitsCh, AcValsCh)
 
+  // Progressive AC scans emit EOBn (0x10..0xE0) and correction-run
+  // symbols the sequential Annex K table has no codes for; this flat
+  // canonical table (255 codes at 8 bits + one at 9, Kraft sum < 1)
+  // covers all 256 symbol values. Emitted in the DHT like any other
+  // table — the decoder reconstructs it generically.
+  private val FlatAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val FlatAcVals: Array[Int] = (0 to 255).toArray
+  private val FlatAcEnc = encoderCodes(FlatAcBits, FlatAcVals)
+
   // 1D DCT basis: cosTab(u)(x) = C(u)/2 · cos((2x+1)uπ/16), C(0)=1/√2 —
   // applying it twice (rows then columns) is the 2D 0.25·C(u)C(v) form.
   private val cosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
@@ -407,6 +417,214 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode a grayscale raster as a PROGRESSIVE JPEG (SOF2) with the
+    * standard successive-approximation scan script: DC first at Al=1,
+    * AC band 1–63 first at Al=1 (EOB-run coding), DC refinement (raw
+    * bits), AC refinement (newly-significant symbols + inline
+    * correction bits, EOB runs carrying buffered bits — the T.81 §G
+    * grammar). Refinement runs down to Al=0, so the decoded
+    * coefficients equal the baseline quantized values EXACTLY:
+    * progressive and baseline round trips are pixel-identical for the
+    * same quant table (spec-pinned for arbitrary images). */
+  def encodeGrayProgressive(pixels: Array[Byte], width: Int,
+      quant: Array[Int] = StdQuant): Array[Byte] = {
+    require(width > 0 && pixels.length > 0 && pixels.length % width == 0,
+      "pixels must be a positive multiple of width")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in [1, 255]")
+    val height = pixels.length / width
+    require(width < (1 << 16) && height < (1 << 16), "dimensions exceed u16")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16v(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT: table 0, 8-bit, zigzag order
+    u16v(67)
+    out.write(0x00)
+    var zz = 0
+    while (zz < 64) { out.write(quant(ZigZag(zz))); zz += 1 }
+    marker(0xc2) // SOF2: 8-bit, 1 component, 1×1 sampling, q-table 0
+    u16v(11)
+    out.write(8); u16v(height); u16v(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      u16v(2 + 1 + 16 + vals.length)
+      out.write(tcTh)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0x00, DcBits, DcVals)
+    dht(0x10, AcBits, AcVals)
+    dht(0x11, FlatAcBits, FlatAcVals) // progressive AC scans
+    // quantize every block up front — all four scans read them
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val nBlocks = blocksX * blocksY
+    val q = new Array[Int](nBlocks * 64) // natural order per block
+    val block = new Array[Double](64)
+    var b = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        loadBlock(pixels, width, height, bx, by, block)
+        val base = b * 64
+        var constant = true
+        var ci = 1
+        while (ci < 64 && constant) { constant = block(ci) == block(0); ci += 1 }
+        if (constant) q(base) = Math.round(block(0) * 8.0 / quant(0)).toInt
+        else {
+          val coef = fdct(block)
+          var i = 0
+          while (i < 64) { q(base + i) = Math.round(coef(i) / quant(i)).toInt; i += 1 }
+        }
+        b += 1
+        bx += 1
+      }
+      by += 1
+    }
+    def sos(ss: Int, se: Int, ah: Int, al: Int, tt: Int): Unit = {
+      marker(0xda)
+      u16v(8)
+      out.write(1); out.write(1); out.write(tt)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+
+    // scan 1: DC first, Al=1 — sequential DC grammar over coef >> 1
+    // (arithmetic shift: the refinement bit restores the dropped LSB by
+    // OR, which is exact for negatives in two's complement)
+    sos(0, 0, 0, 1, 0x00)
+    var bw = new BitWriter(out)
+    var pred = 0
+    b = 0
+    while (b < nBlocks) {
+      val v = q(b * 64) >> 1
+      val diff = v - pred
+      pred = v
+      val s = category(diff)
+      val (c, l) = DcEnc(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      b += 1
+    }
+    bw.flush()
+
+    var eobrun = 0
+    def flushEob(pend: scala.collection.mutable.ArrayBuffer[Int]): Unit =
+      if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = FlatAcEnc(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+        pend.foreach(bit => bw.put(bit, 1))
+        pend.clear()
+      }
+
+    // scan 2: AC first, band 1–63, Al=1 — EOB-run grammar
+    sos(1, 63, 0, 1, 0x01)
+    bw = new BitWriter(out)
+    val noPend = scala.collection.mutable.ArrayBuffer.empty[Int]
+    b = 0
+    while (b < nBlocks) {
+      val base = b * 64
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val c0 = q(base + ZigZag(k))
+        val t = (if (c0 >= 0) c0 else -c0) >> 1
+        if (t == 0) run += 1
+        else {
+          flushEob(noPend)
+          while (run > 15) { val (c, l) = FlatAcEnc(0xf0); bw.put(c, l); run -= 16 }
+          val v = if (c0 >= 0) t else -t
+          val sz = category(v)
+          val (c, l) = FlatAcEnc((run << 4) | sz)
+          bw.put(c, l)
+          bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob(noPend) }
+      b += 1
+    }
+    flushEob(noPend)
+    bw.flush()
+
+    // scan 3: DC refinement, Al=0 — one raw bit per block, no Huffman
+    sos(0, 0, 1, 0, 0x00)
+    bw = new BitWriter(out)
+    b = 0
+    while (b < nBlocks) { bw.put(q(b * 64) & 1, 1); b += 1 }
+    bw.flush()
+
+    // scan 4: AC refinement, band 1–63, Ah=1 Al=0. Correction bits for
+    // already-significant coefficients buffer until the next emission
+    // point (symbol, ZRL, or EOB-run flush) — the decoder reads each
+    // one inline when its position is next passed, so the ZRL fold must
+    // run at EVERY nonzero coefficient (before the correction-bit
+    // branch), exactly as in the T.81 §G.1.2.3 flow.
+    sos(1, 63, 1, 0, 0x01)
+    bw = new BitWriter(out)
+    val pendGlobal = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val pendBlock = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def drainBlock(): Unit = {
+      pendBlock.foreach(bit => bw.put(bit, 1))
+      pendBlock.clear()
+    }
+    b = 0
+    while (b < nBlocks) {
+      val base = b * 64
+      var eobPos = 0 // last newly-significant position bounds ZRL folding
+      var k = 1
+      while (k < 64) {
+        val c0 = q(base + ZigZag(k))
+        if (c0 == 1 || c0 == -1) eobPos = k
+        k += 1
+      }
+      var r = 0
+      k = 1
+      while (k < 64) {
+        val c0 = q(base + ZigZag(k))
+        val t = if (c0 >= 0) c0 else -c0
+        if (t == 0) r += 1
+        else {
+          while (r > 15 && k <= eobPos) {
+            flushEob(pendGlobal)
+            val (c, l) = FlatAcEnc(0xf0)
+            bw.put(c, l)
+            r -= 16
+            drainBlock()
+          }
+          if (t > 1) pendBlock += (t & 1) // correction bit
+          else { // newly significant: symbol, sign, then buffered bits
+            flushEob(pendGlobal)
+            val (c, l) = FlatAcEnc((r << 4) | 1)
+            bw.put(c, l)
+            bw.put(if (c0 >= 0) 1 else 0, 1)
+            drainBlock()
+            r = 0
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || pendBlock.nonEmpty) { // block tail rides the EOB run
+        eobrun += 1
+        pendGlobal ++= pendBlock
+        pendBlock.clear()
+        if (eobrun == 0x7fff) flushEob(pendGlobal)
+      }
+      b += 1
+    }
+    flushEob(pendGlobal)
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** [[encodeYcbcr]] at 4:2:0 — the shape of essentially every
     * camera/crawl JPEG. */
   def encodeYcbcr420(y: Array[Byte], cb: Array[Byte], cr: Array[Byte],
@@ -637,13 +855,18 @@ object Jpeg {
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
-  /** The general baseline decoder both fronts share → (width, height,
-    * component count, pixels): grayscale bytes for one component,
-    * interleaved JFIF-converted RGB for three. Handles any h,v ∈ {1,2}
-    * sampling grid, per-component quant/Huffman table selection,
-    * interleaved MCUs with independent DC predictors, restart markers,
-    * multiple DQT/DHT segments, APPn/COM — any baseline stream, not
-    * just this encoder's. */
+  /** The general decoder both fronts share → (width, height, component
+    * count, pixels): grayscale bytes for one component, interleaved
+    * JFIF-converted RGB for three. Handles BASELINE (SOF0: one
+    * interleaved scan, streamed block by block) and PROGRESSIVE (SOF2:
+    * any spectral-selection + successive-approximation scan script —
+    * interleaved or single-component DC scans, per-component AC band
+    * scans, DC/AC refinement with EOB-run coding; coefficients
+    * accumulate across scans and reconstruct once at EOI). Any h,v ∈
+    * {1,2} sampling grid, per-component quant/Huffman table selection,
+    * tables redefinable between scans, restart markers, multiple
+    * DQT/DHT segments, APPn/COM — any real crawl stream, not just this
+    * encoder's. */
   def decode(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     require(payload.length >= 4 &&
       (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
@@ -656,17 +879,223 @@ object Jpeg {
     var width = -1
     var height = -1
     var comps: Array[Component] = null
+    var progressive = false
     var restartInterval = 0
     var pos = 2
-    var sosAt = -1
-    while (sosAt < 0) {
-      require(pos + 4 <= payload.length, "truncated marker stream")
+    var sosAt = -1 // baseline: entry point of the one interleaved scan
+    var eoi = false
+
+    // sizing + progressive coefficient state, computed at the first SOS
+    var hMax = 1; var vMax = 1; var mcusX = 0; var mcusY = 0
+    var planeW: Array[Int] = null
+    var planeH: Array[Int] = null
+    var dataBX: Array[Int] = null
+    var dataBY: Array[Int] = null
+    var coefs: Array[Array[Int]] = null
+    val progPreds = new Array[Int](4)
+    def ensureSized(): Unit = if (planeW == null) {
+      require(width > 0 && comps != null, "SOS before SOF")
+      // u16 dims can claim ~4.3e9 px from a 20-byte header — cap BEFORE
+      // allocating, in Long so the product cannot wrap into a
+      // NegativeArraySizeException. Progressive holds every coefficient
+      // in memory (4 B/sample/component), so its cap is tighter than
+      // the baseline streaming path's.
+      require(width.toLong * height.toLong <=
+        (if (progressive) 1L << 26 else 1L << 28),
+        s"decoded image too large: ${width}x$height")
+      hMax = comps.map(_.h).max
+      vMax = comps.map(_.v).max
+      mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      planeW = comps.map(c => mcusX * c.h * 8)
+      planeH = comps.map(c => mcusY * c.v * 8)
+      // non-interleaved progressive scans cover only the ACTUAL data
+      // units (ceil(compDim/8)), not the MCU-padded grid
+      dataBX = comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)
+      dataBY = comps.map(c => ((height * c.v + vMax - 1) / vMax + 7) / 8)
+      if (progressive)
+        coefs = Array.tabulate(comps.length)(i =>
+          new Array[Int]((planeW(i) / 8) * (planeH(i) / 8) * 64))
+    }
+
+    /** Decode one progressive scan's entropy data; returns the payload
+      * position of the next marker (resynced past stuffing and stray
+      * RSTn). */
+    def decodeProgScan(scanComps: Array[Int], ss: Int, se: Int, ah: Int,
+        al: Int, entryPos: Int): Int = {
+      val br = new BitReader(payload, entryPos)
+      var eobrun = 0
+      java.util.Arrays.fill(progPreds, 0)
+      var restartCount = 0
+      var unit = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.consumeRestart(restartCount % 8)
+          restartCount += 1
+          java.util.Arrays.fill(progPreds, 0)
+          eobrun = 0
+        }
+      def blockBase(ci: Int, bx: Int, by: Int): Int =
+        (by * (planeW(ci) / 8) + bx) * 64
+
+      def dcFirst(ci: Int, base: Int): Unit = {
+        val s = br.decodeHuff(dcTabs(comps(ci).dcId))
+        progPreds(ci) += extend(br.receive(s), s)
+        coefs(ci)(base) = progPreds(ci) << al
+      }
+      def dcRefine(ci: Int, base: Int): Unit =
+        if (br.nextBit() == 1) coefs(ci)(base) |= (1 << al)
+      def acFirst(ci: Int, base: Int): Unit =
+        if (eobrun > 0) eobrun -= 1
+        else {
+          val arr = coefs(ci)
+          val acTab = acTabs(comps(ci).acId)
+          var k = ss
+          var done = false
+          while (k <= se && !done) {
+            val sym = br.decodeHuff(acTab)
+            val r = sym >> 4
+            val sz = sym & 0x0f
+            if (sz == 0) {
+              if (r == 15) k += 16 // ZRL: sixteen zero coefficients
+              else { // EOBn: this block plus (eobrun) more are done
+                eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+                done = true
+              }
+            } else {
+              k += r
+              require(k <= se, "AC run past band end")
+              arr(base + ZigZag(k)) = extend(br.receive(sz), sz) << al
+              k += 1
+            }
+          }
+        }
+      def acRefine(ci: Int, base: Int): Unit = {
+        val arr = coefs(ci)
+        val acTab = acTabs(comps(ci).acId)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(idx: Int): Unit =
+          if (br.nextBit() == 1 && (arr(idx) & p1) == 0)
+            arr(idx) += (if (arr(idx) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val sym = br.decodeHuff(acTab)
+            var r = sym >> 4
+            val sz = sym & 0x0f
+            var newval = 0
+            if (sz == 0) {
+              if (r < 15) { // EOBn: correction sweep below covers the rest
+                eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                done = true
+              }
+              // r == 15: a run of 16 zero-HISTORY coefficients
+            } else {
+              require(sz == 1, "invalid refinement magnitude category")
+              newval = if (br.nextBit() == 1) p1 else m1
+            }
+            if (!done) {
+              // advance past r zero-history coefficients, reading inline
+              // correction bits for every nonzero-history one passed
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = base + ZigZag(k)
+                if (arr(idx) != 0) correct(idx)
+                else if (r == 0) { if (newval != 0) arr(idx) = newval; placed = true }
+                else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) { // EOB span: corrections for remaining nonzeros
+          while (k <= se) {
+            val idx = base + ZigZag(k)
+            if (arr(idx) != 0) correct(idx)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      if (scanComps.length > 1) { // interleaved: DC scans only
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var i = 0
+            while (i < scanComps.length) {
+              val ci = scanComps(i)
+              val c = comps(ci)
+              var vy = 0
+              while (vy < c.v) {
+                var hx = 0
+                while (hx < c.h) {
+                  val base = blockBase(ci, mx * c.h + hx, my * c.v + vy)
+                  if (ah == 0) dcFirst(ci, base) else dcRefine(ci, base)
+                  hx += 1
+                }
+                vy += 1
+              }
+              i += 1
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved: the component's own data-unit grid
+        val ci = scanComps(0)
+        var by = 0
+        while (by < dataBY(ci)) {
+          var bx = 0
+          while (bx < dataBX(ci)) {
+            maybeRestart()
+            val base = blockBase(ci, bx, by)
+            if (ss == 0) { if (ah == 0) dcFirst(ci, base) else dcRefine(ci, base) }
+            else { if (ah == 0) acFirst(ci, base) else acRefine(ci, base) }
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      // resync to the next marker: remaining entropy bytes are padding;
+      // a 0xFF inside them is stuffing (FF00) or a stray RSTn, both
+      // skipped. If the reader already swallowed the marker while
+      // feeding zero bits, br.pos - 2 points exactly at it.
+      var p = math.max(entryPos, br.pos - 2)
+      var found = -1
+      while (found < 0) {
+        require(p + 1 < payload.length, "entropy stream ran past the payload")
+        if ((payload(p) & 0xff) == 0xff) {
+          val m2 = payload(p + 1) & 0xff
+          if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) p += 2
+          else found = p
+        } else p += 1
+      }
+      found
+    }
+
+    while (sosAt < 0 && !eoi) {
+      require(pos + 2 <= payload.length, "truncated marker stream")
       require((payload(pos) & 0xff) == 0xff,
         f"expected marker, got 0x${payload(pos) & 0xff}%02x")
       val m = payload(pos + 1) & 0xff
+      if (m == 0xd9) { // EOI terminates the progressive scan sequence
+        require(progressive && coefs != null, "EOI before any image scan")
+        eoi = true
+        pos += 2
+      } else {
+      require(pos + 4 <= payload.length, "truncated marker stream")
       val len = u16(pos + 2)
-      require(pos + 2 + len <= payload.length, f"truncated segment 0x$m%02x")
+      require(len >= 2 && pos + 2 + len <= payload.length,
+        f"truncated segment 0x$m%02x")
       val seg = pos + 4
+      var nextPos = pos + 2 + len
       m match {
         case 0xdb => // DQT: one or more tables per segment
           var p = seg
@@ -683,7 +1112,9 @@ object Jpeg {
             quants(id) = t
             p += 65
           }
-        case 0xc0 => // SOF0 (baseline)
+        case 0xc0 | 0xc2 => // SOF0 (baseline) / SOF2 (progressive)
+          require(comps == null, "duplicate SOF segment")
+          progressive = m == 0xc2
           require((payload(seg) & 0xff) == 8, "only 8-bit precision supported")
           height = u16(seg + 1)
           width = u16(seg + 3)
@@ -729,7 +1160,7 @@ object Jpeg {
             p += 17 + total
           }
         case 0xdd => restartInterval = u16(seg)
-        case 0xda => // SOS: one interleaved scan covering every component
+        case 0xda if !progressive => // baseline SOS: ONE interleaved scan
           require(comps != null, "SOS before SOF0")
           val ns = payload(seg) & 0xff
           require(ns == comps.length, "scan component count must match SOF0")
@@ -751,35 +1182,126 @@ object Jpeg {
             (payload(seg + 2 + 2 * ns) & 0xff) == 63,
             "baseline full-spectrum scan expected")
           sosAt = pos + 2 + len
+        case 0xda => // progressive SOS: one scan of the script
+          require(comps != null, "SOS before SOF0")
+          val ns = payload(seg) & 0xff
+          require(ns >= 1 && ns <= comps.length,
+            s"bad scan component count $ns")
+          require(len >= 6 + 2 * ns, "truncated SOS segment")
+          val scanComps = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val cid = payload(seg + 1 + 2 * i) & 0xff
+            val ciIdx = comps.indexWhere(_.id == cid)
+            require(ciIdx >= 0, s"scan references unknown component id $cid")
+            val tt = payload(seg + 2 + 2 * i) & 0xff
+            comps(ciIdx).dcId = (tt & 0xf0) >> 4
+            comps(ciIdx).acId = tt & 0x0f
+            require(comps(ciIdx).dcId < 4 && comps(ciIdx).acId < 4,
+              s"scan Huffman table ids out of range")
+            scanComps(i) = ciIdx
+            i += 1
+          }
+          val ss = payload(seg + 1 + 2 * ns) & 0xff
+          val se = payload(seg + 2 + 2 * ns) & 0xff
+          val ahAl = payload(seg + 3 + 2 * ns) & 0xff
+          val ah = ahAl >> 4
+          val al = ahAl & 0x0f
+          require(ss <= se && se < 64, s"bad spectral band $ss..$se")
+          require(ah < 14 && al < 14, "bad successive-approximation bits")
+          if (ss == 0) require(se == 0, "DC scan must have Se=0")
+          else require(ns == 1, "AC progressive scans are single-component")
+          ensureSized()
+          scanComps.foreach { ciI =>
+            val c = comps(ciI)
+            if (ss == 0 && ah == 0)
+              require(dcTabs(c.dcId) != null, "missing Huffman tables")
+            if (ss > 0)
+              require(acTabs(c.acId) != null, "missing Huffman tables")
+            require(quants(c.qId) != null, s"missing quant table ${c.qId}")
+          }
+          nextPos = decodeProgScan(scanComps, ss, se, ah, al, pos + 2 + len)
         case x if x >= 0xe0 && x <= 0xef => () // APPn
         case 0xfe => () // COM
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG not supported (baseline only)")
         case other => throw new IllegalArgumentException(
           f"unsupported marker 0xff$other%02x")
       }
-      pos += 2 + len
+      pos = nextPos
+      }
     }
     require(width > 0 && comps != null, "missing SOF0")
     val nc = comps.length
+    ensureSized()
+    // per-component planes on the MCU-padded grid; cropped at assembly
+    val planes = Array.tabulate(nc)(i => new Array[Byte](planeW(i) * planeH(i)))
+
+    def writePixels(plane: Array[Byte], pw: Int, bx: Int, by: Int,
+        px: Array[Double]): Unit = {
+      var y = 0
+      while (y < 8) {
+        val rowBase = (by * 8 + y) * pw + bx * 8
+        var x = 0
+        while (x < 8) {
+          val v = Math.round(px(y * 8 + x) + 128.0)
+          plane(rowBase + x) =
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // DC-only fast path: the IDCT of a DC-only block is flat. The fill
+    // value applies the SAME two cosTab multiplications the separable
+    // IDCT would (row pass then column pass), so the result is
+    // bit-identical to the general path — just without the 64 redundant
+    // per-sample sums.
+    def flatBlock(dequantDc: Double): Array[Double] = {
+      val flat = dequantDc * cosTab(0)(0) * cosTab(0)(0)
+      val a = new Array[Double](64)
+      java.util.Arrays.fill(a, flat)
+      a
+    }
+
+    if (progressive) {
+      // every scan already accumulated into coefs; one reconstruction
+      // pass dequantizes + inverse-transforms each block into its plane
+      val coefD = new Array[Double](64)
+      var ci = 0
+      while (ci < nc) {
+        val quant = quants(comps(ci).qId)
+        require(quant != null, s"missing quant table ${comps(ci).qId}")
+        val arr = coefs(ci)
+        val bw = planeW(ci) / 8
+        val bh = planeH(ci) / 8
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val base = (by * bw + bx) * 64
+            var hasAc = false
+            var j = 1
+            while (j < 64) { if (arr(base + j) != 0) hasAc = true; j += 1 }
+            val px =
+              if (hasAc) {
+                j = 0
+                while (j < 64) {
+                  coefD(j) = arr(base + j).toDouble * quant(j); j += 1
+                }
+                idct(coefD)
+              } else flatBlock(arr(base).toDouble * quant(0))
+            writePixels(planes(ci), planeW(ci), bx, by, px)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+    } else {
     comps.foreach { c =>
       require(quants(c.qId) != null, s"missing quant table ${c.qId}")
       require(c.dcId >= 0 && dcTabs(c.dcId) != null && acTabs(c.acId) != null,
         "missing Huffman tables")
     }
-    // u16 dims can still claim ~4.3e9 pixels from a 20-byte header — cap
-    // BEFORE allocating (same bound as the PNG decoder), in Long so the
-    // product cannot wrap into a NegativeArraySizeException
-    require(width.toLong * height.toLong <= (1L << 28),
-      s"decoded image too large: ${width}x$height")
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    // per-component planes on the MCU-padded grid; cropped at assembly
-    val planeW = comps.map(c => mcusX * c.h * 8)
-    val planeH = comps.map(c => mcusY * c.v * 8)
-    val planes = Array.tabulate(nc)(i => new Array[Byte](planeW(i) * planeH(i)))
     val br = new BitReader(payload, sosAt)
     val coef = new Array[Double](64)
     val preds = new Array[Int](nc)
@@ -808,33 +1330,8 @@ object Jpeg {
           k += 1
         }
       }
-      val px =
-        if (hasAc) idct(coef)
-        else {
-          // DC-only fast path: the IDCT of a DC-only block is flat. The
-          // fill value applies the SAME two cosTab multiplications the
-          // separable IDCT would (row pass then column pass), so the
-          // result is bit-identical to the general path — just without
-          // the 64 redundant per-sample sums.
-          val flat = coef(0) * cosTab(0)(0) * cosTab(0)(0)
-          val a = new Array[Double](64)
-          java.util.Arrays.fill(a, flat)
-          a
-        }
-      val pw = planeW(ci)
-      val plane = planes(ci)
-      var y = 0
-      while (y < 8) {
-        val rowBase = (by * 8 + y) * pw + bx * 8
-        var x = 0
-        while (x < 8) {
-          val v = Math.round(px(y * 8 + x) + 128.0)
-          plane(rowBase + x) =
-            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-          x += 1
-        }
-        y += 1
-      }
+      val px = if (hasAc) idct(coef) else flatBlock(coef(0))
+      writePixels(planes(ci), planeW(ci), bx, by, px)
     }
 
     var mcu = 0
@@ -866,6 +1363,7 @@ object Jpeg {
         mx += 1
       }
       my += 1
+    }
     }
     if (nc == 1) {
       val out = new Array[Byte](width * height)

@@ -18,9 +18,10 @@ import graft.sources.Tables
   * and truecolor, CRC-checked), compressed GIF ([[gifDecoder]] — a full
   * LZW decompressor with variable code widths, clear/EOI and the KwKwK
   * case, palette mapping), compressed JPEG ([[jpegDecoder]] — a full
-  * baseline decoder in [[Jpeg]]: canonical Huffman reconstruction,
-  * entropy decode with byte unstuffing and restart markers, dequantize,
-  * separable IDCT), RIFF/AVI uncompressed-video frame sampling, and
+  * decoder in [[Jpeg]]: canonical Huffman reconstruction, entropy
+  * decode with byte unstuffing and restart markers, dequantize,
+  * separable IDCT; baseline AND progressive scan scripts, grayscale
+  * and YCbCr color), RIFF/AVI uncompressed-video frame sampling, and
   * MJPEG compressed-video frame sampling (both [[aviFrameSampler]] —
   * container walk + every-Nth-frame DIB or JPEG decode). Every mm query
   * is oracle-gated end to end over REAL codec output: payloads are
@@ -1250,20 +1251,50 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .map { case (id, text) =>
-        val px = pngPixels(text) // PngWidth-wide raster
-        val h = px.length / PngWidth
-        val img = new Array[Byte](px.length * 64) // 8x8 block per pixel
-        var yy = 0
-        while (yy < h * 8) {
-          var xx = 0
-          while (xx < PngWidth * 8) {
-            img(yy * PngWidth * 8 + xx) = px((yy / 8) * PngWidth + (xx / 8))
-            xx += 1
-          }
-          yy += 1
-        }
+        val img = upsample8x(pngPixels(text))
         MediaRow(id, Jpeg.encodeGray(img, PngWidth * 8, Jpeg.ExactQuant,
           restartEvery = PngWidth)) // one restart per block row
+      }(enc).toDF()
+    val decoded = decodeMedia(src, jpegDecoder)
+    rasterFingerprinted(decoded)
+  }
+
+  /** The raster blown up so every pixel becomes a constant 8×8 block —
+    * the geometry that makes the DCT round trip exact (see [[Jpeg]]). */
+  private def upsample8x(px: Array[Byte]): Array[Byte] = {
+    val h = px.length / PngWidth
+    val img = new Array[Byte](px.length * 64)
+    var yy = 0
+    while (yy < h * 8) {
+      var xx = 0
+      while (xx < PngWidth * 8) {
+        img(yy * PngWidth * 8 + xx) = px((yy / 8) * PngWidth + (xx / 8))
+        xx += 1
+      }
+      yy += 1
+    }
+    img
+  }
+
+  /** `mm_decode_jpeg_prog`: the [[decodeJpeg]] contract through the
+    * PROGRESSIVE grammar — the same constant-block payload synthesis,
+    * but encoded as a 4-scan successive-approximation SOF2 stream
+    * ([[Jpeg.encodeGrayProgressive]]: DC/AC first scans at Al=1,
+    * refinement to Al=0 with EOB-run coding). The decoder accumulates
+    * coefficients across all four scans before reconstructing, so this
+    * row gates the whole progressive pipeline — scan scripts, EOB
+    * runs, refinement bits — against the same DuckDB replay as the
+    * baseline row (the decoded pixels are identical by construction). */
+  def decodeJpegProg(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.product[MediaRow]
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val img = upsample8x(pngPixels(text))
+        MediaRow(id, Jpeg.encodeGrayProgressive(img, PngWidth * 8,
+          Jpeg.ExactQuant))
       }(enc).toDF()
     val decoded = decodeMedia(src, jpegDecoder)
     rasterFingerprinted(decoded)
@@ -1488,6 +1519,7 @@ object Multimodal {
     "mm_decode_png" -> (decodePng _),
     "mm_decode_gif" -> (decodeGif _),
     "mm_decode_jpeg" -> (decodeJpeg _),
+    "mm_decode_jpeg_prog" -> (decodeJpegProg _),
     "mm_decode_jpeg_color" -> (decodeJpegColor _),
     "mm_video_frames" -> (videoFrames _),
     "mm_video_mjpeg" -> (videoMjpeg _))
@@ -1500,6 +1532,7 @@ object Multimodal {
     "mm_decode_png" -> decodePngOracle,
     "mm_decode_gif" -> decodeGifOracle,
     "mm_decode_jpeg" -> decodeJpegOracle,
+    "mm_decode_jpeg_prog" -> decodeJpegOracle, // identical pixels by construction
     "mm_decode_jpeg_color" -> decodeJpegColorOracle,
     "mm_video_frames" -> videoFramesOracle,
     "mm_video_mjpeg" -> videoMjpegOracle)

@@ -73,6 +73,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // projection before the CPU-bound codec map — codec parallelism must
     // not inherit IO-sized scan splits (the map inflates bytes ~64×)
     "mm_decode_jpeg" -> (1, 0),
+    "mm_decode_jpeg_prog" -> (1, 0), // same CPU-spread repartition shape
     "mm_decode_jpeg_color" -> (1, 0), // same CPU-spread repartition shape
     "mm_decode_png" -> (0, 0), // encode+decode inside the partition iterator
     "mm_video_mjpeg" -> (1, 0),

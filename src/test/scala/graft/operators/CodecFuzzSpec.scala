@@ -22,6 +22,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "gif" -> Multimodal.gifDecoder _,
     "jpeg" -> Multimodal.jpegDecoder _,
     "jpeg_color" -> Multimodal.jpegColorDecoder _,
+    "jpeg_prog" -> Multimodal.jpegDecoder _,
     "avi" -> Multimodal.aviFrameSampler(2) _)
 
   /** Run one payload; fail the suite only on the banned failure classes. */
@@ -84,6 +85,7 @@ class CodecFuzzSpec extends AnyFunSuite {
       "jpeg_color" -> Jpeg.encodeYcbcr420(px,
         Array.tabulate[Byte](12 * 8)(i => (i * 11).toByte),
         Array.tabulate[Byte](12 * 8)(i => (255 - i * 13).toByte), 24, 16),
+      "jpeg_prog" -> Jpeg.encodeGrayProgressive(px, 24, Jpeg.StdQuant),
       "avi" -> Multimodal.aviEncode(Seq(px, px, px), 24, 16),
       "wav" -> wavBytes(Array.tabulate[Short](256)(i => (i * 121).toShort)))
   }

@@ -395,6 +395,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hex.contains("ffd0") && hex.contains("ffd1"))
   }
 
+  test("PROGRESSIVE JPEG: the 4-scan SA script decodes identically to baseline") {
+    // same quantized coefficients reach the decoder through the
+    // progressive grammar (DC/AC first scans at Al=1, refinement to
+    // Al=0 with EOB-run coding), so the decoded pixels must equal the
+    // BASELINE round trip bit-for-bit — on arbitrary images. Random
+    // content exercises EOBRUN spans, ZRL folds inside refinement, and
+    // inline correction bits; the gradient under StdQuant exercises
+    // long zero runs and coarse-quant sparsity.
+    val rng = new scala.util.Random(37)
+    val cases = Seq(
+      (21, 13, Jpeg.UnitQuant, "random"),
+      (32, 24, Jpeg.StdQuant, "random"),
+      (64, 32, Jpeg.StdQuant, "gradient"),
+      (8, 8, Jpeg.UnitQuant, "random"))
+    for ((w, h, quant, kind) <- cases) {
+      val px =
+        if (kind == "random") Array.fill[Byte](w * h)(rng.nextInt(256).toByte)
+        else Array.tabulate[Byte](w * h)(i => ((i % w) * 4).toByte)
+      val (bwid, bhei, base) = Jpeg.decodeGray(Jpeg.encodeGray(px, w, quant))
+      val (pwid, phei, prog) =
+        Jpeg.decodeGray(Jpeg.encodeGrayProgressive(px, w, quant))
+      assert(pwid == bwid && phei == bhei)
+      assert(prog.toSeq == base.toSeq, s"${w}x$h $kind: progressive != baseline")
+    }
+    // constant blocks + ExactQuant: progressive round trip is bit-exact
+    // against the SOURCE, same contract as the baseline oracle path
+    val vals = Seq(0, 255, 128, 1, 254, 127, 63, 192, 31, 17, 200, 99)
+    val img = Array.tabulate[Byte](32 * 24) { i =>
+      val xx = i % 32; val yy = i / 32
+      vals((yy / 8) * 4 + xx / 8).toByte
+    }
+    val (_, _, got) =
+      Jpeg.decodeGray(Jpeg.encodeGrayProgressive(img, 32, Jpeg.ExactQuant))
+    assert(got.toSeq == img.toSeq)
+  }
+
   test("COLOR JPEG: 4:4:4 and 4:2:2 sampling grids round-trip exactly") {
     // 16×16 image, distinct constants per 8×8 block in every plane, so
     // a wrong MCU geometry or chroma-upsample stride moves a value.
