@@ -417,15 +417,249 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** One component's progressive-encode state: quantized coefficients
+    * on the MCU-padded block grid plus grid geometry and table
+    * bindings. `blocksX` is the padded grid width (DC scans cover it);
+    * `dataBX`/`dataBY` bound the per-component AC scans to the actual
+    * data units, exactly as the decoder iterates them. */
+  private final class ProgComp(val id: Int, val h: Int, val v: Int,
+      val dcId: Int, val dcEnc: Array[(Int, Int)], val qcoef: Array[Int],
+      val blocksX: Int, val dataBX: Int, val dataBY: Int)
+
+  /** Quantize a plane's blocks on the padded grid (natural order per
+    * block) — the same loadBlock/fdct/flat-fast-path arithmetic the
+    * sequential encoder uses, so baseline and progressive streams carry
+    * IDENTICAL coefficients. */
+  private def quantizePlane(plane: Array[Byte], pw: Int, ph: Int,
+      blocksX: Int, blocksY: Int, quant: Array[Int]): Array[Int] = {
+    val q = new Array[Int](blocksX * blocksY * 64)
+    val block = new Array[Double](64)
+    var b = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        loadBlock(plane, pw, ph, bx, by, block)
+        val base = b * 64
+        var constant = true
+        var ci = 1
+        while (ci < 64 && constant) { constant = block(ci) == block(0); ci += 1 }
+        if (constant) q(base) = Math.round(block(0) * 8.0 / quant(0)).toInt
+        else {
+          val coef = fdct(block)
+          var i = 0
+          while (i < 64) { q(base + i) = Math.round(coef(i) / quant(i)).toInt; i += 1 }
+        }
+        b += 1
+        bx += 1
+      }
+      by += 1
+    }
+    q
+  }
+
+  /** The shared progressive scan writer: interleaved DC first scan at
+    * Al=1, per-component AC first scans over band 1-63 at Al=1 (EOB-run
+    * coding on the flat AC table), interleaved DC refinement (raw
+    * bits), per-component AC refinement to Al=0 (newly-significant
+    * symbols + inline correction bits, EOB runs carrying buffered bits
+    * - the T.81 §G.1.2.3 flow; the ZRL fold runs at EVERY nonzero
+    * coefficient so buffered bits land exactly where the decoder reads
+    * them). Refinement reaches Al=0, so decoded coefficients equal the
+    * baseline quantized values exactly. */
+  private def writeProgressiveScans(out: java.io.ByteArrayOutputStream,
+      comps: Array[ProgComp], mcusX: Int, mcusY: Int): Unit = {
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16v(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def sos(scan: Seq[(Int, Int)], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda)
+      u16v(6 + 2 * scan.length)
+      out.write(scan.length)
+      scan.foreach { case (id, tt) => out.write(id); out.write(tt) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    // interleaved MCU order over every component's v*h blocks - also
+    // plain row-major block order for a single 1*1 component
+    def dcOrder(f: (Int, Int) => Unit): Unit = {
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < comps.length) {
+            val c = comps(ci)
+            var vy = 0
+            while (vy < c.v) {
+              var hx = 0
+              while (hx < c.h) {
+                f(ci, ((my * c.v + vy) * c.blocksX + (mx * c.h + hx)) * 64)
+                hx += 1
+              }
+              vy += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    def acBlocks(c: ProgComp)(f: Int => Unit): Unit = {
+      var by = 0
+      while (by < c.dataBY) {
+        var bx = 0
+        while (bx < c.dataBX) { f((by * c.blocksX + bx) * 64); bx += 1 }
+        by += 1
+      }
+    }
+
+    // scan 1: DC first, Al=1 - sequential DC grammar over coef >> 1
+    // (arithmetic shift: the refinement bit restores the dropped LSB by
+    // OR, which is exact for negatives in two's complement)
+    sos(comps.toSeq.map(c => (c.id, c.dcId << 4)), 0, 0, 0, 1)
+    var bw = new BitWriter(out)
+    val preds = new Array[Int](comps.length)
+    dcOrder { (ci, base) =>
+      val c = comps(ci)
+      val v = c.qcoef(base) >> 1
+      val diff = v - preds(ci)
+      preds(ci) = v
+      val s = category(diff)
+      val (cc, l) = c.dcEnc(s)
+      bw.put(cc, l)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    bw.flush()
+
+    // per-component AC first scans: band 1-63, Al=1, EOB-run grammar
+    comps.foreach { c =>
+      sos(Seq((c.id, 0x00)), 1, 63, 0, 1) // AC table 0: the flat table
+      val w = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (cc, l) = FlatAcEnc(r << 4)
+        w.put(cc, l)
+        if (r > 0) w.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      acBlocks(c) { base =>
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val c0 = c.qcoef(base + ZigZag(k))
+          val t = (if (c0 >= 0) c0 else -c0) >> 1
+          if (t == 0) run += 1
+          else {
+            flushEob()
+            while (run > 15) {
+              val (cc, l) = FlatAcEnc(0xf0); w.put(cc, l); run -= 16
+            }
+            val v = if (c0 >= 0) t else -t
+            val sz = category(v)
+            val (cc, l) = FlatAcEnc((run << 4) | sz)
+            w.put(cc, l)
+            w.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+      }
+      flushEob()
+      w.flush()
+    }
+
+    // interleaved DC refinement: one raw bit per block, no Huffman
+    sos(comps.toSeq.map(c => (c.id, c.dcId << 4)), 0, 0, 1, 0)
+    bw = new BitWriter(out)
+    dcOrder { (ci, base) => bw.put(comps(ci).qcoef(base) & 1, 1) }
+    bw.flush()
+
+    // per-component AC refinement: band 1-63, Ah=1 Al=0
+    comps.foreach { c =>
+      sos(Seq((c.id, 0x00)), 1, 63, 1, 0)
+      val w = new BitWriter(out)
+      var eobrun = 0
+      val pendGlobal = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val pendBlock = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (cc, l) = FlatAcEnc(r << 4)
+        w.put(cc, l)
+        if (r > 0) w.put(eobrun - (1 << r), r)
+        eobrun = 0
+        pendGlobal.foreach(bit => w.put(bit, 1))
+        pendGlobal.clear()
+      }
+      def drainBlock(): Unit = {
+        pendBlock.foreach(bit => w.put(bit, 1))
+        pendBlock.clear()
+      }
+      acBlocks(c) { base =>
+        var eobPos = 0 // last newly-significant position bounds ZRL folding
+        var k = 1
+        while (k < 64) {
+          val c0 = c.qcoef(base + ZigZag(k))
+          if (c0 == 1 || c0 == -1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        k = 1
+        while (k < 64) {
+          val c0 = c.qcoef(base + ZigZag(k))
+          val t = if (c0 >= 0) c0 else -c0
+          if (t == 0) r += 1
+          else {
+            while (r > 15 && k <= eobPos) {
+              flushEob()
+              val (cc, l) = FlatAcEnc(0xf0)
+              w.put(cc, l)
+              r -= 16
+              drainBlock()
+            }
+            if (t > 1) pendBlock += (t & 1) // correction bit
+            else { // newly significant: symbol, sign, then buffered bits
+              flushEob()
+              val (cc, l) = FlatAcEnc((r << 4) | 1)
+              w.put(cc, l)
+              w.put(if (c0 >= 0) 1 else 0, 1)
+              drainBlock()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || pendBlock.nonEmpty) { // block tail rides the EOB run
+          eobrun += 1
+          pendGlobal ++= pendBlock
+          pendBlock.clear()
+          if (eobrun == 0x7fff) flushEob()
+        }
+      }
+      flushEob()
+      w.flush()
+    }
+  }
+
+  /** Shared DHT writer for the encoder fronts. */
+  private def writeDht(out: java.io.ByteArrayOutputStream, tcTh: Int,
+      bits: Array[Int], vals: Array[Int]): Unit = {
+    out.write(0xff); out.write(0xc4)
+    val len = 2 + 1 + 16 + vals.length
+    out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+    out.write(tcTh)
+    var l = 1
+    while (l <= 16) { out.write(bits(l)); l += 1 }
+    vals.foreach(out.write)
+  }
+
   /** Encode a grayscale raster as a PROGRESSIVE JPEG (SOF2) with the
-    * standard successive-approximation scan script: DC first at Al=1,
-    * AC band 1–63 first at Al=1 (EOB-run coding), DC refinement (raw
-    * bits), AC refinement (newly-significant symbols + inline
-    * correction bits, EOB runs carrying buffered bits — the T.81 §G
-    * grammar). Refinement runs down to Al=0, so the decoded
-    * coefficients equal the baseline quantized values EXACTLY:
-    * progressive and baseline round trips are pixel-identical for the
-    * same quant table (spec-pinned for arbitrary images). */
+    * standard successive-approximation scan script (see
+    * [[writeProgressiveScans]]). Decoded coefficients equal the
+    * baseline quantized values exactly, so progressive and baseline
+    * round trips are pixel-identical for the same quant table
+    * (spec-pinned for arbitrary images). */
   def encodeGrayProgressive(pixels: Array[Byte], width: Int,
       quant: Array[Int] = StdQuant): Array[Byte] = {
     require(width > 0 && pixels.length > 0 && pixels.length % width == 0,
@@ -443,184 +677,75 @@ object Jpeg {
     out.write(0x00)
     var zz = 0
     while (zz < 64) { out.write(quant(ZigZag(zz))); zz += 1 }
-    marker(0xc2) // SOF2: 8-bit, 1 component, 1×1 sampling, q-table 0
+    marker(0xc2) // SOF2: 8-bit, 1 component, 1x1 sampling, q-table 0
     u16v(11)
     out.write(8); u16v(height); u16v(width); out.write(1)
     out.write(1); out.write(0x11); out.write(0)
-    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4)
-      u16v(2 + 1 + 16 + vals.length)
-      out.write(tcTh)
-      var l = 1
-      while (l <= 16) { out.write(bits(l)); l += 1 }
-      vals.foreach(out.write)
-    }
-    dht(0x00, DcBits, DcVals)
-    dht(0x10, AcBits, AcVals)
-    dht(0x11, FlatAcBits, FlatAcVals) // progressive AC scans
-    // quantize every block up front — all four scans read them
+    writeDht(out, 0x00, DcBits, DcVals)
+    writeDht(out, 0x10, FlatAcBits, FlatAcVals)
     val blocksX = (width + 7) / 8
     val blocksY = (height + 7) / 8
-    val nBlocks = blocksX * blocksY
-    val q = new Array[Int](nBlocks * 64) // natural order per block
-    val block = new Array[Double](64)
-    var b = 0
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
-        loadBlock(pixels, width, height, bx, by, block)
-        val base = b * 64
-        var constant = true
-        var ci = 1
-        while (ci < 64 && constant) { constant = block(ci) == block(0); ci += 1 }
-        if (constant) q(base) = Math.round(block(0) * 8.0 / quant(0)).toInt
-        else {
-          val coef = fdct(block)
-          var i = 0
-          while (i < 64) { q(base + i) = Math.round(coef(i) / quant(i)).toInt; i += 1 }
-        }
-        b += 1
-        bx += 1
-      }
-      by += 1
-    }
-    def sos(ss: Int, se: Int, ah: Int, al: Int, tt: Int): Unit = {
-      marker(0xda)
-      u16v(8)
-      out.write(1); out.write(1); out.write(tt)
-      out.write(ss); out.write(se); out.write((ah << 4) | al)
-    }
+    val q = quantizePlane(pixels, width, height, blocksX, blocksY, quant)
+    val comp = new ProgComp(1, 1, 1, 0, DcEnc, q, blocksX, blocksX, blocksY)
+    writeProgressiveScans(out, Array(comp), blocksX, blocksY)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
 
-    // scan 1: DC first, Al=1 — sequential DC grammar over coef >> 1
-    // (arithmetic shift: the refinement bit restores the dropped LSB by
-    // OR, which is exact for negatives in two's complement)
-    sos(0, 0, 0, 1, 0x00)
-    var bw = new BitWriter(out)
-    var pred = 0
-    b = 0
-    while (b < nBlocks) {
-      val v = q(b * 64) >> 1
-      val diff = v - pred
-      pred = v
-      val s = category(diff)
-      val (c, l) = DcEnc(s)
-      bw.put(c, l)
-      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      b += 1
+  /** [[encodeYcbcr420]] through the PROGRESSIVE grammar - progressive
+    * color, the single most common web-JPEG shape. Same plane contract
+    * as [[encodeYcbcr]] at (2,2); DC scans interleave the three
+    * components over 16x16 MCUs, AC scans run per component over its
+    * own data-unit grid, refinement reaches Al=0 - so the decoded
+    * pixels equal the BASELINE color round trip bit for bit
+    * (spec-pinned). */
+  def encodeYcbcr420Progressive(y: Array[Byte], cb: Array[Byte],
+      cr: Array[Byte], width: Int, height: Int,
+      quantY: Array[Int] = StdQuant,
+      quantC: Array[Int] = StdQuantChroma): Array[Byte] = {
+    require(width > 0 && height > 0 && y.length == width * height,
+      "luma plane must be width*height bytes")
+    val cw = (width + 1) / 2
+    val ch = (height + 1) / 2
+    require(cb.length == cw * ch && cr.length == cw * ch,
+      "chroma planes must be ceil(w/2)*ceil(h/2) bytes")
+    require(width < (1 << 16) && height < (1 << 16), "dimensions exceed u16")
+    Seq(quantY, quantC).foreach(q =>
+      require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
+        "quant tables must be 64 entries in [1, 255]"))
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16v(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT: both tables in one segment (id 0 luma, 1 chroma)
+    u16v(2 + 65 * 2)
+    Seq((0x00, quantY), (0x01, quantC)).foreach { case (id, q) =>
+      out.write(id)
+      var zz = 0
+      while (zz < 64) { out.write(q(ZigZag(zz))); zz += 1 }
     }
-    bw.flush()
-
-    var eobrun = 0
-    def flushEob(pend: scala.collection.mutable.ArrayBuffer[Int]): Unit =
-      if (eobrun > 0) {
-        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
-        val (c, l) = FlatAcEnc(r << 4)
-        bw.put(c, l)
-        if (r > 0) bw.put(eobrun - (1 << r), r)
-        eobrun = 0
-        pend.foreach(bit => bw.put(bit, 1))
-        pend.clear()
-      }
-
-    // scan 2: AC first, band 1–63, Al=1 — EOB-run grammar
-    sos(1, 63, 0, 1, 0x01)
-    bw = new BitWriter(out)
-    val noPend = scala.collection.mutable.ArrayBuffer.empty[Int]
-    b = 0
-    while (b < nBlocks) {
-      val base = b * 64
-      var k = 1
-      var run = 0
-      while (k < 64) {
-        val c0 = q(base + ZigZag(k))
-        val t = (if (c0 >= 0) c0 else -c0) >> 1
-        if (t == 0) run += 1
-        else {
-          flushEob(noPend)
-          while (run > 15) { val (c, l) = FlatAcEnc(0xf0); bw.put(c, l); run -= 16 }
-          val v = if (c0 >= 0) t else -t
-          val sz = category(v)
-          val (c, l) = FlatAcEnc((run << 4) | sz)
-          bw.put(c, l)
-          bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
-          run = 0
-        }
-        k += 1
-      }
-      if (run > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob(noPend) }
-      b += 1
-    }
-    flushEob(noPend)
-    bw.flush()
-
-    // scan 3: DC refinement, Al=0 — one raw bit per block, no Huffman
-    sos(0, 0, 1, 0, 0x00)
-    bw = new BitWriter(out)
-    b = 0
-    while (b < nBlocks) { bw.put(q(b * 64) & 1, 1); b += 1 }
-    bw.flush()
-
-    // scan 4: AC refinement, band 1–63, Ah=1 Al=0. Correction bits for
-    // already-significant coefficients buffer until the next emission
-    // point (symbol, ZRL, or EOB-run flush) — the decoder reads each
-    // one inline when its position is next passed, so the ZRL fold must
-    // run at EVERY nonzero coefficient (before the correction-bit
-    // branch), exactly as in the T.81 §G.1.2.3 flow.
-    sos(1, 63, 1, 0, 0x01)
-    bw = new BitWriter(out)
-    val pendGlobal = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val pendBlock = scala.collection.mutable.ArrayBuffer.empty[Int]
-    def drainBlock(): Unit = {
-      pendBlock.foreach(bit => bw.put(bit, 1))
-      pendBlock.clear()
-    }
-    b = 0
-    while (b < nBlocks) {
-      val base = b * 64
-      var eobPos = 0 // last newly-significant position bounds ZRL folding
-      var k = 1
-      while (k < 64) {
-        val c0 = q(base + ZigZag(k))
-        if (c0 == 1 || c0 == -1) eobPos = k
-        k += 1
-      }
-      var r = 0
-      k = 1
-      while (k < 64) {
-        val c0 = q(base + ZigZag(k))
-        val t = if (c0 >= 0) c0 else -c0
-        if (t == 0) r += 1
-        else {
-          while (r > 15 && k <= eobPos) {
-            flushEob(pendGlobal)
-            val (c, l) = FlatAcEnc(0xf0)
-            bw.put(c, l)
-            r -= 16
-            drainBlock()
-          }
-          if (t > 1) pendBlock += (t & 1) // correction bit
-          else { // newly significant: symbol, sign, then buffered bits
-            flushEob(pendGlobal)
-            val (c, l) = FlatAcEnc((r << 4) | 1)
-            bw.put(c, l)
-            bw.put(if (c0 >= 0) 1 else 0, 1)
-            drainBlock()
-            r = 0
-          }
-        }
-        k += 1
-      }
-      if (r > 0 || pendBlock.nonEmpty) { // block tail rides the EOB run
-        eobrun += 1
-        pendGlobal ++= pendBlock
-        pendBlock.clear()
-        if (eobrun == 0x7fff) flushEob(pendGlobal)
-      }
-      b += 1
-    }
-    flushEob(pendGlobal)
-    bw.flush()
+    marker(0xc2) // SOF2: 3 components, Y 2x2 / chroma 1x1
+    u16v(8 + 3 * 3)
+    out.write(8); u16v(height); u16v(width); out.write(3)
+    out.write(1); out.write(0x22); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    writeDht(out, 0x00, DcBits, DcVals)
+    writeDht(out, 0x01, DcBitsCh, DcValsCh)
+    writeDht(out, 0x10, FlatAcBits, FlatAcVals)
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    val qY = quantizePlane(y, width, height, mcusX * 2, mcusY * 2, quantY)
+    val qCb = quantizePlane(cb, cw, ch, mcusX, mcusY, quantC)
+    val qCr = quantizePlane(cr, cw, ch, mcusX, mcusY, quantC)
+    val comps = Array(
+      new ProgComp(1, 2, 2, 0, DcEnc, qY, mcusX * 2,
+        (width + 7) / 8, (height + 7) / 8),
+      new ProgComp(2, 1, 1, 1, DcEncCh, qCb, mcusX,
+        (cw + 7) / 8, (ch + 7) / 8),
+      new ProgComp(3, 1, 1, 1, DcEncCh, qCr, mcusX,
+        (cw + 7) / 8, (ch + 7) / 8))
+    writeProgressiveScans(out, comps, mcusX, mcusY)
     marker(0xd9) // EOI
     out.toByteArray
   }

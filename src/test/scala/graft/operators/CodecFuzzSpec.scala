@@ -23,6 +23,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "jpeg" -> Multimodal.jpegDecoder _,
     "jpeg_color" -> Multimodal.jpegColorDecoder _,
     "jpeg_prog" -> Multimodal.jpegDecoder _,
+    "jpeg_prog_color" -> Multimodal.jpegColorDecoder _,
     "avi" -> Multimodal.aviFrameSampler(2) _)
 
   /** Run one payload; fail the suite only on the banned failure classes. */
@@ -86,6 +87,9 @@ class CodecFuzzSpec extends AnyFunSuite {
         Array.tabulate[Byte](12 * 8)(i => (i * 11).toByte),
         Array.tabulate[Byte](12 * 8)(i => (255 - i * 13).toByte), 24, 16),
       "jpeg_prog" -> Jpeg.encodeGrayProgressive(px, 24, Jpeg.StdQuant),
+      "jpeg_prog_color" -> Jpeg.encodeYcbcr420Progressive(px,
+        Array.tabulate[Byte](12 * 8)(i => (i * 11).toByte),
+        Array.tabulate[Byte](12 * 8)(i => (255 - i * 13).toByte), 24, 16),
       "avi" -> Multimodal.aviEncode(Seq(px, px, px), 24, 16),
       "wav" -> wavBytes(Array.tabulate[Short](256)(i => (i * 121).toShort)))
   }

@@ -431,6 +431,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == img.toSeq)
   }
 
+  test("PROGRESSIVE COLOR JPEG decodes identically to the baseline color path") {
+    // progressive color is the most common web-JPEG shape: interleaved
+    // DC scans over 16×16 MCUs + per-component AC band scans with
+    // refinement to Al=0. Identical quantized coefficients reach the
+    // decoder, so pixels must equal the BASELINE color round trip
+    // bit-for-bit — random planes exercise chroma EOB runs, per-comp
+    // predictors and the padded-vs-data block grids (odd dims).
+    val rng = new scala.util.Random(41)
+    for ((w, h) <- Seq((32, 32), (21, 13))) {
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val y = Array.fill[Byte](w * h)(rng.nextInt(256).toByte)
+      val cb = Array.fill[Byte](cw * ch)(rng.nextInt(256).toByte)
+      val cr = Array.fill[Byte](cw * ch)(rng.nextInt(256).toByte)
+      val (bw2, bh2, base) = Jpeg.decodeColor(
+        Jpeg.encodeYcbcr420(y, cb, cr, w, h, Jpeg.UnitQuant, Jpeg.UnitQuant))
+      val (pw2, ph2, prog) = Jpeg.decodeColor(
+        Jpeg.encodeYcbcr420Progressive(y, cb, cr, w, h,
+          Jpeg.UnitQuant, Jpeg.UnitQuant))
+      assert(pw2 == bw2 && ph2 == bh2)
+      assert(prog.toSeq == base.toSeq, s"${w}x$h: progressive != baseline color")
+    }
+    // constant-MCU planes + ExactQuant: bit-exact against the source
+    // JFIF conversion, same contract as the baseline 4:2:0 test
+    val yVals = (0 until 16).map(i => 16 * i + 8)
+    val cbVals = Seq(40, 90, 140, 190)
+    val crVals = Seq(200, 150, 100, 50)
+    val y = Array.tabulate[Byte](32 * 32) { i =>
+      val xx = i % 32; val yy = i / 32
+      yVals((yy / 8) * 4 + xx / 8).toByte
+    }
+    def chroma(vals: Seq[Int]) = Array.tabulate[Byte](16 * 16) { i =>
+      val xx = i % 16; val yy = i / 16
+      vals((yy / 8) * 2 + xx / 8).toByte
+    }
+    val (_, _, rgb) = Jpeg.decodeColor(Jpeg.encodeYcbcr420Progressive(
+      y, chroma(cbVals), chroma(crVals), 32, 32,
+      Jpeg.ExactQuant, Jpeg.ExactQuant))
+    val expect = (0 until 32).flatMap { yy =>
+      (0 until 32).flatMap { xx =>
+        jfifRgb(yVals((yy / 8) * 4 + xx / 8),
+          cbVals((yy / 16) * 2 + xx / 16), crVals((yy / 16) * 2 + xx / 16))
+      }
+    }
+    assert(rgb.map(_ & 0xff).toSeq == expect)
+  }
+
   test("COLOR JPEG: 4:4:4 and 4:2:2 sampling grids round-trip exactly") {
     // 16×16 image, distinct constants per 8×8 block in every plane, so
     // a wrong MCU geometry or chroma-upsample stride moves a value.
