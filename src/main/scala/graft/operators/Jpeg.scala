@@ -1009,6 +1009,7 @@ object Jpeg {
     var pos = 2
     var sosAt = -1 // baseline: entry point of the one interleaved scan
     var eoi = false
+    var scanCount = 0
 
     // sizing + progressive coefficient state, computed at the first SOS
     var hMax = 1; var vMax = 1; var mcusX = 0; var mcusY = 0
@@ -1336,6 +1337,12 @@ object Jpeg {
           require(ah < 14 && al < 14, "bad successive-approximation bits")
           if (ss == 0) require(se == 0, "DC scan must have Se=0")
           else require(ns == 1, "AC progressive scans are single-component")
+          // every scan pays a full block-grid walk, so unbounded scan
+          // counts are a decode-time DoS from a small payload; real
+          // progressive scripts run ~10 scans (spectral bands ×
+          // approximation levels), so 64 is generous
+          scanCount += 1
+          require(scanCount <= 64, "too many progressive scans")
           ensureSized()
           scanComps.foreach { ciI =>
             val c = comps(ciI)

@@ -218,6 +218,28 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("strf") || e.getMessage.contains("truncated"))
   }
 
+  test("progressive JPEG with an unbounded scan count is rejected, not a DoS") {
+    // each scan pays a full block-grid walk; a crafted payload
+    // repeating one tiny DC-refinement scan thousands of times would
+    // turn a few KB into minutes of decode. The scan cap must fire
+    // with a clean message.
+    val good = validPayloads("jpeg_prog")
+    val eoiAt = good.length - 2
+    assert((good(eoiAt) & 0xff) == 0xff && (good(eoiAt + 1) & 0xff) == 0xd9)
+    // a DC-refinement scan (no Huffman): SOS header + 6/8 of the blocks'
+    // worth of raw bits — repeated 200 times before the EOI
+    val refineScan = Array[Byte](0xff.toByte, 0xda.toByte, 0, 8,
+      1, 1, 0, 0, 0, 0x10) ++ Array.fill[Byte](2)(0x55)
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write(good, 0, eoiAt)
+    (0 until 200).foreach(_ => bb.write(refineScan))
+    bb.write(good, eoiAt, 2)
+    val e = intercept[IllegalArgumentException] {
+      Jpeg.decode(bb.toByteArray)
+    }
+    assert(e.getMessage.contains("too many progressive scans"))
+  }
+
   test("JPEG table ids above 3 fail with the clean range message") {
     val good = validPayloads("jpeg")
     // DQT: FF DB len(2) then the id nibble in the first table byte
