@@ -63,10 +63,14 @@ object StressScale {
     * composed pipeline) plus two linear controls (exact dedup, HLL). */
   val StressQueries: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
-    "dedup_incremental", "dedup_semantic", "sim_ann_lsh", "sim_ann_ivf",
-    "sim_ann_ivfpq", "text_line_dedup", "text_decontaminate_bloom",
+    "dedup_incremental", "text_line_dedup", "text_decontaminate_bloom",
     "text_tfidf_topk", "sketch_distinct_hll", "curate_mix_resample",
-    "pipeline_curated")
+    "pipeline_curated", "sim_ann_ivf", "sim_ann_ivfpq",
+    // the multi-probe LSH family last: its candidate join is the
+    // n·(log n)²·occupancy shape and at large factors its spill can
+    // exhaust local scratch — isolated so a failure there still leaves
+    // a complete report for everything before it
+    "sim_ann_lsh", "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -97,15 +101,21 @@ object StressScale {
         .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
     }
 
-    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      val runs = (1 to 2).map { _ =>
+    // per-query fault isolation: a query that exhausts scratch disk or
+    // memory at the scaled point must record its failure, not kill the
+    // report for the queries after it (Spark frees its spill on task
+    // failure, so the next query starts with the disk back)
+    def time(fn: (SparkSession, String) => DataFrame,
+        dir: String): Either[String, Double] =
+      try Right((1 to 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
+      }.min)
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
       }
-      runs.min
-    }
     // warmup
     try spark.read.parquet(s"$sfDir/documents.parquet").count()
     catch { case _: Throwable => () }
@@ -115,15 +125,22 @@ object StressScale {
       val fn = registry(name)
       val base = time(fn, sfDir)
       val scaled = time(fn, scaledDir)
-      val ratio = scaled / math.max(base, 1e-9)
-      (name, base, scaled, ratio)
+      println(s"[stress] $name base=$base scaled=$scaled")
+      (name, base, scaled)
     }
-    def jstr(s: String) = "\"" + s + "\""
-    val body = rows.map { case (n, b, s, r) =>
-      jstr(n) + s""":{"base_sec":${f"$b%.3f"},"scaled_sec":${f"$s%.3f"},"wall_ratio":${f"$r%.2f"}}"""
+    def jstr(s: String) = "\"" + s.replace("\"", "'").replace("\\", "/") + "\""
+    val body = rows.map {
+      case (n, Right(b), Right(s)) =>
+        jstr(n) + s""":{"base_sec":${f"$b%.3f"},"scaled_sec":${f"$s%.3f"},"wall_ratio":${f"${s / math.max(b, 1e-9)}%.2f"}}"""
+      case (n, b, s) =>
+        val err = Seq(b.left.toOption, s.left.toOption).flatten.headOption
+          .getOrElse("unknown")
+        jstr(n) + s""":{"err":${jstr(err)}}"""
     }.mkString("{", ",", "}")
-    val worst = rows.maxBy(_._4)
-    val line = s"""{"metric":"stress_scale","row_factor":$factor,"queries":$body,"worst":${jstr(worst._1)},"worst_ratio":${f"${worst._4}%.2f"},"base_docs":$baseDocs,"scaled_docs":${baseDocs * factor},"agg":"min-of-2 per point, cache cleared per run"}"""
+    val ok = rows.collect { case (n, Right(b), Right(s)) =>
+      (n, s / math.max(b, 1e-9)) }
+    val worst = if (ok.nonEmpty) ok.maxBy(_._2) else ("none", 0.0)
+    val line = s"""{"metric":"stress_scale","row_factor":$factor,"queries":$body,"worst":${jstr(worst._1)},"worst_ratio":${f"${worst._2}%.2f"},"base_docs":$baseDocs,"scaled_docs":${baseDocs * factor},"agg":"min-of-2 per point, cache cleared per run"}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
       "target/stress_report.json")
