@@ -468,7 +468,15 @@ object Jpeg {
     * them). Refinement reaches Al=0, so decoded coefficients equal the
     * baseline quantized values exactly. */
   private def writeProgressiveScans(out: java.io.ByteArrayOutputStream,
-      comps: Array[ProgComp], mcusX: Int, mcusY: Int): Unit = {
+      comps: Array[ProgComp], mcusX: Int, mcusY: Int,
+      acBands: Seq[(Int, Int)]): Unit = {
+    require(acBands.nonEmpty && acBands.head._1 == 1 &&
+      acBands.last._2 == 63 &&
+      acBands.sliding(2).forall {
+        case Seq((_, e), (s2, _)) => s2 == e + 1
+        case _ => true
+      } && acBands.forall { case (a, b) => a <= b },
+      "acBands must partition 1..63 contiguously")
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def u16v(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
     def sos(scan: Seq[(Int, Int)], ss: Int, se: Int, ah: Int, al: Int): Unit = {
@@ -531,9 +539,10 @@ object Jpeg {
     }
     bw.flush()
 
-    // per-component AC first scans: band 1-63, Al=1, EOB-run grammar
-    comps.foreach { c =>
-      sos(Seq((c.id, 0x00)), 1, 63, 0, 1) // AC table 0: the flat table
+    // per-component AC first scans per spectral band, Al=1, EOB-run
+    // grammar (real crawl scripts split the band, e.g. 1-5 then 6-63)
+    for ((bandSs, bandSe) <- acBands; c <- comps) {
+      sos(Seq((c.id, 0x00)), bandSs, bandSe, 0, 1) // AC table 0: flat
       val w = new BitWriter(out)
       var eobrun = 0
       def flushEob(): Unit = if (eobrun > 0) {
@@ -544,9 +553,9 @@ object Jpeg {
         eobrun = 0
       }
       acBlocks(c) { base =>
-        var k = 1
+        var k = bandSs
         var run = 0
-        while (k < 64) {
+        while (k <= bandSe) {
           val c0 = c.qcoef(base + ZigZag(k))
           val t = (if (c0 >= 0) c0 else -c0) >> 1
           if (t == 0) run += 1
@@ -576,9 +585,9 @@ object Jpeg {
     dcOrder { (ci, base) => bw.put(comps(ci).qcoef(base) & 1, 1) }
     bw.flush()
 
-    // per-component AC refinement: band 1-63, Ah=1 Al=0
-    comps.foreach { c =>
-      sos(Seq((c.id, 0x00)), 1, 63, 1, 0)
+    // per-component AC refinement per spectral band, Ah=1 Al=0
+    for ((bandSs, bandSe) <- acBands; c <- comps) {
+      sos(Seq((c.id, 0x00)), bandSs, bandSe, 1, 0)
       val w = new BitWriter(out)
       var eobrun = 0
       val pendGlobal = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -598,15 +607,15 @@ object Jpeg {
       }
       acBlocks(c) { base =>
         var eobPos = 0 // last newly-significant position bounds ZRL folding
-        var k = 1
-        while (k < 64) {
+        var k = bandSs
+        while (k <= bandSe) {
           val c0 = c.qcoef(base + ZigZag(k))
           if (c0 == 1 || c0 == -1) eobPos = k
           k += 1
         }
         var r = 0
-        k = 1
-        while (k < 64) {
+        k = bandSs
+        while (k <= bandSe) {
           val c0 = c.qcoef(base + ZigZag(k))
           val t = if (c0 >= 0) c0 else -c0
           if (t == 0) r += 1
@@ -661,7 +670,8 @@ object Jpeg {
     * round trips are pixel-identical for the same quant table
     * (spec-pinned for arbitrary images). */
   def encodeGrayProgressive(pixels: Array[Byte], width: Int,
-      quant: Array[Int] = StdQuant): Array[Byte] = {
+      quant: Array[Int] = StdQuant,
+      acBands: Seq[(Int, Int)] = Seq((1, 63))): Array[Byte] = {
     require(width > 0 && pixels.length > 0 && pixels.length % width == 0,
       "pixels must be a positive multiple of width")
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
@@ -687,7 +697,7 @@ object Jpeg {
     val blocksY = (height + 7) / 8
     val q = quantizePlane(pixels, width, height, blocksX, blocksY, quant)
     val comp = new ProgComp(1, 1, 1, 0, DcEnc, q, blocksX, blocksX, blocksY)
-    writeProgressiveScans(out, Array(comp), blocksX, blocksY)
+    writeProgressiveScans(out, Array(comp), blocksX, blocksY, acBands)
     marker(0xd9) // EOI
     out.toByteArray
   }
@@ -702,7 +712,8 @@ object Jpeg {
   def encodeYcbcr420Progressive(y: Array[Byte], cb: Array[Byte],
       cr: Array[Byte], width: Int, height: Int,
       quantY: Array[Int] = StdQuant,
-      quantC: Array[Int] = StdQuantChroma): Array[Byte] = {
+      quantC: Array[Int] = StdQuantChroma,
+      acBands: Seq[(Int, Int)] = Seq((1, 63))): Array[Byte] = {
     require(width > 0 && height > 0 && y.length == width * height,
       "luma plane must be width*height bytes")
     val cw = (width + 1) / 2
@@ -745,7 +756,7 @@ object Jpeg {
         (cw + 7) / 8, (ch + 7) / 8),
       new ProgComp(3, 1, 1, 1, DcEncCh, qCr, mcusX,
         (cw + 7) / 8, (ch + 7) / 8))
-    writeProgressiveScans(out, comps, mcusX, mcusY)
+    writeProgressiveScans(out, comps, mcusX, mcusY, acBands)
     marker(0xd9) // EOI
     out.toByteArray
   }

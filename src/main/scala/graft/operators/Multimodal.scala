@@ -1170,9 +1170,18 @@ object Multimodal {
     * split, no shuffle. The DuckDB oracle derives the same fingerprint
     * from `text` directly: any filter/inflate/chunk defect breaks the
     * hash on every row. */
-  def decodePng(spark: SparkSession, dir: String): DataFrame = {
+  def decodePng(spark: SparkSession, dir: String): DataFrame =
+    decodePngOn(Tables.documents(spark, dir))
+
+  /** The `mm_decode_png` dataflow over ANY `(doc_id, text)` frame —
+    * batch or STREAMING: synthesis, the codec `mapPartitions` pass and
+    * the fingerprint projection are all stateless, so the same code
+    * streams as a plain per-batch projection
+    * (`StreamingDecodeSpec` pins stream ≡ batch equality — the
+    * "streaming-friendly decode slot" claim as a spec, not a comment). */
+  def decodePngOn(docs: DataFrame): DataFrame = {
     val enc = Encoders.product[MediaRow]
-    val src = Tables.documents(spark, dir)
+    val src = docs
       .select(col("doc_id"), col("text"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .map { case (id, text) =>

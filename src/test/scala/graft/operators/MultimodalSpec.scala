@@ -419,6 +419,22 @@ class MultimodalSpec extends AnyFunSuite {
       assert(pwid == bwid && phei == bhei)
       assert(prog.toSeq == base.toSeq, s"${w}x$h $kind: progressive != baseline")
     }
+    // band-SPLIT scripts — the shape real crawl progressives use
+    // (DC; AC 1–5; AC 6–63; refinements per band) — must also decode
+    // identically: per-band EOB runs and the scan sequencing differ,
+    // the reconstructed coefficients do not
+    val rng2 = new scala.util.Random(43)
+    val px2 = Array.fill[Byte](29 * 17)(rng2.nextInt(256).toByte)
+    val (_, _, baseSplit) = Jpeg.decodeGray(Jpeg.encodeGray(px2, 29, Jpeg.StdQuant))
+    for (bands <- Seq(Seq((1, 5), (6, 63)), Seq((1, 2), (3, 9), (10, 63)))) {
+      val (_, _, progSplit) = Jpeg.decodeGray(
+        Jpeg.encodeGrayProgressive(px2, 29, Jpeg.StdQuant, bands))
+      assert(progSplit.toSeq == baseSplit.toSeq, s"band split $bands")
+    }
+    // degenerate band splits rejected at encode time
+    intercept[IllegalArgumentException] {
+      Jpeg.encodeGrayProgressive(px2, 29, Jpeg.StdQuant, Seq((1, 30)))
+    }
     // constant blocks + ExactQuant: progressive round trip is bit-exact
     // against the SOURCE, same contract as the baseline oracle path
     val vals = Seq(0, 255, 128, 1, 254, 127, 63, 192, 31, 17, 200, 99)
