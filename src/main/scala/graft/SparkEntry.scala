@@ -54,6 +54,7 @@ object SparkEntry {
     "sim_ann_ivf_sq" -> (Similarity.annIvfSqProd _),
     "sim_quantize_pq" -> (Similarity.quantizePqProd _),
     "sim_ann_ivfpq" -> (Similarity.annIvfPqProd _),
+    "sim_ann_lsh" -> (Similarity.annLshProd _),
     "sketch_distinct_hll" -> (TextAnalysis.distinctHllProd _))
 
   /** The PRODUCTION registry: every operator as a user would run it at

@@ -266,10 +266,15 @@ object VectorFunctions {
   * row (the same interpreted-lambda trap `graft.functions`' other
   * expressions exist for; the HOF formulation cost ~0.6 ms/row).
   *
-  * Emits `struct(codes string, max_err double, qv array<double>)`: the
-  * comma-joined per-subspace centroid indices, the max per-dimension
-  * reconstruction error, and the decoded (concatenated-centroid)
-  * approximation. Arithmetic is BIT-IDENTICAL to the HOF/oracle form:
+  * Emits `struct(codes string, max_err double, qv array<double>,
+  * packed bigint)`: the comma-joined per-subspace centroid indices, the
+  * max per-dimension reconstruction error, the decoded
+  * (concatenated-centroid) approximation, and the codes packed 4 bits
+  * per subspace into one long (subspace m in bits [4m, 4m+4) — exact
+  * for the ≤16-subspace / ≤16-centroid geometry; wider configs wrap and
+  * must use `codes`). `packed` is the 8-byte candidate payload the
+  * LSH/IVF ANN joins ship instead of a 512 B embedding.
+  * Arithmetic is BIT-IDENTICAL to the HOF/oracle form:
   * floats cast to double, squared-L2 left-folded from 0.0 in dimension
   * order, first-minimum tie-break (strict `<`) = the oracle's smallest
   * code. The codebook rides into codegen as one reference object
@@ -323,13 +328,14 @@ case class PqAssign(child: Expression,
 }
 
 object PqAssign {
-  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
   val Out: StructType = StructType(Seq(
     StructField("codes", StringType, nullable = false),
     StructField("max_err", DoubleType, nullable = false),
     StructField("qv", ArrayType(DoubleType, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    StructField("packed", LongType, nullable = false)))
 
   /** Static so generated code can call it; one tight pass. Returns
     * null (→ SQL NULL) on dimension mismatch or (when `checkNulls`)
@@ -349,6 +355,7 @@ object PqAssign {
     }
     val codes = new java.lang.StringBuilder(m * 3)
     val qv = new Array[Double](m * s)
+    var packed = 0L
     var maxErr = 0.0
     var mi = 0
     while (mi < m) {
@@ -374,6 +381,7 @@ object PqAssign {
       if (best < 0) return null
       if (mi > 0) codes.append(',')
       codes.append(best)
+      packed |= best.toLong << (4 * mi)
       val cv = cells(best)
       var si = 0
       while (si < s) {
@@ -387,6 +395,7 @@ object PqAssign {
     org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString(codes.toString),
       maxErr,
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(qv))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(qv),
+      packed)
   }
 }

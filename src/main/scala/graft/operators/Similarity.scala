@@ -186,6 +186,15 @@ object Similarity {
       when(dot(v, typedlit(planeWeights(p))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Preselect width for the packed-PQ approximate ranking inside the
+    * LSH candidate join — wider than [[PqPreK]] because the LSH probe
+    * set yields more (and more diverse) candidates per query than IVF's
+    * nprobe cells, so the approximate ranking has more true neighbors
+    * to preserve. Still a fixed constant: candidates per query grow as
+    * probes(≈ p²/2)·occupancy while the rerank stays LshPreK·n, so the
+    * prune ratio IMPROVES with corpus size. */
+  private val LshPreK = 48
+
   /** ANN top-k via random-hyperplane LSH with radius-2 multi-probe: each
     * query vector ranks candidates from its own sign-pattern bucket plus
     * every bucket within hamming distance 2 of it. The plane count
@@ -198,16 +207,51 @@ object Similarity {
     * radius-2 probing lifts it to ~0.81, pinned with a 0.75 floor in
     * `SimilaritySpec`. Candidate generation carries only (vec_id, probe)
     * longs; each neighbor is found at most once because its bucket matches
-    * at most one of the distinct probe values. The oracle runs the
-    * identical algorithm (same planes, same probes, same folds), so this
+    * at most one of the distinct probe values.
+    *
+    * Candidate RANKING is PQ-pruned (the round-8 stress run measured the
+    * full-precision variant shipping 512 B embeddings per candidate row —
+    * ~100+ GB of shuffle at 30× fixture scale, which exhausted local
+    * scratch): the candidate join ships each neighbor's 16 four-bit PQ
+    * codes packed into ONE long (8 bytes), ranks by the ASYMMETRIC
+    * distance (full-precision query against the neighbor's PQ-decoded
+    * approximation, decoded scan-side against the ≤1 KiB broadcast
+    * codebook literal — built-in `element_at`/`flatten`, fully inside
+    * whole-stage codegen), and only the top [[LshPreK]] survivors per
+    * query rerank at full precision — the same trick that lets
+    * [[annIvfPq]] run at billion-vector scale. The oracle runs the
+    * identical algorithm (same planes, probes, codebooks, folds), so this
     * hash-matches even though ANN-vs-exact recall is approximate by
     * construction. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshFrom(spark, dir, pqPackedExact(spark, dir),
+      pqFlatten(pqCodebookExactArr(spark, dir)))
+
+  /** PRODUCTION LSH ANN ([[graft.SparkEntry.productionOverrides]]): the
+    * fixed-buffer PQ codebook ([[pqCodebookProd]] — no per-cell
+    * collect_list) and the scan-side native packed-code assignment
+    * ([[graft.functions.PqAssign]]'s `packed` field) feeding the same
+    * pruned candidate dataflow. */
+  def annLshProd(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebookProd(spark, dir)
+    val pq = graft.functions.VectorFunctions
+      .pq_assign(col("embedding"), cb, PqS)
+    val packed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), pq.getField("packed").as("b_code"))
+    annLshFrom(spark, dir, packed, pqFlatten(cb))
+  }
+
+  /** Shared LSH-ANN dataflow: bucket/probe candidate generation (ids
+    * only) → 8-byte packed-code join → asymmetric preselect → top-
+    * [[LshPreK]] full-precision rerank. `packed` maps vec_id → b_code
+    * (the 4-bit-per-subspace code word); `cbFlat` is the flat codebook
+    * literal (index m·[[PqK]] + code → [[PqS]]-dim centroid). */
+  private def annLshFrom(spark: SparkSession, dir: String,
+      packed: DataFrame, cbFlat: Seq[Seq[Double]]): DataFrame = {
     val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), dvec.as("ev"))
-      .withColumn("bucket", bucketExpr(col("ev"), numPlanes))
-    val buckets = v.select(col("vec_id"), col("bucket"))
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val buckets = v.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
+      .select(col("vec_id"), col("bucket"))
     val probes = buckets.select(col("vec_id"), col("bucket"), explode(array(
       probeMasks(numPlanes).map(m => col("bucket").bitwiseXOR(lit(m))): _*))
       .as("probe"))
@@ -216,12 +260,29 @@ object Similarity {
         col("probe") === col("nb") && col("x.vec_id") =!= col("neighbor_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
         col("neighbor_id"))
-    val ev = v.select(col("vec_id"), col("ev"))
+    // THE big join — every candidate row picks up its neighbor's 8-byte
+    // code word, not a 512 B embedding; the subsequent join by vec_id
+    // attaches only the QUERY vector (once per candidate, but the window
+    // input drops it before any further exchange: the select keeps
+    // (vec_id, bucket, neighbor_id, acos) ≈ 32 B rows, and the window
+    // reuses the join's vec_id partitioning — no extra shuffle)
+    val candC = cand.join(
+      packed.select(col("vec_id").as("neighbor_id"), col("b_code")),
+      "neighbor_id")
+    val wPre = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val pre = candC
+      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .select(col("vec_id"), col("bucket"), col("neighbor_id"),
+        cosine(col("a_ev"), pqDecodePacked(col("b_code"), cbFlat)).as("acos"))
+      .withColumn("prernk", row_number().over(wPre))
+      .filter(col("prernk") <= LshPreK)
+      .select(col("vec_id"), col("bucket"), col("neighbor_id"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    (cand
-      .join(ev.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
-      .join(ev.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev")),
+    (pre
+      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev")),
         "neighbor_id")
       .select(col("vec_id"), col("neighbor_id"), col("bucket"),
         cosine(col("a_ev"), col("b_ev")).as("cosine"))
@@ -231,7 +292,8 @@ object Similarity {
         col("rnk"), col("cosine")))
   }
 
-  val annLshOracle: String =
+  // lazy: interpolates pqCtes/LshPreK declared later in the object
+  lazy val annLshOracle: String =
     s"""WITH $vCte,
        |${planesSql("embeddings")},
        |pw AS (SELECT p,
@@ -257,9 +319,24 @@ object Similarity {
        |cand AS (SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id
        |         FROM pr a JOIN vb b
        |           ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+       |$pqCtes,
+       |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |        FROM pasg GROUP BY 1),
+       |aq AS (SELECT c.vec_id, c.bucket, c.neighbor_id,
+       |              ${sqlCos("a.ev", "d.qv")} AS acos
+       |       FROM cand c
+       |       JOIN vv a ON c.vec_id = a.vec_id
+       |       JOIN dec d ON c.neighbor_id = d.vec_id),
+       |pre AS (SELECT vec_id, bucket, neighbor_id FROM (
+       |          SELECT vec_id, bucket, neighbor_id,
+       |                 row_number() OVER (PARTITION BY vec_id
+       |                                    ORDER BY acos DESC, neighbor_id)
+       |                   AS prernk
+       |          FROM aq)
+       |        WHERE prernk <= $LshPreK),
        |p AS (SELECT c.vec_id, c.neighbor_id, c.bucket,
        |             ${sqlCos("a.ev", "b.ev")} AS cosine
-       |      FROM cand c
+       |      FROM pre c
        |      JOIN vv a ON c.vec_id = a.vec_id
        |      JOIN vv b ON c.neighbor_id = b.vec_id),
        |r AS (SELECT vec_id, neighbor_id, bucket, cosine,
@@ -1016,6 +1093,57 @@ object Similarity {
       .filter(col("r") === 1)
       .drop("r", "adist")
   }
+
+  /** The fold-exact PQ codebook collected into the dense
+    * per-subspace array shape of [[pqCodebookProd]]: cb(m)(code) = the
+    * centroid subvector. A bounded driver collect (≤ [[PqM]]·[[PqK]]
+    * rows ≈ 1 KiB of doubles — the same "collect the codebook, never
+    * the corpus" pattern), with the EXACT-fold values so downstream
+    * decode against the literal stays bit-identical to the DuckDB
+    * replay's `pcb.cv`. */
+  private def pqCodebookExactArr(spark: SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    val rows = pqCodebookExact(spark, dir).collect()
+    (0 until PqM).map { m =>
+      rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))
+        .map(_.getSeq[Double](2).toArray).toArray
+    }.toArray
+  }
+
+  /** Flatten a dense per-subspace codebook to the literal layout
+    * [[pqDecodePacked]] indexes (m·[[PqK]] + code), zero-padding
+    * subspaces whose Lloyd iteration left fewer than [[PqK]] surviving
+    * cells (codes are dense per subspace, so the padding slots are
+    * never referenced). */
+  private def pqFlatten(cb: Array[Array[Array[Double]]]): Seq[Seq[Double]] =
+    cb.toSeq.flatMap { cells =>
+      cells.map(_.toSeq) ++
+        Seq.fill(PqK - cells.length)(Seq.fill(PqS)(0.0))
+    }
+
+  /** Decode an 8-byte packed code word against the flat codebook
+    * literal — built-in expressions only (16 `element_at` probes into a
+    * ≤1 KiB array literal + `flatten`), so the asymmetric candidate
+    * ranking stays inside whole-stage codegen with zero extra joins. */
+  private def pqDecodePacked(packed: Column, cbFlat: Seq[Seq[Double]]): Column = {
+    val cbLit = typedlit(cbFlat)
+    flatten(array((0 until PqM).map { m =>
+      element_at(cbLit,
+        (lit(m * PqK) +
+          shiftrightunsigned(packed, 4 * m).bitwiseAND(lit(15L)) + 1)
+          .cast("int"))
+    }: _*))
+  }
+
+  /** (vec_id, b_code): every vector's 16 four-bit exact-fold PQ codes
+    * packed into ONE long — the 8-byte payload the ANN candidate joins
+    * ship instead of a 512 B embedding. `bit_or` of disjoint nibbles ≡
+    * the [[graft.functions.PqAssign]] `packed` field's `|=` loop;
+    * bounded aggregation state (one long per vector). */
+  private def pqPackedExact(spark: SparkSession, dir: String): DataFrame =
+    pqAssignExact(spark, dir)
+      .groupBy(col("vec_id"))
+      .agg(expr("bit_or(shiftleft(code, cast(m * 4 as int)))").as("b_code"))
 
   /** Product quantization of the embedding column — ORACLE form: the
     * fold-exact Lloyd codebooks, codes assembled per vector in subspace

@@ -106,7 +106,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // PQ assignment is ONE scan-side projection against codebook
     // literals (the two bounded codebook-training jobs run beforehand)
     "sim_quantize_pq" -> (0, 0),
-    "sim_ann_lsh" -> (1, 3),
+    // bucket self-join + 8-byte packed-code join + asymmetric preselect
+    // + full-precision rerank pair — all broadcast at fixture scale; at
+    // cluster scale the candidate joins shuffle ~32 B rows, never
+    // embeddings (the round-8 stress finding)
+    "sim_ann_lsh" -> (1, 5),
     "sim_centroid_by_lang" -> (1, 1),
     "sim_cosine_neardup" -> (1, 1), // + streamed-side repartition (baseline)
     // streamed-side repartition on vec_id doubles as the top-k window's

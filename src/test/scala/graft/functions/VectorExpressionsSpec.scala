@@ -125,12 +125,16 @@ class VectorExpressionsSpec extends AnyFunSuite {
     def check(): Unit = {
       val rows = df.select(col("id"),
         VectorFunctions.pq_assign(col("embedding"), cb, 2).as("pq"))
-        .select(col("id"), col("pq.codes"), col("pq.max_err"), col("pq.qv"))
+        .select(col("id"), col("pq.codes"), col("pq.max_err"), col("pq.qv"),
+          col("pq.packed"))
         .collect().map(r => r.getLong(0) -> r).toMap
       assert(rows(1L).getString(1) == "1,0")
       assert(rows(1L).getDouble(2) == 1.0)
       assert(rows(1L).getSeq[Double](3) == Seq(10.0, 10.0, 0.0, 0.0))
+      // codes "1,0" pack 4 bits per subspace: 1 | (0 << 4) = 1
+      assert(rows(1L).getLong(4) == 1L)
       assert(rows(2L).getString(1) == "0,0", "equidistant tie -> smallest code")
+      assert(rows(2L).getLong(4) == 0L)
       assert(rows(3L).isNullAt(1), "wrong dims must be null, not an exception")
       assert(rows(4L).isNullAt(1), "null element must be null, not garbage")
       // NaN / all-Infinity distances compare false against every bound —
