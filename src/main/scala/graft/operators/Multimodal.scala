@@ -75,9 +75,12 @@ object Multimodal {
     * `(format, width, height, n_frames)` from the container header WITHOUT
     * decoding any pixel/sample data — the metadata pass a 100 TB media
     * crawl runs first (cheap, scan-side) to route payloads to per-format
-    * decode stages. Understands the five container families the decoders
+    * decode stages. Understands the six container families the decoders
     * above handle: PNG (IHDR), GIF (logical screen descriptor), BMP
-    * (BITMAPINFOHEADER), RIFF/AVI (avih main header: dwTotalFrames,
+    * (BITMAPINFOHEADER), raw JPEG (SOI → SOFn marker walk — the web's
+    * DOMINANT image format; `jpeg` for sequential frames, `jpeg_prog`
+    * for progressive SOF2, so the router can steer the two memory
+    * profiles apart), RIFF/AVI (avih main header: dwTotalFrames,
     * dwWidth, dwHeight) and RIFF/WAVE (fmt + data chunks: width = samples
     * per channel, height = channel count). Hostile lengths are walked in
     * Long arithmetic with the same bounds discipline as the decoders. */
@@ -114,6 +117,46 @@ object Multimodal {
       val h = math.abs(hRaw)
       checkDims(w, h)
       ("bmp", w, h, 1)
+    } else if (payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8) {
+      // raw JPEG: walk SOI → SOFn for (height, width, components); the
+      // walk skips length-prefixed segments and never touches
+      // entropy-coded data. All true SOFn codes are parsed (a metadata
+      // router reports dimensions even for frames the decode stage
+      // would reject); C4/C8/CC are DHT/JPG/DAC, not frame headers.
+      def u16be(i: Int): Int =
+        ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+      var pos = 2
+      var res: (String, Int, Int, Int) = null
+      while (res == null) {
+        require(pos + 2 <= payload.length, "JPEG truncated before SOF")
+        require((payload(pos) & 0xff) == 0xff, "JPEG marker desync")
+        var m = payload(pos + 1) & 0xff
+        // any number of 0xff fill bytes may precede a marker code
+        while (m == 0xff) {
+          pos += 1
+          require(pos + 2 <= payload.length, "JPEG truncated in fill bytes")
+          m = payload(pos + 1) & 0xff
+        }
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          require(pos + 10 <= payload.length, "truncated SOF header")
+          val h = u16be(pos + 5); val w = u16be(pos + 7)
+          val comps = payload(pos + 9) & 0xff
+          checkDims(w, h)
+          require(comps >= 1 && comps <= 4, s"implausible component count $comps")
+          res = (if (m == 0xc2) "jpeg_prog" else "jpeg", w, h, 1)
+        } else if (m == 0xd9 || m == 0xda) {
+          throw new IllegalArgumentException("JPEG EOI/SOS before SOF")
+        } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          pos += 2 // standalone TEM/RSTn: no length field
+        } else {
+          require(pos + 4 <= payload.length, "truncated JPEG segment")
+          val len = u16be(pos + 2)
+          require(len >= 2, "invalid JPEG segment length")
+          pos += 2 + len
+        }
+      }
+      res
     } else if (payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ") {
       var pos = 12
       var res: (String, Int, Int, Int) = null
@@ -158,17 +201,20 @@ object Multimodal {
       require(channels >= 1 && dataLen >= 0, "missing fmt/data chunk")
       ("wav", (dataLen / 2 / channels).toInt, channels, 1)
     } else throw new IllegalArgumentException(
-      "unrecognized container (png/gif/bmp/avi/wav supported)")
+      "unrecognized container (png/gif/bmp/jpeg/avi/wav supported)")
   }
 
   /** `mm_metadata`: REAL container-header metadata extraction — each
     * document's raster is packaged into a real container (format cycled
-    * by `doc_id % 3`: compressed PNG, LZW GIF, or a multi-frame DIB AVI)
-    * and [[mediaMetadata]] parses format/dimensions/frame-count back from
-    * the container bytes alone, never touching pixel data. Scan-side
-    * narrow map, no shuffle. The DuckDB oracle replays the dimensions
-    * from the text length (the raster is 16 wide for images, 4×4-frame
-    * video for AVI), so a header mis-parse on any row breaks the match. */
+    * by `doc_id % 5`: compressed PNG, LZW GIF, a multi-frame DIB AVI,
+    * a raw BASELINE grayscale JPEG, or a raw PROGRESSIVE 4:2:0 color
+    * JPEG — raw JPEG being the single most common image format in a
+    * real crawl) and [[mediaMetadata]] parses
+    * format/dimensions/frame-count back from the container bytes alone,
+    * never touching pixel/entropy data. Scan-side narrow map, no
+    * shuffle. The DuckDB oracle replays the dimensions from the text
+    * length (the raster is 16 wide for images, 4×4-frame video for
+    * AVI), so a header mis-parse on any row breaks the match. */
   def metadata(spark: SparkSession, dir: String): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
       Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
@@ -177,10 +223,33 @@ object Multimodal {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .map { case (id, text) =>
         val px = pngPixels(text)
-        val payload = (id % 3) match {
+        val payload = (id % 5) match {
           case 0 => pngEncode(px, PngWidth)
           case 1 => gifEncode(px, PngWidth)
-          case _ => aviEncode(px.grouped(FrameW * FrameH).toSeq, FrameW, FrameH)
+          case 2 => aviEncode(px.grouped(FrameW * FrameH).toSeq, FrameW, FrameH)
+          case 3 => Jpeg.encodeGray(px, PngWidth)
+          case _ =>
+            // progressive color on the raw raster: chroma planes take
+            // each 2×2 raster group's top-left/top-right values (the
+            // metadata pass reads only the SOF2 header, so the plane
+            // CONTENT just has to satisfy the encoder's contract)
+            val h = px.length / PngWidth
+            val cw = PngWidth / 2
+            val ch = (h + 1) / 2
+            val cbP = new Array[Byte](cw * ch)
+            val crP = new Array[Byte](cw * ch)
+            var cy = 0
+            while (cy < ch) {
+              val sr = math.min(cy * 2, h - 1) * PngWidth
+              var cx = 0
+              while (cx < cw) {
+                cbP(cy * cw + cx) = px(sr + cx * 2)
+                crP(cy * cw + cx) = px(sr + cx * 2 + 1)
+                cx += 1
+              }
+              cy += 1
+            }
+            Jpeg.encodeYcbcr420Progressive(px, cbP, crP, PngWidth, h)
         }
         val (format, w, h, frames) = mediaMetadata(payload)
         (id, format, w.toLong, h.toLong, frames.toLong)
@@ -191,11 +260,12 @@ object Multimodal {
   val metadataOracle: String =
     s"""WITH $pixelCtes
        |SELECT doc_id,
-       |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-       |            ELSE 'avi' END AS format,
-       |       CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 16 END AS BIGINT) AS width,
-       |       CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE n // 16 END AS BIGINT) AS height,
-       |       CAST(CASE WHEN doc_id % 3 = 2 THEN n // 16 ELSE 1 END AS BIGINT) AS n_frames
+       |       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+       |            WHEN 2 THEN 'avi' WHEN 3 THEN 'jpeg'
+       |            ELSE 'jpeg_prog' END AS format,
+       |       CAST(CASE WHEN doc_id % 5 = 2 THEN 4 ELSE 16 END AS BIGINT) AS width,
+       |       CAST(CASE WHEN doc_id % 5 = 2 THEN 4 ELSE n // 16 END AS BIGINT) AS height,
+       |       CAST(CASE WHEN doc_id % 5 = 2 THEN n // 16 ELSE 1 END AS BIGINT) AS n_frames
        |FROM p ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
   /** `mm_features`: 16-bin histogram over REAL PNG-decoded pixels — the

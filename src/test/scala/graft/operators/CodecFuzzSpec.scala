@@ -103,6 +103,32 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("mediaMetadata survives the full fuzz corpus cleanly") {
+    // the header-only probe walks every container family's length
+    // fields — it gets the same three corpora as the decoders (random,
+    // single-byte mutations, truncations), over ALL valid payloads
+    // including raw baseline/progressive JPEG
+    val rng = new scala.util.Random(0x5EEDAE7AL)
+    val sniff: Array[Byte] => Array[Float] =
+      p => { Multimodal.mediaMetadata(p); Array(1f) }
+    for (_ <- 0 until 500) {
+      val payload = new Array[Byte](rng.nextInt(1024))
+      rng.nextBytes(payload)
+      mustFailCleanly("meta", "random", sniff, payload)
+    }
+    for ((codec, good) <- validPayloads) {
+      assert(sniff(good).nonEmpty, s"meta: valid $codec payload must sniff")
+      for (_ <- 0 until 200) {
+        val mutated = good.clone()
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+        mustFailCleanly("meta", s"mutate-$codec", sniff, mutated)
+      }
+      for (_ <- 0 until 40)
+        mustFailCleanly("meta", s"trunc-$codec", sniff,
+          good.take(rng.nextInt(good.length)))
+    }
+  }
+
   test("single-byte mutations of valid payloads fail cleanly or decode") {
     val rng = new scala.util.Random(0xBADF00DL)
     val valid = validPayloads

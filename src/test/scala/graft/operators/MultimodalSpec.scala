@@ -706,6 +706,24 @@ class MultimodalSpec extends AnyFunSuite {
     bmp.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
       .putInt(40).putInt(6).putInt(-2).putShort(1).putShort(24)
     assert(Multimodal.mediaMetadata(bmp.array()) == (("bmp", 6, 2, 1)))
+    // raw JPEG: the SOI→SOFn marker walk; sequential frames report
+    // "jpeg", progressive SOF2 "jpeg_prog" — across gray and 4:2:0 color
+    val jpx = Array.tabulate[Byte](24 * 16)(i => (i * 7).toByte)
+    val jch = Array.tabulate[Byte](12 * 8)(i => (i * 11).toByte)
+    assert(Multimodal.mediaMetadata(Jpeg.encodeGray(jpx, 24)) ==
+      (("jpeg", 24, 16, 1)))
+    assert(Multimodal.mediaMetadata(Jpeg.encodeGrayProgressive(jpx, 24)) ==
+      (("jpeg_prog", 24, 16, 1)))
+    assert(Multimodal.mediaMetadata(
+      Jpeg.encodeYcbcr420(jpx, jch, jch, 24, 16)) == (("jpeg", 24, 16, 1)))
+    assert(Multimodal.mediaMetadata(
+      Jpeg.encodeYcbcr420Progressive(jpx, jch, jch, 24, 16)) ==
+      (("jpeg_prog", 24, 16, 1)))
+    // a JPEG that ends before any SOF marker is rejected cleanly
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaMetadata(
+        Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))
+    }
     // unknown containers and headerless AVIs are rejected cleanly
     intercept[IllegalArgumentException] {
       Multimodal.mediaMetadata("no such container".getBytes("US-ASCII"))
@@ -731,10 +749,12 @@ class MultimodalSpec extends AnyFunSuite {
     texts.foreach { case (id, text) =>
       val px = Multimodal.pngPixels(text)
       val h = px.length / 16
-      val expectMeta = (id % 3) match {
+      val expectMeta = (id % 5) match {
         case 0 => ("png", 16L, h.toLong, 1L)
         case 1 => ("gif", 16L, h.toLong, 1L)
-        case _ => ("avi", 4L, 4L, (px.length / 16).toLong)
+        case 2 => ("avi", 4L, 4L, (px.length / 16).toLong)
+        case 3 => ("jpeg", 16L, h.toLong, 1L)
+        case _ => ("jpeg_prog", 16L, h.toLong, 1L)
       }
       assert(gotMeta(id) == expectMeta, s"metadata doc $id")
       // frame sampling: 16-px frames, every 4th kept
