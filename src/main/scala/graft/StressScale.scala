@@ -128,7 +128,15 @@ object StressScale {
       println(s"[stress] $name base=$base scaled=$scaled")
       (name, base, scaled)
     }
-    def jstr(s: String) = "\"" + s.replace("\"", "'").replace("\\", "/") + "\""
+    // same escaping discipline as Bench.jstr: Spark exception messages
+    // are frequently multiline, and a raw newline in an err field breaks
+    // the one-line stress_report.json contract
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     val body = rows.map {
       case (n, Right(b), Right(s)) =>
         jstr(n) + s""":{"base_sec":${f"$b%.3f"},"scaled_sec":${f"$s%.3f"},"wall_ratio":${f"${s / math.max(b, 1e-9)}%.2f"}}"""

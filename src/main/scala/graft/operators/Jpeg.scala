@@ -1032,20 +1032,25 @@ object Jpeg {
     val progPreds = new Array[Int](4)
     def ensureSized(): Unit = if (planeW == null) {
       require(width > 0 && comps != null, "SOS before SOF")
-      // u16 dims can claim ~4.3e9 px from a 20-byte header — cap BEFORE
-      // allocating, in Long so the product cannot wrap into a
-      // NegativeArraySizeException. Progressive holds every coefficient
-      // in memory (4 B/sample/component), so its cap is tighter than
-      // the baseline streaming path's.
-      require(width.toLong * height.toLong <=
-        (if (progressive) 1L << 26 else 1L << 28),
-        s"decoded image too large: ${width}x$height")
       hMax = comps.map(_.h).max
       vMax = comps.map(_.v).max
       mcusX = (width + 8 * hMax - 1) / (8 * hMax)
       mcusY = (height + 8 * vMax - 1) / (8 * vMax)
       planeW = comps.map(c => mcusX * c.h * 8)
       planeH = comps.map(c => mcusY * c.v * 8)
+      // u16 dims can claim ~4.3e9 px from a 20-byte header — cap BEFORE
+      // allocating, in Long so the product cannot wrap into a
+      // NegativeArraySizeException. The cap bounds TOTAL samples across
+      // all component planes (a crafted 3-component header otherwise
+      // allocates ~3-6× the grayscale bound), so color payloads get the
+      // same absolute memory ceiling as grayscale. Progressive holds
+      // every coefficient in memory (4 B/sample/component), so its cap
+      // is tighter than the baseline streaming path's.
+      val totalSamples =
+        comps.indices.map(i => planeW(i).toLong * planeH(i).toLong).sum
+      require(totalSamples <= (if (progressive) 1L << 26 else 1L << 28),
+        s"decoded image too large: ${width}x$height, " +
+          s"${comps.length} component(s), $totalSamples plane samples")
       // non-interleaved progressive scans cover only the ACTUAL data
       // units (ceil(compDim/8)), not the MCU-padded grid
       dataBX = comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)

@@ -308,6 +308,64 @@ object Multimodal {
        |FROM f ORDER BY ${(1 to 17).mkString(", ")}""".stripMargin
   }
 
+  /** `mm_audio_features`: the audio modality's feature head — synthesize
+    * a REAL RIFF/WAVE 16-bit PCM payload per document ([[wavEncode]],
+    * int16 sample `(codepoint%256 - 128) * 256` per text position),
+    * decode it back with [[wavPcmDecoder]], and extract the features an
+    * audio curation pass filters on: sample count, peak amplitude,
+    * total energy (Σ s²) and zero-crossing count — all integer-exact
+    * over the recovered int16 samples (`s = round(f·32768)` is exact
+    * because `f = s/32768` is), so DuckDB replays them from the text
+    * like the pixel histogram. Encode → decode → features run in one
+    * JVM pass inside the partition iterator — scan-side, no shuffle;
+    * a sample-order, sign or chunk-walk defect breaks every row. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val px = pngPixels(text)
+        val samples = new Array[Short](px.length)
+        var i = 0
+        while (i < px.length) {
+          samples(i) = (((px(i) & 0xff) - 128) * 256).toShort
+          i += 1
+        }
+        val pcm = wavPcmDecoder(wavEncode(samples))
+        var peak = 0L; var energy = 0L; var zc = 0L
+        var prevNeg = false
+        i = 0
+        while (i < pcm.length) {
+          val s = math.round(pcm(i) * 32768f).toLong
+          if (math.abs(s) > peak) peak = math.abs(s)
+          energy += s * s
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        (id, pcm.length.toLong, peak, energy, zc)
+      }(enc)
+      .toDF("doc_id", "n_samples", "peak", "energy", "zero_cross")
+  }
+
+  val audioFeaturesOracle: String =
+    s"""WITH $pixelCtes,
+       |a AS (SELECT doc_id, n,
+       |             [(coalesce(px0[i], 32) - 128) * 256
+       |              for i in range(1, n + 1)] AS s
+       |      FROM p)
+       |SELECT doc_id,
+       |       CAST(n AS BIGINT) AS n_samples,
+       |       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+       |       CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy,
+       |       CAST(list_sum([CASE WHEN (s[i] < 0) != (s[i + 1] < 0)
+       |                           THEN 1 ELSE 0 END
+       |                      for i in range(1, n)]) AS BIGINT) AS zero_cross
+       |FROM a ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   /** Stride for [[frameSample]] — deliberately different from
     * [[FrameEvery]] so this query and `mm_video_frames` pin different
     * sampling paths. */
@@ -424,6 +482,34 @@ object Multimodal {
       // per-partition setup would init the codec once, here
       rows.map(r => Row(r.doc_id, decoder(r.payload).toSeq))
     }(rowEnc).toDF()
+  }
+
+  /** RIFF/WAVE 16-bit PCM mono encoder — the write side of
+    * [[wavPcmDecoder]], used to synthesize real audio payloads from the
+    * corpus text (`mm_audio_features`) exactly as [[pngEncode]] does for
+    * the image modality. Fixed 8 kHz mono: the features the pipeline
+    * extracts are rate-independent, and the decoder reads the sample
+    * data regardless of rate. */
+  def wavEncode(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(36 + dataLen)
+      .put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
   }
 
   /** A REAL decoder with zero external dependencies: RIFF/WAVE 16-bit PCM
@@ -1593,6 +1679,7 @@ object Multimodal {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (metadata _),
     "mm_features" -> (features _),
+    "mm_audio_features" -> (audioFeatures _),
     "mm_frame_sample" -> (frameSample _),
     "mm_resize" -> (resize _),
     "mm_decode_png" -> (decodePng _),
@@ -1606,6 +1693,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> metadataOracle,
     "mm_features" -> featuresOracle,
+    "mm_audio_features" -> audioFeaturesOracle,
     "mm_frame_sample" -> frameSampleOracle,
     "mm_resize" -> resizeOracle,
     "mm_decode_png" -> decodePngOracle,

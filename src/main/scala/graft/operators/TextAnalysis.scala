@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -1481,13 +1481,28 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= LineDedupDf)
       .select(col("lh"))
+    // cap the hash-level candidate set BEFORE it broadcasts into the
+    // resolve join: a corpus whose frequent-line set blows the cap must
+    // fail with the conf key in the message, not with an opaque
+    // broadcast-timeout / driver-OOM inside the join below. Collisions
+    // can only ADD hash-level candidates, so the cap here is at most
+    // a-few-collisions stricter than the exact cap re-checked after the
+    // recount; the collected longs (8 B each, ≤ cap+1 rows) also become
+    // the local relation the semi-join broadcasts, so the hash-keyed
+    // aggregation runs exactly once.
+    val freqHashRows = freqHashes.limit(maxFrequent + 1).collect()
+    require(freqHashRows.length <= maxFrequent,
+      s"frequent-line candidate set exceeds spark.graft.linededup." +
+        s"maxFrequent=$maxFrequent — raise it or lower the threshold")
+    val freqHashLocal = spark.createDataset(
+      freqHashRows.map(_.getLong(0)).toSeq)(Encoders.scalaLong).toDF("lh")
     // resolve hashes → strings on a second scan (broadcast semi-join;
     // the frequent set is tiny), then recount df over the EXACT
     // (source, line) candidates: a hash collision can inflate only the
     // hash-level df, and any sub-threshold line it drags in dies here —
     // bit-identical to the unhashed aggregation, at ~1/10 the shuffle
     val frequent = lines
-      .join(broadcast(freqHashes),
+      .join(broadcast(freqHashLocal),
         xxhash64(col("source"), col("line")) === col("lh"), "left_semi")
       .groupBy(col("source"), col("line"))
       .agg(countDistinct(col("doc_id")).as("df"))

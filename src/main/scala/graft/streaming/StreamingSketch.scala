@@ -57,4 +57,35 @@ object StreamingSketch {
           .writeStream.format("memory").queryName(sink).outputMode("complete")
           .start()))
   }
+
+  /** PRODUCTION-SINK variant of [[hllSketchStreaming]]: the identical
+    * per-micro-batch register build, but the per-language register state
+    * lands in PARQUET through `foreachBatch` — executors write the files
+    * directly, no memory sink, no driver materialization (the same
+    * pattern as
+    * [[StreamingIncremental.incrementalStreamingToParquet]]).
+    * `complete` output + overwrite makes each micro-batch a consistent
+    * whole snapshot of the (bounded, 64 B/language) register table, so
+    * the writer is idempotent under micro-batch retry. The estimate tail
+    * runs over the parquet READ-BACK, as a downstream consumer would —
+    * at 100 TB/day this is a continuously-refreshed distinct-count
+    * summary table any engine can read. `StreamingSketchSpec` pins
+    * parquet ≡ memory ≡ batch. */
+  def hllSketchStreamingToParquet(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val (docs, streamDir, _) = StreamingStaging.stageParquetStream(
+      spark, dir, "documents", "graft_stream_hllpq")
+    val regs = TextAnalysis.hllRegistersOf(TextAnalysis.hllHashedOf(docs))
+    try {
+      val query = regs
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    } finally StreamingStaging.deleteRecursively(streamDir)
+    TextAnalysis.hllEstimated(spark.read.parquet(outDir))
+  }
 }

@@ -78,6 +78,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "mm_decode_png" -> (0, 0), // encode+decode inside the partition iterator
     "mm_video_mjpeg" -> (1, 0),
     "mm_features" -> (0, 0),
+    "mm_audio_features" -> (0, 0), // encode+decode inside the partition iterator
     "mm_video_frames" -> (0, 0), // encode+sample inside the partition iterator
     "mm_frame_sample" -> (0, 0),
     "mm_metadata" -> (0, 0),

@@ -772,4 +772,29 @@ class MultimodalSpec extends AnyFunSuite {
       assert(gotResize(id) == rfp, s"resize doc $id")
     }
   }
+
+  test("wavEncode round-trips through wavPcmDecoder sample-exact") {
+    val s = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue, 12345)
+    val back = Multimodal.wavPcmDecoder(Multimodal.wavEncode(s))
+    assert(back.length == s.length)
+    s.indices.foreach(i =>
+      assert(math.round(back(i) * 32768f) == s(i).toInt, s"sample $i"))
+  }
+
+  test("mm_audio_features extracts integer-exact features from real WAV decode") {
+    val got = Multimodal.audioFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty && got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val s = Multimodal.pngPixels(text).map(b => ((b & 0xff) - 128) * 256)
+      val peak = s.map(v => math.abs(v).toLong).max
+      val energy = s.map(v => v.toLong * v).sum
+      val zc = s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong
+      assert(got(id) == ((s.length.toLong, peak, energy, zc)), s"doc $id")
+    }
+  }
 }

