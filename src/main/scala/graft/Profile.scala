@@ -3,15 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch profiler (temporary; repointed per round at the current bench
-  * hog). Round 8: mm_video_mjpeg regressed 2.6× vs the round-7 builder
-  * artifact right after the JPEG decoder was generalized to 1-or-3
-  * components. Hypothesis: the tiny-frame MJPEG hot loop (190 k 16×16
-  * frame decodes at sf0.1) was monomorphic before; running the color
-  * query in the same session makes the shared decode path bimorphic and
-  * the JIT profile degrades. Protocol: time MJPEG alone (fresh JVM →
-  * monomorphic), then run the color decode once, then time MJPEG again
-  * — a jump in the second set isolates the JIT-profile interaction from
-  * plain per-call overhead. */
+  * hog). Round 9: dedup_simhash regressed 0.60 → 1.61 s r7→r8 with a
+  * TIGHT spread (all three bench iterations slow — not min-of-3 noise)
+  * and no round-8 commits to Dedup.scala. Hypothesis, by analogy with
+  * the round-8 mm_video_mjpeg finding: the bench runs alphabetically, so
+  * seven other dedup-family queries execute first in the same session,
+  * all funnelling through the shared shingle/hash scalar expressions —
+  * the JIT profile of those shared paths degrades (megamorphic call
+  * sites, deopt/recompile) before dedup_simhash ever runs. Protocol:
+  * time dedup_simhash alone on a fresh JVM (iteration curve → JIT ramp
+  * vs steady state), then run the alphabetically-preceding dedup family
+  * once each, then time dedup_simhash again — a jump in the second set
+  * isolates the shared-path JIT interaction from plain query cost. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,8 +26,10 @@ object Profile {
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKPlanning.register(spark)
 
     def time(name: String)(f: => Long): Unit = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = f
       println(f"PROFILE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
@@ -32,17 +37,22 @@ object Profile {
 
     graft.sources.Tables.region(spark, sfDir).count()
     var i = 0
-    while (i < 4) {
-      time("mm_video_mjpeg (pre-color)")(
-        graft.operators.Multimodal.videoMjpeg(spark, sfDir).count())
+    while (i < 6) {
+      time("dedup_simhash (fresh-JVM curve)")(
+        graft.operators.Dedup.simhashPairs(spark, sfDir).count())
       i += 1
     }
-    time("mm_decode_jpeg_color (once)")(
-      graft.operators.Multimodal.decodeJpegColor(spark, sfDir).count())
+    // the bench's alphabetical predecessors from the same family — the
+    // queries sharing the shingle/hash expression paths
+    val preceding = Seq("dedup_clusters", "dedup_cross_source",
+      "dedup_dup_spans", "dedup_exact", "dedup_incremental",
+      "dedup_minhash_lsh", "dedup_semantic")
+    val registry = SparkEntry.benchQueries
+    preceding.foreach(n => time(s"$n (once)")(registry(n)(spark, sfDir).count()))
     i = 0
     while (i < 4) {
-      time("mm_video_mjpeg (post-color)")(
-        graft.operators.Multimodal.videoMjpeg(spark, sfDir).count())
+      time("dedup_simhash (post-family)")(
+        graft.operators.Dedup.simhashPairs(spark, sfDir).count())
       i += 1
     }
     spark.stop()

@@ -22,8 +22,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The O(n²) oracle baselines are excluded for the usual reason.
   *
   * Usage: runMain graft.StressScale <sf0.1Dir> <outRoot> <factor>
-  * (re-uses an existing synthesized corpus at outRoot/x<factor>; delete
-  * the directory to regenerate). Prints one JSON line and writes it to
+  * [query ...] (re-uses an existing synthesized corpus at
+  * outRoot/x<factor>; delete the directory to regenerate). Extra args
+  * restrict the run to that subset of [[StressQueries]] — how the 100×
+  * point runs only the bounded families without paying the probe-heavy
+  * ANN cost at that factor. Prints one JSON line and writes it to
   * SPARK_GRAFT_STRESS_OUT (default target/stress_report.json).
   */
 object StressScale {
@@ -120,8 +123,11 @@ object StressScale {
     try spark.read.parquet(s"$sfDir/documents.parquet").count()
     catch { case _: Throwable => () }
 
+    val only = args.drop(3).toSet
+    only.foreach(n => require(StressQueries.contains(n),
+      s"unknown stress query '$n' (see StressQueries)"))
     val registry = SparkEntry.benchQueries
-    val rows = StressQueries.map { name =>
+    val rows = StressQueries.filter(n => only.isEmpty || only(n)).map { name =>
       val fn = registry(name)
       val base = time(fn, sfDir)
       val scaled = time(fn, scaledDir)

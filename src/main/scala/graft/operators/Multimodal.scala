@@ -206,10 +206,11 @@ object Multimodal {
 
   /** `mm_metadata`: REAL container-header metadata extraction — each
     * document's raster is packaged into a real container (format cycled
-    * by `doc_id % 5`: compressed PNG, LZW GIF, a multi-frame DIB AVI,
-    * a raw BASELINE grayscale JPEG, or a raw PROGRESSIVE 4:2:0 color
+    * by `doc_id % 6`: compressed PNG, LZW GIF, a multi-frame DIB AVI,
+    * a raw BASELINE grayscale JPEG, a raw PROGRESSIVE 4:2:0 color
     * JPEG — raw JPEG being the single most common image format in a
-    * real crawl) and [[mediaMetadata]] parses
+    * real crawl — or a RIFF/WAVE PCM clip, so the routing pass covers
+    * the audio modality too) and [[mediaMetadata]] parses
     * format/dimensions/frame-count back from the container bytes alone,
     * never touching pixel/entropy data. Scan-side narrow map, no
     * shuffle. The DuckDB oracle replays the dimensions from the text
@@ -223,11 +224,21 @@ object Multimodal {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .map { case (id, text) =>
         val px = pngPixels(text)
-        val payload = (id % 5) match {
+        val payload = (id % 6) match {
           case 0 => pngEncode(px, PngWidth)
           case 1 => gifEncode(px, PngWidth)
           case 2 => aviEncode(px.grouped(FrameW * FrameH).toSeq, FrameW, FrameH)
           case 3 => Jpeg.encodeGray(px, PngWidth)
+          case 5 =>
+            // audio: the same int16 synthesis the audio feature head
+            // ([[audioFeatures]]) decodes — mono, so width = samples
+            val samples = new Array[Short](px.length)
+            var i = 0
+            while (i < px.length) {
+              samples(i) = (((px(i) & 0xff) - 128) * 256).toShort
+              i += 1
+            }
+            wavEncode(samples)
           case _ =>
             // progressive color on the raw raster: chroma planes take
             // each 2×2 raster group's top-left/top-right values (the
@@ -260,12 +271,14 @@ object Multimodal {
   val metadataOracle: String =
     s"""WITH $pixelCtes
        |SELECT doc_id,
-       |       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+       |       CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
        |            WHEN 2 THEN 'avi' WHEN 3 THEN 'jpeg'
-       |            ELSE 'jpeg_prog' END AS format,
-       |       CAST(CASE WHEN doc_id % 5 = 2 THEN 4 ELSE 16 END AS BIGINT) AS width,
-       |       CAST(CASE WHEN doc_id % 5 = 2 THEN 4 ELSE n // 16 END AS BIGINT) AS height,
-       |       CAST(CASE WHEN doc_id % 5 = 2 THEN n // 16 ELSE 1 END AS BIGINT) AS n_frames
+       |            WHEN 4 THEN 'jpeg_prog' ELSE 'wav' END AS format,
+       |       CAST(CASE doc_id % 6 WHEN 2 THEN 4 WHEN 5 THEN n
+       |            ELSE 16 END AS BIGINT) AS width,
+       |       CAST(CASE doc_id % 6 WHEN 2 THEN 4 WHEN 5 THEN 1
+       |            ELSE n // 16 END AS BIGINT) AS height,
+       |       CAST(CASE WHEN doc_id % 6 = 2 THEN n // 16 ELSE 1 END AS BIGINT) AS n_frames
        |FROM p ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
   /** `mm_features`: 16-bin histogram over REAL PNG-decoded pixels — the
