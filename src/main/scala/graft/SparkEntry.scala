@@ -55,6 +55,8 @@ object SparkEntry {
     "sim_quantize_pq" -> (Similarity.quantizePqProd _),
     "sim_ann_ivfpq" -> (Similarity.annIvfPqProd _),
     "sim_ann_lsh" -> (Similarity.annLshProd _),
+    "sim_neardup_lsh" -> (Similarity.nearDupLshProd _),
+    "dedup_semantic" -> (Similarity.semanticDedupProd _),
     "sketch_distinct_hll" -> (TextAnalysis.distinctHllProd _))
 
   /** The PRODUCTION registry: every operator as a user would run it at

@@ -257,6 +257,12 @@ object VectorFunctions {
       codebook: Array[Array[Array[Double]]], subDim: Int): Column =
     ColumnBridge.column(PqAssign(
       ColumnBridge.expression(embedding), codebook, subDim))
+
+  def pq_packed_cosine(aCode: Column, bCode: Column,
+      codebook: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqPackedCosine(
+      ColumnBridge.expression(aCode), ColumnBridge.expression(bCode),
+      codebook))
 }
 
 /** Product-quantization assignment of a raw `array<float>` embedding
@@ -397,5 +403,96 @@ object PqAssign {
       maxErr,
       new org.apache.spark.sql.catalyst.util.GenericArrayData(qv),
       packed)
+  }
+}
+
+/** Symmetric-PQ approximate cosine straight from two 8-byte packed code
+  * words — the prefilter metric of the near-dup confirm join
+  * (`sim_neardup_lsh` / `dedup_semantic`). Semantically identical to
+  * `cosine_similarity(decode(a), decode(b))` with the flat-codebook
+  * decode, but with NO per-row array materialization: the first
+  * formulation builds two 64-double arrays per candidate row (two
+  * `flatten(array(element_at…))` chains) before the cosine pass — at
+  * 10⁸ candidate rows that allocation churn dominated the whole query
+  * (measured round 9: the decode-per-row prefilter ran SLOWER than the
+  * unpruned confirm it replaced). This expression walks the codebook
+  * reference object directly: per subspace, unpack the two 4-bit codes
+  * and fold the centroid products into (dot, |a|², |b|²) in
+  * concatenated-dimension order — the SAME left fold as
+  * [[CosineSimilarity]] over the decoded arrays, so results are
+  * bit-identical and the DuckDB oracle's decoded-cosine replay is
+  * unchanged (asserted by `VectorExpressionsSpec`).
+  *
+  * Null contract: a code nibble addressing a non-existent centroid
+  * (possible only on hostile/corrupt input — assignment emits dense
+  * codes) yields NULL, not an AIOOBE. */
+case class PqPackedCosine(left: Expression, right: Expression,
+    codebook: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two bigint code words, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_packed_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqPackedCosine.compute(a.asInstanceOf[Long], b.asInstanceOf[Long], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("pqc")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.functions.PqPackedCosine.compute($a, $b, $cbRef);
+         |${ev.isNull} = $boxed == null;
+         |if (!${ev.isNull}) ${ev.value} = $boxed.doubleValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqPackedCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqPackedCosine {
+  /** Static so generated code can call it; one tight pass, no
+    * allocation. Accumulation order = concatenated-dimension left fold
+    * (subspace-major, dimension-minor) — bit-identical to
+    * [[CosineSimilarity]] over the decoded vectors. */
+  def compute(a: Long, b: Long,
+      cb: Array[Array[Array[Double]]]): java.lang.Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var m = 0
+    while (m < cb.length) {
+      val cells = cb(m)
+      val ai = ((a >>> (4 * m)) & 15L).toInt
+      val bi = ((b >>> (4 * m)) & 15L).toInt
+      if (ai >= cells.length || bi >= cells.length) return null
+      val va = cells(ai)
+      val vb = cells(bi)
+      var si = 0
+      while (si < va.length) {
+        val xi = va(si)
+        val yi = vb(si)
+        dot += xi * yi
+        na += xi * xi
+        nb += yi * yi
+        si += 1
+      }
+      m += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }

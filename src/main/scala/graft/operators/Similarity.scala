@@ -584,18 +584,66 @@ object Similarity {
       (for { i <- 0 until numPlanes; j <- (i + 1) until numPlanes }
         yield (1L << i) | (1L << j))
 
+  /** Symmetric-PQ prefilter margin for the near-dup confirm: a candidate
+    * pair reaches the exact-cosine join only when the cosine of its two
+    * PQ-DECODED approximations clears this. True near-dups (exact cosine
+    * ≥ 0.9) decode to near-identical approximations (approx cosine ≈ 1 —
+    * often the literal same codes), while the LSH buckets' incidental
+    * candidates sit below ~0.55 exact and decode accordingly — a wide
+    * moat on both sides, pinned by the recall-1.0 spec. Deliberately NOT
+    * the confirm threshold: 0.9 on the approximation would trade recall
+    * for nothing (the exact confirm already decides). */
+  private val NearDupPqMargin = 0.5
+
   /** Near-dup pairs via bucketed LSH with radius-2 multi-probe: side A
     * probes its own bucket plus every bucket within hamming distance 2 of
-    * it; candidates then pass the exact cosine ≥ 0.9 filter. Replaces the
-    * O(n²·d) cartesian of [[cosineNearDup]] with work proportional to
-    * (#probes ≈ planes²/2) × bucket occupancy × n — the non-O(n²)
-    * near-dup path this file lacked. The oracle replays the identical
-    * algorithm, so the result hash-matches; recall vs the exact pair set
-    * is pinned by `SimilaritySpec`. */
+    * it; candidates pass a symmetric-PQ prefilter (8-byte packed codes on
+    * BOTH sides — the round-9 stress run measured the unpruned confirm
+    * joining full 512 B embeddings onto every candidate pair, ~10⁸ rows
+    * at 30× fixture scale, the same disease the ANN family's round-8
+    * asymmetric prune cured), and only the survivors reach the exact
+    * cosine ≥ 0.9 confirm. Replaces the O(n²·d) cartesian of
+    * [[cosineNearDup]] with work proportional to (#probes ≈ planes²/2) ×
+    * bucket occupancy × n, shuffling ~32 B per candidate instead of ~1 KiB.
+    * The oracle replays the identical algorithm (codebook trained on the
+    * same vector set, same folds, same margin), so the result
+    * hash-matches; recall vs the exact pair set is pinned by
+    * `SimilaritySpec`. */
   def nearDupLsh(spark: SparkSession, dir: String): DataFrame = {
-    val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val v = withNearDupVecs(spark, dir)
-      .withColumn("bucket", bucketExpr(col("ev"), numPlanes))
+    val cbDf = pqCodebookExactOn(v)
+    val packed = pqPackedExactOn(pqAssignExactOn(v, cbDf))
+    nearDupLshFrom(spark, dir, v, packed, pqCodebookArrOf(cbDf))
+  }
+
+  /** PRODUCTION near-dup pairs ([[graft.SparkEntry.productionOverrides]]):
+    * the fixed-buffer base-corpus codebook ([[pqCodebookProd]] — no
+    * per-cell collect_list) and the scan-side native packed assignment
+    * ([[graft.functions.PqAssign]]) feeding the same pruned candidate
+    * dataflow. The codebook differs from the oracle's fold-exact
+    * union-trained one in training set and last-ulp accumulation, so the
+    * prod form is recall-pinned (and fixture-equal) rather than
+    * hash-gated — the [[annLshProd]] discipline. */
+  def nearDupLshProd(spark: SparkSession, dir: String): DataFrame = {
+    val v = withNearDupVecs(spark, dir)
+    val cb = pqCodebookProd(spark, dir)
+    val pq = graft.functions.VectorFunctions.pq_assign(
+      col("ev").cast("array<float>"), cb, PqS)
+    val packed = v.select(col("vec_id"), pq.getField("packed").as("b_code"))
+    nearDupLshFrom(spark, dir, v, packed, cb)
+  }
+
+  /** Shared near-dup dataflow: ids-only candidate generation → 8-byte
+    * packed-code join on both sides → symmetric-PQ approximate-cosine
+    * prefilter ([[graft.functions.PqPackedCosine]] — straight from the
+    * two code words against the codebook reference object, no per-row
+    * array materialization, inside whole-stage codegen) → exact cosine
+    * ≥ 0.9 confirm on the survivors. */
+  private def nearDupLshFrom(spark: SparkSession, dir: String,
+      vIn: DataFrame, packed: DataFrame,
+      cbArr: Array[Array[Array[Double]]]): DataFrame = {
+    val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
+    val v = vIn.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
     // candidate generation and dedup carry ONLY the id pair — the 64-dim
     // vectors rejoin after dropDuplicates, so the dedup shuffle moves two
     // longs per candidate instead of two embeddings
@@ -607,8 +655,15 @@ object Similarity {
         col("x.probe") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val ev = v.select(col("vec_id"), col("ev"))
-    (cand
+    val pf = cand
+      .join(packed.select(col("vec_id").as("a_id"), col("b_code").as("a_code")),
+        "a_id")
+      .join(packed.select(col("vec_id").as("b_id"), col("b_code")), "b_id")
+      .filter(graft.functions.VectorFunctions.pq_packed_cosine(
+        col("a_code"), col("b_code"), cbArr) >= NearDupPqMargin)
+      .select(col("a_id"), col("b_id"))
+    val ev = vIn.select(col("vec_id"), col("ev"))
+    (pf
       .join(ev.select(col("vec_id").as("a_id"), col("ev").as("a_ev")), "a_id")
       .join(ev.select(col("vec_id").as("b_id"), col("ev").as("b_ev")), "b_id")
       .select(col("a_id"), col("b_id"),
@@ -620,7 +675,8 @@ object Similarity {
     * cosine confirm — everything through `p` = the confirmed pair set.
     * [[nearDupLshOracle]] selects the pairs; [[semanticDedupOracle]]
     * closes over them transitively. */
-  private val nearDupPairsCtes: String =
+  // lazy: interpolates pqCtes, declared later in the object
+  private lazy val nearDupPairsCtes: String =
     s"""$nearDupVecsCte,
        |${planesSql("embeddings")},
        |pw AS (SELECT p,
@@ -646,13 +702,21 @@ object Similarity {
        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |         FROM pr a JOIN vv b
        |           ON a.probe = b.bucket AND a.vec_id < b.vec_id),
+       |$pqCtes,
+       |pdec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |         FROM pasg GROUP BY 1),
+       |pf AS (SELECT c.a_id, c.b_id
+       |       FROM cand c
+       |       JOIN pdec da ON c.a_id = da.vec_id
+       |       JOIN pdec db ON c.b_id = db.vec_id
+       |       WHERE ${sqlCos("da.qv", "db.qv")} >= $NearDupPqMargin),
        |p AS (SELECT c.a_id, c.b_id, ${sqlCos("a.ev", "b.ev")} AS cosine
-       |      FROM cand c
+       |      FROM pf c
        |      JOIN vv a ON c.a_id = a.vec_id
        |      JOIN vv b ON c.b_id = b.vec_id
        |      WHERE ${sqlCos("a.ev", "b.ev")} >= 0.9)""".stripMargin
 
-  val nearDupLshOracle: String =
+  lazy val nearDupLshOracle: String =
     s"""WITH $nearDupPairsCtes
        |SELECT a_id, b_id, cosine FROM p
        |ORDER BY 1, 2, 3""".stripMargin
@@ -678,10 +742,21 @@ object Similarity {
     * to a pair, never corpus size; each round is one shuffle of that
     * edge-induced subgraph. The full corpus touches the loop exactly
     * once, in the final left join. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOver(spark, dir, nearDupLsh(spark, dir))
+
+  /** PRODUCTION semantic dedup: the same CC closure over
+    * [[nearDupLshProd]]'s pair set (fixed-buffer codebook, native packed
+    * assignment) — recall-pinned and fixture-equal rather than
+    * hash-gated, like every PQ-backed production override. */
+  def semanticDedupProd(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOver(spark, dir, nearDupLshProd(spark, dir))
+
+  private def semanticDedupOver(spark: SparkSession, dir: String,
+      pairsDf: DataFrame): DataFrame = {
     val nodes = withNearDupVecs(spark, dir)
       .select(col("vec_id").as("doc_id"))
-    val pairs = nearDupLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val pairs = pairsDf.select(col("a_id"), col("b_id"))
     Dedup.connectedComponents(nodes, pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_rep"),
         col("is_keeper"))
@@ -690,7 +765,7 @@ object Similarity {
   /** DuckDB replay: transitive closure (recursive CTE) over the SAME
     * replayed LSH pair set — min reachable vec_id per vector, singletons
     * keeping themselves. */
-  val semanticDedupOracle: String =
+  lazy val semanticDedupOracle: String =
     s"""WITH RECURSIVE $nearDupPairsCtes,
        |e AS (SELECT a_id AS u, b_id AS w FROM p
        |      UNION ALL
@@ -1048,8 +1123,14 @@ object Similarity {
     * required). `code` is the centroid's dense index within its
     * subspace (row_number over centroid_id) — what a 4-bit register
     * would store. Returns (m, code, cv). */
-  private def pqCodebookExact(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+  private def pqCodebookExact(spark: SparkSession, dir: String): DataFrame =
+    pqCodebookExactOn(
+      Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev")))
+
+  /** [[pqCodebookExact]] over ANY (vec_id, ev) frame — the near-dup
+    * family trains on its own vector set (base ∪ planted copies) so the
+    * DuckDB replay's `v`-scoped CTE chain stays engine-identical. */
+  private def pqCodebookExactOn(v: DataFrame): DataFrame = {
     val subs = pqSubsOf(v)
     val seedSubs = pqSubsOf(v.orderBy(col("vec_id")).limit(PqK))
       .select(col("m"), col("vec_id").as("centroid_id"), col("sub").as("cv"))
@@ -1081,12 +1162,20 @@ object Similarity {
 
   /** Every (vector, subspace) assigned to its nearest codebook centroid
     * (L2, ties on code): (vec_id, m, code, sub, cv). */
-  private def pqAssignExact(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+  private def pqAssignExact(spark: SparkSession, dir: String): DataFrame =
+    pqAssignExactOn(
+      Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev")))
+
+  /** [[pqAssignExact]] over ANY (vec_id, ev) frame (codebook trained on
+    * the same frame unless one is supplied). */
+  private def pqAssignExactOn(v: DataFrame): DataFrame =
+    pqAssignExactOn(v, pqCodebookExactOn(v))
+
+  private def pqAssignExactOn(v: DataFrame, cb: DataFrame): DataFrame = {
     val subs = pqSubsOf(v)
     val wA = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("adist").asc, col("code"))
-    subs.join(broadcast(pqCodebookExact(spark, dir)), Seq("m"))
+    subs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("code"), col("sub"), col("cv"),
         l2(col("sub"), col("cv")).as("adist"))
       .withColumn("r", row_number().over(wA))
@@ -1102,8 +1191,13 @@ object Similarity {
     * decode against the literal stays bit-identical to the DuckDB
     * replay's `pcb.cv`. */
   private def pqCodebookExactArr(spark: SparkSession,
-      dir: String): Array[Array[Array[Double]]] = {
-    val rows = pqCodebookExact(spark, dir).collect()
+      dir: String): Array[Array[Array[Double]]] =
+    pqCodebookArrOf(pqCodebookExact(spark, dir))
+
+  /** Collect any (m, code, cv) codebook frame into the dense array
+    * shape (bounded: ≤ [[PqM]]·[[PqK]] rows ≈ 1 KiB of doubles). */
+  private def pqCodebookArrOf(cb: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = cb.collect()
     (0 until PqM).map { m =>
       rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))
         .map(_.getSeq[Double](2).toArray).toArray
@@ -1141,7 +1235,11 @@ object Similarity {
     * the [[graft.functions.PqAssign]] `packed` field's `|=` loop;
     * bounded aggregation state (one long per vector). */
   private def pqPackedExact(spark: SparkSession, dir: String): DataFrame =
-    pqAssignExact(spark, dir)
+    pqPackedExactOn(pqAssignExact(spark, dir))
+
+  /** Pack any `pasg`-shaped assignment frame into (vec_id, b_code). */
+  private def pqPackedExactOn(pasg: DataFrame): DataFrame =
+    pasg
       .groupBy(col("vec_id"))
       .agg(expr("bit_or(shiftleft(code, cast(m * 4 as int)))").as("b_code"))
 

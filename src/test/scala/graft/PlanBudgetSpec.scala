@@ -117,7 +117,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // streamed-side repartition on vec_id doubles as the top-k window's
     // required partitioning, so the window's own Exchange is reused
     "sim_cosine_topk" -> (1, 1),
-    "sim_neardup_lsh" -> (1, 3),
+    // + the two 8-byte packed-code joins of the symmetric-PQ prefilter
+    // (round 9) — broadcast at fixture scale; at cluster scale the
+    // candidate joins shuffle ~32 B rows, never embeddings
+    "sim_neardup_lsh" -> (1, 5),
     "sim_quantize_sq" -> (0, 0),
     "sketch_distinct_hll" -> (1, 0), // native 64-byte register aggregate
     "sketch_distinct_kmv" -> (2, 0),

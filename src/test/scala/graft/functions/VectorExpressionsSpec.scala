@@ -147,6 +147,52 @@ class VectorExpressionsSpec extends AnyFunSuite {
     try check() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("pq_packed_cosine equals cosine over the decoded vectors bit-for-bit") {
+    import spark.implicits._
+    // deterministic random codebook + codes; equivalence target is the
+    // decoded-then-cosine formulation the expression replaces
+    val rng = new scala.util.Random(42)
+    val PqM = 16; val PqK = 16; val PqS = 4
+    val cb: Array[Array[Array[Double]]] = Array.fill(PqM)(
+      Array.fill(PqK)(Array.fill(PqS)(rng.nextGaussian())))
+    def pack(codes: Array[Int]): Long =
+      codes.zipWithIndex.map { case (c, m) => c.toLong << (4 * m) }
+        .foldLeft(0L)(_ | _)
+    def decode(packed: Long): Seq[Double] =
+      (0 until PqM).flatMap(m => cb(m)(((packed >>> (4 * m)) & 15L).toInt))
+    val pairs = (1 to 500).map { i =>
+      val a = pack(Array.fill(PqM)(rng.nextInt(PqK)))
+      val b = pack(Array.fill(PqM)(rng.nextInt(PqK)))
+      (i.toLong, a, b)
+    }
+    val df = pairs.toDF("id", "a", "b")
+    def check(): Unit = {
+      val got = df.select(col("id"),
+        VectorFunctions.pq_packed_cosine(col("a"), col("b"), cb).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      pairs.foreach { case (id, a, b) =>
+        val av = decode(a); val bv = decode(b)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        (0 until PqM * PqS).foreach { i =>
+          dot += av(i) * bv(i); na += av(i) * av(i); nb += bv(i) * bv(i)
+        }
+        val want = dot / (math.sqrt(na) * math.sqrt(nb))
+        assert(java.lang.Double.doubleToLongBits(got(id)) ==
+          java.lang.Double.doubleToLongBits(want), s"pair $id")
+      }
+    }
+    check() // codegen path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // a nibble addressing a missing centroid -> null, not an AIOOBE
+    val ragged: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val bad = Seq((1L, 5L, 0L)).toDF("id", "a", "b")
+      .select(VectorFunctions.pq_packed_cosine(col("a"), col("b"), ragged))
+      .collect()
+    assert(bad.head.isNullAt(0), "out-of-range code must be null")
+  }
+
   test("type checking rejects non-array-of-double inputs") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       // Dataset analysis is eager — the type-check fires at select()

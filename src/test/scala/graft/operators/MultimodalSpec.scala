@@ -749,12 +749,13 @@ class MultimodalSpec extends AnyFunSuite {
     texts.foreach { case (id, text) =>
       val px = Multimodal.pngPixels(text)
       val h = px.length / 16
-      val expectMeta = (id % 5) match {
+      val expectMeta = (id % 6) match {
         case 0 => ("png", 16L, h.toLong, 1L)
         case 1 => ("gif", 16L, h.toLong, 1L)
         case 2 => ("avi", 4L, 4L, (px.length / 16).toLong)
         case 3 => ("jpeg", 16L, h.toLong, 1L)
-        case _ => ("jpeg_prog", 16L, h.toLong, 1L)
+        case 4 => ("jpeg_prog", 16L, h.toLong, 1L)
+        case _ => ("wav", px.length.toLong, 1L, 1L) // mono: width = samples
       }
       assert(gotMeta(id) == expectMeta, s"metadata doc $id")
       // frame sampling: 16-px frames, every 4th kept

@@ -28,6 +28,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("production near-dup (fixed-buffer PQ prefilter) equals the oracle pair set") {
+    // the prod codebook differs from the oracle's (base-trained,
+    // fixed-buffer accumulation) so the prefilter decisions could in
+    // principle diverge — the 0.5 margin's moat (planted pairs decode to
+    // approx cosine ≈ 1, incidental candidates ≲ 0.55) makes both
+    // variants keep exactly the true pair set on the fixtures
+    val oracle = Similarity.nearDupLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prod = Similarity.nearDupLshProd(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oracle.nonEmpty)
+    assert(prod == oracle)
+    val semOracle = Similarity.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val semProd = Similarity.semanticDedupProd(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(semProd == semOracle)
+  }
+
   test("semantic dedup clusters every planted copy with its original") {
     val rows = Similarity.semanticDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
