@@ -36,6 +36,21 @@ object Profile {
     }
 
     graft.sources.Tables.region(spark, sfDir).count()
+    // arg mode: time the named production queries, 4 iterations each, in
+    // this fresh JVM — for isolating a flagged bench row from session
+    // effects (run order, shared-path JIT, heap history)
+    if (args.nonEmpty) {
+      val registry = SparkEntry.benchQueries
+      args.foreach { name =>
+        var j = 0
+        while (j < 4) {
+          time(name)(registry(name)(spark, sfDir).count())
+          j += 1
+        }
+      }
+      spark.stop()
+      return
+    }
     var i = 0
     while (i < 6) {
       time("dedup_simhash (fresh-JVM curve)")(

@@ -263,6 +263,12 @@ object VectorFunctions {
     ColumnBridge.column(PqPackedCosine(
       ColumnBridge.expression(aCode), ColumnBridge.expression(bCode),
       codebook))
+
+  def pq_asymmetric_cosine(vec: Column, bCode: Column,
+      codebook: Array[Array[Array[Double]]], subDim: Int): Column =
+    ColumnBridge.column(PqAsymmetricCosine(
+      ColumnBridge.expression(vec), ColumnBridge.expression(bCode),
+      codebook, subDim))
 }
 
 /** Product-quantization assignment of a raw `array<float>` embedding
@@ -485,6 +491,105 @@ object PqPackedCosine {
       var si = 0
       while (si < va.length) {
         val xi = va(si)
+        val yi = vb(si)
+        dot += xi * yi
+        na += xi * xi
+        nb += yi * yi
+        si += 1
+      }
+      m += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+}
+
+/** Asymmetric-PQ approximate cosine: full-precision query vector against
+  * a neighbor's 8-byte packed code word — the preselect metric of the
+  * LSH ANN candidate ranking (`sim_ann_lsh`). Semantically identical to
+  * `cosine_similarity(a_ev, decode(b_code))` with the flat-codebook
+  * decode, but walks the codebook reference object directly instead of
+  * materializing a 64-double array per candidate row (the
+  * `flatten(element_at…)` decode chain measured ~2.6× the whole query's
+  * round-8 wall at fixture scale once the prune landed). Accumulation is
+  * the concatenated-dimension left fold of [[CosineSimilarity]] — bit-
+  * identical results, so the DuckDB oracle's decoded-cosine replay is
+  * unchanged (`VectorExpressionsSpec`).
+  *
+  * Null contract: dimension mismatch, a null element (when the array
+  * type admits one), or a code nibble addressing a missing centroid
+  * yields NULL, never an exception. */
+case class PqAsymmetricCosine(left: Expression, right: Expression,
+    codebook: Array[Array[Array[Double]]], subDim: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, bigint), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_asymmetric_cosine"
+
+  private lazy val elementsNullable: Boolean = left.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAsymmetricCosine.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Long], codebook, subDim, elementsNullable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("pqac")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.functions.PqAsymmetricCosine.compute(
+         |    $a, $b, $cbRef, $subDim, $elementsNullable);
+         |${ev.isNull} = $boxed == null;
+         |if (!${ev.isNull}) ${ev.value} = $boxed.doubleValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAsymmetricCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAsymmetricCosine {
+  /** Static so generated code can call it; one tight pass, no
+    * allocation. */
+  def compute(arr: ArrayData, code: Long, cb: Array[Array[Array[Double]]],
+      s: Int, checkNulls: Boolean): java.lang.Double = {
+    val dims = cb.length * s
+    if (arr.numElements() != dims) return null
+    if (checkNulls) {
+      var i = 0
+      while (i < dims) {
+        if (arr.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var m = 0
+    while (m < cb.length) {
+      val cells = cb(m)
+      val bi = ((code >>> (4 * m)) & 15L).toInt
+      if (bi >= cells.length) return null
+      val vb = cells(bi)
+      var si = 0
+      while (si < s) {
+        val xi = arr.getDouble(m * s + si)
         val yi = vb(si)
         dot += xi * yi
         na += xi * xi

@@ -225,7 +225,7 @@ object Similarity {
     * construction. */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLshFrom(spark, dir, pqPackedExact(spark, dir),
-      pqFlatten(pqCodebookExactArr(spark, dir)))
+      pqCodebookExactArr(spark, dir))
 
   /** PRODUCTION LSH ANN ([[graft.SparkEntry.productionOverrides]]): the
     * fixed-buffer PQ codebook ([[pqCodebookProd]] — no per-cell
@@ -238,16 +238,18 @@ object Similarity {
       .pq_assign(col("embedding"), cb, PqS)
     val packed = Tables.embeddings(spark, dir)
       .select(col("vec_id"), pq.getField("packed").as("b_code"))
-    annLshFrom(spark, dir, packed, pqFlatten(cb))
+    annLshFrom(spark, dir, packed, cb)
   }
 
   /** Shared LSH-ANN dataflow: bucket/probe candidate generation (ids
-    * only) → 8-byte packed-code join → asymmetric preselect → top-
-    * [[LshPreK]] full-precision rerank. `packed` maps vec_id → b_code
-    * (the 4-bit-per-subspace code word); `cbFlat` is the flat codebook
-    * literal (index m·[[PqK]] + code → [[PqS]]-dim centroid). */
+    * only) → 8-byte packed-code join → asymmetric preselect
+    * ([[graft.functions.PqAsymmetricCosine]] — full-precision query
+    * against the code word, straight off the codebook reference object,
+    * no per-row decode array) → top-[[LshPreK]] full-precision rerank.
+    * `packed` maps vec_id → b_code (the 4-bit-per-subspace code
+    * word). */
   private def annLshFrom(spark: SparkSession, dir: String,
-      packed: DataFrame, cbFlat: Seq[Seq[Double]]): DataFrame = {
+      packed: DataFrame, cbArr: Array[Array[Array[Double]]]): DataFrame = {
     val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val buckets = v.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
@@ -274,7 +276,8 @@ object Similarity {
     val pre = candC
       .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
       .select(col("vec_id"), col("bucket"), col("neighbor_id"),
-        cosine(col("a_ev"), pqDecodePacked(col("b_code"), cbFlat)).as("acos"))
+        graft.functions.VectorFunctions.pq_asymmetric_cosine(
+          col("a_ev"), col("b_code"), cbArr, PqS).as("acos"))
       .withColumn("prernk", row_number().over(wPre))
       .filter(col("prernk") <= LshPreK)
       .select(col("vec_id"), col("bucket"), col("neighbor_id"))
@@ -1202,31 +1205,6 @@ object Similarity {
       rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))
         .map(_.getSeq[Double](2).toArray).toArray
     }.toArray
-  }
-
-  /** Flatten a dense per-subspace codebook to the literal layout
-    * [[pqDecodePacked]] indexes (m·[[PqK]] + code), zero-padding
-    * subspaces whose Lloyd iteration left fewer than [[PqK]] surviving
-    * cells (codes are dense per subspace, so the padding slots are
-    * never referenced). */
-  private def pqFlatten(cb: Array[Array[Array[Double]]]): Seq[Seq[Double]] =
-    cb.toSeq.flatMap { cells =>
-      cells.map(_.toSeq) ++
-        Seq.fill(PqK - cells.length)(Seq.fill(PqS)(0.0))
-    }
-
-  /** Decode an 8-byte packed code word against the flat codebook
-    * literal — built-in expressions only (16 `element_at` probes into a
-    * ≤1 KiB array literal + `flatten`), so the asymmetric candidate
-    * ranking stays inside whole-stage codegen with zero extra joins. */
-  private def pqDecodePacked(packed: Column, cbFlat: Seq[Seq[Double]]): Column = {
-    val cbLit = typedlit(cbFlat)
-    flatten(array((0 until PqM).map { m =>
-      element_at(cbLit,
-        (lit(m * PqK) +
-          shiftrightunsigned(packed, 4 * m).bitwiseAND(lit(15L)) + 1)
-          .cast("int"))
-    }: _*))
   }
 
   /** (vec_id, b_code): every vector's 16 four-bit exact-fold PQ codes

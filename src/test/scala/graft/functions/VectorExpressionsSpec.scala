@@ -193,6 +193,46 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(bad.head.isNullAt(0), "out-of-range code must be null")
   }
 
+  test("pq_asymmetric_cosine equals cosine(vec, decoded) bit-for-bit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val PqM = 16; val PqK = 16; val PqS = 4
+    val cb: Array[Array[Array[Double]]] = Array.fill(PqM)(
+      Array.fill(PqK)(Array.fill(PqS)(rng.nextGaussian())))
+    val rows = (1 to 300).map { i =>
+      val vec = Seq.fill(PqM * PqS)(rng.nextGaussian())
+      val code = (0 until PqM).map(m => rng.nextInt(PqK).toLong << (4 * m))
+        .foldLeft(0L)(_ | _)
+      (i.toLong, vec, code)
+    }
+    val df = rows.toDF("id", "vec", "code")
+    def check(): Unit = {
+      val got = df.select(col("id"),
+        VectorFunctions.pq_asymmetric_cosine(col("vec"), col("code"), cb, PqS)
+          .as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.foreach { case (id, vec, code) =>
+        val dec = (0 until PqM).flatMap(m =>
+          cb(m)(((code >>> (4 * m)) & 15L).toInt))
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        (0 until PqM * PqS).foreach { i =>
+          dot += vec(i) * dec(i); na += vec(i) * vec(i); nb += dec(i) * dec(i)
+        }
+        val want = dot / (math.sqrt(na) * math.sqrt(nb))
+        assert(java.lang.Double.doubleToLongBits(got(id)) ==
+          java.lang.Double.doubleToLongBits(want), s"row $id")
+      }
+    }
+    check() // codegen path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // dimension mismatch -> null, not garbage
+    val bad = Seq((1L, Seq(1.0, 2.0), 0L)).toDF("id", "vec", "code")
+      .select(VectorFunctions.pq_asymmetric_cosine(col("vec"), col("code"), cb, PqS))
+      .collect()
+    assert(bad.head.isNullAt(0), "wrong dims must be null")
+  }
+
   test("type checking rejects non-array-of-double inputs") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       // Dataset analysis is eager — the type-check fires at select()
