@@ -1687,6 +1687,81 @@ object Multimodal {
        |                   (a, b) -> (a * 31 + b) % 1000000007) AS px_fp
        |FROM s ORDER BY 1, 2, 3""".stripMargin
 
+  /** Inter-frame abs-diff sum above which a frame counts as a scene cut
+    * for [[videoFeatures]]: an average per-pixel jump of more than 32
+    * gray levels across a 16-px frame. */
+  private[operators] val SceneCutDiff = 512L
+
+  /** `mm_video_features`: the video modality's feature head — synthesize
+    * the document's real RIFF/AVI ([[aviEncode]], one 4×4 DIB frame per
+    * 16 raster pixels), decode EVERY frame back through
+    * [[aviFrameSampler]], and extract the features a video curation pass
+    * filters on: frame count, total motion (Σ over consecutive frames of
+    * Σ|px_f − px_{f−1}|; a static slideshow scores 0 and gets dropped),
+    * peak per-frame luma sum, and scene-cut count (frames whose diff to
+    * the previous frame exceeds [[SceneCutDiff]]) — all integer-exact
+    * over the recovered 0–255 gray levels, so DuckDB replays them from
+    * the text like the pixel histogram. Encode → full decode → features
+    * run in one JVM pass inside the partition iterator — scan-side, no
+    * shuffle; a frame-boundary, bottom-up-row or BGR-unpack defect
+    * breaks every row. */
+  def videoFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val px = pngPixels(text)
+        val frames = px.grouped(FrameW * FrameH).toSeq
+        val gray = aviFrameSampler(1)(aviEncode(frames, FrameW, FrameH))
+        val fpx = FrameW * FrameH
+        val nf = gray.length / fpx
+        var motion = 0L; var peak = 0L; var cuts = 0L
+        var f = 0
+        while (f < nf) {
+          var luma = 0L; var diff = 0L
+          var i = 0
+          while (i < fpx) {
+            val g = grayLevel(gray(f * fpx + i))
+            luma += g
+            if (f > 0) diff += math.abs(g - grayLevel(gray((f - 1) * fpx + i)))
+            i += 1
+          }
+          if (luma > peak) peak = luma
+          if (f > 0) {
+            motion += diff
+            if (diff > SceneCutDiff) cuts += 1
+          }
+          f += 1
+        }
+        (id, nf.toLong, motion, peak, cuts)
+      }(enc)
+      .toDF("doc_id", "n_frames", "motion", "peak_luma", "scene_cuts")
+  }
+
+  val videoFeaturesOracle: String =
+    s"""WITH $pixelCtes,
+       |f AS (SELECT doc_id,
+       |             [CAST(coalesce(px0[i], 32) AS BIGINT)
+       |              for i in range(1, n + 1)] AS px,
+       |             n // 16 AS nf
+       |      FROM p),
+       |d AS (SELECT doc_id, nf,
+       |             [list_sum(px[(fr - 1) * 16 + 1 : fr * 16])
+       |              for fr in range(1, nf + 1)] AS luma,
+       |             [list_sum([abs(px[(fr - 1) * 16 + i]
+       |                            - px[(fr - 2) * 16 + i])
+       |                        for i in range(1, 17)])
+       |              for fr in range(2, nf + 1)] AS diffs
+       |      FROM f)
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       |       CAST(coalesce(list_sum(diffs), 0) AS BIGINT) AS motion,
+       |       CAST(list_max(luma) AS BIGINT) AS peak_luma,
+       |       CAST(coalesce(len(list_filter(diffs, x -> x > $SceneCutDiff)), 0)
+       |            AS BIGINT) AS scene_cuts
+       |FROM d ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1701,6 +1776,7 @@ object Multimodal {
     "mm_decode_jpeg_prog" -> (decodeJpegProg _),
     "mm_decode_jpeg_color" -> (decodeJpegColor _),
     "mm_video_frames" -> (videoFrames _),
+    "mm_video_features" -> (videoFeatures _),
     "mm_video_mjpeg" -> (videoMjpeg _))
 
   val oracles: Map[String, String] = Map(
@@ -1715,5 +1791,6 @@ object Multimodal {
     "mm_decode_jpeg_prog" -> decodeJpegOracle, // identical pixels by construction
     "mm_decode_jpeg_color" -> decodeJpegColorOracle,
     "mm_video_frames" -> videoFramesOracle,
+    "mm_video_features" -> videoFeaturesOracle,
     "mm_video_mjpeg" -> videoMjpegOracle)
 }

@@ -80,6 +80,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "mm_features" -> (0, 0),
     "mm_audio_features" -> (0, 0), // encode+decode inside the partition iterator
     "mm_video_frames" -> (0, 0), // encode+sample inside the partition iterator
+    "mm_video_features" -> (0, 0), // encode+full-decode inside the partition iterator
     "mm_frame_sample" -> (0, 0),
     "mm_metadata" -> (0, 0),
     "mm_resize" -> (0, 0),

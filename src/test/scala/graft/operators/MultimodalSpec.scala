@@ -798,4 +798,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(id) == ((s.length.toLong, peak, energy, zc)), s"doc $id")
     }
   }
+
+  test("mm_video_features extracts integer-exact motion features from real AVI decode") {
+    val got = Multimodal.videoFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty && got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val px = Multimodal.pngPixels(text).map(_ & 0xff)
+      val frames = px.grouped(16).toVector
+      val lumas = frames.map(_.map(_.toLong).sum)
+      val diffs = frames.sliding(2).map { p =>
+        (0 until 16).map(i => math.abs(p(1)(i) - p(0)(i)).toLong).sum
+      }.toVector
+      val expect = (frames.length.toLong, diffs.sum, lumas.max,
+        diffs.count(_ > Multimodal.SceneCutDiff).toLong)
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
 }
