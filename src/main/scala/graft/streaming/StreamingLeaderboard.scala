@@ -67,13 +67,14 @@ object StreamingLeaderboard {
     Iterator.empty
   }
 
-  /** Replay the events fixture through the streaming leaderboard (same
-    * staging + far-future sentinel pattern as [[StreamingSessions]]). */
-  def hourlyTopStreaming(spark: SparkSession, dir: String): DataFrame = {
+  /** The staged ranked stream both sinks consume: fixture replay →
+    * watermark → bounded-heap leaderboard state. */
+  private def rankedPipeline(spark: SparkSession, dir: String,
+      prefix: String): (org.apache.spark.sql.Dataset[Ranked],
+      java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
     import spark.implicits._
-    val path = s"$dir/events.parquet"
     val (raw, streamDir, rawSchema) = StreamingStaging.stageParquetStream(
-      spark, dir, "events", "graft_stream_lead")
+      spark, dir, "events", prefix)
     val events = raw
       .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "1 second")
@@ -83,21 +84,79 @@ object StreamingLeaderboard {
       .groupByKey(e => (us(e.ts) / HourUs * HourUs, e.event_type))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(stateFn)
+    (ranked, streamDir, rawSchema)
+  }
+
+  /** Append the far-future sentinel event that advances the watermark
+    * past every real hour so the open buckets time out and emit. */
+  private def pushSentinel(spark: SparkSession, path: String,
+      streamDir: java.nio.file.Path,
+      rawSchema: org.apache.spark.sql.types.StructType): Unit = {
+    import scala.jdk.CollectionConverters._
+    val farTs = StreamingStaging.sentinelTs(spark, path)
+    val sentinel = spark.createDataFrame(
+      List(org.apache.spark.sql.Row(
+        -1L, farTs, -1L, "sentinel", 0.0, "{}")).asJava,
+      rawSchema)
+    sentinel.write.mode("append").parquet(streamDir.toString)
+  }
+
+  /** Replay the events fixture through the streaming leaderboard (same
+    * staging + far-future sentinel pattern as [[StreamingSessions]]). */
+  def hourlyTopStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val (ranked, streamDir, rawSchema) = rankedPipeline(
+      spark, dir, "graft_stream_lead")
     val sink = s"graft_stream_lead_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     StreamingStaging.runAndDrive(spark, sink, streamDir)(
       ranked.toDF()
         .writeStream.format("memory").queryName(sink).outputMode("append")
         .start()) { query =>
       query.processAllAvailable()
-      val farTs = StreamingStaging.sentinelTs(spark, path)
-      import scala.jdk.CollectionConverters._
-      val sentinel = spark.createDataFrame(
-        List(org.apache.spark.sql.Row(
-          -1L, farTs, -1L, "sentinel", 0.0, "{}")).asJava,
-        rawSchema)
-      sentinel.write.mode("append").parquet(streamDir.toString)
+      pushSentinel(spark, path, streamDir, rawSchema)
       query.processAllAvailable()
     }
       .filter(col("event_id") =!= -1L)
+  }
+
+  /** [[hourlyTopStreaming]] with the PRODUCTION sink: Spark's native
+    * append-mode parquet FILE sink. Unlike the `foreachBatch`
+    * snapshot-overwrite twins ([[StreamingIncremental]],
+    * [[StreamingSketch]] — whose complete-mode output makes overwrite
+    * the idempotent choice), an append-mode leaderboard emits each
+    * closed hour exactly once, which is precisely the contract the file
+    * sink's `_spark_metadata` manifest provides: files commit atomically
+    * per micro-batch, a retried batch never double-appends, and batch
+    * readers of the SAME path honor the manifest — so the read-back
+    * below sees exactly the committed rows. At 100 TB/day this is a
+    * continuously-growing ranked-results table any engine can consume.
+    * The sentinel bucket is filtered BEFORE the sink so the files only
+    * ever hold real rows. `StreamingLeaderboardSpec` pins
+    * parquet ≡ memory ≡ batch. */
+  def hourlyTopStreamingToParquet(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val (ranked, streamDir, rawSchema) = rankedPipeline(
+      spark, dir, "graft_stream_leadpq")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lead_ckpt")
+    try {
+      val query = ranked.toDF()
+        .filter(col("event_id") =!= -1L)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .start()
+      try {
+        query.processAllAvailable()
+        pushSentinel(spark, path, streamDir, rawSchema)
+        query.processAllAvailable()
+      } finally query.stop()
+    } finally {
+      StreamingStaging.deleteRecursively(streamDir)
+      StreamingStaging.deleteRecursively(ckpt)
+    }
+    spark.read.parquet(outDir)
   }
 }

@@ -23,4 +23,22 @@ class StreamingLeaderboardSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("native parquet file sink equals the memory-sink twin and the batch query") {
+    val batch = graft.operators.Events.hourlyTop(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lead_out")
+    try {
+      val sunk = StreamingLeaderboard
+        .hourlyTopStreamingToParquet(spark, dir, outDir.toString).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSet
+      assert(batch.nonEmpty)
+      assert(sunk == batch)
+      // the sink's exactly-once manifest must be present: batch readers
+      // of this path see only files the stream committed
+      assert(java.nio.file.Files.exists(outDir.resolve("_spark_metadata")))
+    } finally StreamingStaging.deleteRecursively(outDir)
+  }
 }
