@@ -68,6 +68,9 @@ object StressScale {
     "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_incremental", "text_line_dedup", "text_decontaminate_bloom",
     "text_tfidf_topk", "sketch_distinct_hll", "curate_mix_resample",
+    // codec-path linear control: encode+decode+features inside the
+    // partition iterator, zero shuffles — its slope is the scan's
+    "mm_video_features",
     "pipeline_curated", "sim_ann_ivf", "sim_ann_ivfpq",
     // the multi-probe LSH family last: its candidate join is the
     // n·(log n)²·occupancy shape and at large factors its spill can
