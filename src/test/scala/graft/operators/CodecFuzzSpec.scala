@@ -266,6 +266,31 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("too many progressive scans"))
   }
 
+  test("SOF dimension cap scales with component count, not just pixels") {
+    // a 3-component 4:2:0 payload claiming 16384x16384: the Y plane
+    // ALONE is exactly the grayscale cap (2^28 samples), so a naive
+    // width*height bound would admit it and the decoder would attempt
+    // multi-GB coefficient allocations — the summed-plane cap must
+    // reject the ~1.5x total BEFORE any allocation
+    val color = validPayloads("jpeg_color").clone()
+    val sof = color.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    assert(sof > 0)
+    color(sof + 5) = 0x40; color(sof + 6) = 0 // height 16384
+    color(sof + 7) = 0x40; color(sof + 8) = 0 // width 16384
+    val e = intercept[IllegalArgumentException] { Jpeg.decode(color) }
+    assert(e.getMessage.contains("plane samples"))
+    // progressive carries the tighter 2^26 bound (per-component
+    // coefficient planes live for the whole scan script): 8192x8192
+    // color — Y alone exactly at the grayscale bound — must reject
+    val prog = validPayloads("jpeg_prog_color").clone()
+    val sof2 = prog.indexOfSlice(Seq(0xff.toByte, 0xc2.toByte))
+    assert(sof2 > 0)
+    prog(sof2 + 5) = 0x20; prog(sof2 + 6) = 0 // height 8192
+    prog(sof2 + 7) = 0x20; prog(sof2 + 8) = 0 // width 8192
+    val e2 = intercept[IllegalArgumentException] { Jpeg.decode(prog) }
+    assert(e2.getMessage.contains("plane samples"))
+  }
+
   test("JPEG table ids above 3 fail with the clean range message") {
     val good = validPayloads("jpeg")
     // DQT: FF DB len(2) then the id nibble in the first table byte
