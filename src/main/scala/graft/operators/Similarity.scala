@@ -400,7 +400,11 @@ object Similarity {
   /** The IVF index build + probe, through candidate (query, member)
     * pairs — shared by [[annIvf]]/[[annIvfProd]] and the SQ-reranked
     * [[annIvfSq]]. */
-  private def ivfCandidates(spark: SparkSession, dir: String,
+  /** The IVF coarse quantizer: ⌈√n⌉ seeds → one Lloyd iteration → cell
+    * centroids (centroid_id, cv). Factored out of [[ivfCandidates]] so
+    * the persisted-index build ([[buildIvfPqIndex]]) trains the
+    * identical quantizer. */
+  private def ivfCentroids(spark: SparkSession, dir: String,
       exactFold: Boolean): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val k = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
@@ -417,31 +421,41 @@ object Similarity {
       .filter(col("r") === 1)
       .select(col("vec_id"), col("centroid_id"))
     val members0 = home.join(v, "vec_id")
-    val cent =
-      if (exactFold)
-        members0
-          .select(col("centroid_id"), col("vec_id"),
-            posexplode(col("ev")).as(Seq("dim", "x")))
-          .groupBy(col("centroid_id"), col("dim"))
-          .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
-          .select(col("centroid_id"), col("dim"),
-            aggregate(sort_array(col("xs")), lit(0.0),
-              (acc, s) => acc + s.getField("x")).as("m"))
-          .groupBy(col("centroid_id"))
-          .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
-          .select(col("centroid_id"),
-            transform(col("dm"), s => s.getField("m")).as("cv"))
-      else
-        members0.groupBy(col("centroid_id"))
-          .agg(graft.functions.SketchFunctions.vector_sum(col("ev"), Dim).as("cv"))
+    if (exactFold)
+      members0
+        .select(col("centroid_id"), col("vec_id"),
+          posexplode(col("ev")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
+        .select(col("centroid_id"), col("dim"),
+          aggregate(sort_array(col("xs")), lit(0.0),
+            (acc, s) => acc + s.getField("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), s => s.getField("m")).as("cv"))
+    else
+      members0.groupBy(col("centroid_id"))
+        .agg(graft.functions.SketchFunctions.vector_sum(col("ev"), Dim).as("cv"))
+  }
+
+  /** Every vector's [[IvfProbes]] nearest cells under `cent`:
+    * (vec_id, centroid_id, crnk). crnk 1 is the home cell. */
+  private def ivfAssign(v: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
-    val assign = v.crossJoin(broadcast(cent))
+    v.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("centroid_id"),
         cosine(col("ev"), col("cv")).as("ccos"))
       .withColumn("crnk", row_number().over(wAssign))
       .filter(col("crnk") <= IvfProbes)
       .select(col("vec_id"), col("centroid_id"), col("crnk"))
+  }
+
+  private def ivfCandidates(spark: SparkSession, dir: String,
+      exactFold: Boolean): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val assign = ivfAssign(v, ivfCentroids(spark, dir, exactFold))
     val members = assign.filter(col("crnk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
     // each member has ONE home cell and each query probes distinct cells,
@@ -1444,6 +1458,142 @@ object Similarity {
        |SELECT vec_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= $AnnK
        |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // --- persisted IVF-PQ index (build once, query many) --------------------
+
+  /** Build-once / query-many PERSISTED IVF-PQ index — the production
+    * vector-search cadence the in-query forms can't show: training and
+    * encoding run ONCE at ingest, then every query session reads the
+    * artifact. Layout on disk:
+    *   - `centroids.parquet` — the ⌈√n⌉ coarse cells (k·d doubles,
+    *     ~8 MB at a billion vectors: always broadcastable);
+    *   - `codebook.parquet` — the PQ per-subspace codebooks (≤1 KiB);
+    *   - `postings.parquet/centroid_id=…` — one row per vector:
+    *     (vec_id, b_code packed 8-byte code word), PARTITIONED BY home
+    *     cell, so a query's nprobe cells become a partition-PRUNED read
+    *     (nprobe/√n of the index touched, shrinking as n grows —
+    *     `PersistedIndexSpec` proves the pruned scan via
+    *     `input_file_name`). The index stores 16 B/vector; full-precision
+    *     embeddings stay in the SOURCE table and are fetched only for
+    *     the top-[[PqPreK]] rerank.
+    * Exact-fold build: artifacts round-trip through parquet bit-exactly,
+    * so querying the persisted index reproduces [[annIvfPq]] row for row
+    * and the `sim_ann_ivfpq` DuckDB oracle replays it unchanged. */
+  def buildIvfPqIndex(spark: SparkSession, dir: String,
+      indexDir: String): Unit = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val cent = ivfCentroids(spark, dir, exactFold = true)
+    cent.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    val cb = pqCodebookExact(spark, dir)
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    val home = ivfAssign(v, cent).filter(col("crnk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    home.join(pqPackedExactOn(pqAssignExactOn(v, cb)), "vec_id")
+      .select(col("vec_id"), col("b_code"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings.parquet")
+  }
+
+  /** [[buildIvfPqIndex]] with the PRODUCTION trainers: fixed-buffer
+    * Lloyd cell sums ([[ivfCentroids]] prod path) and the native
+    * scan-side packed-code assignment ([[graft.functions.PqAssign]]) —
+    * no unbounded collect anywhere, the shape an actual ingest job
+    * runs. Same artifact layout. */
+  def buildIvfPqIndexProd(spark: SparkSession, dir: String,
+      indexDir: String): Unit = {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val cent = ivfCentroids(spark, dir, exactFold = false)
+    cent.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    val cbArr = pqCodebookProd(spark, dir)
+    cbArr.zipWithIndex.flatMap { case (codes, m) =>
+      codes.zipWithIndex.map { case (cv, code) =>
+        (m, code.toLong, cv.toSeq)
+      }
+    }.toSeq.toDF("m", "code", "cv")
+      .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    val pq = graft.functions.VectorFunctions
+      .pq_assign(col("embedding"), cbArr, PqS)
+    val packed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), pq.getField("packed").as("b_code"))
+    ivfAssign(v, cent).filter(col("crnk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(packed, "vec_id")
+      .select(col("vec_id"), col("b_code"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings.parquet")
+  }
+
+  /** Query a persisted IVF-PQ index: read centroids (broadcast), assign
+    * each query vector its nprobe cells, join the cells against the
+    * partition-pruned postings read, rank candidates by the native
+    * asymmetric decoded-cosine ([[graft.functions.PqAsymmetricCosine]],
+    * 8-byte code words — never embeddings — through the big join), and
+    * rerank the top [[PqPreK]] survivors full-precision against the
+    * source table. Row-identical to [[annIvfPq]] over an exact-fold
+    * index (the asymmetric expression's fold is bit-identical to the
+    * decoded-array cosine, spec-pinned). */
+  def annIvfPqIndexed(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val cbArr = pqCodebookArrOf(
+      spark.read.parquet(s"$indexDir/codebook.parquet"))
+    val probes = ivfAssign(v, cent)
+      .select(col("vec_id"), col("centroid_id"))
+    // partition-column type inference can narrow centroid_id to int on
+    // read; normalize back to the writer's long before the join
+    val members = spark.read.parquet(s"$indexDir/postings.parquet")
+      .select(col("vec_id").as("neighbor_id"), col("b_code"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val cand = probes.join(members, "centroid_id")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("b_code"))
+    val wPre = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val pre = cand
+      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.pq_asymmetric_cosine(
+          col("a_ev"), col("b_code"), cbArr, PqS).as("acos"))
+      .withColumn("prernk", row_number().over(wPre))
+      .filter(col("prernk") <= PqPreK)
+      .select(col("vec_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    (pre
+      .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev")),
+        "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("a_ev"), col("b_ev")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= AnnK)
+      .select(col("vec_id"), col("neighbor_id"), col("rnk"), col("cosine")))
+  }
+
+  /** Deterministic per-fixture index root for the registry forms (the
+    * correctness/bench harnesses call queries as (spark, dir); the
+    * artifact is rebuilt — mode overwrite — on every call so the gate
+    * always exercises the full persist → prune → rerank path). */
+  private def indexRootFor(dir: String, suffix: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}$suffix"
+
+  /** Registry form: exact-fold build + query — ≡ [[annIvfPq]], shares
+    * its DuckDB oracle. */
+  def annIvfPqIndexedAuto(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "")
+    buildIvfPqIndex(spark, dir, root)
+    annIvfPqIndexed(spark, dir, root)
+  }
+
+  /** Production registry form: fixed-buffer build + the same query. */
+  def annIvfPqIndexedProd(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_prod")
+    buildIvfPqIndexProd(spark, dir, root)
+    annIvfPqIndexed(spark, dir, root)
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
@@ -1455,7 +1605,8 @@ object Similarity {
     "sim_quantize_sq" -> (quantizeSq _),
     "sim_ann_ivf_sq" -> (annIvfSq _),
     "sim_quantize_pq" -> (quantizePq _),
-    "sim_ann_ivfpq" -> (annIvfPq _))
+    "sim_ann_ivfpq" -> (annIvfPq _),
+    "sim_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
@@ -1468,5 +1619,8 @@ object Similarity {
     "sim_quantize_sq" -> quantizeSqOracle,
     "sim_ann_ivf_sq" -> annIvfSqOracle,
     "sim_quantize_pq" -> quantizePqOracle,
-    "sim_ann_ivfpq" -> annIvfPqOracle)
+    "sim_ann_ivfpq" -> annIvfPqOracle,
+    // the persisted-index path reproduces annIvfPq row for row (exact
+    // artifacts round-trip through parquet), so the replay is identical
+    "sim_ann_ivfpq_indexed" -> annIvfPqOracle)
 }

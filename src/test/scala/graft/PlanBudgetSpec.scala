@@ -105,6 +105,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "sim_ann_ivf" -> (7, 5),
     "sim_ann_ivf_sq" -> (7, 7),
     "sim_ann_ivfpq" -> (7, 7), // IVF candidates + scan-side PQ decode join
+    // the persisted-index QUERY plan: training's 6 shuffles moved to
+    // build time; one preselect-window shuffle remains, centroids /
+    // postings / query-vector joins broadcast at fixture scale
+    "sim_ann_ivfpq_indexed" -> (1, 5),
     // PQ assignment is ONE scan-side projection against codebook
     // literals (the two bounded codebook-training jobs run beforehand)
     "sim_quantize_pq" -> (0, 0),

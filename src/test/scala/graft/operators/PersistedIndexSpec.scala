@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions.{col, input_file_name}
+
+import graft.TestSpark
+
+/** The build-once / query-many persisted IVF-PQ index: the exact-fold
+  * artifact must reproduce the in-query [[Similarity.annIvfPq]] row for
+  * row after its parquet round trip, the postings layout must turn a
+  * probe set into a partition-PRUNED read, and the production build
+  * (bounded trainers) must retain the exact form's answers. */
+class PersistedIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def tempRoot(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_pidx")
+
+  private def resultRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    .toSet
+
+  test("querying the persisted exact index reproduces annIvfPq row for row") {
+    val root = tempRoot()
+    try {
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      val indexed = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      val direct = resultRows(Similarity.annIvfPq(spark, dir))
+      assert(direct.nonEmpty)
+      assert(indexed == direct)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("a probe set reads ONLY its cells' postings partitions") {
+    val root = tempRoot()
+    try {
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      val postings = spark.read.parquet(s"$root/postings.parquet")
+      val cells = postings.select(col("centroid_id").cast("long"))
+        .distinct().orderBy(col("centroid_id")).limit(2)
+        .collect().map(_.getLong(0))
+      assert(cells.length == 2)
+      val files = postings
+        .filter(col("centroid_id").cast("long").isin(cells.toIndexedSeq: _*))
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0))
+      assert(files.nonEmpty)
+      files.foreach(f => assert(
+        cells.exists(c => f.contains(s"centroid_id=$c")),
+        s"file outside the probed partitions: $f"))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("production build (bounded trainers) retains the exact form's answers") {
+    val root = tempRoot()
+    try {
+      Similarity.buildIvfPqIndexProd(spark, dir, root.toString)
+      val exact = Similarity.annIvfPq(spark, dir).collect()
+        .groupBy(_.getLong(0))
+        .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+      val prod = Similarity.annIvfPqIndexed(spark, dir, root.toString)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+      assert(exact.nonEmpty)
+      // prod training's fixed-buffer sums are last-ulp order-dependent
+      // (can flip a near-tie cell/code assignment), so pin retention,
+      // not equality — same caveat as the other prod variants
+      val retention = exact.map { case (v, ex) =>
+        (ex intersect prod.getOrElse(v, Set.empty)).size.toDouble / ex.size
+      }.sum / exact.size
+      info(f"persisted-prod retention vs exact annIvfPq: $retention%.3f")
+      assert(retention >= 0.9,
+        f"production index lost too much: $retention%.3f (floor 0.9)")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+}
