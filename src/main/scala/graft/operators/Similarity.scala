@@ -1489,6 +1489,12 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"))
     home.join(pqPackedExactOn(pqAssignExactOn(v, cb)), "vec_id")
       .select(col("vec_id"), col("b_code"), col("centroid_id"))
+      // co-locate each cell in one task before partitionBy: without
+      // this every task writes a file per cell it holds (tasks × √n
+      // small files — millions at a billion vectors); with it the
+      // layout is ONE file per cell (√n files), one build-time shuffle
+      // of 24 B rows
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings.parquet")
   }
@@ -1519,6 +1525,7 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"))
       .join(packed, "vec_id")
       .select(col("vec_id"), col("b_code"), col("centroid_id"))
+      .repartition(col("centroid_id")) // one file per cell (see above)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings.parquet")
   }

@@ -52,6 +52,10 @@ class PersistedIndexSpec extends AnyFunSuite {
       files.foreach(f => assert(
         cells.exists(c => f.contains(s"centroid_id=$c")),
         s"file outside the probed partitions: $f"))
+      // the build co-locates each cell before partitionBy, so the
+      // layout is ONE file per cell — 2 probed cells read 2 files
+      assert(files.length == 2,
+        s"expected one file per probed cell, got ${files.length}")
     } finally graft.streaming.StreamingStaging.deleteRecursively(root)
   }
 
