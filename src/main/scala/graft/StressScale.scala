@@ -76,7 +76,10 @@ object StressScale {
     // n·(log n)²·occupancy shape and at large factors its spill can
     // exhaust local scratch — isolated so a failure there still leaves
     // a complete report for everything before it
-    "sim_ann_lsh", "dedup_semantic")
+    "sim_ann_lsh", "dedup_semantic",
+    // the persisted-index form: prices the full ingest (train + write
+    // partitioned postings) plus the 1-shuffle query at scale
+    "sim_ann_ivfpq_indexed")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
