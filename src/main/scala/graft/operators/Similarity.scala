@@ -405,10 +405,17 @@ object Similarity {
     * the persisted-index build ([[buildIvfPqIndex]]) trains the
     * identical quantizer. */
   private def ivfCentroids(spark: SparkSession, dir: String,
-      exactFold: Boolean): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+      exactFold: Boolean): DataFrame =
+    ivfCentroidsOn(
+      Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev")),
+      exactFold)
+
+  /** [[ivfCentroids]] over ANY (vec_id, ev) frame — the incremental
+    * index ([[appendToIvfPqIndex]]) trains its coarse quantizer on the
+    * BASE corpus only, then freezes it across delta appends. */
+  private def ivfCentroidsOn(v: DataFrame, exactFold: Boolean): DataFrame = {
+    val n = v.count()
     val k = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
-    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val seeds = v.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("ev").as("cv"))
     // --- one Lloyd iteration: home cell under the seeds, then cell sums
@@ -1319,8 +1326,13 @@ object Similarity {
     * [[PqM]]·[[PqK]]·[[PqS]] ≤ 1024 doubles — a literal kilobyte, the
     * whole point of PQ. */
   private def pqCodebookProd(spark: SparkSession,
-      dir: String): Array[Array[Array[Double]]] = {
-    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+      dir: String): Array[Array[Array[Double]]] =
+    pqCodebookProdOn(
+      Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev")))
+
+  /** [[pqCodebookProd]] over ANY (vec_id, ev) frame — the production
+    * incremental index trains on the base corpus only. */
+  private def pqCodebookProdOn(v: DataFrame): Array[Array[Array[Double]]] = {
     val subs = pqSubsOf(v)
     val seedSubs = pqSubsOf(v.orderBy(col("vec_id")).limit(PqK))
       .select(col("m"), col("vec_id").as("centroid_id"), col("sub").as("cv"))
@@ -1479,11 +1491,18 @@ object Similarity {
     * so querying the persisted index reproduces [[annIvfPq]] row for row
     * and the `sim_ann_ivfpq` DuckDB oracle replays it unchanged. */
   def buildIvfPqIndex(spark: SparkSession, dir: String,
+      indexDir: String): Unit =
+    buildIvfPqIndexOn(spark, Tables.embeddings(spark, dir), indexDir)
+
+  /** [[buildIvfPqIndex]] over ANY (vec_id, embedding) frame — lets the
+    * incremental cadence train on a BASE corpus and later
+    * [[appendToIvfPqIndex]] deltas against the frozen artifacts. */
+  def buildIvfPqIndexOn(spark: SparkSession, raw: DataFrame,
       indexDir: String): Unit = {
-    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val cent = ivfCentroids(spark, dir, exactFold = true)
+    val v = raw.select(col("vec_id"), dvec.as("ev"))
+    val cent = ivfCentroidsOn(v, exactFold = true)
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
-    val cb = pqCodebookExact(spark, dir)
+    val cb = pqCodebookExactOn(v)
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
     val home = ivfAssign(v, cent).filter(col("crnk") === 1)
       .select(col("vec_id"), col("centroid_id"))
@@ -1505,12 +1524,17 @@ object Similarity {
     * no unbounded collect anywhere, the shape an actual ingest job
     * runs. Same artifact layout. */
   def buildIvfPqIndexProd(spark: SparkSession, dir: String,
+      indexDir: String): Unit =
+    buildIvfPqIndexProdOn(spark, Tables.embeddings(spark, dir), indexDir)
+
+  /** [[buildIvfPqIndexProd]] over ANY (vec_id, embedding) frame. */
+  def buildIvfPqIndexProdOn(spark: SparkSession, raw: DataFrame,
       indexDir: String): Unit = {
     import spark.implicits._
-    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val cent = ivfCentroids(spark, dir, exactFold = false)
+    val v = raw.select(col("vec_id"), dvec.as("ev"))
+    val cent = ivfCentroidsOn(v, exactFold = false)
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
-    val cbArr = pqCodebookProd(spark, dir)
+    val cbArr = pqCodebookProdOn(v)
     cbArr.zipWithIndex.flatMap { case (codes, m) =>
       codes.zipWithIndex.map { case (cv, code) =>
         (m, code.toLong, cv.toSeq)
@@ -1519,7 +1543,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
     val pq = graft.functions.VectorFunctions
       .pq_assign(col("embedding"), cbArr, PqS)
-    val packed = Tables.embeddings(spark, dir)
+    val packed = raw
       .select(col("vec_id"), pq.getField("packed").as("b_code"))
     ivfAssign(v, cent).filter(col("crnk") === 1)
       .select(col("vec_id"), col("centroid_id"))
@@ -1529,6 +1553,226 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings.parquet")
   }
+
+  // --- incremental append (the daily-crawl cadence) -----------------------
+
+  /** Append a DELTA batch of vectors to an existing persisted index
+    * WITHOUT retraining — the production cadence of a growing corpus
+    * (a 100 TB crawl adds vectors daily; retraining + rewriting the
+    * whole index per batch would make the build-once/query-many story
+    * build-once-per-corpus-version). Mirrors the `dedup_incremental`
+    * shape (delta joined against a persisted history artifact, history
+    * never re-paired):
+    *   - delta vectors are assigned to the EXISTING centroids (read
+    *     from the artifact, broadcast — the quantizer is frozen);
+    *   - encoded with the FROZEN codebook (parquet round-trip is
+    *     bit-exact, so delta codes match what a monolithic build over
+    *     base ∪ delta with the same artifacts would produce);
+    *   - postings are APPENDED into the matching `centroid_id=`
+    *     partitions (`mode("append")` + `partitionBy`): cells absent
+    *     from the delta keep their files byte-identical, and
+    *     centroids/codebook are never rewritten (`PersistedIndexSpec`
+    *     pins both).
+    * Cost: one delta-sized assignment scan against a broadcast
+    * centroid table + one delta-sized 24 B-row shuffle — independent
+    * of the accumulated index size. IVF accepts appends naturally
+    * (cell membership is per-vector); the standard operational caveat
+    * — quantizer drift if the data distribution shifts across many
+    * appends — is a retrain policy decision, not an engine limit. */
+  def appendToIvfPqIndex(spark: SparkSession, rawDelta: DataFrame,
+      indexDir: String): Unit = {
+    val delta = rawDelta.select(col("vec_id"), dvec.as("ev"))
+    val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
+    val home = ivfAssign(delta, cent).filter(col("crnk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    home.join(pqPackedExactOn(pqAssignExactOn(delta, cb)), "vec_id")
+      .select(col("vec_id"), col("b_code"), col("centroid_id"))
+      // one file per touched cell per batch (same rationale as the build)
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings.parquet")
+  }
+
+  /** [[appendToIvfPqIndex]] with the production encoder: the frozen
+    * codebook is collected back to its ≤1 KiB array literal and the
+    * delta's codes come from the scan-side native
+    * [[graft.functions.PqAssign]] — no explode/join in the encode. */
+  def appendToIvfPqIndexProd(spark: SparkSession, rawDelta: DataFrame,
+      indexDir: String): Unit = {
+    val delta = rawDelta.select(col("vec_id"), dvec.as("ev"))
+    val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val cbArr = pqCodebookArrOf(
+      spark.read.parquet(s"$indexDir/codebook.parquet"))
+    val pq = graft.functions.VectorFunctions
+      .pq_assign(col("embedding"), cbArr, PqS)
+    val packed = rawDelta
+      .select(col("vec_id"), pq.getField("packed").as("b_code"))
+    ivfAssign(delta, cent).filter(col("crnk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(packed, "vec_id")
+      .select(col("vec_id"), col("b_code"), col("centroid_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings.parquet")
+  }
+
+  /** Deterministic base/delta split of the fixture for the incremental
+    * registry row: day-0 ingest = vec_id % 8 ≠ 7, the daily delta =
+    * vec_id % 8 = 7 (≈12% of the corpus — large enough to touch many
+    * cells, small enough that the append cost visibly ≪ the build). */
+  private def baseDeltaSplit(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(spark, dir)
+    (e.filter(col("vec_id") % 8 =!= 7), e.filter(col("vec_id") % 8 === 7))
+  }
+
+  /** Registry form `sim_ann_index_delta`: build the exact-fold index on
+    * the BASE split, append the delta against the frozen artifacts,
+    * then run the standard indexed query over the FULL corpus. The
+    * DuckDB oracle replays the identical algorithm (training CTEs
+    * scoped to the base split, assignment/encode of every vector with
+    * the frozen artifacts), so the result hash-matches — the gate
+    * proves delta-append ≡ a monolithic frozen-artifact encode of
+    * base ∪ delta. */
+  def annIvfPqIndexDelta(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_delta")
+    val (base, delta) = baseDeltaSplit(spark, dir)
+    buildIvfPqIndexOn(spark, base, root)
+    appendToIvfPqIndex(spark, delta, root)
+    annIvfPqIndexed(spark, dir, root)
+  }
+
+  /** Production registry form: fixed-buffer trainers on the base,
+    * native-encoder append, same query. */
+  def annIvfPqIndexDeltaProd(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_delta_prod")
+    val (base, delta) = baseDeltaSplit(spark, dir)
+    buildIvfPqIndexProdOn(spark, base, root)
+    appendToIvfPqIndexProd(spark, delta, root)
+    annIvfPqIndexed(spark, dir, root)
+  }
+
+  /** Oracle for [[annIvfPqIndexDelta]]: the frozen-artifact algorithm
+    * replayed monolithically — centroids and codebook trained on the
+    * BASE split (`vb`), every vector (base ∪ delta) assigned and
+    * encoded against them, then the standard IVF-PQ query tail. A
+    * hash match proves the append path produced exactly the index a
+    * from-scratch encode with the same frozen artifacts would have. */
+  val annIvfPqIndexDeltaOracle: String =
+    s"""WITH $vCte,
+       |vb AS (SELECT vec_id, ev FROM v WHERE vec_id % 8 <> 7),
+       |kk AS (SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |       FROM vb),
+       |seeds AS (SELECT vec_id AS centroid_id, ev AS cv FROM vb
+       |          QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+       |h0 AS (SELECT b.vec_id, s.centroid_id,
+       |              ${sqlCos("b.ev", "s.cv")} AS scos
+       |       FROM vb b CROSS JOIN seeds s),
+       |home AS (SELECT vec_id, centroid_id FROM (
+       |           SELECT vec_id, centroid_id,
+       |                  row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY scos DESC, centroid_id) AS r
+       |           FROM h0)
+       |         WHERE r = 1),
+       |mx AS (SELECT h.centroid_id, b.vec_id, CAST(i AS BIGINT) - 1 AS dim,
+       |              b.ev[CAST(i AS INT)] AS x
+       |       FROM home h JOIN vb b ON h.vec_id = b.vec_id,
+       |            range(1, $Dim + 1) t(i)),
+       |md AS (SELECT centroid_id, dim,
+       |              list_reduce(list_transform(
+       |                  list_sort(array_agg({'vec_id': vec_id, 'x': x})),
+       |                  s -> s.x),
+       |                (a, b) -> a + b) AS m
+       |       FROM mx GROUP BY 1, 2),
+       |cent AS (SELECT centroid_id,
+       |                list_transform(
+       |                  list_sort(array_agg({'dim': dim, 'm': m})),
+       |                  s -> s.m) AS cv
+       |         FROM md GROUP BY 1),
+       |a0 AS (SELECT v.vec_id, c.centroid_id,
+       |              ${sqlCos("v.ev", "c.cv")} AS ccos
+       |       FROM v CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, centroid_id, crnk FROM (
+       |             SELECT vec_id, centroid_id,
+       |                    row_number() OVER (PARTITION BY vec_id
+       |                                       ORDER BY ccos DESC, centroid_id)
+       |                      AS crnk
+       |             FROM a0)
+       |           WHERE crnk <= $IvfProbes),
+       |members AS (SELECT vec_id AS neighbor_id, centroid_id
+       |            FROM assign WHERE crnk = 1),
+       |cand AS (SELECT a.vec_id, m.neighbor_id
+       |         FROM assign a JOIN members m USING (centroid_id)
+       |         WHERE a.vec_id <> m.neighbor_id),
+       |sub AS (SELECT vec_id, m,
+       |               ev[m * $PqS + 1 : m * $PqS + $PqS] AS sub
+       |        FROM v, range(0, $PqM) t(m)),
+       |subb AS (SELECT s.vec_id, s.m, s.sub FROM sub s JOIN vb USING (vec_id)),
+       |seedid AS (SELECT vec_id FROM vb
+       |           QUALIFY row_number() OVER (ORDER BY vec_id) <= $PqK),
+       |sseed AS (SELECT b.m, b.vec_id AS centroid_id, b.sub AS cv
+       |          FROM subb b JOIN seedid USING (vec_id)),
+       |phome AS (SELECT vec_id, m, centroid_id FROM (
+       |            SELECT s.vec_id, s.m, c.centroid_id,
+       |                   row_number() OVER (
+       |                     PARTITION BY s.vec_id, s.m
+       |                     ORDER BY ${sqlL2("s.sub", "c.cv")}, c.centroid_id)
+       |                     AS r
+       |            FROM subb s JOIN sseed c ON s.m = c.m)
+       |          WHERE r = 1),
+       |pmx AS (SELECT h.m, h.centroid_id, s.vec_id,
+       |               CAST(i AS BIGINT) - 1 AS dim, s.sub[CAST(i AS INT)] AS x
+       |        FROM phome h
+       |        JOIN subb s ON h.vec_id = s.vec_id AND h.m = s.m,
+       |             range(1, $PqS + 1) t(i)),
+       |pmd AS (SELECT m, centroid_id, dim,
+       |               list_reduce(list_transform(
+       |                   list_sort(array_agg({'vec_id': vec_id, 'x': x})),
+       |                   s -> s.x),
+       |                 (a, b) -> a + b) / count(*) AS mu
+       |        FROM pmx GROUP BY 1, 2, 3),
+       |pcent AS (SELECT m, centroid_id,
+       |                 list_transform(
+       |                   list_sort(array_agg({'dim': dim, 'mu': mu})),
+       |                   s -> s.mu) AS cv
+       |          FROM pmd GROUP BY 1, 2),
+       |pcb AS (SELECT m, cv,
+       |               row_number() OVER (PARTITION BY m
+       |                                  ORDER BY centroid_id) - 1 AS code
+       |        FROM pcent),
+       |pasg AS (SELECT vec_id, m, code, sub, cv FROM (
+       |           SELECT s.vec_id, s.m, c.code, s.sub, c.cv,
+       |                  row_number() OVER (
+       |                    PARTITION BY s.vec_id, s.m
+       |                    ORDER BY ${sqlL2("s.sub", "c.cv")}, c.code) AS r
+       |           FROM sub s JOIN pcb c ON s.m = c.m)
+       |         WHERE r = 1),
+       |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |        FROM pasg GROUP BY 1),
+       |a0q AS (SELECT c.vec_id, c.neighbor_id,
+       |               ${sqlCos("a.ev", "d.qv")} AS acos
+       |        FROM cand c
+       |        JOIN v a ON c.vec_id = a.vec_id
+       |        JOIN dec d ON c.neighbor_id = d.vec_id),
+       |pre AS (SELECT vec_id, neighbor_id FROM (
+       |          SELECT vec_id, neighbor_id,
+       |                 row_number() OVER (PARTITION BY vec_id
+       |                                    ORDER BY acos DESC, neighbor_id)
+       |                   AS prernk
+       |          FROM a0q)
+       |        WHERE prernk <= $PqPreK),
+       |p AS (SELECT c.vec_id, c.neighbor_id,
+       |             ${sqlCos("a.ev", "b.ev")} AS cosine
+       |      FROM pre c
+       |      JOIN v a ON c.vec_id = a.vec_id
+       |      JOIN v b ON c.neighbor_id = b.vec_id),
+       |r AS (SELECT vec_id, neighbor_id, cosine,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                                ORDER BY cosine DESC, neighbor_id) AS rnk
+       |      FROM p)
+       |SELECT vec_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
 
   /** Query a persisted IVF-PQ index: read centroids (broadcast), assign
     * each query vector its nprobe cells, join the cells against the
@@ -1581,10 +1825,30 @@ object Similarity {
   /** Deterministic per-fixture index root for the registry forms (the
     * correctness/bench harnesses call queries as (spark, dir); the
     * artifact is rebuilt — mode overwrite — on every call so the gate
-    * always exercises the full persist → prune → rerank path). */
-  private def indexRootFor(dir: String, suffix: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-      s"${java.lang.Integer.toHexString(dir.hashCode)}$suffix"
+    * always exercises the full persist → prune → rerank path). The
+    * root carries a per-PROCESS random tag so concurrent JVMs on the
+    * same fixture never race on one artifact (and distinct dirs can't
+    * collide via hashCode), and every root this process creates is
+    * removed by a shutdown hook. */
+  private val createdIndexRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val indexProcessTag: String = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdIndexRoots.forEach { root =>
+        graft.streaming.StreamingStaging.deleteRecursively(
+          java.nio.file.Paths.get(root))
+      }))
+    tag
+  }
+
+  private def indexRootFor(dir: String, suffix: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+      s"${indexProcessTag}_${java.lang.Integer.toHexString(dir.hashCode)}$suffix"
+    createdIndexRoots.add(root)
+    root
+  }
 
   /** Registry form: exact-fold build + query — ≡ [[annIvfPq]], shares
     * its DuckDB oracle. */
@@ -1613,7 +1877,8 @@ object Similarity {
     "sim_ann_ivf_sq" -> (annIvfSq _),
     "sim_quantize_pq" -> (quantizePq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
-    "sim_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _))
+    "sim_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _),
+    "sim_ann_index_delta" -> (annIvfPqIndexDelta _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
@@ -1629,5 +1894,6 @@ object Similarity {
     "sim_ann_ivfpq" -> annIvfPqOracle,
     // the persisted-index path reproduces annIvfPq row for row (exact
     // artifacts round-trip through parquet), so the replay is identical
-    "sim_ann_ivfpq_indexed" -> annIvfPqOracle)
+    "sim_ann_ivfpq_indexed" -> annIvfPqOracle,
+    "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle)
 }

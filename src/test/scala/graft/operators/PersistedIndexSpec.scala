@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions.{col, input_file_name}
@@ -57,6 +59,82 @@ class PersistedIndexSpec extends AnyFunSuite {
       assert(files.length == 2,
         s"expected one file per probed cell, got ${files.length}")
     } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  /** path → md5 for every regular file under root. */
+  private def fileHashes(root: java.nio.file.Path): Map[String, String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map { p =>
+        md.reset()
+        root.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+      }.toMap
+    finally walk.close()
+  }
+
+  test("delta append freezes centroids/codebook and touches only delta cells") {
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndexOn(spark, e.filter(col("vec_id") % 8 =!= 7),
+        root.toString)
+      val before = fileHashes(root)
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 8 === 7),
+        root.toString)
+      val after = fileHashes(root)
+      // every pre-existing artifact file — centroids, codebook, and every
+      // base postings file — is byte-identical after the append
+      before.foreach { case (rel, h) =>
+        assert(after.get(rel).contains(h), s"append modified $rel")
+      }
+      // and every NEW file is a postings file in a centroid_id= partition
+      // holding ONLY delta vectors — no base row was rewritten, no file
+      // landed outside the touched cells
+      val fresh = (after.keySet -- before.keySet).toSeq
+      assert(fresh.nonEmpty)
+      fresh.filterNot(_.endsWith(".crc")).foreach { rel =>
+        assert(rel.startsWith("postings.parquet/centroid_id="),
+          s"append wrote outside the postings partitions: $rel")
+        if (rel.endsWith(".parquet")) {
+          val ids = spark.read.parquet(s"$root/$rel")
+            .select(col("vec_id")).collect().map(_.getLong(0))
+          assert(ids.nonEmpty && ids.forall(_ % 8 == 7),
+            s"new postings file $rel holds non-delta vectors")
+        }
+      }
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("two-day append cadence equals the single-batch append") {
+    val root1 = tempRoot()
+    val root2 = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val base = e.filter(col("vec_id") % 8 =!= 7)
+      Similarity.buildIvfPqIndexOn(spark, base, root1.toString)
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 8 === 7),
+        root1.toString)
+      Similarity.buildIvfPqIndexOn(spark, base, root2.toString)
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 7),
+        root2.toString)
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 15),
+        root2.toString)
+      val one = resultRows(Similarity.annIvfPqIndexed(spark, dir, root1.toString))
+      val two = resultRows(Similarity.annIvfPqIndexed(spark, dir, root2.toString))
+      assert(one.nonEmpty)
+      assert(one == two)
+      // the appended vectors are live in the index: they appear both as
+      // result queries and among someone's neighbors
+      assert(one.exists(_._1 % 8 == 7))
+      assert(one.exists(_._2 % 8 == 7))
+    } finally {
+      graft.streaming.StreamingStaging.deleteRecursively(root1)
+      graft.streaming.StreamingStaging.deleteRecursively(root2)
+    }
   }
 
   test("production build (bounded trainers) retains the exact form's answers") {
