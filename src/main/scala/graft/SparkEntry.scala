@@ -83,12 +83,20 @@ object SparkEntry {
     oracleEntries.view.mapValues(fn =>
       (s: SparkSession, d: String) => canonical(fn(s, d))).toMap
 
-  /** O(n²) correctness baselines: they exist to prove the LSH/scale paths
-    * exact on the fixtures (run by Verify at sf0.01), but must not be
-    * *timed* at full n — at sf0.1 the three of them were 96% of the r2
-    * bench wall-clock while proving nothing about the scale paths. */
+  /** Correctness baselines excluded from the TIMED registry: the O(n²)
+    * forms exist to prove the LSH/scale paths exact on the fixtures (run
+    * by Verify at sf0.01), but must not be *timed* at full n — at sf0.1
+    * the three of them were 96% of the r2 bench wall-clock while proving
+    * nothing about the scale paths. `sim_ann_ivf` joins the set in round
+    * 10: it is the ANN family's full-precision RECALL baseline (its
+    * candidate join ships 512 B embeddings — measured at 30× fixture
+    * scale: 232× wall with ~60 GB of spill while the SQ/PQ siblings
+    * need none), so it gates recall in `SimilaritySpec` and correctness
+    * in Verify, while the timed family is the quantized/persisted forms
+    * a user would actually run at 100 TB. */
   val baselineOnly: Set[String] = Set(
-    "dedup_jaccard_brute", "sim_cosine_topk", "sim_cosine_neardup")
+    "dedup_jaccard_brute", "sim_cosine_topk", "sim_cosine_neardup",
+    "sim_ann_ivf")
 
   /** The scale-path queries Bench times: production (un-canonicalized)
     * forms, minus the O(n²) oracle baselines. The composed curation

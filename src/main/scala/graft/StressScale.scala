@@ -71,7 +71,15 @@ object StressScale {
     // codec-path linear control: encode+decode+features inside the
     // partition iterator, zero shuffles — its slope is the scan's
     "mm_video_features",
-    "pipeline_curated", "sim_ann_ivf", "sim_ann_ivfpq",
+    // sim_ann_ivf left this list in round 10: demoted to baselineOnly
+    // (recall baseline — its full-precision candidate join measured 232×
+    // wall with ~60 GB spill at 30×; the quantized forms below are the
+    // production family)
+    "pipeline_curated", "sim_ann_ivfpq",
+    // the incremental-append cadence: build-on-base + delta append +
+    // query — the delta encode/assign work should scale with the DELTA,
+    // so its wall ratio tracks the ingest-priced indexed row
+    "sim_ann_index_delta",
     // the multi-probe LSH family last: its candidate join is the
     // n·(log n)²·occupancy shape and at large factors its spill can
     // exhaust local scratch — isolated so a failure there still leaves

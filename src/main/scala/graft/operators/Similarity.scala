@@ -1391,40 +1391,47 @@ object Similarity {
     * `SimilaritySpec`. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val dec = pqAssignExact(spark, dir)
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("m"), col("cv")))),
-        s => s.getField("cv"))).as("qv"))
-    annIvfPqFrom(spark, dir, v, dec, exactFold = true)
+    annIvfPqFrom(spark, dir, v, pqPackedExact(spark, dir),
+      pqCodebookExactArr(spark, dir), exactFold = true)
   }
 
-  /** PRODUCTION IVF-PQ: the scan-side native decode
-    * ([[graft.functions.PqAssign]]'s `qv` field, as in
-    * [[quantizePqProd]]) and the fixed-buffer IVF cell sums — no
+  /** PRODUCTION IVF-PQ: the scan-side native packed assignment
+    * ([[graft.functions.PqAssign]]'s `packed` field, as in
+    * [[annLshProd]]) and the fixed-buffer IVF cell sums — no
     * per-group collection anywhere. */
   def annIvfPqProd(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val cbArr = pqCodebookProd(spark, dir)
     val pq = graft.functions.VectorFunctions
-      .pq_assign(col("embedding"), pqCodebookProd(spark, dir), PqS)
-    val dec = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), pq.as("pq"))
-      .select(col("vec_id"), col("pq.qv").as("qv"))
-    annIvfPqFrom(spark, dir, v, dec, exactFold = false)
+      .pq_assign(col("embedding"), cbArr, PqS)
+    val packed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), pq.getField("packed").as("b_code"))
+    annIvfPqFrom(spark, dir, v, packed, cbArr, exactFold = false)
   }
 
-  /** Shared IVF-PQ tail: candidates → asymmetric preselect → rerank. */
+  /** Shared IVF-PQ tail: candidates → 8-byte packed-code join →
+    * asymmetric preselect → rerank. The candidate join ships each
+    * neighbor's ONE-long code word, never a decoded array (the round-10
+    * exchange audit caught the previous decoded-qv join moving
+    * candidate-scale 512 B rows through the neighbor_id exchange — the
+    * same disease the round-8 LSH fix cured); ranking is the native
+    * [[graft.functions.PqAsymmetricCosine]], bit-identical to the
+    * cosine against the decoded array (spec-pinned), so the DuckDB
+    * oracle replay is unchanged. */
   private def annIvfPqFrom(spark: SparkSession, dir: String, v: DataFrame,
-      dec: DataFrame, exactFold: Boolean): DataFrame = {
+      packed: DataFrame, cbArr: Array[Array[Array[Double]]],
+      exactFold: Boolean): DataFrame = {
     val cand = ivfCandidates(spark, dir, exactFold)
+    val candC = cand.join(
+      packed.select(col("vec_id").as("neighbor_id"), col("b_code")),
+      "neighbor_id")
     val wPre = Window.partitionBy(col("vec_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
-    val pre = cand
+    val pre = candC
       .join(v.select(col("vec_id"), col("ev").as("a_ev")), "vec_id")
-      .join(dec.select(col("vec_id").as("neighbor_id"), col("qv").as("b_qv")),
-        "neighbor_id")
       .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("a_ev"), col("b_qv")).as("acos"))
+        graft.functions.VectorFunctions.pq_asymmetric_cosine(
+          col("a_ev"), col("b_code"), cbArr, PqS).as("acos"))
       .withColumn("prernk", row_number().over(wPre))
       .filter(col("prernk") <= PqPreK)
       .select(col("vec_id"), col("neighbor_id"))

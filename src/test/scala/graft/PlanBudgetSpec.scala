@@ -109,6 +109,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // build time; one preselect-window shuffle remains, centroids /
     // postings / query-vector joins broadcast at fixture scale
     "sim_ann_ivfpq_indexed" -> (1, 5),
+    // incremental cadence: base build + delta append run eagerly before
+    // the query; the returned plan is the same 1-shuffle indexed query
+    "sim_ann_index_delta" -> (1, 5),
     // PQ assignment is ONE scan-side projection against codebook
     // literals (the two bounded codebook-training jobs run beforehand)
     "sim_quantize_pq" -> (0, 0),

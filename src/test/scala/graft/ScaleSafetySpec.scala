@@ -71,6 +71,116 @@ class ScaleSafetySpec extends AnyFunSuite {
     }
   }
 
+  test("the timed ANN registry is the quantized/persisted family only") {
+    // round-10 demotion: the full-precision IVF form is the family's
+    // RECALL baseline (SimilaritySpec), not a query a user should run at
+    // 100 TB — its candidate join ships 512 B embeddings and measured
+    // 232× wall with ~60 GB of spill at 30× fixture scale (SCALING.md).
+    // It stays oracle-gated in Verify; the TIMED family is the forms
+    // whose candidate joins carry codes or bounded rerank rows.
+    assert(SparkEntry.baselineOnly.contains("sim_ann_ivf"))
+    assert(!SparkEntry.benchQueries.contains("sim_ann_ivf"))
+    val annTimed = SparkEntry.benchQueries.keySet.filter(_.startsWith("sim_ann"))
+    assert(annTimed == Set("sim_ann_lsh", "sim_ann_ivf_sq", "sim_ann_ivfpq",
+      "sim_ann_ivfpq_indexed", "sim_ann_index_delta"),
+      s"unaudited ANN query entered the timed registry: $annTimed")
+  }
+
+  /** Flatten an executed plan across AQE wrappers/stages. */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.ReusedSubqueryExec
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedSubqueryExec => flatten(r.child)
+      case other => other.children.flatMap(flatten)
+    })
+  }
+
+  private def isVectorType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        et == org.apache.spark.sql.types.DoubleType ||
+          et == org.apache.spark.sql.types.FloatType
+      case _ => false
+    }
+
+  test("PQ-family plans never move vectors through a super-linear exchange/sort") {
+    // What actually killed the full-precision IVF form at 30× was not
+    // that a join OUTPUT carried embeddings (the sanctioned asymmetric
+    // rank joins the query vector onto every candidate WITHIN a stage
+    // and drops it before the window sort) — it was candidate-scale
+    // rows CARRYING a 512 B vector crossing an Exchange: its second
+    // rerank join repartitions the (candidate × a_ev) relation by
+    // neighbor_id, ~520 B × probes·occupancy·n rows of shuffle (the
+    // measured ~60 GB spill). At 100 TB nothing broadcasts, so every
+    // join is exchange-backed; model that here by DISABLING broadcast
+    // (explicit broadcast() hints — the ≤8 MB centroid tables — stay)
+    // and assert: every ShuffleExchange whose rows carry a
+    // vector column moved ≤ 60·n rows. Linear passes are ≤ n (the
+    // source table), the bounded rerank is ≤ LshPreK·n ≈ 48·n (a
+    // CONSTANT per query), while the baseline's candidate expansion is
+    // probes·occupancy·n ≈ 174·n here and grows as √n·n. The demoted
+    // baseline must VIOLATE the bound — the negative control proving
+    // the gate has teeth.
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val bound = 60L * n
+    def maxVectorExchangeRows(df: org.apache.spark.sql.DataFrame)
+        : (Long, String) = {
+      // collect(), not count(): count() compiles a SEPARATE pruned plan,
+      // leaving this plan's metrics untouched (and its vector columns
+      // pruned away) — collect() executes df's own queryExecution
+      df.collect()
+      flatten(df.queryExecution.executedPlan)
+        .filter(p => p.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] &&
+          p.output.exists(a => isVectorType(a.dataType)))
+        // shuffle exchanges carry no numOutputRows; the records-written
+        // metric is the row count that crossed the wire
+        .flatMap(p => p.metrics.get("shuffleRecordsWritten").map(m =>
+          (m.value, p.nodeName + ": " + p.simpleStringWithNodeId())))
+        .foldLeft((0L, "none"))((acc, x) => if (x._1 > acc._1) x else acc)
+    }
+    val savedAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf
+      .get("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAuto)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // sim_ann_ivf_sq is deliberately NOT in the strict set: it ranks
+      // candidates on int8-decoded approximations joined per candidate —
+      // the storage-resident form is quarter-size, but structurally the
+      // second approximation pickup still exchanges candidate-scale
+      // vector rows; the structural fix IS the PQ path (ship the 8-byte
+      // code, decode against the broadcast codebook), which is why the
+      // PQ forms are the flagship. Its measured 30× point needs no spill
+      // (SCALING.md round 9).
+      val strict = Seq("sim_ann_lsh", "sim_ann_ivfpq", "sim_ann_ivfpq_indexed",
+        "sim_ann_index_delta", "sim_neardup_lsh", "dedup_semantic")
+      for (name <- strict) {
+        val (got, node) = maxVectorExchangeRows(
+          SparkEntry.benchQueries(name)(spark, dir))
+        assert(got <= bound,
+          s"$name moves vectors through a super-linear exchange/sort: " +
+            s"$got rows > $bound at $node")
+        spark.catalog.clearCache()
+      }
+      // negative control: the full-precision form blows the same bound —
+      // which is exactly why it is baselineOnly
+      val (baseline, _) = maxVectorExchangeRows(
+        graft.operators.Similarity.annIvfProd(spark, dir))
+      assert(baseline > bound,
+        s"negative control failed: annIvfProd max vector exchange/sort rows " +
+          s"$baseline <= $bound — the bound no longer discriminates; re-derive it")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("production centroid agrees with the fold-exact oracle form to 1e-9") {
     val exact = graft.operators.Similarity.centroidByLang(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
