@@ -98,13 +98,25 @@ object SparkEntry {
     "dedup_jaccard_brute", "sim_cosine_topk", "sim_cosine_neardup",
     "sim_ann_ivf")
 
+  /** Bench-only rows — timed but not oracle-gated (each is a re-timed
+    * phase of an already-gated query, not new semantics): the persisted
+    * index's economics split into its two real phases, so the artifact
+    * shows the build-once cost AND the query-many steady state instead
+    * of only their sum (`sim_ann_ivfpq_indexed`, which rebuilds per call
+    * so the correctness gate always exercises the full path). */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_ivfpq_index_build" ->
+      (Similarity.annIvfPqIndexBuildBench _),
+    "sim_ann_ivfpq_index_query" ->
+      (Similarity.annIvfPqIndexQueryBench _))
+
   /** The scale-path queries Bench times: production (un-canonicalized)
     * forms, minus the O(n²) oracle baselines. The composed curation
     * pipeline rides along like any other operator — it is registered in
     * [[queries]] with its own end-to-end oracle
     * ([[PipelineRun.curatedOracle]]). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    productionQueries -- baselineOnly
+    productionQueries ++ benchOnly -- baselineOnly
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker

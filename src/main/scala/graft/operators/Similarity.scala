@@ -1857,6 +1857,35 @@ object Similarity {
     root
   }
 
+  /** Bench-only row `sim_ann_ivfpq_index_build`: the INGEST phase alone
+    * (train + encode + write the partitioned postings, production
+    * trainers), so the bench artifact prices build and query separately
+    * — the combined `sim_ann_ivfpq_indexed` row necessarily hid the
+    * query-many advantage behind its per-call rebuild. */
+  def annIvfPqIndexBuildBench(spark: SparkSession, dir: String): DataFrame = {
+    buildIvfPqIndexProd(spark, dir, indexRootFor(dir, "_benchb"))
+    spark.range(1).toDF("built")
+  }
+
+  private val benchQueryRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bench-only row `sim_ann_ivfpq_index_query`: query against a
+    * per-process CACHED artifact — built once on first call (the first
+    * bench iteration pays it; min-of-3 reports the steady state), so
+    * the row shows what a query session actually costs once the index
+    * exists: a broadcast centroid read + partition-pruned postings scan
+    * + ONE shuffle. Correctness of the identical plan is oracle-gated
+    * via `sim_ann_ivfpq_indexed`. */
+  def annIvfPqIndexQueryBench(spark: SparkSession, dir: String): DataFrame = {
+    val root = benchQueryRoots.computeIfAbsent(dir, d => {
+      val r = indexRootFor(d, "_benchq")
+      buildIvfPqIndexProd(spark, d, r)
+      r
+    })
+    annIvfPqIndexed(spark, dir, root)
+  }
+
   /** Registry form: exact-fold build + query — ≡ [[annIvfPq]], shares
     * its DuckDB oracle. */
   def annIvfPqIndexedAuto(spark: SparkSession, dir: String): DataFrame = {
