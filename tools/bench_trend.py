@@ -18,12 +18,15 @@ per-query times are recovered by regex from the tail fragment (possibly
 partial; prefer `git show <prior-round>:bench_out.json` as the prior).
 
 Justified regressions are whitelisted via bench_trend_notes.json (next to
-this script): {"<query>": {"max_ratio": N, "reason": "..."}}. A would-be
-flag whose ratio stays within the note's max_ratio is reported as NOTED
-(with the recorded reason) instead of FLAGGED — so a judge or a future
-round sees only UNEXPLAINED flags. Ratios beyond the noted bound still
-flag: a note is a recorded justification for a specific measured trade,
-not a mute button.
+this script): {"<query>": {"max_ratio": N, "max_abs_sec": S, "reason":
+"..."}}. A would-be flag whose ratio stays within the note's max_ratio —
+AND, when max_abs_sec is present, whose absolute time stays under it — is
+reported as NOTED (with the recorded reason) instead of FLAGGED — so a
+judge or a future round sees only UNEXPLAINED flags. Ratios beyond the
+noted bound still flag, as does a noted-ratio row that blows its absolute
+cap (a wide ratio bound on a small base otherwise mutes large
+regressions): a note is a recorded justification for a specific measured
+trade, not a mute button.
 
 Exit code 1 iff any FLAGGED rows remain.
 """
@@ -81,7 +84,8 @@ for name in sorted(cq):
             noisy.append(name)
             print(f"NOISY {name}: {p:.3f} -> {c:.3f}s ({ratio:.2f}x) but own "
                   f"spread min..max = {s[0]:.3f}..{s[2]:.3f} ({own_spread:.2f}x)")
-        elif note and ratio <= note.get("max_ratio", threshold):
+        elif (note and ratio <= note.get("max_ratio", threshold)
+              and c <= note.get("max_abs_sec", float("inf"))):
             noted.append(name)
             print(f"NOTED {name}: {p:.3f} -> {c:.3f}s ({ratio:.2f}x) — "
                   f"{note['reason']}")
