@@ -44,11 +44,17 @@ object SparkEntry {
     *     top-k operator before collection (df stays exact; the capped
     *     form is ALSO oracle-gated as `text_inverted_index_capped`);
     *   - quantiles: fixed-size `approx_percentile` summaries instead of
-    *     exact percentile's buffer-everything state. */
+    *     exact percentile's buffer-everything state;
+    *   - winnow matches: fingerprints df-capped before the self-join
+    *     (boilerplate hashes cost df² pairs and carry no signal — the
+    *     round-10 Zipfian 100× run measured the uncapped blowup; the
+    *     capped form is ALSO oracle-gated as
+    *     `text_winnow_matches_capped`). */
   def productionOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_centroid_by_lang" -> (Similarity.centroidByLangProd _),
     "sim_ann_ivf" -> (Similarity.annIvfProd _),
     "text_inverted_index" -> (TextAnalysis.invertedIndexCapped _),
+    "text_winnow_matches" -> (TextAnalysis.winnowMatchesCapped _),
     "events_value_quantiles" -> (Events.valueQuantilesApprox _),
     "sim_quantize_sq" -> (Similarity.quantizeSqProd _),
     "sim_ann_ivf_sq" -> (Similarity.annIvfSqProd _),

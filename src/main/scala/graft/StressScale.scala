@@ -13,13 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (banded dedup self-joins, connected components, trained-quantizer
   * ANN, corpus-shuffle text passes, the composed pipeline).
   *
-  * Deliberately EXCLUDED: `text_winnow_matches` / `dedup_dup_spans` —
-  * with a fixed 31-word vocabulary, shared-window density itself grows
-  * linearly with corpus size (every 3-gram's document frequency rises ∝
-  * n), so their pair volume grows ∝ n² in the SYNTHETIC data while real
-  * corpora grow vocabulary with size; the df-cap mitigation documented
-  * in SCALING.md is the lever for corpora that really look like that.
-  * The O(n²) oracle baselines are excluded for the usual reason.
+  * `text_winnow_matches` / `dedup_dup_spans` are measured on a SEPARATE
+  * Zipfian-vocabulary corpus (rows reported with a `_zipf` suffix, see
+  * [[synthDocumentsZipf]]): with the fixtures' fixed 31-word vocabulary,
+  * shared-window density itself grows linearly with corpus size (every
+  * 3-gram's document frequency rises ∝ n), so their pair volume on the
+  * STANDARD synthesis would be an artifact, not a measurement. The
+  * O(n²) oracle baselines are excluded for the usual reason.
   *
   * Usage: runMain graft.StressScale <sf0.1Dir> <outRoot> <factor>
   * [query ...] (re-uses an existing synthesized corpus at
@@ -51,6 +51,62 @@ object StressScale {
         s"src${rng.nextInt(20)}", text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
+
+  /** Realistic-vocabulary synthesis for the span/winnow families: a
+    * 20 000-token Zipfian vocabulary (rank-frequency ∝ 1/r — the
+    * empirical law for natural text) instead of the fixtures' 31 words.
+    * Under the 31-word vocab every 3-gram's document frequency rises ∝
+    * n, so shared-window density itself grows with corpus size and the
+    * pair volume is an ARTIFACT of the synthesis; with a Zipfian 20 k
+    * vocabulary incidental window collisions concentrate in the head
+    * tokens (as in real corpora) while the tail keeps windows unique.
+    * TRUE matches are planted: every 20th document copies a 20-word
+    * span from its predecessor, so real signal grows ∝ n — the
+    * crawl-boilerplate shape the span/winnow operators exist for. */
+  private val ZipfV = 20000
+  private lazy val zipfCdf: Array[Double] = {
+    val w = Array.tabulate(ZipfV)(i => 1.0 / (i + 1.0))
+    val total = w.sum
+    val c = new Array[Double](ZipfV)
+    var acc = 0.0
+    var i = 0
+    while (i < ZipfV) { acc += w(i) / total; c(i) = acc; i += 1 }
+    c
+  }
+
+  private def zipfWord(rng: scala.util.Random): String = {
+    val u = rng.nextDouble()
+    var idx = java.util.Arrays.binarySearch(zipfCdf, u)
+    if (idx < 0) idx = -idx - 1
+    "w" + (if (idx >= ZipfV) ZipfV - 1 else idx)
+  }
+
+  def synthDocumentsZipf(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      def wordsOf(i: Long): Array[String] = {
+        val rng = new scala.util.Random(i * 6364136223846793005L +
+          1442695040888963407L)
+        val len = 10 + rng.nextInt(91)
+        Array.fill(len)(zipfWord(rng))
+      }
+      val base = wordsOf(id)
+      val words = if (id % 20 == 1 && id > 0) {
+        val prev = wordsOf(id - 1)
+        val span = prev.slice(5, math.min(25, prev.length))
+        base.take(5) ++ span ++ base.drop(5 + span.length)
+      } else base
+      val text = words.mkString(" ")
+      (id, text, Langs((id % Langs.length).toInt),
+        s"src${id % 20}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Span/winnow rows measured on the Zipfian corpus (reported with a
+    * `_zipf` suffix): both base and scaled points use [[synthDocumentsZipf]]
+    * so the slope is corpus-shape-consistent. */
+  val ZipfStressQueries: Seq[String] =
+    Seq("dedup_dup_spans", "text_winnow_matches")
 
   def synthEmbeddings(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
@@ -138,16 +194,39 @@ object StressScale {
     catch { case _: Throwable => () }
 
     val only = args.drop(3).toSet
-    only.foreach(n => require(StressQueries.contains(n),
-      s"unknown stress query '$n' (see StressQueries)"))
+    only.foreach(n => require(StressQueries.contains(n) ||
+      ZipfStressQueries.map(_ + "_zipf").contains(n),
+      s"unknown stress query '$n' (see StressQueries/ZipfStressQueries)"))
     val registry = SparkEntry.benchQueries
-    val rows = StressQueries.filter(n => only.isEmpty || only(n)).map { name =>
+    val stdRows = StressQueries.filter(n => only.isEmpty || only(n)).map { name =>
       val fn = registry(name)
       val base = time(fn, sfDir)
       val scaled = time(fn, scaledDir)
       println(s"[stress] $name base=$base scaled=$scaled")
       (name, base, scaled)
     }
+    // span/winnow rows on the Zipfian corpus: BOTH points synthesized
+    // (base at 1× fixture row count, scaled at factor×) so the slope is
+    // measured on one consistent corpus shape
+    val zipfSel = ZipfStressQueries.filter(n =>
+      only.isEmpty || only(n + "_zipf"))
+    val zipfRows = if (zipfSel.isEmpty) Seq.empty else {
+      val zBase = s"$outRoot/zipf_x1"
+      val zScaled = s"$outRoot/zipf_x$factor"
+      for ((d, rows) <- Seq(zBase -> baseDocs, zScaled -> baseDocs * factor))
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$d/documents.parquet")))
+          synthDocumentsZipf(spark, rows).repartition(32)
+            .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      zipfSel.map { name =>
+        val fn = registry(name)
+        val base = time(fn, zBase)
+        val scaled = time(fn, zScaled)
+        println(s"[stress] ${name}_zipf base=$base scaled=$scaled")
+        (name + "_zipf", base, scaled)
+      }
+    }
+    val rows = stdRows ++ zipfRows
     // same escaping discipline as Bench.jstr: Spark exception messages
     // are frequently multiline, and a raw newline in an err field breaks
     // the one-line stress_report.json contract

@@ -257,6 +257,59 @@ object TextAnalysis {
        |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Boilerplate document-frequency cap for [[winnowMatchesCapped]]:
+    * a fingerprint present in MORE than this many documents is
+    * boilerplate (navigation chrome, license headers, templating) —
+    * its pair contribution costs df² in the self-join while carrying
+    * no pairing signal, the exact mitigation the inverted index's
+    * postings cap applies. The round-10 Zipfian stress run measured
+    * the uncapped blowup: 43.9 s at 100× rows (head-token
+    * fingerprints' df grows ∝ n, pairs ∝ df²) — see SCALING.md.
+    * The constant is sized to the FIXTURES (max fixture df is 7, so 5
+    * provably exercises the cap in `ScaleSafetySpec` — same policy as
+    * the inverted index's 100); production would tune it to the
+    * corpus's boilerplate profile. Planted true duplicates share
+    * low-df fingerprints (df ≈ 2) and always survive. */
+  private val WinnowDfCap = 5L
+
+  /** PRODUCTION winnowing match detection
+    * ([[graft.SparkEntry.productionOverrides]]): [[winnowMatches]] with
+    * fingerprints df-capped BEFORE the self-join. Per-hash group size
+    * is bounded by the cap, so pair volume is ≤ df_cap × index rows —
+    * linear in corpus size — regardless of how skewed the fingerprint
+    * head is. Oracle-gated separately as `text_winnow_matches_capped`
+    * (the uncapped exact form keeps its own oracle row). */
+  def winnowMatchesCapped(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnow(spark, dir)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val rare = fps.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap)
+      .select(col("fp_hash"))
+    val kept = fps.join(rare, Seq("fp_hash"), "left_semi")
+    (kept.as("a").join(kept.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared))
+  }
+
+  val winnowMatchesCappedOracle: String =
+    s"""WITH $winnowSelCtes,
+       |fp AS (SELECT DISTINCT doc_id, packed % 4294967296 AS fp_hash
+       |       FROM sel),
+       |rare AS (SELECT fp_hash FROM fp
+       |         GROUP BY 1 HAVING count(*) <= $WinnowDfCap),
+       |k AS (SELECT f.doc_id, f.fp_hash FROM fp f JOIN rare USING (fp_hash))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       count(*) AS n_shared
+       |FROM k a JOIN k b
+       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** Deterministic content-keyed train/val/test split: bucket =
     * poly_hash(text) mod 100, then 90/5/5. Keying on CONTENT (not doc_id)
     * is the dedup-safe property a pretraining pipeline needs — byte-equal
@@ -1584,6 +1637,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_winnow" -> (winnow _),
     "text_winnow_matches" -> (winnowMatches _),
+    "text_winnow_matches_capped" -> (winnowMatchesCapped _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_train_split" -> (trainSplit _),
     "text_top_quality_by_lang" -> (topQualityByLang _))
@@ -1617,6 +1671,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprintOracle,
     "text_winnow" -> winnowOracle,
     "text_winnow_matches" -> winnowMatchesOracle,
+    "text_winnow_matches_capped" -> winnowMatchesCappedOracle,
     "text_bpe_tokens" -> bpeTokensOracle,
     "text_train_split" -> trainSplitOracle,
     "text_top_quality_by_lang" -> topQualityByLangOracle)

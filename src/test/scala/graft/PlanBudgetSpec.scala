@@ -163,7 +163,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "text_train_split" -> (0, 0),
     "text_vocab_stats" -> (2, 0),
     "text_winnow" -> (0, 0), // scan-side expression + explode, shuffle-free
-    "text_winnow_matches" -> (3, 1)) // index distinct + fp self-join + pair agg
+    // production form is df-CAPPED (r10): + df agg + semi join over the
+    // uncapped (3,1) index distinct + fp self-join + pair agg shape
+    "text_winnow_matches" -> (5, 2),
+    "text_winnow_matches_capped" -> (5, 2))
 
   test("every production query is budgeted — no unpinned query ships") {
     val unpinned = SparkEntry.productionQueries.keySet -- planBudget.keySet

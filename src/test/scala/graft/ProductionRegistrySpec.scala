@@ -25,9 +25,13 @@ class ProductionRegistrySpec extends AnyFunSuite {
 
   test("registries are key-identical and bench excludes only the baselines") {
     assert(SparkEntry.productionQueries.keySet == SparkEntry.queries.keySet)
+    // bench = production − baselines + the bench-only phase rows (each a
+    // re-timed phase of an oracle-gated query, never new semantics)
     assert(SparkEntry.benchQueries.keySet ==
       (SparkEntry.productionQueries.keySet -- SparkEntry.baselineOnly) +
-        "pipeline_curated")
+        "pipeline_curated" ++ SparkEntry.benchOnly.keySet)
+    assert((SparkEntry.benchOnly.keySet
+      intersect SparkEntry.productionQueries.keySet).isEmpty)
   }
 
   test("production plans carry no global Sort; oracle forms carry exactly one on top") {

@@ -242,6 +242,25 @@ class ScaleSafetySpec extends AnyFunSuite {
     assert(truncSeen, "fixture never exercised the cap — raise sf or lower cap")
   }
 
+  test("capped winnow matches are the exact matches minus boilerplate-df pairs") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val exact = graft.operators.TextAnalysis.winnowMatches(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val capped = graft.operators.TextAnalysis.winnowMatchesCapped(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.nonEmpty)
+    // the cap only REMOVES hash contributions: every capped pair exists
+    // in the exact result with an equal-or-larger shared count
+    for ((pair, n) <- capped) {
+      assert(exact.contains(pair), s"capped invented pair $pair")
+      assert(n <= exact(pair), s"capped inflated n_shared at $pair")
+    }
+    // and the fixture actually exercises the cap — some fingerprint has
+    // df > cap, so the two results differ (else raise sf or lower cap)
+    assert(capped != exact,
+      "fixture never exercised the df cap — raise sf or lower the cap")
+  }
+
   test("scan-side quantization equals the explode+join oracle form exactly") {
     // same IEEE ops in the same order → bit-identical codes AND errors
     val exact = graft.operators.Similarity.quantizeSq(spark, dir)
