@@ -70,13 +70,13 @@ object StreamingAsof {
     out.result().iterator
   }
 
-  /** Replay the events fixture through the streaming as-of join (same
-    * hard-link staging as the other streaming helpers; no sentinel —
-    * purchases emit in their own batch). */
-  def asofJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
+  /** The staged joined stream both sinks consume. */
+  private def joinedPipeline(spark: SparkSession, dir: String,
+      prefix: String): (org.apache.spark.sql.Dataset[Joined],
+      java.nio.file.Path) = {
     import spark.implicits._
     val (raw, streamDir, _) = StreamingStaging.stageParquetStream(
-      spark, dir, "events", "graft_stream_asof")
+      spark, dir, "events", prefix)
     val events = raw
       .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "1 second")
@@ -86,10 +86,47 @@ object StreamingAsof {
     val joined = events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(stateFn)
+    (joined, streamDir)
+  }
+
+  /** Replay the events fixture through the streaming as-of join (same
+    * hard-link staging as the other streaming helpers; no sentinel —
+    * purchases emit in their own batch). */
+  def asofJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val (joined, streamDir) = joinedPipeline(spark, dir, "graft_stream_asof")
     val sink = s"graft_sasof_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     StreamingStaging.runAndConsume(spark, sink, streamDir)(
       joined.toDF()
         .writeStream.format("memory").queryName(sink).outputMode("append")
         .start())
+  }
+
+  /** [[asofJoinStreaming]] with the PRODUCTION sink: the append-mode
+    * parquet FILE sink ([[StreamingLeaderboard]]'s mode — each purchase
+    * joins and emits exactly once, the manifest's atomic per-batch
+    * commit contract). No sentinel is needed: purchases emit in their
+    * arrival batch, so end-of-replay state flushes nothing. At scale
+    * this is the continuously-growing attribution table (purchase →
+    * most recent click) downstream revenue jobs read.
+    * `StreamingAsofSpec` pins parquet ≡ memory ≡ batch. */
+  def asofJoinStreamingToParquet(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val (joined, streamDir) = joinedPipeline(spark, dir, "graft_stream_asofpq")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt")
+    try {
+      val query = joined.toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    } finally {
+      StreamingStaging.deleteRecursively(streamDir)
+      StreamingStaging.deleteRecursively(ckpt)
+    }
+    spark.read.parquet(outDir)
   }
 }

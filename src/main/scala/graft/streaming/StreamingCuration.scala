@@ -69,4 +69,36 @@ object StreamingCuration {
         .writeStream.format("memory").queryName(sink).outputMode("append")
         .start())
   }
+
+  /** [[curatedStreaming]] with the PRODUCTION sink: the append-mode
+    * parquet FILE sink ([[StreamingLeaderboard]]'s mode — each curated
+    * document emits exactly once on first arrival of its content key,
+    * the manifest's atomic per-batch commit contract). THIS is the
+    * pipeline's actual deployment shape: a crawl lands documents on a
+    * stream and the curated table grows continuously as training-ready
+    * parquet any engine can read. `StreamingCurationSpec` pins
+    * parquet ≡ memory ≡ batch on the arrival-order-independent
+    * invariants (kept content-key set; per-key payloads). */
+  def curatedStreamingToParquet(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val (raw, streamDir, _) = StreamingStaging.stageParquetStream(
+      spark, dir, "documents", "graft_stream_curpq")
+    val docs = raw.select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cur_ckpt")
+    try {
+      val query = curationOf(docs)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    } finally {
+      StreamingStaging.deleteRecursively(streamDir)
+      StreamingStaging.deleteRecursively(ckpt)
+    }
+    spark.read.parquet(outDir)
+  }
 }

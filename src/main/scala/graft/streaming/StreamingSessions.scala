@@ -84,14 +84,14 @@ object StreamingSessions {
     closed.result().iterator
   }
 
-  /** Replay the events fixture through the custom-state sessionizer
-    * (same staging + far-future sentinel as
-    * [[StreamingEvents.sessionizeStreaming]]). */
-  def sessionizeCustomState(spark: SparkSession, dir: String): DataFrame = {
+  /** The staged session stream both sinks consume: fixture replay →
+    * watermark → custom-state sessionizer. */
+  private def sessionPipeline(spark: SparkSession, dir: String,
+      prefix: String): (org.apache.spark.sql.Dataset[Session],
+      java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
     import spark.implicits._
-    val path = s"$dir/events.parquet"
     val (raw, streamDir, rawSchema) = StreamingStaging.stageParquetStream(
-      spark, dir, "events", "graft_stream_fmgws")
+      spark, dir, "events", prefix)
     val events = raw
       .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "1 second")
@@ -99,21 +99,76 @@ object StreamingSessions {
     val sessions = events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(stateFn)
+    (sessions, streamDir, rawSchema)
+  }
+
+  /** Append the far-future sentinel event that advances the watermark
+    * past every real session so open sessions time out and emit. */
+  private def pushSentinel(spark: SparkSession, path: String,
+      streamDir: java.nio.file.Path,
+      rawSchema: org.apache.spark.sql.types.StructType): Unit = {
+    import scala.jdk.CollectionConverters._
+    val farTs = StreamingStaging.sentinelTs(spark, path)
+    val sentinel = spark.createDataFrame(
+      List(org.apache.spark.sql.Row(
+        -1L, farTs, -1L, "sentinel", 0.0, "{}")).asJava,
+      rawSchema)
+    sentinel.write.mode("append").parquet(streamDir.toString)
+  }
+
+  /** Replay the events fixture through the custom-state sessionizer
+    * (same staging + far-future sentinel as
+    * [[StreamingEvents.sessionizeStreaming]]). */
+  def sessionizeCustomState(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val (sessions, streamDir, rawSchema) = sessionPipeline(
+      spark, dir, "graft_stream_fmgws")
     val sink = s"graft_fmgws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     StreamingStaging.runAndDrive(spark, sink, streamDir)(
       sessions.toDF()
         .writeStream.format("memory").queryName(sink).outputMode("append")
         .start()) { query =>
       query.processAllAvailable()
-      val farTs = StreamingStaging.sentinelTs(spark, path)
-      import scala.jdk.CollectionConverters._
-      val sentinel = spark.createDataFrame(
-        List(org.apache.spark.sql.Row(
-          -1L, farTs, -1L, "sentinel", 0.0, "{}")).asJava,
-        rawSchema)
-      sentinel.write.mode("append").parquet(streamDir.toString)
+      pushSentinel(spark, path, streamDir, rawSchema)
       query.processAllAvailable()
     }
       .filter(col("user_id") =!= -1L)
+  }
+
+  /** [[sessionizeCustomState]] with the PRODUCTION sink: Spark's native
+    * append-mode parquet FILE sink (the [[StreamingLeaderboard]] sink
+    * mode — each closed session emits exactly once, which is the file
+    * sink's `_spark_metadata` manifest contract: atomic per-batch
+    * commits, no double-appends on retry, batch readers see only
+    * committed files). The sentinel user is filtered BEFORE the sink so
+    * the table only ever holds real sessions. At 100 TB/day this is the
+    * continuously-growing sessions table a downstream join or training
+    * pipeline consumes. `StreamingSessionsSpec` pins
+    * parquet ≡ memory ≡ batch. */
+  def sessionizeCustomStateToParquet(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val (sessions, streamDir, rawSchema) = sessionPipeline(
+      spark, dir, "graft_stream_fmgwspq")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt")
+    try {
+      val query = sessions.toDF()
+        .filter(col("user_id") =!= -1L)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .start()
+      try {
+        query.processAllAvailable()
+        pushSentinel(spark, path, streamDir, rawSchema)
+        query.processAllAvailable()
+      } finally query.stop()
+    } finally {
+      StreamingStaging.deleteRecursively(streamDir)
+      StreamingStaging.deleteRecursively(ckpt)
+    }
+    spark.read.parquet(outDir)
   }
 }

@@ -32,6 +32,30 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(batch.size < total)
   }
 
+  test("native parquet file sink equals the memory-sink twin and the batch query") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(6) ->
+        (r.getString(4), r.getString(5), r.getString(3))).toMap
+    val batch = keyed(StreamingCuration.curatedBatch(spark, dir).collect())
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cur_out")
+    try {
+      val sunk = keyed(StreamingCuration
+        .curatedStreamingToParquet(spark, dir, outDir.toString)
+        .select("doc_id", "lang", "source", "masked_text", "norm_text",
+          "split", "norm_hash").collect())
+      assert(batch.nonEmpty)
+      assert(sunk.keySet == batch.keySet)
+      // as in the memory-sink test: only arrival-order-INDEPENDENT columns
+      // compare (which doc survives a duplicate set is arrival-dependent,
+      // and masked_text is a function of the surviving doc's raw text)
+      for ((h, (norm, split, _)) <- sunk) {
+        assert(batch(h)._1 == norm, s"norm_text drift at $h")
+        assert(batch(h)._2 == split, s"split drift at $h")
+      }
+      assert(java.nio.file.Files.exists(outDir.resolve("_spark_metadata")))
+    } finally StreamingStaging.deleteRecursively(outDir)
+  }
+
   test("streaming curation agrees with PipelineRun's quality gate and split") {
     // the composed batch CLI pipeline and the streaming composition share
     // the same gate/split expressions; cross-check on a sample of doc_ids
