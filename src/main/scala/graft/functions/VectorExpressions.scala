@@ -337,6 +337,20 @@ case class PqAssign(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): PqAssign =
     copy(child = newChild)
+
+  // case-class equality on the Array codebook is reference equality,
+  // which would defeat Catalyst subexpression elimination / plan-level
+  // reuse between two semantically identical instances (ADVICE r9) —
+  // compare and hash the codebook by VALUE
+  override def equals(other: Any): Boolean = other match {
+    case o: PqAssign => child == o.child && subDim == o.subDim &&
+      java.util.Arrays.deepEquals(
+        codebook.asInstanceOf[Array[AnyRef]], o.codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + subDim) +
+      java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])
 }
 
 object PqAssign {
@@ -468,6 +482,17 @@ case class PqPackedCosine(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqPackedCosine =
     copy(left = newLeft, right = newRight)
+
+  // value-based codebook equality/hash — see the PqAssign note (ADVICE r9)
+  override def equals(other: Any): Boolean = other match {
+    case o: PqPackedCosine => left == o.left && right == o.right &&
+      java.util.Arrays.deepEquals(
+        codebook.asInstanceOf[Array[AnyRef]], o.codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode + right.hashCode) +
+      java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])
 }
 
 object PqPackedCosine {
@@ -562,6 +587,18 @@ case class PqAsymmetricCosine(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqAsymmetricCosine =
     copy(left = newLeft, right = newRight)
+
+  // value-based codebook equality/hash — see the PqAssign note (ADVICE r9)
+  override def equals(other: Any): Boolean = other match {
+    case o: PqAsymmetricCosine => left == o.left && right == o.right &&
+      subDim == o.subDim &&
+      java.util.Arrays.deepEquals(
+        codebook.asInstanceOf[Array[AnyRef]], o.codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * (31 * left.hashCode + right.hashCode) + subDim) +
+      java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])
 }
 
 object PqAsymmetricCosine {

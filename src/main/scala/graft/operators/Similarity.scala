@@ -610,14 +610,22 @@ object Similarity {
 
   /** Symmetric-PQ prefilter margin for the near-dup confirm: a candidate
     * pair reaches the exact-cosine join only when the cosine of its two
-    * PQ-DECODED approximations clears this. True near-dups (exact cosine
-    * ≥ 0.9) decode to near-identical approximations (approx cosine ≈ 1 —
-    * often the literal same codes), while the LSH buckets' incidental
-    * candidates sit below ~0.55 exact and decode accordingly — a wide
-    * moat on both sides, pinned by the recall-1.0 spec. Deliberately NOT
-    * the confirm threshold: 0.9 on the approximation would trade recall
-    * for nothing (the exact confirm already decides). */
-  private val NearDupPqMargin = 0.5
+    * PQ-DECODED approximations clears this. Deliberately NOT the 0.9
+    * confirm threshold: the prefilter must never lose a true pair (the
+    * exact confirm already decides), so it needs headroom for the WORST
+    * quantization error a true pair can suffer. Round 10 measured that
+    * worst case on an adversarial borderline fixture (pairs planted at
+    * exact cosine just above 0.9 with the perturbation spread across
+    * every dimension): the minimum decoded cosine of a true pair was
+    * 0.431 — below the original 0.5 margin, which would have silently
+    * dropped it (and the DuckDB oracle replays the same filter, so the
+    * hash gate could not have seen the loss; only the independent moat
+    * spec in `SimilaritySpec` catches it). 0.3 keeps 0.13 of measured
+    * headroom while still pruning the LSH buckets' incidental
+    * candidates (exact cosine ≈ 0 on random text embeddings, decoding
+    * near 0); the 30× stress point re-measured within its round-9
+    * envelope after the change (SCALING.md round 10). */
+  private[graft] val NearDupPqMargin = 0.3
 
   /** Near-dup pairs via bucketed LSH with radius-2 multi-probe: side A
     * probes its own bucket plus every bucket within hamming distance 2 of
@@ -1154,7 +1162,7 @@ object Similarity {
   /** [[pqCodebookExact]] over ANY (vec_id, ev) frame — the near-dup
     * family trains on its own vector set (base ∪ planted copies) so the
     * DuckDB replay's `v`-scoped CTE chain stays engine-identical. */
-  private def pqCodebookExactOn(v: DataFrame): DataFrame = {
+  private[graft] def pqCodebookExactOn(v: DataFrame): DataFrame = {
     val subs = pqSubsOf(v)
     val seedSubs = pqSubsOf(v.orderBy(col("vec_id")).limit(PqK))
       .select(col("m"), col("vec_id").as("centroid_id"), col("sub").as("cv"))
@@ -1220,7 +1228,7 @@ object Similarity {
 
   /** Collect any (m, code, cv) codebook frame into the dense array
     * shape (bounded: ≤ [[PqM]]·[[PqK]] rows ≈ 1 KiB of doubles). */
-  private def pqCodebookArrOf(cb: DataFrame): Array[Array[Array[Double]]] = {
+  private[graft] def pqCodebookArrOf(cb: DataFrame): Array[Array[Array[Double]]] = {
     val rows = cb.collect()
     (0 until PqM).map { m =>
       rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))

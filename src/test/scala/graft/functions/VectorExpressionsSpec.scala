@@ -233,6 +233,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(bad.head.isNullAt(0), "wrong dims must be null")
   }
 
+  test("PQ expressions compare codebooks by value (subexpression reuse)") {
+    // ADVICE r9: case-class equality on an Array field is reference
+    // equality, so two semantically identical expression instances never
+    // compared equal — defeating Catalyst subexpression elimination.
+    // Build two DEEP COPIES of a codebook and assert equals + hashCode
+    // agree (and disagree once a value differs).
+    def cbCopy(): Array[Array[Array[Double]]] =
+      Array.tabulate(2, 2, 2)((m, c, d) => m * 4.0 + c * 2.0 + d)
+    val a = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType), nullable = true)
+    val code = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      1, org.apache.spark.sql.types.LongType, nullable = true)
+    val x = PqAsymmetricCosine(a, code, cbCopy(), 2)
+    val y = PqAsymmetricCosine(a, code, cbCopy(), 2)
+    assert(x == y && x.hashCode == y.hashCode)
+    val zCb = cbCopy(); zCb(1)(1)(1) = 99.0
+    assert(x != PqAsymmetricCosine(a, code, zCb, 2))
+    val p = PqPackedCosine(code, code, cbCopy())
+    val q = PqPackedCosine(code, code, cbCopy())
+    assert(p == q && p.hashCode == q.hashCode)
+    val fa = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType), nullable = true)
+    val u = PqAssign(fa, cbCopy(), 2)
+    val v = PqAssign(fa, cbCopy(), 2)
+    assert(u == v && u.hashCode == v.hashCode)
+    assert(u != PqAssign(fa, cbCopy(), 1))
+  }
+
   test("type checking rejects non-array-of-double inputs") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       // Dataset analysis is eager — the type-check fires at select()

@@ -28,6 +28,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("borderline near-dup pairs clear the symmetric-PQ margin's moat") {
+    // ADVICE r9: the DuckDB oracle REPLAYS the NearDupPqMargin prefilter,
+    // so the hash gate cannot detect recall the margin itself loses; and
+    // the fixtures' planted pairs sit at cosine ≈ 0.99 — far from the 0.9
+    // confirm threshold. This is the independent moat check: plant pairs
+    // whose exact cosine is JUST above 0.9 (copy = x + 0.44·y mixes in an
+    // unrelated vector — the worst realistic quantization-error case: the
+    // perturbation is spread over EVERY dimension, not 8), train the PQ
+    // codebook on that union exactly as nearDupLsh does, and assert no
+    // true pair's code-vs-code decoded cosine falls below the margin —
+    // i.e. the prefilter provably cannot drop a borderline true pair.
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val partner = e.select(col("vec_id").as("pid"), col("embedding").as("pv"))
+    val mixed = e.join(partner, (col("vec_id") + 7L) % 500L === col("pid"))
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        zip_with(col("embedding"), col("pv"),
+          (x, y) => (x + y * lit(0.44f)).cast("float")).as("embedding"))
+    val union = e.select(col("vec_id"), col("embedding")).unionAll(mixed)
+    val v = union.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("ev"))
+    // the planted borderline set: exact cosine of (x, x + 0.44y) lands
+    // around 0.91 ± noise; keep only the genuinely borderline ones
+    val planted = e.select(col("vec_id"), col("embedding"))
+      .join(mixed.select((col("vec_id") - 200000L).as("vec_id"),
+        col("embedding").as("mixed_emb")), "vec_id")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine_similarity(
+          transform(col("embedding"), _.cast("double")),
+          transform(col("mixed_emb"), _.cast("double"))).as("cos"))
+      .filter(col("cos") >= 0.9 && col("cos") <= 0.95)
+      .collect().map(r => r.getLong(0))
+    assert(planted.length >= 10,
+      s"fixture produced only ${planted.length} borderline pairs — retune the mix")
+    // train the codebook on the union (the nearDupLsh exact path's own
+    // trainer) and decode each planted pair symmetrically
+    val cbArr = Similarity.pqCodebookArrOf(Similarity.pqCodebookExactOn(v))
+    val codes = union.select(col("vec_id"),
+      graft.functions.VectorFunctions.pq_assign(col("embedding"), cbArr, 4)
+        .getField("packed").as("b_code"))
+    val margins = codes.as("a")
+      .join(codes.as("b"), col("b.vec_id") === col("a.vec_id") + 200000L)
+      .filter(col("a.vec_id").isin(planted.toIndexedSeq: _*))
+      .select(graft.functions.VectorFunctions.pq_packed_cosine(
+        col("a.b_code"), col("b.b_code"), cbArr).as("pqcos"))
+      .collect().map(_.getDouble(0))
+    assert(margins.length == planted.length)
+    val worst = margins.min
+    info(f"borderline pairs: ${planted.length}; worst decoded cosine " +
+      f"$worst%.3f vs margin ${Similarity.NearDupPqMargin}")
+    assert(worst > Similarity.NearDupPqMargin,
+      f"margin moat breached: a true borderline pair decodes to $worst%.3f" +
+        f" <= ${Similarity.NearDupPqMargin} and would be silently dropped")
+  }
+
   test("production near-dup (fixed-buffer PQ prefilter) equals the oracle pair set") {
     // the prod codebook differs from the oracle's (base-trained,
     // fixed-buffer accumulation) so the prefilter decisions could in
