@@ -62,6 +62,7 @@ object SparkEntry {
     "sim_ann_ivfpq" -> (Similarity.annIvfPqProd _),
     "sim_ann_ivfpq_indexed" -> (Similarity.annIvfPqIndexedProd _),
     "sim_ann_index_delta" -> (Similarity.annIvfPqIndexDeltaProd _),
+    "sim_ann_index_search" -> (Similarity.annIvfPqIndexSearchProd _),
     "sim_ann_lsh" -> (Similarity.annLshProd _),
     "sim_neardup_lsh" -> (Similarity.nearDupLshProd _),
     "dedup_semantic" -> (Similarity.semanticDedupProd _),

@@ -1837,6 +1837,140 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("rnk"), col("cosine")))
   }
 
+  // --- external-query search (the actual search-service API) --------------
+
+  /** Search a persisted IVF-PQ index with an EXTERNAL query set — the
+    * actual API of a vector-search service (every other ANN form here
+    * self-joins the corpus; a deployed index is queried by vectors that
+    * are NOT in it: a user prompt's embedding, a crawler's new page, a
+    * training batch looking for its nearest neighbors). `queries` is any
+    * (query_id, qev: array<double>) frame; the corpus at `dir` is the
+    * table the index was built from (full-precision vectors are fetched
+    * from it only for the top-[[PqPreK]] rerank).
+    *
+    * Plan shape = the indexed self-join's: broadcast centroid read →
+    * nprobe cells per query → partition-PRUNED postings read → 8-byte
+    * code candidates ranked by the native asymmetric cosine → bounded
+    * full-precision rerank. Query cost scales with |queries| ·
+    * nprobe/√n of the index — independent of corpus size beyond the
+    * pruned read. Returns (query_id, neighbor_id, rnk, cosine). */
+  def searchIvfPqIndex(spark: SparkSession, queries: DataFrame,
+      dir: String, indexDir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dvec.as("ev"))
+    val q = queries.select(col("query_id"), col("qev"))
+    val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val cbArr = pqCodebookArrOf(
+      spark.read.parquet(s"$indexDir/codebook.parquet"))
+    val probes = ivfAssign(
+        q.select(col("query_id").as("vec_id"), col("qev").as("ev")), cent)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val members = spark.read.parquet(s"$indexDir/postings.parquet")
+      .select(col("vec_id").as("neighbor_id"), col("b_code"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val cand = probes.join(members, "centroid_id")
+      .select(col("query_id"), col("neighbor_id"), col("b_code"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val pre = cand
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.pq_asymmetric_cosine(
+          col("qev"), col("b_code"), cbArr, PqS).as("acos"))
+      .withColumn("prernk", row_number().over(wPre))
+      .filter(col("prernk") <= PqPreK)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    (pre
+      .join(q, "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("ev").as("b_ev")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qev"), col("b_ev")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= AnnK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine")))
+  }
+
+  /** The registry's deterministic external query set: every 10th corpus
+    * vector, first 4 dims shifted by +0.05, at query_id = vec_id +
+    * 300000 — "slightly moved" probes whose true neighbors are known to
+    * include their source vector, so the search's output is
+    * interpretable AND the DuckDB oracle derives the identical set. */
+  private def searchQuerySet(spark: SparkSession, dir: String): DataFrame = {
+    val pert = transform(dvec,
+      (x, i) => when(i < 4, x + lit(0.05)).otherwise(x))
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 300000L).as("query_id"), pert.as("qev"))
+  }
+
+  /** Registry form `sim_ann_index_search`: exact-fold build over the
+    * corpus, then the external-query search. */
+  def annIvfPqIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_search")
+    buildIvfPqIndex(spark, dir, root)
+    searchIvfPqIndex(spark, searchQuerySet(spark, dir), dir, root)
+  }
+
+  /** Production registry form: fixed-buffer build, same search. */
+  def annIvfPqIndexSearchProd(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_search_prod")
+    buildIvfPqIndexProd(spark, dir, root)
+    searchIvfPqIndex(spark, searchQuerySet(spark, dir), dir, root)
+  }
+
+  /** Oracle for [[annIvfPqIndexSearch]]: the identical algorithm
+    * monolithically — corpus-trained centroids/codebook (the
+    * [[annIvfPqOracle]] CTEs verbatim), the derived query set assigned
+    * to its nprobe cells, candidates against the corpus home cells,
+    * asymmetric preselect, exact rerank. */
+  val annIvfPqIndexSearchOracle: String =
+    s"""WITH $ivfCandCtes,
+       |$pqCtes,
+       |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |        FROM pasg GROUP BY 1),
+       |q AS (SELECT vec_id + 300000 AS query_id,
+       |             [CASE WHEN i <= 4 THEN ev[i] + 0.05 ELSE ev[i] END
+       |              for i in range(1, len(ev) + 1)] AS qev
+       |      FROM v WHERE vec_id % 10 = 0),
+       |qa0 AS (SELECT q.query_id, c.centroid_id,
+       |               ${sqlCos("q.qev", "c.cv")} AS ccos
+       |        FROM q CROSS JOIN cent c),
+       |qassign AS (SELECT query_id, centroid_id FROM (
+       |              SELECT query_id, centroid_id,
+       |                     row_number() OVER (PARTITION BY query_id
+       |                                        ORDER BY ccos DESC, centroid_id)
+       |                       AS crnk
+       |              FROM qa0)
+       |            WHERE crnk <= $IvfProbes),
+       |qcand AS (SELECT a.query_id, m.neighbor_id
+       |          FROM qassign a JOIN members m USING (centroid_id)),
+       |qaq AS (SELECT c.query_id, c.neighbor_id,
+       |               ${sqlCos("q.qev", "d.qv")} AS acos
+       |        FROM qcand c
+       |        JOIN q ON c.query_id = q.query_id
+       |        JOIN dec d ON c.neighbor_id = d.vec_id),
+       |qpre AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY acos DESC, neighbor_id)
+       |                    AS prernk
+       |           FROM qaq)
+       |         WHERE prernk <= $PqPreK),
+       |qp AS (SELECT c.query_id, c.neighbor_id,
+       |              ${sqlCos("q.qev", "b.ev")} AS cosine
+       |       FROM qpre c
+       |       JOIN q ON c.query_id = q.query_id
+       |       JOIN v b ON c.neighbor_id = b.vec_id),
+       |qr AS (SELECT query_id, neighbor_id, cosine,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+       |       FROM qp)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM qr WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
   /** Deterministic per-fixture index root for the registry forms (the
     * correctness/bench harnesses call queries as (spark, dir); the
     * artifact is rebuilt — mode overwrite — on every call so the gate
@@ -1922,7 +2056,8 @@ object Similarity {
     "sim_quantize_pq" -> (quantizePq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _),
-    "sim_ann_index_delta" -> (annIvfPqIndexDelta _))
+    "sim_ann_index_delta" -> (annIvfPqIndexDelta _),
+    "sim_ann_index_search" -> (annIvfPqIndexSearch _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
@@ -1939,5 +2074,6 @@ object Similarity {
     // the persisted-index path reproduces annIvfPq row for row (exact
     // artifacts round-trip through parquet), so the replay is identical
     "sim_ann_ivfpq_indexed" -> annIvfPqOracle,
-    "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle)
+    "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle,
+    "sim_ann_index_search" -> annIvfPqIndexSearchOracle)
 }

@@ -112,6 +112,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // incremental cadence: base build + delta append run eagerly before
     // the query; the returned plan is the same 1-shuffle indexed query
     "sim_ann_index_delta" -> (1, 5),
+    // external-query search: same 1-shuffle pruned-read query plan
+    "sim_ann_index_search" -> (1, 5),
     // PQ assignment is ONE scan-side projection against codebook
     // literals (the two bounded codebook-training jobs run beforehand)
     "sim_quantize_pq" -> (0, 0),

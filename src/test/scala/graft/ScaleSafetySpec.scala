@@ -82,7 +82,7 @@ class ScaleSafetySpec extends AnyFunSuite {
     assert(!SparkEntry.benchQueries.contains("sim_ann_ivf"))
     val annTimed = SparkEntry.benchQueries.keySet.filter(_.startsWith("sim_ann"))
     assert(annTimed == Set("sim_ann_lsh", "sim_ann_ivf_sq", "sim_ann_ivfpq",
-      "sim_ann_ivfpq_indexed", "sim_ann_index_delta",
+      "sim_ann_ivfpq_indexed", "sim_ann_index_delta", "sim_ann_index_search",
       "sim_ann_ivfpq_index_build", "sim_ann_ivfpq_index_query"),
       s"unaudited ANN query entered the timed registry: $annTimed")
   }
@@ -159,8 +159,8 @@ class ScaleSafetySpec extends AnyFunSuite {
       // PQ forms are the flagship. Its measured 30× point needs no spill
       // (SCALING.md round 9).
       val strict = Seq("sim_ann_lsh", "sim_ann_ivfpq", "sim_ann_ivfpq_indexed",
-        "sim_ann_index_delta", "sim_ann_ivfpq_index_query",
-        "sim_neardup_lsh", "dedup_semantic")
+        "sim_ann_index_delta", "sim_ann_index_search",
+        "sim_ann_ivfpq_index_query", "sim_neardup_lsh", "dedup_semantic")
       for (name <- strict) {
         val (got, node) = maxVectorExchangeRows(
           SparkEntry.benchQueries(name)(spark, dir))

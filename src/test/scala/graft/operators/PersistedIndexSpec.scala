@@ -137,6 +137,25 @@ class PersistedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("external-query search finds each query's source vector at rank 1") {
+    // the search query set is "every 10th corpus vector, slightly moved"
+    // (first 4 of 64 dims +0.05 → cosine to its source ≈ 0.999 while the
+    // random corpus offers nothing above ~0.55) — so a CORRECT index +
+    // search must put the source vector at rank 1 for every query. This
+    // is the interpretable end-to-end check the hash gate can't express.
+    val top1 = Similarity.annIvfPqIndexSearch(spark, dir)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1.nonEmpty)
+    for ((qid, nid) <- top1)
+      assert(nid == qid - 300000L,
+        s"query $qid's nearest neighbor is $nid, not its source ${qid - 300000L}")
+    // and the search actually searched: one result set per query vector
+    val nQueries = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(top1.size == nQueries)
+  }
+
   test("production build (bounded trainers) retains the exact form's answers") {
     val root = tempRoot()
     try {
