@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions.col
+
+import graft.TestSpark
+
+/** Streaming index maintenance: the streamed-maintained persisted index
+  * must answer queries exactly as the batch build+append on the same
+  * splits, and a re-applied (retried) micro-batch must change nothing. */
+class StreamingIndexAppendSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def resultRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    .toSet
+
+  test("streamed micro-batch appends equal the batch delta append, query-exact") {
+    val streamRoot = java.nio.file.Files.createTempDirectory("graft_idx_stream")
+    val batchRoot = java.nio.file.Files.createTempDirectory("graft_idx_batch")
+    try {
+      val streamed = resultRows(StreamingIndexAppend.indexDeltaStreaming(
+        spark, dir, streamRoot.toString))
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+        e.filter(col("vec_id") % 8 =!= 7), batchRoot.toString)
+      graft.operators.Similarity.appendToIvfPqIndexProd(spark,
+        e.filter(col("vec_id") % 8 === 7), batchRoot.toString)
+      val batch = resultRows(graft.operators.Similarity.annIvfPqIndexed(
+        spark, dir, batchRoot.toString))
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      // both days' markers were committed
+      assert(java.nio.file.Files.list(
+        streamRoot.resolve("_append_log")).count() == 2)
+    } finally {
+      StreamingStaging.deleteRecursively(streamRoot)
+      StreamingStaging.deleteRecursively(batchRoot)
+    }
+  }
+
+  test("a retried (already-committed) batch is a no-op on the postings") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_retry")
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+        e.filter(col("vec_id") % 8 =!= 7), root.toString)
+      val delta = e.filter(col("vec_id") % 8 === 7)
+      StreamingIndexAppend.appendBatch(spark, root.toString)(delta, 0L)
+      def postingsFiles() = {
+        val walk = java.nio.file.Files.walk(root.resolve("postings.parquet"))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(_.toString).toSet
+        } finally walk.close()
+      }
+      val after1 = postingsFiles()
+      StreamingIndexAppend.appendBatch(spark, root.toString)(delta, 0L)
+      assert(postingsFiles() == after1,
+        "retried batch 0 modified the postings — the commit log failed")
+      // and a NEW batch id does append
+      StreamingIndexAppend.appendBatch(spark, root.toString)(
+        delta.limit(0), 1L)
+      assert(java.nio.file.Files.exists(
+        root.resolve("_append_log").resolve("batch-1")))
+    } finally StreamingStaging.deleteRecursively(root)
+  }
+}
