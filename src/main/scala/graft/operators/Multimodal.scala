@@ -1762,6 +1762,89 @@ object Multimodal {
        |            AS BIGINT) AS scene_cuts
        |FROM d ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** Scene-cut threshold for [[videoMjpegFeatures]]'s 256-px frames —
+    * the same avg-per-pixel jump (> 32 gray levels) as the uncompressed
+    * head's [[SceneCutDiff]], scaled to the MJPEG frame size. */
+  private[operators] val MjpegSceneCutDiff = 8192L
+
+  /** `mm_video_mjpeg_features`: the feature head over COMPRESSED video —
+    * the same motion / peak-luma / scene-cut features as
+    * [[videoFeatures]], but each frame is a baseline JPEG inside the AVI
+    * ([[aviEncodeMjpeg]], one 16×16 frame per four raster pixels in a
+    * 2×2 grid of constant 8×8 blocks), and EVERY frame pays the real
+    * entropy decode + IDCT on the way back. Constant blocks round-trip
+    * the DCT bit-exactly, so the recovered gray levels equal the source
+    * pixels and DuckDB replays the features from the text with no
+    * codec: per frame, luma = 64·Σ(4 block levels), inter-frame diff =
+    * 64·Σ|block − prev block|. A curation pass over a real crawl runs
+    * exactly this shape — features over decoded MJPEG/H.26x frames —
+    * and the cost is the codec, not the arithmetic, which is why the
+    * decode runs inside the partition iterator after one narrow-row
+    * repartition (codec parallelism decoupled from scan splits, as in
+    * [[videoMjpeg]]). */
+  def videoMjpegFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .map { case (id, text) =>
+        val px = pngPixels(text) // length is a multiple of 16
+        val frames = px.grouped(4).map { g =>
+          Array.tabulate[Byte](256) { i =>
+            val yy = i / 16; val xx = i % 16
+            g((yy / 8) * 2 + (xx / 8))
+          }
+        }.toSeq
+        val gray = aviFrameSampler(1)(aviEncodeMjpeg(frames, 16, 16))
+        val fpx = 256
+        val nf = gray.length / fpx
+        var motion = 0L; var peak = 0L; var cuts = 0L
+        var f = 0
+        while (f < nf) {
+          var luma = 0L; var diff = 0L
+          var i = 0
+          while (i < fpx) {
+            val g = grayLevel(gray(f * fpx + i))
+            luma += g
+            if (f > 0) diff += math.abs(g - grayLevel(gray((f - 1) * fpx + i)))
+            i += 1
+          }
+          if (luma > peak) peak = luma
+          if (f > 0) {
+            motion += diff
+            if (diff > MjpegSceneCutDiff) cuts += 1
+          }
+          f += 1
+        }
+        (id, nf.toLong, motion, peak, cuts)
+      }(enc)
+      .toDF("doc_id", "n_frames", "motion", "peak_luma", "scene_cuts")
+  }
+
+  val videoMjpegFeaturesOracle: String =
+    s"""WITH $pixelCtes,
+       |f AS (SELECT doc_id,
+       |             [CAST(coalesce(px0[i], 32) AS BIGINT)
+       |              for i in range(1, n + 1)] AS px,
+       |             n // 4 AS nf
+       |      FROM p),
+       |d AS (SELECT doc_id, nf,
+       |             [64 * list_sum(px[(fr - 1) * 4 + 1 : fr * 4])
+       |              for fr in range(1, nf + 1)] AS luma,
+       |             [64 * list_sum([abs(px[(fr - 1) * 4 + i]
+       |                                 - px[(fr - 2) * 4 + i])
+       |                             for i in range(1, 5)])
+       |              for fr in range(2, nf + 1)] AS diffs
+       |      FROM f)
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       |       CAST(coalesce(list_sum(diffs), 0) AS BIGINT) AS motion,
+       |       CAST(list_max(luma) AS BIGINT) AS peak_luma,
+       |       CAST(coalesce(len(list_filter(diffs, x -> x > $MjpegSceneCutDiff)), 0)
+       |            AS BIGINT) AS scene_cuts
+       |FROM d ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   // --- registry ------------------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1777,7 +1860,8 @@ object Multimodal {
     "mm_decode_jpeg_color" -> (decodeJpegColor _),
     "mm_video_frames" -> (videoFrames _),
     "mm_video_features" -> (videoFeatures _),
-    "mm_video_mjpeg" -> (videoMjpeg _))
+    "mm_video_mjpeg" -> (videoMjpeg _),
+    "mm_video_mjpeg_features" -> (videoMjpegFeatures _))
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> metadataOracle,
@@ -1792,5 +1876,6 @@ object Multimodal {
     "mm_decode_jpeg_color" -> decodeJpegColorOracle,
     "mm_video_frames" -> videoFramesOracle,
     "mm_video_features" -> videoFeaturesOracle,
-    "mm_video_mjpeg" -> videoMjpegOracle)
+    "mm_video_mjpeg" -> videoMjpegOracle,
+    "mm_video_mjpeg_features" -> videoMjpegFeaturesOracle)
 }

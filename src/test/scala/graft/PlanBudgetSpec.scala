@@ -77,6 +77,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "mm_decode_jpeg_color" -> (1, 0), // same CPU-spread repartition shape
     "mm_decode_png" -> (0, 0), // encode+decode inside the partition iterator
     "mm_video_mjpeg" -> (1, 0),
+    // same CPU-spread repartition + in-iterator full MJPEG decode
+    "mm_video_mjpeg_features" -> (1, 0),
     "mm_features" -> (0, 0),
     "mm_audio_features" -> (0, 0), // encode+decode inside the partition iterator
     "mm_video_frames" -> (0, 0), // encode+sample inside the partition iterator
