@@ -1632,6 +1632,56 @@ object Similarity {
       .parquet(s"$indexDir/postings.parquet")
   }
 
+  /** Compact a persisted index's postings after many delta appends:
+    * each append writes one file per touched cell, so a year of daily
+    * batches leaves ~365 small files in hot cells and the query's
+    * pruned read pays per-file open cost instead of one sequential
+    * scan. Rewrites ONLY the cells holding more than `maxFilesPerCell`
+    * files back to the build layout (one file per cell) via dynamic
+    * partition overwrite; untouched cells' files stay byte-identical,
+    * and centroids/codebook are never touched ([[PersistedIndexSpec]]
+    * pins all of it, plus query-row equality across the compaction).
+    * The fragmented-cell list is a bounded driver collect (≤ √n cell
+    * ids); the compacted rows are MATERIALIZED (persist + count) before
+    * the overwrite so the job never reads the files it is about to
+    * replace. The same maintenance cadence every LSM-shaped store runs
+    * (parquet compaction, RocksDB L0→L1, Lucene segment merges). */
+  def compactIvfPqIndex(spark: SparkSession, indexDir: String,
+      maxFilesPerCell: Int = 1): Unit = {
+    val path = s"$indexDir/postings.parquet"
+    val postings = spark.read.parquet(path)
+      .select(col("vec_id"), col("b_code"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val fragmented = spark.read.parquet(path)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        input_file_name().as("f"))
+      .distinct()
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("nf"))
+      .filter(col("nf") > maxFilesPerCell)
+      .select(col("centroid_id"))
+    val cells = fragmented.collect().map(_.getLong(0))
+    if (cells.isEmpty) return
+    val compacted = postings
+      .join(broadcast(fragmented), "centroid_id")
+      .select(col("vec_id"), col("b_code"), col("centroid_id"))
+      .repartition(col("centroid_id"))
+      .persist()
+    compacted.count() // materialize BEFORE overwriting the source files
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try compacted.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(path)
+    finally {
+      saved match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      compacted.unpersist()
+    }
+  }
+
   /** Deterministic base/delta split of the fixture for the incremental
     * registry row: day-0 ingest = vec_id % 8 ≠ 7, the daily delta =
     * vec_id % 8 = 7 (≈12% of the corpus — large enough to touch many

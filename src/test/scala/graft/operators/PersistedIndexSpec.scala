@@ -137,6 +137,49 @@ class PersistedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction restores one-file-per-cell and changes no query answer") {
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndexOn(spark, e.filter(col("vec_id") % 8 =!= 7),
+        root.toString)
+      // two "days" of appends → touched cells hold up to 3 files
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 7),
+        root.toString)
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 15),
+        root.toString)
+      val before = fileHashes(root)
+      val preQuery = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      def filesPerCell(): Map[String, Int] = {
+        val walk = java.nio.file.Files.walk(root.resolve("postings.parquet"))
+        try walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+          .toSeq.groupBy(_.getParent.getFileName.toString)
+          .map { case (cell, fs) => cell -> fs.size }
+        finally walk.close()
+      }
+      val fragmented = filesPerCell().filter(_._2 > 1)
+      assert(fragmented.nonEmpty,
+        "appends produced no fragmented cell — the fixture no longer exercises compaction")
+      Similarity.compactIvfPqIndex(spark, root.toString)
+      val after = fileHashes(root)
+      // every cell is back to ONE file, and the query is bit-identical
+      assert(filesPerCell().values.forall(_ == 1))
+      assert(resultRows(Similarity.annIvfPqIndexed(spark, dir, root.toString))
+        == preQuery)
+      // centroids/codebook and every single-file (untouched) cell are
+      // byte-identical; only the fragmented cells were rewritten
+      before.foreach { case (rel, h) =>
+        val cellDir = rel.split('/').drop(1).headOption.getOrElse("")
+        if (!rel.startsWith("postings.parquet/") ||
+            !fragmented.contains(cellDir))
+          assert(after.get(rel).contains(h), s"compaction modified $rel")
+      }
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
   test("external-query search finds each query's source vector at rank 1") {
     // the search query set is "every 10th corpus vector, slightly moved"
     // (first 4 of 64 dims +0.05 → cosine to its source ≈ 0.999 while the
