@@ -136,6 +136,10 @@ object StressScale {
     // query — the delta encode/assign work should scale with the DELTA,
     // so its wall ratio tracks the ingest-priced indexed row
     "sim_ann_index_delta",
+    // the external-query search API: ingest-priced build + |queries|·
+    // nprobe/√n search — the search phase's work per query SHRINKS as
+    // the corpus grows (the pruned-read economics, measured)
+    "sim_ann_index_search",
     // the multi-probe LSH family last: its candidate join is the
     // n·(log n)²·occupancy shape and at large factors its spill can
     // exhaust local scratch — isolated so a failure there still leaves
