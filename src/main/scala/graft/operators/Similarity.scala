@@ -1519,9 +1519,9 @@ object Similarity {
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
     val cb = pqCodebookExactOn(v)
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
-    val home = ivfAssign(v, cent).filter(col("crnk") === 1)
-      .select(col("vec_id"), col("centroid_id"))
-    home.join(pqPackedExactOn(pqAssignExactOn(v, cb)), "vec_id")
+    val home = homeWithCos(v, cent)
+    home.select(col("vec_id"), col("centroid_id"))
+      .join(pqPackedExactOn(pqAssignExactOn(v, cb)), "vec_id")
       .select(col("vec_id"), col("b_code"), col("centroid_id"))
       // co-locate each cell in one task before partitionBy: without
       // this every task writes a file per cell it holds (tasks × √n
@@ -1531,6 +1531,12 @@ object Similarity {
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings.parquet")
+    writeBuildStats(spark, home, indexDir)
+    // reset the append log/stats: a fresh build is a new index version
+    graft.streaming.StreamingStaging.deleteRecursively(
+      java.nio.file.Paths.get(s"$indexDir/_stats/appends.parquet"))
+    graft.streaming.StreamingStaging.deleteRecursively(
+      java.nio.file.Paths.get(s"$indexDir/_append_log"))
   }
 
   /** [[buildIvfPqIndex]] with the PRODUCTION trainers: fixed-buffer
@@ -1560,13 +1566,18 @@ object Similarity {
       .pq_assign(col("embedding"), cbArr, PqS)
     val packed = raw
       .select(col("vec_id"), pq.getField("packed").as("b_code"))
-    ivfAssign(v, cent).filter(col("crnk") === 1)
-      .select(col("vec_id"), col("centroid_id"))
+    val home = homeWithCos(v, cent)
+    home.select(col("vec_id"), col("centroid_id"))
       .join(packed, "vec_id")
       .select(col("vec_id"), col("b_code"), col("centroid_id"))
       .repartition(col("centroid_id")) // one file per cell (see above)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings.parquet")
+    writeBuildStats(spark, home, indexDir)
+    graft.streaming.StreamingStaging.deleteRecursively(
+      java.nio.file.Paths.get(s"$indexDir/_stats/appends.parquet"))
+    graft.streaming.StreamingStaging.deleteRecursively(
+      java.nio.file.Paths.get(s"$indexDir/_append_log"))
   }
 
   // --- incremental append (the daily-crawl cadence) -----------------------
@@ -1599,14 +1610,67 @@ object Similarity {
     val delta = rawDelta.select(col("vec_id"), dvec.as("ev"))
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
-    val home = ivfAssign(delta, cent).filter(col("crnk") === 1)
-      .select(col("vec_id"), col("centroid_id"))
-    home.join(pqPackedExactOn(pqAssignExactOn(delta, cb)), "vec_id")
+    val home = homeWithCos(delta, cent)
+    home.select(col("vec_id"), col("centroid_id"))
+      .join(pqPackedExactOn(pqAssignExactOn(delta, cb)), "vec_id")
       .select(col("vec_id"), col("b_code"), col("centroid_id"))
       // one file per touched cell per batch (same rationale as the build)
       .repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings.parquet")
+    writeAppendStats(spark, home, indexDir)
+  }
+
+  /** Home-cell assignment KEEPING the similarity: (vec_id, centroid_id,
+    * ccos) — the postings path uses the first two, the drift stats the
+    * third, one assignment pass for both. */
+  private def homeWithCos(v: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("ev"), col("cv")).as("ccos"))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("ccos"))
+  }
+
+  /** Persist the build-time assignment-quality baseline: (n_vectors,
+    * mean home-cell cosine) of the corpus the quantizer was TRAINED on.
+    * A tiny one-row artifact next to the codebook. */
+  private def writeBuildStats(spark: SparkSession, home: DataFrame,
+      indexDir: String): Unit =
+    home.agg(count(lit(1)).as("n_vectors"), avg(col("ccos")).as("mean_cos"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/_stats/build.parquet")
+
+  /** Append one batch's assignment-quality row: (n_vectors, mean
+    * home-cell cosine). Grows by 16 bytes of stats per batch. */
+  private def writeAppendStats(spark: SparkSession, home: DataFrame,
+      indexDir: String): Unit =
+    home.agg(count(lit(1)).as("n_vectors"), avg(col("ccos")).as("mean_cos"))
+      .coalesce(1).write.mode("append")
+      .parquet(s"$indexDir/_stats/appends.parquet")
+
+  /** The retrain-policy signal for the incremental cadence
+    * ([[appendToIvfPqIndex]]'s documented caveat made OPERATIONAL): per
+    * append batch, how much worse the frozen quantizer fits the
+    * arriving data than it fit its own training corpus. `drift` =
+    * batch mean home-cell cosine − build baseline; a near-zero drift
+    * means the delta is in-distribution and appending is safe, a
+    * steadily falling drift means the corpus has moved and a retrain
+    * (full [[buildIvfPqIndex]]) is due — the decision a 100 TB
+    * daily-crawl pipeline makes from a dashboard, computed here from
+    * two tiny stats artifacts with no corpus scan. */
+  def indexDriftReport(spark: SparkSession, indexDir: String): DataFrame = {
+    val build = spark.read.parquet(s"$indexDir/_stats/build.parquet")
+      .select(col("n_vectors").as("build_n"),
+        col("mean_cos").as("build_mean_cos"))
+    spark.read.parquet(s"$indexDir/_stats/appends.parquet")
+      .crossJoin(broadcast(build))
+      .select(col("n_vectors"), col("mean_cos"),
+        col("build_mean_cos"),
+        (col("mean_cos") - col("build_mean_cos")).as("drift"))
   }
 
   /** [[appendToIvfPqIndex]] with the production encoder: the frozen
@@ -1623,13 +1687,14 @@ object Similarity {
       .pq_assign(col("embedding"), cbArr, PqS)
     val packed = rawDelta
       .select(col("vec_id"), pq.getField("packed").as("b_code"))
-    ivfAssign(delta, cent).filter(col("crnk") === 1)
-      .select(col("vec_id"), col("centroid_id"))
+    val home = homeWithCos(delta, cent)
+    home.select(col("vec_id"), col("centroid_id"))
       .join(packed, "vec_id")
       .select(col("vec_id"), col("b_code"), col("centroid_id"))
       .repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings.parquet")
+    writeAppendStats(spark, home, indexDir)
   }
 
   /** Compact a persisted index's postings after many delta appends:
