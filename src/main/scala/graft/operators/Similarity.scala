@@ -1033,14 +1033,27 @@ object Similarity {
     * snapped to its int8 code midpoint against the collected per-dim
     * (lo, hi) stats. The same arithmetic (and code path shape) as
     * [[quantizeSqProd]], exposed as a Column for reranking. */
-  private def sqDecodedExpr(spark: SparkSession, dir: String): Column = {
+  /** Per-dimension (lo, hi) literal arrays for the int8 SQ codec — one
+    * bounded stats collect (2·[[Dim]] doubles). */
+  private def sqStatArrays(spark: SparkSession,
+      dir: String): (Column, Column) = {
     val stats = Tables.embeddings(spark, dir)
       .select(posexplode(col("embedding")).as(Seq("d", "xf")))
       .select(col("d"), col("xf").cast("double").as("x"))
       .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .collect().sortBy(_.getInt(0))
-    val lo = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
-    val hi = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    (array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*),
+      array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*))
+  }
+
+  /** The embedding column's int8 SQ codes as array<tinyint> — ONE byte
+    * per dimension, the payload the candidate join actually ships (the
+    * round-10 exchange audit's contract: codes through the exchange,
+    * never decoded vectors). Codes are shifted by −128 into the signed
+    * byte range; [[sqDecodeCodes]] adds it back in exact integer
+    * arithmetic, so decode(encode(x)) is bit-identical to the former
+    * fused decode and the DuckDB oracle is unchanged. */
+  private def sqCodesExpr(lo: Column, hi: Column): Column = {
     val xs = transform(col("embedding"), x => x.cast("double"))
     zip_with(zip_with(xs, lo, (x, l) => struct(x.as("x"), l.as("lo"))),
       hi, (xl, h) => {
@@ -1048,9 +1061,21 @@ object Similarity {
         val code = when(h === l, lit(0L))
           .otherwise(least(lit(255.0),
             floor((x - l) / (h - l) * lit(256.0))).cast("long"))
-        l + (code.cast("double") + lit(0.5)) / lit(256.0) * (h - l)
+        (code - 128L).cast("byte")
       })
   }
+
+  /** Decode an array<tinyint> SQ code vector back to its midpoint
+    * approximation — the identical arithmetic as the former fused
+    * encode+decode expression (integer un-shift, then the same double
+    * ops in the same order), so scores are bit-stable. */
+  private def sqDecodeCodes(codes: Column, lo: Column, hi: Column): Column =
+    zip_with(zip_with(codes, lo, (c, l) => struct(c.as("c"), l.as("lo"))),
+      hi, (cl, h) => {
+        val c = cl.getField("c"); val l = cl.getField("lo")
+        l + ((c.cast("int") + lit(128)).cast("double") + lit(0.5)) /
+          lit(256.0) * (h - l)
+      })
 
   /** IVF + scalar-quantized rerank — the memory architecture of a real
     * billion-vector ANN service composed from this library's pieces: the
@@ -1061,13 +1086,17 @@ object Similarity {
     * the final top-[[AnnK]].
     *
     * At 100 TB the point is the middle stage: the big candidate join
-    * carries quarter-size vectors (the full-precision table is touched
-    * only by the final |queries|×[[SqPreK]] rerank join), which is what
-    * keeps cell scans in executor RAM. Every stage is deterministic —
-    * the decode arithmetic is [[quantizeSq]]'s, folds are in index
-    * order — so the DuckDB oracle replays the whole composition;
-    * `SimilaritySpec` additionally floors recall vs the un-quantized
-    * [[annIvf]]. */
+    * carries 64×1 B CODE arrays (round 10 — previously it joined the
+    * decoded 512 B doubles onto every candidate, the same structural
+    * disease the exchange audit caught in the PQ form; now both decodes
+    * run in-stage and only codes cross the candidate-scale exchange),
+    * and the full-precision table is touched only by the final
+    * |queries|×[[SqPreK]] rerank join — which is what keeps cell scans
+    * in executor RAM. Every stage is deterministic — the decode
+    * arithmetic is [[quantizeSq]]'s (integer un-shift then the same
+    * double ops, bit-stable), folds are in index order — so the DuckDB
+    * oracle replays the whole composition unchanged; `SimilaritySpec`
+    * additionally floors recall vs the un-quantized [[annIvf]]. */
   def annIvfSq(spark: SparkSession, dir: String): DataFrame =
     annIvfSqWith(spark, dir, exactFold = true)
 
@@ -1080,17 +1109,27 @@ object Similarity {
   private def annIvfSqWith(spark: SparkSession, dir: String,
       exactFold: Boolean): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val vq = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), sqDecodedExpr(spark, dir).as("qv"))
+    val (lo, hi) = sqStatArrays(spark, dir)
+    // candidates pick up the NEIGHBOR side as 64×1 B codes (the only
+    // payload crossing the candidate-scale exchange — round-10 audit,
+    // same shape as the LSH/PQ forms); the query side joins its decoded
+    // approximation once per candidate IN-stage (linear vector exchange,
+    // dropped before the window sort), and the neighbor decode runs
+    // inline on the join output
+    val codes = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), sqCodesExpr(lo, hi).as("qc"))
+    val aq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        sqDecodeCodes(sqCodesExpr(lo, hi), lo, hi).as("a_qv"))
     val cand = ivfCandidates(spark, dir, exactFold)
     val wPre = Window.partitionBy(col("vec_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
     val pre = cand
-      .join(vq.select(col("vec_id"), col("qv").as("a_qv")), "vec_id")
-      .join(vq.select(col("vec_id").as("neighbor_id"), col("qv").as("b_qv")),
-        "neighbor_id")
+      .join(codes.select(col("vec_id").as("neighbor_id"),
+        col("qc").as("b_qc")), "neighbor_id")
+      .join(aq, "vec_id")
       .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("a_qv"), col("b_qv")).as("acos"))
+        cosine(col("a_qv"), sqDecodeCodes(col("b_qc"), lo, hi)).as("acos"))
       .withColumn("prernk", row_number().over(wPre))
       .filter(col("prernk") <= SqPreK)
       .select(col("vec_id"), col("neighbor_id"))

@@ -150,17 +150,14 @@ class ScaleSafetySpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      // sim_ann_ivf_sq is deliberately NOT in the strict set: it ranks
-      // candidates on int8-decoded approximations joined per candidate —
-      // the storage-resident form is quarter-size, but structurally the
-      // second approximation pickup still exchanges candidate-scale
-      // vector rows; the structural fix IS the PQ path (ship the 8-byte
-      // code, decode against the broadcast codebook), which is why the
-      // PQ forms are the flagship. Its measured 30× point needs no spill
-      // (SCALING.md round 9).
-      val strict = Seq("sim_ann_lsh", "sim_ann_ivfpq", "sim_ann_ivfpq_indexed",
-        "sim_ann_index_delta", "sim_ann_index_search",
-        "sim_ann_ivfpq_index_query", "sim_neardup_lsh", "dedup_semantic")
+      // sim_ann_ivf_sq joined the strict set in round 10: its candidate
+      // join now ships 64×1 B int8 codes (array<tinyint> — not a
+      // vector-typed column) and both decodes run in-stage, the same
+      // shape as the LSH/PQ forms
+      val strict = Seq("sim_ann_lsh", "sim_ann_ivf_sq", "sim_ann_ivfpq",
+        "sim_ann_ivfpq_indexed", "sim_ann_index_delta",
+        "sim_ann_index_search", "sim_ann_ivfpq_index_query",
+        "sim_neardup_lsh", "dedup_semantic")
       for (name <- strict) {
         val (got, node) = maxVectorExchangeRows(
           SparkEntry.benchQueries(name)(spark, dir))
