@@ -336,7 +336,78 @@ object Events {
       |SELECT hour_ts, event_type, event_id, value, rnk
       |FROM r WHERE rnk <= 3 ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** Ordered conversion funnel (view → click → purchase), per user —
+    * the sequence/pattern-matching operator class (Flink CEP /
+    * MATCH_RECOGNIZE territory) expressed as layered window aggregates:
+    *   - `v_ts` = the user's FIRST view;
+    *   - `c_ts` = first click STRICTLY AFTER that view (a click before
+    *     any view is not a funnel step);
+    *   - `p_ts` = first purchase strictly after that click.
+    * Output: per user, the three stage timestamps, stages completed
+    * (0–3), completion flag, and microseconds from view to purchase for
+    * completers. All users appear — a user with only `error` events is
+    * a 0-stage row (the drop-off denominator a funnel report needs).
+    *
+    * Plan shape: ONE shuffle on user_id; the three stage columns are
+    * whole-partition window minima layered over the same Exchange (each
+    * depends on the previous stage's value, which is what makes this a
+    * sequence match and not three independent mins), and the final
+    * per-user collapse reuses the window partitioning. Per-user state
+    * is three timestamps — no event list is ever collected. At 100 TB:
+    * partial-agg-free but linear; the shuffle carries (user_id, ts,
+    * type) only. Strict `>` ordering makes ties deterministic (a
+    * same-microsecond click does not follow its view), so the DuckDB
+    * replay hash-matches. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    (Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("v_ts"), col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("c_ts"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
+        min(col("p_ts")).as("p_ts"))
+      .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+        when(col("p_ts").isNotNull, 3L)
+          .when(col("c_ts").isNotNull, 2L)
+          .when(col("v_ts").isNotNull, 1L)
+          .otherwise(0L).as("steps"),
+        col("p_ts").isNotNull.as("completed"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+          .as("funnel_us")))
+  }
+
+  val funnelOracle: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+      |SELECT u.user_id, v.v_ts, c.c_ts, p.p_ts,
+      |       CASE WHEN p.p_ts IS NOT NULL THEN 3
+      |            WHEN c.c_ts IS NOT NULL THEN 2
+      |            WHEN v.v_ts IS NOT NULL THEN 1
+      |            ELSE 0 END AS steps,
+      |       p.p_ts IS NOT NULL AS completed,
+      |       epoch_us(p.p_ts) - epoch_us(v.v_ts) AS funnel_us
+      |FROM u
+      |LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (funnel _),
     "events_zorder_key" -> (zorderKey _),
     "events_hourly_top" -> (hourlyTop _),
     "events_hourly_agg" -> (hourlyAgg _),
@@ -347,6 +418,7 @@ object Events {
     "events_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" -> funnelOracle,
     "events_zorder_key" -> zorderKeyOracle,
     "events_hourly_top" -> hourlyTopOracle,
     "events_hourly_agg" -> hourlyAggOracle,

@@ -61,6 +61,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "denorm_embed_one" -> (0, 1),
     "denorm_rewrite_q2" -> (0, 1),
     "events_asof_join" -> (1, 0),
+    // one user_id shuffle; the three layered stage windows and the final
+    // per-user collapse all reuse it
+    "events_funnel" -> (1, 0),
     "events_hourly_agg" -> (2, 0),
     "events_hourly_top" -> (1, 0),
     "events_range_join" -> (0, 1),
