@@ -269,6 +269,12 @@ object VectorFunctions {
     ColumnBridge.column(PqAsymmetricCosine(
       ColumnBridge.expression(vec), ColumnBridge.expression(bCode),
       codebook, subDim))
+
+  /** Column-API entry point for [[SqAsymmetricCosine]]. */
+  def sq_asymmetric_cosine(vec: Column, bCodes: Column,
+      lo: Array[Double], hi: Array[Double]): Column =
+    ColumnBridge.column(SqAsymmetricCosine(
+      ColumnBridge.expression(vec), ColumnBridge.expression(bCodes), lo, hi))
 }
 
 /** Product-quantization assignment of a raw `array<float>` embedding
@@ -634,6 +640,113 @@ object PqAsymmetricCosine {
         si += 1
       }
       m += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+}
+
+/** Asymmetric-SQ approximate cosine: a decoded query approximation
+  * against a neighbor's int8 CODE vector (array<tinyint>, codes shifted
+  * by −128 into the byte range) — the preselect metric of the IVF-SQ
+  * candidate ranking (`sim_ann_ivf_sq`). Semantically identical to
+  * `cosine_similarity(a_qv, decode(b_codes))`, but the decode
+  * (`lo[i] + ((c+128) + 0.5)/256 · (hi[i]−lo[i])` — exact integer
+  * un-shift, then the same double ops in the same order as the HOF
+  * decode) runs inside ONE fused codegen loop instead of materializing
+  * a 64-double array per candidate row through interpreted nested
+  * zip_with lambdas (which measured ~10× the whole query's wall at
+  * sf0.1 when the round-10 code-shipping rewrite first landed — the
+  * same interpreted-lambda trap [[PqAsymmetricCosine]] exists for).
+  * Accumulation is [[CosineSimilarity]]'s single-pass fold — bit-
+  * identical scores, so the DuckDB decoded-cosine replay is unchanged.
+  *
+  * Null contract: dimension mismatch against the stats arrays or a null
+  * element yields NULL, never an exception. */
+case class SqAsymmetricCosine(left: Expression, right: Expression,
+    lo: Array[Double], hi: Array[Double])
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+          ArrayType(org.apache.spark.sql.types.ByteType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, array<tinyint>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_asymmetric_cosine"
+
+  private lazy val elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, a), ArrayType(_, b)) => a || b
+    case _ => true
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SqAsymmetricCosine.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], lo, hi, elementsNullable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sqLo", lo, "double[]")
+    val hiRef = ctx.addReferenceObj("sqHi", hi, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("sqac")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.functions.SqAsymmetricCosine.compute(
+         |    $a, $b, $loRef, $hiRef, $elementsNullable);
+         |${ev.isNull} = $boxed == null;
+         |if (!${ev.isNull}) ${ev.value} = $boxed.doubleValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqAsymmetricCosine =
+    copy(left = newLeft, right = newRight)
+
+  // value-based stats equality/hash — see the PqAssign note (ADVICE r9)
+  override def equals(other: Any): Boolean = other match {
+    case o: SqAsymmetricCosine => left == o.left && right == o.right &&
+      java.util.Arrays.equals(lo, o.lo) && java.util.Arrays.equals(hi, o.hi)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * (31 * left.hashCode + right.hashCode) +
+      java.util.Arrays.hashCode(lo)) + java.util.Arrays.hashCode(hi)
+}
+
+object SqAsymmetricCosine {
+  /** Static so generated code can call it; one tight pass, no
+    * allocation. */
+  def compute(a: ArrayData, b: ArrayData, lo: Array[Double],
+      hi: Array[Double], checkNulls: Boolean): java.lang.Double = {
+    val n = lo.length
+    if (a.numElements() != n || b.numElements() != n) return null
+    if (checkNulls) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = a.getDouble(i)
+      val l = lo(i)
+      val h = hi(i)
+      val yi = l + ((b.getByte(i) + 128).toDouble + 0.5) / 256.0 * (h - l)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
     }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }

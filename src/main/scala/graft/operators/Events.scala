@@ -394,10 +394,10 @@ object Events {
       |      FROM events e JOIN c ON e.user_id = c.user_id
       |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
       |SELECT u.user_id, v.v_ts, c.c_ts, p.p_ts,
-      |       CASE WHEN p.p_ts IS NOT NULL THEN 3
-      |            WHEN c.c_ts IS NOT NULL THEN 2
-      |            WHEN v.v_ts IS NOT NULL THEN 1
-      |            ELSE 0 END AS steps,
+      |       CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+      |                 WHEN c.c_ts IS NOT NULL THEN 2
+      |                 WHEN v.v_ts IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS steps,
       |       p.p_ts IS NOT NULL AS completed,
       |       epoch_us(p.p_ts) - epoch_us(v.v_ts) AS funnel_us
       |FROM u

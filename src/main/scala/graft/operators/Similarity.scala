@@ -1036,15 +1036,17 @@ object Similarity {
   /** Per-dimension (lo, hi) literal arrays for the int8 SQ codec — one
     * bounded stats collect (2·[[Dim]] doubles). */
   private def sqStatArrays(spark: SparkSession,
-      dir: String): (Column, Column) = {
+      dir: String): (Array[Double], Array[Double]) = {
     val stats = Tables.embeddings(spark, dir)
       .select(posexplode(col("embedding")).as(Seq("d", "xf")))
       .select(col("d"), col("xf").cast("double").as("x"))
       .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .collect().sortBy(_.getInt(0))
-    (array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*),
-      array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*))
+    (stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
   }
+
+  private def litArr(a: Array[Double]): Column =
+    array(a.map(lit).toIndexedSeq: _*)
 
   /** The embedding column's int8 SQ codes as array<tinyint> — ONE byte
     * per dimension, the payload the candidate join actually ships (the
@@ -1053,7 +1055,8 @@ object Similarity {
     * byte range; [[sqDecodeCodes]] adds it back in exact integer
     * arithmetic, so decode(encode(x)) is bit-identical to the former
     * fused decode and the DuckDB oracle is unchanged. */
-  private def sqCodesExpr(lo: Column, hi: Column): Column = {
+  private def sqCodesExpr(loArr: Array[Double], hiArr: Array[Double]): Column = {
+    val (lo, hi) = (litArr(loArr), litArr(hiArr))
     val xs = transform(col("embedding"), x => x.cast("double"))
     zip_with(zip_with(xs, lo, (x, l) => struct(x.as("x"), l.as("lo"))),
       hi, (xl, h) => {
@@ -1069,13 +1072,16 @@ object Similarity {
     * approximation — the identical arithmetic as the former fused
     * encode+decode expression (integer un-shift, then the same double
     * ops in the same order), so scores are bit-stable. */
-  private def sqDecodeCodes(codes: Column, lo: Column, hi: Column): Column =
+  private def sqDecodeCodes(codes: Column, loArr: Array[Double],
+      hiArr: Array[Double]): Column = {
+    val (lo, hi) = (litArr(loArr), litArr(hiArr))
     zip_with(zip_with(codes, lo, (c, l) => struct(c.as("c"), l.as("lo"))),
       hi, (cl, h) => {
         val c = cl.getField("c"); val l = cl.getField("lo")
         l + ((c.cast("int") + lit(128)).cast("double") + lit(0.5)) /
           lit(256.0) * (h - l)
       })
+  }
 
   /** IVF + scalar-quantized rerank — the memory architecture of a real
     * billion-vector ANN service composed from this library's pieces: the
@@ -1129,7 +1135,8 @@ object Similarity {
         col("qc").as("b_qc")), "neighbor_id")
       .join(aq, "vec_id")
       .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("a_qv"), sqDecodeCodes(col("b_qc"), lo, hi)).as("acos"))
+        graft.functions.VectorFunctions.sq_asymmetric_cosine(
+          col("a_qv"), col("b_qc"), lo, hi).as("acos"))
       .withColumn("prernk", row_number().over(wPre))
       .filter(col("prernk") <= SqPreK)
       .select(col("vec_id"), col("neighbor_id"))
