@@ -336,13 +336,24 @@ object Events {
       |SELECT hour_ts, event_type, event_id, value, rnk
       |FROM r WHERE rnk <= 3 ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** Conversion window for [[funnel]]: each stage must follow the
+    * previous within this horizon — the defining parameter of funnel
+    * analysis (a purchase a month after the click is a different
+    * journey, not a conversion). 12 h also makes the FIXTURES exercise
+    * every depth: at sf0.001 the depth histogram is {1: 9, 2: 3, 3: 3},
+    * so partial funnels and the drop-off accounting are oracle-gated,
+    * not just the all-completers case. */
+  private val FunnelWindow = "INTERVAL 12 HOURS"
+
   /** Ordered conversion funnel (view → click → purchase), per user —
     * the sequence/pattern-matching operator class (Flink CEP /
     * MATCH_RECOGNIZE territory) expressed as layered window aggregates:
     *   - `v_ts` = the user's FIRST view;
-    *   - `c_ts` = first click STRICTLY AFTER that view (a click before
-    *     any view is not a funnel step);
-    *   - `p_ts` = first purchase strictly after that click.
+    *   - `c_ts` = first click STRICTLY AFTER that view and within
+    *     [[FunnelWindow]] of it (a click before any view — or a day
+    *     later — is not a funnel step);
+    *   - `p_ts` = first purchase strictly after that click, within the
+    *     window again.
     * Output: per user, the three stage timestamps, stages completed
     * (0–3), completion flag, and microseconds from view to purchase for
     * completers. All users appear — a user with only `error` events is
@@ -366,10 +377,12 @@ object Events {
         min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("c_ts",
         min(when(col("event_type") === "click" &&
-          col("ts") > col("v_ts"), col("ts"))).over(w))
+          col("ts") > col("v_ts") &&
+          col("ts") <= col("v_ts") + expr(FunnelWindow), col("ts"))).over(w))
       .withColumn("p_ts",
         min(when(col("event_type") === "purchase" &&
-          col("ts") > col("c_ts"), col("ts"))).over(w))
+          col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + expr(FunnelWindow), col("ts"))).over(w))
       .groupBy(col("user_id"))
       .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
         min(col("p_ts")).as("p_ts"))
@@ -389,10 +402,12 @@ object Events {
       |      WHERE event_type = 'view' GROUP BY 1),
       |c AS (SELECT e.user_id, min(e.ts) AS c_ts
       |      FROM events e JOIN v ON e.user_id = v.user_id
-      |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+      |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |        AND e.ts <= v.v_ts + INTERVAL 12 HOUR GROUP BY 1),
       |p AS (SELECT e.user_id, min(e.ts) AS p_ts
       |      FROM events e JOIN c ON e.user_id = c.user_id
-      |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |        AND e.ts <= c.c_ts + INTERVAL 12 HOUR GROUP BY 1)
       |SELECT u.user_id, v.v_ts, c.c_ts, p.p_ts,
       |       CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
       |                 WHEN c.c_ts IS NOT NULL THEN 2
