@@ -37,8 +37,21 @@ object Bench {
     // with its error message — a crash must never masquerade as a fast
     // timing.
     val Iterations = 3
+    // Rows whose min-of-3 still lands anywhere on the C2 JIT ramp (the
+    // r10 same-commit artifacts swung 3-4x on them in opposite
+    // directions — dedup_simhash 0.46 vs 1.40s, mm_video_mjpeg 0.41 vs
+    // 1.67s — with no code change): run them 5x so the reported min is
+    // the steady state, not a ramp sample. They are all sub-2s rows, so
+    // the extra iterations cost ~15s of bench wall total.
+    val JitSensitive = Set(
+      "dedup_simhash", "text_lang_id", "dedup_incremental",
+      "text_top_quality_by_lang", "mm_video_mjpeg",
+      "mm_video_mjpeg_features", "mm_decode_jpeg", "mm_decode_jpeg_prog",
+      "mm_decode_jpeg_color", "text_quality_rules", "text_quality_score",
+      "text_pii_mask", "events_zorder_key")
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to Iterations).map { _ =>
+      val iters = if (JitSensitive(name)) 5 else Iterations
+      val runs = (1 to iters).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
@@ -62,7 +75,7 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir","agg":"min-of-$Iterations per query, cache cleared per run; spread=[min,median,max]","registry":"production (no canonicalization sort)"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir","agg":"min-of-$Iterations (5 on JIT-sensitive rows) per query, cache cleared per run; spread=[min,median,max]","registry":"production (no canonicalization sort)"}"""
     println(line)
     // also write the summary to a file: the driver's stdout tail-capture
     // truncated the r6 artifact mid-line, losing the total — the file is
@@ -71,6 +84,19 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // AND archive the run under bench_runs/: single-session min-of-N
+    // still carries a machine-load noise floor the trend gate trips on
+    // (the r10 same-commit artifacts disagreed 3.5x per row), so
+    // tools/bench_trend.py min-MERGES every archived session when given
+    // the directory — a FLAG then means code again, not load.
+    try {
+      val runsDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "bench_runs"))
+      java.nio.file.Files.createDirectories(runsDir)
+      java.nio.file.Files.writeString(
+        runsDir.resolve(s"run-${System.currentTimeMillis()}.json"), line + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not archive run: ${e.getMessage}") }
     spark.stop()
   }
 }

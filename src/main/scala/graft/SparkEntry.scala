@@ -115,7 +115,16 @@ object SparkEntry {
     "sim_ann_ivfpq_index_build" ->
       (Similarity.annIvfPqIndexBuildBench _),
     "sim_ann_ivfpq_index_query" ->
-      (Similarity.annIvfPqIndexQueryBench _))
+      (Similarity.annIvfPqIndexQueryBench _),
+    // round-11: the index lifecycle's STEADY-STATE rows — append and
+    // external search against a cached base artifact, so the artifact's
+    // headline index numbers are what a user's daily job actually pays
+    // (the oracle-gated delta/search rows price a from-scratch base
+    // build per call so the correctness gate exercises the full path)
+    "sim_ann_index_append" ->
+      (Similarity.annIvfPqIndexAppendBench _),
+    "sim_ann_index_search_query" ->
+      (Similarity.annIvfPqIndexSearchQueryBench _))
 
   /** The scale-path queries Bench times: production (un-canonicalized)
     * forms, minus the O(n²) oracle baselines. The composed curation

@@ -1583,6 +1583,8 @@ object Similarity {
       java.nio.file.Paths.get(s"$indexDir/_stats/appends.parquet"))
     graft.streaming.StreamingStaging.deleteRecursively(
       java.nio.file.Paths.get(s"$indexDir/_append_log"))
+    graft.streaming.StreamingStaging.deleteRecursively(
+      java.nio.file.Paths.get(s"$indexDir/_append_staging"))
   }
 
   /** [[buildIvfPqIndex]] with the PRODUCTION trainers: fixed-buffer
@@ -1624,6 +1626,8 @@ object Similarity {
       java.nio.file.Paths.get(s"$indexDir/_stats/appends.parquet"))
     graft.streaming.StreamingStaging.deleteRecursively(
       java.nio.file.Paths.get(s"$indexDir/_append_log"))
+    graft.streaming.StreamingStaging.deleteRecursively(
+      java.nio.file.Paths.get(s"$indexDir/_append_staging"))
   }
 
   // --- incremental append (the daily-crawl cadence) -----------------------
@@ -1640,11 +1644,14 @@ object Similarity {
     *   - encoded with the FROZEN codebook (parquet round-trip is
     *     bit-exact, so delta codes match what a monolithic build over
     *     base ∪ delta with the same artifacts would produce);
-    *   - postings are APPENDED into the matching `centroid_id=`
-    *     partitions (`mode("append")` + `partitionBy`): cells absent
-    *     from the delta keep their files byte-identical, and
-    *     centroids/codebook are never rewritten (`PersistedIndexSpec`
-    *     pins both).
+    *   - postings are PUBLISHED into the matching `centroid_id=`
+    *     partitions under the [[committedAppend]] commit-log protocol
+    *     (staged write, per-file atomic rename, marker): cells absent
+    *     from the delta keep their files byte-identical,
+    *     centroids/codebook are never rewritten, and a RETRIED append
+    *     — the thing a real pipeline does after any failure — is a
+    *     no-op (`PersistedIndexSpec` pins all three, including
+    *     recovery from a simulated partial publish).
     * Cost: one delta-sized assignment scan against a broadcast
     * centroid table + one delta-sized 24 B-row shuffle — independent
     * of the accumulated index size. IVF accepts appends naturally
@@ -1652,19 +1659,140 @@ object Similarity {
     * — quantizer drift if the data distribution shifts across many
     * appends — is a retrain policy decision, not an engine limit. */
   def appendToIvfPqIndex(spark: SparkSession, rawDelta: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, batchId: String): Unit =
+    committedAppend(spark, indexDir, batchId,
+      deltaPostingsExact(spark, rawDelta, indexDir))
+
+  /** Delta assignment + exact-fold encode against the frozen artifacts:
+    * (postings rows (vec_id, b_code, centroid_id), home assignment with
+    * similarity for the stats row). */
+  private def deltaPostingsExact(spark: SparkSession, rawDelta: DataFrame,
+      indexDir: String): (DataFrame, DataFrame) = {
     val delta = rawDelta.select(col("vec_id"), dvec.as("ev"))
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
     val home = homeWithCos(delta, cent)
-    home.select(col("vec_id"), col("centroid_id"))
+    (home.select(col("vec_id"), col("centroid_id"))
       .join(pqPackedExactOn(pqAssignExactOn(delta, cb)), "vec_id")
-      .select(col("vec_id"), col("b_code"), col("centroid_id"))
+      .select(col("vec_id"), col("b_code"), col("centroid_id")), home)
+  }
+
+  /** The exactly-once batch-append driver — the retry-safe production
+    * API (a 100 TB pipeline RETRIES failed jobs; a bare
+    * `mode("append")` double-appends postings on retry, duplicating
+    * candidate rows and skewing neighbor ranks). Same commit-log
+    * contract as the streaming twin
+    * ([[graft.streaming.StreamingIndexAppend]]), made atomic against a
+    * crash at ANY point:
+    *   1. marker `_append_log/batch-<id>` exists → committed → no-op;
+    *   2. RECOVERY: delete any `batch-<id>-*` files a previous partial
+    *      attempt left in the postings partitions / stats dir (files
+    *      are published under batch-tagged names precisely so orphans
+    *      are identifiable);
+    *   3. stage the batch's postings + stats under
+    *      `_append_staging/<id>` (one delta-sized assignment scan
+    *      against broadcast centroids + one 24 B-row shuffle — cost
+    *      independent of accumulated index size, same as before);
+    *   4. PUBLISH: per-file atomic rename into the live
+    *      `centroid_id=` partitions as `batch-<id>-k.parquet` (cells
+    *      absent from the delta keep their files byte-identical;
+    *      centroids/codebook never rewritten), stats row likewise;
+    *   5. create the marker, drop staging.
+    * A crash before 5 leaves either nothing (recovery is vacuous) or
+    * identifiable orphans (recovery deletes them) — the retried append
+    * always converges to exactly one copy of the batch. The one
+    * sequencing rule: run the retried append (recovery) BEFORE any
+    * compaction in the same maintenance cadence — compaction folds
+    * whatever files exist into untagged ones; the streaming
+    * `foreachBatch` does exactly that ordering. */
+  private def committedAppend(spark: SparkSession, indexDir: String,
+      batchId: String, enc: => (DataFrame, DataFrame)): Unit = {
+    import java.nio.file.{Files, Paths}
+    require(batchId.nonEmpty && batchId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batch id must be filesystem-safe: '$batchId'")
+    val log = Paths.get(indexDir, "_append_log")
+    Files.createDirectories(log)
+    val marker = log.resolve(s"batch-$batchId")
+    if (Files.exists(marker)) return
+    dropBatchFiles(indexDir, batchId)
+    val staging = Paths.get(indexDir, "_append_staging", batchId)
+    graft.streaming.StreamingStaging.deleteRecursively(staging)
+    val (postings, home) = enc
+    postings
       // one file per touched cell per batch (same rationale as the build)
       .repartition(col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$indexDir/postings.parquet")
-    writeAppendStats(spark, home, indexDir)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(staging.resolve("postings").toString)
+    home.agg(count(lit(1)).as("n_vectors"), avg(col("ccos")).as("mean_cos"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(staging.resolve("stats").toString)
+    publishBatch(indexDir, staging, batchId)
+    Files.createFile(marker)
+    graft.streaming.StreamingStaging.deleteRecursively(staging)
+  }
+
+  /** Per-file atomic rename of a staged batch into the live artifact
+    * under batch-tagged names (`batch-<id>-k.parquet`) — the names are
+    * the recovery manifest. Parquet readers ignore file names (partition
+    * identity is the `centroid_id=` directory), so tagged files read
+    * exactly like the build's `part-*` files. */
+  private def publishBatch(indexDir: String, staging: java.nio.file.Path,
+      batchId: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(root: java.nio.file.Path): Vector[java.nio.file.Path] =
+      if (!Files.isDirectory(root)) Vector.empty
+      else {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet")).toVector
+        finally walk.close()
+      }
+    val live = Paths.get(indexDir, "postings.parquet")
+    parquetFiles(staging.resolve("postings")).zipWithIndex.foreach {
+      case (p, i) =>
+        val cellDir = live.resolve(p.getParent.getFileName.toString)
+        Files.createDirectories(cellDir)
+        Files.move(p, cellDir.resolve(s"batch-$batchId-$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    val statsLive = Paths.get(indexDir, "_stats", "appends.parquet")
+    Files.createDirectories(statsLive)
+    parquetFiles(staging.resolve("stats")).zipWithIndex.foreach {
+      case (p, i) =>
+        Files.move(p, statsLive.resolve(s"batch-$batchId-$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Delete every published file of `batchId` (the trailing dash keeps
+    * `batch-1-` from matching `batch-11-…`). */
+  private def dropBatchFiles(indexDir: String, batchId: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val prefix = s"batch-$batchId-"
+    Seq(Paths.get(indexDir, "postings.parquet"),
+        Paths.get(indexDir, "_stats", "appends.parquet")).foreach { root =>
+      if (Files.isDirectory(root)) {
+        val walk = Files.walk(root)
+        val orphans = try walk.iterator().asScala.filter(p =>
+          Files.isRegularFile(p) &&
+            p.getFileName.toString.startsWith(prefix)).toVector
+        finally walk.close()
+        orphans.foreach(Files.delete)
+      }
+    }
+  }
+
+  /** Un-commit a batch entirely — files + marker (the bench harness's
+    * reset between timed append iterations; NOT a production API: a
+    * real pipeline never un-commits, it retrains). */
+  private[graft] def dropCommittedBatch(indexDir: String,
+      batchId: String): Unit = {
+    dropBatchFiles(indexDir, batchId)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(indexDir, "_append_log", s"batch-$batchId"))
   }
 
   /** Home-cell assignment KEEPING the similarity: (vec_id, centroid_id,
@@ -1689,14 +1817,6 @@ object Similarity {
     home.agg(count(lit(1)).as("n_vectors"), avg(col("ccos")).as("mean_cos"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/_stats/build.parquet")
-
-  /** Append one batch's assignment-quality row: (n_vectors, mean
-    * home-cell cosine). Grows by 16 bytes of stats per batch. */
-  private def writeAppendStats(spark: SparkSession, home: DataFrame,
-      indexDir: String): Unit =
-    home.agg(count(lit(1)).as("n_vectors"), avg(col("ccos")).as("mean_cos"))
-      .coalesce(1).write.mode("append")
-      .parquet(s"$indexDir/_stats/appends.parquet")
 
   /** The retrain-policy signal for the incremental cadence
     * ([[appendToIvfPqIndex]]'s documented caveat made OPERATIONAL): per
@@ -1724,7 +1844,15 @@ object Similarity {
     * delta's codes come from the scan-side native
     * [[graft.functions.PqAssign]] — no explode/join in the encode. */
   def appendToIvfPqIndexProd(spark: SparkSession, rawDelta: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, batchId: String): Unit =
+    committedAppend(spark, indexDir, batchId,
+      deltaPostingsProd(spark, rawDelta, indexDir))
+
+  /** Delta assignment + production (native scan-side) encode against
+    * the frozen artifacts — same (postings, home) pair as
+    * [[deltaPostingsExact]]. */
+  private def deltaPostingsProd(spark: SparkSession, rawDelta: DataFrame,
+      indexDir: String): (DataFrame, DataFrame) = {
     val delta = rawDelta.select(col("vec_id"), dvec.as("ev"))
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     val cbArr = pqCodebookArrOf(
@@ -1734,13 +1862,9 @@ object Similarity {
     val packed = rawDelta
       .select(col("vec_id"), pq.getField("packed").as("b_code"))
     val home = homeWithCos(delta, cent)
-    home.select(col("vec_id"), col("centroid_id"))
+    (home.select(col("vec_id"), col("centroid_id"))
       .join(packed, "vec_id")
-      .select(col("vec_id"), col("b_code"), col("centroid_id"))
-      .repartition(col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$indexDir/postings.parquet")
-    writeAppendStats(spark, home, indexDir)
+      .select(col("vec_id"), col("b_code"), col("centroid_id")), home)
   }
 
   /** Compact a persisted index's postings after many delta appends:
@@ -1758,7 +1882,7 @@ object Similarity {
     * replace. The same maintenance cadence every LSM-shaped store runs
     * (parquet compaction, RocksDB L0→L1, Lucene segment merges). */
   def compactIvfPqIndex(spark: SparkSession, indexDir: String,
-      maxFilesPerCell: Int = 1): Unit = {
+      maxFilesPerCell: Int = 1): Int = {
     val path = s"$indexDir/postings.parquet"
     val postings = spark.read.parquet(path)
       .select(col("vec_id"), col("b_code"),
@@ -1771,7 +1895,7 @@ object Similarity {
       .filter(col("nf") > maxFilesPerCell)
       .select(col("centroid_id"))
     val cells = fragmented.collect().map(_.getLong(0))
-    if (cells.isEmpty) return
+    if (cells.isEmpty) return 0
     val compacted = postings
       .join(broadcast(fragmented), "centroid_id")
       .select(col("vec_id"), col("b_code"), col("centroid_id"))
@@ -1791,6 +1915,7 @@ object Similarity {
       }
       compacted.unpersist()
     }
+    cells.length
   }
 
   /** Deterministic base/delta split of the fixture for the incremental
@@ -1815,7 +1940,7 @@ object Similarity {
     val root = indexRootFor(dir, "_delta")
     val (base, delta) = baseDeltaSplit(spark, dir)
     buildIvfPqIndexOn(spark, base, root)
-    appendToIvfPqIndex(spark, delta, root)
+    appendToIvfPqIndex(spark, delta, root, "delta")
     annIvfPqIndexed(spark, dir, root)
   }
 
@@ -1825,7 +1950,7 @@ object Similarity {
     val root = indexRootFor(dir, "_delta_prod")
     val (base, delta) = baseDeltaSplit(spark, dir)
     buildIvfPqIndexProdOn(spark, base, root)
-    appendToIvfPqIndexProd(spark, delta, root)
+    appendToIvfPqIndexProd(spark, delta, root, "delta")
     annIvfPqIndexed(spark, dir, root)
   }
 
@@ -2187,6 +2312,54 @@ object Similarity {
       r
     })
     annIvfPqIndexed(spark, dir, root)
+  }
+
+  private val benchAppendRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bench-only row `sim_ann_index_append`: the STEADY-STATE append — a
+    * daily delta landing on an EXISTING index artifact (cached per
+    * process, built once on first call), which is what the operation
+    * costs in production; the oracle-gated `sim_ann_index_delta` row
+    * necessarily prices a from-scratch base build per call so the gate
+    * exercises the whole lifecycle. Each timed call un-commits the
+    * previous iteration's bench batch (file deletes — NOT a production
+    * verb, just the harness reset) and re-appends the delta under the
+    * commit-log protocol, so the number is the real append economics:
+    * delta-sized assignment against broadcast centroids + one 24 B-row
+    * shuffle + per-file renames, independent of accumulated index
+    * size. */
+  def annIvfPqIndexAppendBench(spark: SparkSession, dir: String): DataFrame = {
+    val root = benchAppendRoots.computeIfAbsent(dir, d => {
+      val r = indexRootFor(d, "_bencha")
+      buildIvfPqIndexProdOn(spark,
+        Tables.embeddings(spark, d).filter(col("vec_id") % 8 =!= 7), r)
+      r
+    })
+    dropCommittedBatch(root, "bench")
+    appendToIvfPqIndexProd(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 8 === 7),
+      root, "bench")
+    spark.range(1).toDF("appended")
+  }
+
+  private val benchSearchRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bench-only row `sim_ann_index_search_query`: the external-query
+    * search against a per-process CACHED warm artifact — the deployed
+    * search-service steady state (broadcast centroid assignment +
+    * partition-pruned postings read + top-k rerank), with the build
+    * priced separately by `sim_ann_ivfpq_index_build`. The oracle-gated
+    * `sim_ann_index_search` row rebuilds per call by design. */
+  def annIvfPqIndexSearchQueryBench(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = benchSearchRoots.computeIfAbsent(dir, d => {
+      val r = indexRootFor(d, "_benchs")
+      buildIvfPqIndexProd(spark, d, r)
+      r
+    })
+    searchIvfPqIndex(spark, searchQuerySet(spark, dir), dir, root)
   }
 
   /** Registry form: exact-fold build + query — ≡ [[annIvfPq]], shares

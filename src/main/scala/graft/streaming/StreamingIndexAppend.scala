@@ -16,36 +16,94 @@ import org.apache.spark.sql.functions._
   * freshness contract every streaming search service has).
   *
   * Exactly-once: `foreachBatch` is at-least-once on retry, and a
-  * double-applied append would duplicate postings. The standard
-  * idempotent-foreachBatch recipe guards it — a commit-log marker per
-  * batchId inside the index artifact (`_append_log/batch-N`, created
-  * AFTER the append's parquet commit): a retried batch sees its marker
-  * and becomes a no-op. `StreamingIndexAppendSpec` pins both the replay
-  * equality (streamed-maintained index ≡ the batch build+append on the
-  * same splits, query-row bit-exact) and the idempotency (re-applying a
-  * committed batch changes no postings file).
+  * double-applied append would duplicate postings. The batch append API
+  * itself carries the commit-log protocol
+  * ([[graft.operators.Similarity.appendToIvfPqIndexProd]] →
+  * `committedAppend`): a marker per batchId (`_append_log/batch-N`),
+  * batch-TAGGED postings files staged then atomically renamed into the
+  * live partitions, and recovery that deletes a crashed attempt's
+  * orphans before re-applying — so a retry is a no-op not just after a
+  * clean commit but after a crash at ANY point of the publish (the
+  * marker-after-append race of the naive recipe).
+  * `StreamingIndexAppendSpec` pins the replay equality
+  * (streamed-maintained index ≡ the batch build+append on the same
+  * splits, query-row bit-exact), the idempotency (re-applying a
+  * committed batch changes no postings file), and partial-publish
+  * recovery lives in `PersistedIndexSpec`.
   */
 object StreamingIndexAppend {
 
   /** Commit-log-guarded append of one micro-batch (vec_id, embedding)
-    * against the frozen artifacts at `indexDir`. */
+    * against the frozen artifacts at `indexDir` — the guard is inside
+    * the shared batch API. */
   private[streaming] def appendBatch(spark: SparkSession, indexDir: String)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val log = java.nio.file.Paths.get(indexDir, "_append_log")
-    java.nio.file.Files.createDirectories(log)
-    val marker = log.resolve(s"batch-$batchId")
-    if (java.nio.file.Files.exists(marker)) return
-    graft.operators.Similarity.appendToIvfPqIndexProd(spark, batch, indexDir)
-    java.nio.file.Files.createFile(marker)
+      batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Similarity.appendToIvfPqIndexProd(spark, batch,
+      indexDir, batchId.toString)
+
+  /** One MAINTENANCE turn after a committed micro-batch — the last mile
+    * of the index lifecycle: compaction and drift stop being APIs a
+    * human remembers to call and become a conditional on the append
+    * cadence itself.
+    *   - compaction: [[graft.operators.Similarity.compactIvfPqIndex]]
+    *     self-gates on `maxFilesPerCell`, so it REWRITES cells only
+    *     when this batch pushed them over the fragmentation threshold
+    *     (0 cells touched otherwise — the common case);
+    *   - drift: the batch's assignment-quality row joined against the
+    *     build baseline (two tiny stats artifacts, no corpus scan) is
+    *     published as `_stats/maintenance.parquet/batch-N.parquet` —
+    *     (batch_id, n_vectors, mean_cos, drift, compacted_cells), one
+    *     row per batch, the retrain-policy dashboard feed.
+    * Idempotent like the append itself: the deterministic maintenance
+    * file name is the commit marker — a retried batch whose maintenance
+    * row exists skips the turn; a crash between compaction and the row
+    * write re-runs compaction (query-row-invariant, `PersistedIndexSpec`)
+    * and rewrites the row. Run AFTER the append so its recovery has
+    * already reconciled any partial publish (see `committedAppend`). */
+  private[streaming] def maintainAfterBatch(spark: SparkSession,
+      indexDir: String, batchId: Long, maxFilesPerCell: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = Paths.get(indexDir, "_stats", "maintenance.parquet")
+    Files.createDirectories(live)
+    val mfile = live.resolve(s"batch-$batchId.parquet")
+    if (Files.exists(mfile)) return
+    val compacted = graft.operators.Similarity.compactIvfPqIndex(
+      spark, indexDir, maxFilesPerCell)
+    val build = spark.read.parquet(s"$indexDir/_stats/build.parquet")
+      .select(col("mean_cos").as("build_mean_cos"))
+    val row = spark.read
+      .parquet(s"$indexDir/_stats/appends.parquet/batch-$batchId-*.parquet")
+      .crossJoin(broadcast(build))
+      .select(lit(batchId).as("batch_id"), col("n_vectors"), col("mean_cos"),
+        (col("mean_cos") - col("build_mean_cos")).as("drift"),
+        lit(compacted).as("compacted_cells"))
+    val tmp = Files.createTempDirectory("graft_idx_maint")
+    try {
+      row.coalesce(1).write.mode("overwrite").parquet(
+        tmp.resolve("m").toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.list(tmp.resolve("m"))
+        try walk.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        finally walk.close()
+      }
+      Files.move(part, mfile, StandardCopyOption.REPLACE_EXISTING)
+    } finally StreamingStaging.deleteRecursively(tmp)
   }
 
   /** Build the index on the base split (vec_id % 8 ≠ 7), replay the
     * delta split as a file-source stream staged as TWO files with
     * `maxFilesPerTrigger = 1` — two "days" of crawl, two micro-batches —
-    * appending each batch through the idempotent commit log, then run
-    * the standard indexed query over the full corpus. */
+    * appending each batch through the idempotent commit log AND running
+    * the maintenance turn ([[maintainAfterBatch]]: threshold-gated
+    * compaction + the batch's drift row) after each commit, then run
+    * the standard indexed query over the full corpus. The default
+    * threshold (4) never compacts on this two-batch fixture (cells peak
+    * at 3 files); `StreamingIndexAppendSpec` drives a threshold-2 run
+    * where batch 1 crosses and compaction fires exactly once. */
   def indexDeltaStreaming(spark: SparkSession, dir: String,
-      indexDir: String): DataFrame = {
+      indexDir: String, maxFilesPerCell: Int = 4): DataFrame = {
     val e = graft.sources.Tables.embeddings(spark, dir)
     graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
       e.filter(col("vec_id") % 8 =!= 7), indexDir)
@@ -59,8 +117,10 @@ object StreamingIndexAppend {
       val stream = spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
       val query = stream.writeStream
-        .foreachBatch((b: DataFrame, id: Long) =>
-          appendBatch(spark, indexDir)(b, id))
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          appendBatch(spark, indexDir)(b, id)
+          maintainAfterBatch(spark, indexDir, id, maxFilesPerCell)
+        }
         .option("checkpointLocation", ckpt.toString)
         .start()
       try query.processAllAvailable() finally query.stop()

@@ -83,7 +83,8 @@ class ScaleSafetySpec extends AnyFunSuite {
     val annTimed = SparkEntry.benchQueries.keySet.filter(_.startsWith("sim_ann"))
     assert(annTimed == Set("sim_ann_lsh", "sim_ann_ivf_sq", "sim_ann_ivfpq",
       "sim_ann_ivfpq_indexed", "sim_ann_index_delta", "sim_ann_index_search",
-      "sim_ann_ivfpq_index_build", "sim_ann_ivfpq_index_query"),
+      "sim_ann_ivfpq_index_build", "sim_ann_ivfpq_index_query",
+      "sim_ann_index_append", "sim_ann_index_search_query"),
       s"unaudited ANN query entered the timed registry: $annTimed")
   }
 
@@ -154,9 +155,17 @@ class ScaleSafetySpec extends AnyFunSuite {
       // join now ships 64×1 B int8 codes (array<tinyint> — not a
       // vector-typed column) and both decodes run in-stage, the same
       // shape as the LSH/PQ forms
+      // (sim_ann_index_append is absent for the same reason as
+      // sim_ann_ivfpq_index_build: it is a WRITE whose jobs run eagerly
+      // inside the call — the returned frame is a 1-row receipt, so
+      // auditing its plan would be vacuous. Its shuffled rows are the
+      // ≤24 B (vec_id, b_code, centroid_id) postings by construction,
+      // and PersistedIndexSpec pins that no embedding column reaches
+      // the postings artifact.)
       val strict = Seq("sim_ann_lsh", "sim_ann_ivf_sq", "sim_ann_ivfpq",
         "sim_ann_ivfpq_indexed", "sim_ann_index_delta",
         "sim_ann_index_search", "sim_ann_ivfpq_index_query",
+        "sim_ann_index_search_query",
         "sim_neardup_lsh", "dedup_semantic")
       for (name <- strict) {
         val (got, node) = maxVectorExchangeRows(

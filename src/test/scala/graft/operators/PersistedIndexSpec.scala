@@ -84,7 +84,7 @@ class PersistedIndexSpec extends AnyFunSuite {
         root.toString)
       val before = fileHashes(root)
       Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 8 === 7),
-        root.toString)
+        root.toString, "day1")
       val after = fileHashes(root)
       // every pre-existing artifact file — centroids, codebook, and every
       // base postings file — is byte-identical after the append
@@ -94,10 +94,11 @@ class PersistedIndexSpec extends AnyFunSuite {
       // and every NEW file is a postings file in a centroid_id= partition
       // holding ONLY delta vectors — no base row was rewritten, no file
       // landed outside the touched cells (plus the append's tiny drift
-      // stats row under _stats/)
+      // stats row under _stats/ and its commit-log marker)
       val fresh = (after.keySet -- before.keySet).toSeq
       assert(fresh.nonEmpty)
-      fresh.filterNot(r => r.endsWith(".crc") || r.startsWith("_stats/"))
+      fresh.filterNot(r => r.endsWith(".crc") || r.startsWith("_stats/") ||
+          r.startsWith("_append_log/"))
         .foreach { rel =>
         assert(rel.startsWith("postings.parquet/centroid_id="),
           s"append wrote outside the postings partitions: $rel")
@@ -119,12 +120,12 @@ class PersistedIndexSpec extends AnyFunSuite {
       val base = e.filter(col("vec_id") % 8 =!= 7)
       Similarity.buildIvfPqIndexOn(spark, base, root1.toString)
       Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 8 === 7),
-        root1.toString)
+        root1.toString, "all")
       Similarity.buildIvfPqIndexOn(spark, base, root2.toString)
       Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 7),
-        root2.toString)
+        root2.toString, "d1")
       Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 15),
-        root2.toString)
+        root2.toString, "d2")
       val one = resultRows(Similarity.annIvfPqIndexed(spark, dir, root1.toString))
       val two = resultRows(Similarity.annIvfPqIndexed(spark, dir, root2.toString))
       assert(one.nonEmpty)
@@ -139,6 +140,78 @@ class PersistedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a retried (already-committed) batch append is a byte-level no-op") {
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndexOn(spark, e.filter(col("vec_id") % 8 =!= 7),
+        root.toString)
+      val delta = e.filter(col("vec_id") % 8 === 7)
+      Similarity.appendToIvfPqIndex(spark, delta, root.toString, "day1")
+      val once = fileHashes(root)
+      val onceRows = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      // the driver retry: SAME delta, SAME batch id — must change nothing
+      Similarity.appendToIvfPqIndex(spark, delta, root.toString, "day1")
+      assert(fileHashes(root) == once,
+        "a retried committed append modified the artifact")
+      assert(resultRows(Similarity.annIvfPqIndexed(spark, dir, root.toString))
+        == onceRows)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("recovery after a partial publish converges to exactly one batch copy") {
+    val root = tempRoot()
+    val control = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val base = e.filter(col("vec_id") % 8 =!= 7)
+      val delta = e.filter(col("vec_id") % 8 === 7)
+      Similarity.buildIvfPqIndexOn(spark, base, root.toString)
+      // simulate the crash window the naive append+marker recipe loses:
+      // some of batch day1's files were already renamed into the live
+      // partitions, but the marker was never created. The orphan is a
+      // copy of a real postings file under the batch-tagged name — rows
+      // a re-applied bare append would DOUBLE.
+      val cellDir = {
+        val walk = java.nio.file.Files.list(root.resolve("postings.parquet"))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("centroid_id="))
+            .toSeq.minBy(_.toString)
+        } finally walk.close()
+      }
+      val victim = {
+        val walk = java.nio.file.Files.list(cellDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq.head
+        } finally walk.close()
+      }
+      java.nio.file.Files.copy(victim,
+        cellDir.resolve("batch-day1-99.parquet"))
+      // the retried append: recovery must drop the orphan, then publish
+      // the batch exactly once
+      Similarity.appendToIvfPqIndex(spark, delta, root.toString, "day1")
+      assert(!java.nio.file.Files.exists(
+        cellDir.resolve("batch-day1-99.parquet")),
+        "recovery left the crashed attempt's orphan in place")
+      // and the result equals a clean single append on a fresh artifact
+      Similarity.buildIvfPqIndexOn(spark, base, control.toString)
+      Similarity.appendToIvfPqIndex(spark, delta, control.toString, "day1")
+      val got = resultRows(Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      val want = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, control.toString))
+      assert(want.nonEmpty)
+      assert(got == want)
+    } finally {
+      graft.streaming.StreamingStaging.deleteRecursively(root)
+      graft.streaming.StreamingStaging.deleteRecursively(control)
+    }
+  }
+
   test("compaction restores one-file-per-cell and changes no query answer") {
     val root = tempRoot()
     try {
@@ -147,9 +220,9 @@ class PersistedIndexSpec extends AnyFunSuite {
         root.toString)
       // two "days" of appends → touched cells hold up to 3 files
       Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 7),
-        root.toString)
+        root.toString, "d1")
       Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 15),
-        root.toString)
+        root.toString, "d2")
       val before = fileHashes(root)
       val preQuery = resultRows(
         Similarity.annIvfPqIndexed(spark, dir, root.toString))
@@ -190,7 +263,7 @@ class PersistedIndexSpec extends AnyFunSuite {
         root.toString)
       // batch 1: in-distribution (the held-out delta slice)
       Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 7),
-        root.toString)
+        root.toString, "d1")
       // batch 2: OUT of distribution — every dimension shifted, the
       // corpus-moved shape that should trigger a retrain (a different
       // slice SIZE than batch 1, so the report rows are identifiable)
@@ -200,7 +273,7 @@ class PersistedIndexSpec extends AnyFunSuite {
           transform(col("embedding"),
             x => (x + org.apache.spark.sql.functions.lit(0.6f)).cast("float"))
             .as("embedding"))
-      Similarity.appendToIvfPqIndex(spark, shifted, root.toString)
+      Similarity.appendToIvfPqIndex(spark, shifted, root.toString, "d2")
       val report = Similarity.indexDriftReport(spark, root.toString)
         .collect().map(r => r.getLong(0) ->
           (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap

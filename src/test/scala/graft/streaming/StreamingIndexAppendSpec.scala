@@ -28,7 +28,7 @@ class StreamingIndexAppendSpec extends AnyFunSuite {
       graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
         e.filter(col("vec_id") % 8 =!= 7), batchRoot.toString)
       graft.operators.Similarity.appendToIvfPqIndexProd(spark,
-        e.filter(col("vec_id") % 8 === 7), batchRoot.toString)
+        e.filter(col("vec_id") % 8 === 7), batchRoot.toString, "all")
       val batch = resultRows(graft.operators.Similarity.annIvfPqIndexed(
         spark, dir, batchRoot.toString))
       assert(batch.nonEmpty)
@@ -38,6 +38,62 @@ class StreamingIndexAppendSpec extends AnyFunSuite {
         streamRoot.resolve("_append_log")).count() == 2)
     } finally {
       StreamingStaging.deleteRecursively(streamRoot)
+      StreamingStaging.deleteRecursively(batchRoot)
+    }
+  }
+
+  test("maintenance cadence: compaction fires exactly when the threshold crosses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_maintained")
+    val batchRoot = java.nio.file.Files.createTempDirectory("graft_idx_mbatch")
+    try {
+      // threshold 2: after batch 0 every cell holds ≤2 files (base build's
+      // one + at most one from day 1) — under the threshold; after batch 1
+      // the cells both days touched hold 3 — crossed. So a correct cadence
+      // compacts nothing on batch 0 and >0 cells on batch 1.
+      val streamed = resultRows(StreamingIndexAppend.indexDeltaStreaming(
+        spark, dir, root.toString, maxFilesPerCell = 2))
+      // the maintained (compacted mid-cadence) index answers bit-identically
+      // to the batch build + single-append twin
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+        e.filter(col("vec_id") % 8 =!= 7), batchRoot.toString)
+      graft.operators.Similarity.appendToIvfPqIndexProd(spark,
+        e.filter(col("vec_id") % 8 === 7), batchRoot.toString, "all")
+      val batch = resultRows(graft.operators.Similarity.annIvfPqIndexed(
+        spark, dir, batchRoot.toString))
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      // the maintenance artifact: exactly one row per micro-batch, with
+      // compaction counts proving WHEN it fired
+      val m = spark.read.parquet(s"$root/_stats/maintenance.parquet")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(3), r.getInt(4))).toMap
+      assert(m.keySet == Set(0L, 1L),
+        s"expected one maintenance row per batch, got ${m.keySet}")
+      assert(m(0L)._3 == 0,
+        "compaction fired on batch 0, before any cell crossed the threshold")
+      assert(m(1L)._3 > 0,
+        "compaction never fired though batch 1 pushed cells past the threshold")
+      // in-distribution drift on both batches (the held-out-slice band the
+      // drift-report spec pins)
+      m.values.foreach { case (_, drift, _) =>
+        assert(drift < 0.0 && drift > -0.2, f"drift $drift%.4f out of band")
+      }
+      // and compaction did its job: no cell is left over the threshold
+      val cellFiles = {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root.resolve("postings.parquet"))
+        try walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+          .toSeq.groupBy(_.getParent.getFileName.toString)
+          .map { case (c, fs) => c -> fs.size }
+        finally walk.close()
+      }
+      assert(cellFiles.values.forall(_ <= 2),
+        s"fragmented cells survived the cadence: $cellFiles")
+    } finally {
+      StreamingStaging.deleteRecursively(root)
       StreamingStaging.deleteRecursively(batchRoot)
     }
   }

@@ -17,6 +17,14 @@ BENCH_r{N}.json wrapper ({"tail": "<truncated line>"}) — for the latter,
 per-query times are recovered by regex from the tail fragment (possibly
 partial; prefer `git show <prior-round>:bench_out.json` as the prior).
 
+Either path may also be a DIRECTORY of run artifacts (bench_runs/ — every
+Bench invocation archives its line there): the runs are min-MERGED per
+query (per-row min across sessions, spread = [min of mins, min of
+medians, max of maxs]), which removes the single-session machine-load
+noise floor — the r10 lesson, where two same-commit sessions disagreed
+up to 3.5x per row and the gate flagged its own noise. A FLAG against a
+min-merged current means code again.
+
 Justified regressions are whitelisted via bench_trend_notes.json (next to
 this script): {"<query>": {"max_ratio": N, "max_abs_sec": S, "reason":
 "..."}}. A would-be flag whose ratio stays within the note's max_ratio —
@@ -43,7 +51,38 @@ notes_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 notes = json.load(open(notes_path)) if os.path.exists(notes_path) else {}
 
 
+def merge_runs(runs, path):
+    """Per-query min across sessions; a query errored (-1) in one session
+    but timed in another keeps the timed value — a crash in EVERY session
+    stays -1 so it still flags."""
+    queries, spread, merged = {}, {}, {}
+    for d in runs:
+        for q, t in d["queries"].items():
+            queries.setdefault(q, []).append(t)
+            s = d.get("spread", {}).get(q)
+            if s:
+                spread.setdefault(q, []).append(s)
+    for q, ts in queries.items():
+        ok = [t for t in ts if t >= 0]
+        merged[q] = min(ok) if ok else -1.0
+    mspread = {q: [min(s[0] for s in ss), min(s[1] for s in ss),
+                   max(s[2] for s in ss)]
+               for q, ss in spread.items()}
+    sfs = {d.get("sf") for d in runs}
+    print(f"NOTE {path}: min-merged {len(runs)} sessions, "
+          f"{len(merged)} queries")
+    return {"queries": merged, "spread": mspread,
+            "value": sum(v for v in merged.values() if v > 0),
+            "sf": sfs.pop() if len(sfs) == 1 else None}
+
+
 def load(path):
+    if os.path.isdir(path):
+        files = sorted(f for f in os.listdir(path) if f.endswith(".json"))
+        if not files:
+            sys.exit(f"ERR {path}: no .json run artifacts")
+        return merge_runs([json.load(open(os.path.join(path, f)))
+                           for f in files], path)
     d = json.load(open(path))
     if "queries" not in d and "tail" in d:  # driver wrapper
         pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)', d["tail"])
