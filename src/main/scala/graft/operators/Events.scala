@@ -369,31 +369,56 @@ object Events {
     * type) only. Strict `>` ordering makes ties deterministic (a
     * same-microsecond click does not follow its view), so the DuckDB
     * replay hash-matches. */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables.events(spark, dir),
+      Seq("view", "click", "purchase"), FunnelWindow)
+      .withColumnsRenamed(Map(
+        "s1_ts" -> "v_ts", "s2_ts" -> "c_ts", "s3_ts" -> "p_ts"))
+
+  /** The k-stage generalization [[funnel]] is an instance of: an ORDERED
+    * conversion funnel over any `stages` sequence — stage 1 is the
+    * user's first `stages(0)` event; stage i+1 is the first
+    * `stages(i)` event strictly after the user's stage-i timestamp and
+    * within `window` of it. Output: (user_id, s1_ts…sk_ts, steps 0–k,
+    * completed, funnel_us first→last for completers); every user
+    * appears, so drop-off denominators are built in.
+    *
+    * The plan shape is k-INVARIANT: still ONE shuffle on user_id — the
+    * k layered whole-partition window minima all reuse the same
+    * Exchange, per-user state is k timestamps, and the final collapse
+    * rides the same partitioning (`FunnelStagesSpec` pins the (1, 0)
+    * shuffle/broadcast budget at k = 4). Adding a funnel stage at
+    * 100 TB therefore costs one more map-side column, not another pass
+    * over the events. */
+  def funnelStages(events: DataFrame, stages: Seq[String],
+      window: String): DataFrame = {
+    require(stages.size >= 2 && stages.distinct.size == stages.size,
+      s"a funnel needs >= 2 distinct stages, got $stages")
+    val k = stages.size
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-    (Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_type"))
-      .withColumn("v_ts",
-        min(when(col("event_type") === "view", col("ts"))).over(w))
-      .withColumn("c_ts",
-        min(when(col("event_type") === "click" &&
-          col("ts") > col("v_ts") &&
-          col("ts") <= col("v_ts") + expr(FunnelWindow), col("ts"))).over(w))
-      .withColumn("p_ts",
-        min(when(col("event_type") === "purchase" &&
-          col("ts") > col("c_ts") &&
-          col("ts") <= col("c_ts") + expr(FunnelWindow), col("ts"))).over(w))
-      .groupBy(col("user_id"))
-      .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
-        min(col("p_ts")).as("p_ts"))
-      .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
-        when(col("p_ts").isNotNull, 3L)
-          .when(col("c_ts").isNotNull, 2L)
-          .when(col("v_ts").isNotNull, 1L)
-          .otherwise(0L).as("steps"),
-        col("p_ts").isNotNull.as("completed"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
-          .as("funnel_us")))
+    val layered = stages.zipWithIndex.foldLeft(
+      events.select(col("user_id"), col("ts"), col("event_type"))) {
+      case (df, (stage, 0)) => df.withColumn("s1_ts",
+        min(when(col("event_type") === stage, col("ts"))).over(w))
+      case (df, (stage, i)) =>
+        val prev = col(s"s${i}_ts")
+        df.withColumn(s"s${i + 1}_ts",
+          min(when(col("event_type") === stage && col("ts") > prev &&
+            col("ts") <= prev + expr(window), col("ts"))).over(w))
+    }
+    val stageNames = (1 to k).map(i => s"s${i}_ts")
+    val steps = (k - 1 to 1 by -1).foldLeft(
+      when(col(s"s${k}_ts").isNotNull, k.toLong)) {
+      case (c, i) => c.when(col(s"s${i}_ts").isNotNull, i.toLong)
+    }.otherwise(0L)
+    layered.groupBy(col("user_id"))
+      .agg(min(col("s1_ts")).as("s1_ts"),
+        stageNames.tail.map(n => min(col(n)).as(n)): _*)
+      .select((Seq(col("user_id")) ++ stageNames.map(col) ++ Seq(
+        steps.as("steps"),
+        col(s"s${k}_ts").isNotNull.as("completed"),
+        (unix_micros(col(s"s${k}_ts")) - unix_micros(col("s1_ts")))
+          .as("funnel_us"))): _*)
   }
 
   val funnelOracle: String =
