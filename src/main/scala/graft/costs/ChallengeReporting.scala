@@ -146,14 +146,28 @@ object ChallengeReporting {
     * (result rows, per-denorm totals, per-query plan JSON)
     * (reference `challenge/run.py:52-119`). */
   def runAll(): (List[ResultRow], Map[String, Totals],
-      Map[String, List[(String, QueryResult)]]) = {
+      Map[String, List[(String, QueryResult)]]) =
+    runAll(ChallengeModel.refStats)
+
+  /** [[runAll]] parameterized by the STATISTICS source — the closed
+    * optimizer loop's last mile: the same planner + simulator + ranking
+    * can be driven either by the reference's hand-written stats JSON
+    * ([[ChallengeModel.refStats]]) or by statistics PROFILED from live
+    * data ([[StatsCollector.profileChallenge]]), producing the full
+    * leaderboard (weighted totals, ranking) from whichever source a
+    * deployment has. `LiveStatsLeaderboardSpec` pins identical rankings
+    * from both sources and profiled totals within tolerance of the
+    * reference-stat totals. */
+  def runAll(stats: Map[String, ChallengeModel.CollectionStats])
+      : (List[ResultRow], Map[String, Totals],
+        Map[String, List[(String, QueryResult)]]) = {
     val model = CostModel()
     var rows = List.empty[ResultRow]
     var totals = Map.empty[String, Totals]
     var plans = Map.empty[String, List[(String, QueryResult)]]
     ChallengeModel.refDenorms.foreach { denorm =>
       val models = ChallengeModel.buildDatabaseModels(
-        ChallengeModel.refSchemas, ChallengeModel.refStats, denorm)
+        ChallengeModel.refSchemas, stats, denorm)
       val embeds = ChallengeModel.collectEmbedPaths(denorm)
       ChallengeModel.refQueries.foreach { query =>
         val plan = ChallengePlanner.planQuery(query, models, embeds)

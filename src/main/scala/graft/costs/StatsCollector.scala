@@ -69,4 +69,28 @@ object StatsCollector {
       CollectionStats(nbDocuments, distinctValues = distinct),
       CollectionConfig(shardingKey, indexes))
   }
+
+  /** Profile LIVE Product/OrderLine data into the exact statistics shape
+    * the challenge's `stats.json` declares — row counts, the
+    * grouping/filter/join distincts, AND the derived `orderLines` embed
+    * array length (avg order lines per product = |OrderLine| /
+    * |distinct OrderLine.IDP|, which is how the D3/D4 embedded-array
+    * document sizing gets its 40.0 in the reference data). One
+    * aggregation pass per collection; feeds
+    * [[ChallengeReporting.runAll(stats*]] so the full leaderboard runs
+    * off profiled numbers end-to-end. */
+  def profileChallenge(product: DataFrame,
+      orderLine: DataFrame): Map[String, ChallengeModel.CollectionStats] = {
+    val p = profile("Product", product, primaryKey = "IDP",
+      shardingKey = "IDP",
+      statFields = Seq("IDP", "brand", "categorie")).stats
+    val ol = profile("OrderLine", orderLine, primaryKey = "IDL",
+      shardingKey = "IDP", statFields = Seq("IDP", "IDC")).stats
+    val avgLines =
+      ol.nbDocuments.toDouble / math.max(1L, ol.distinctValues("IDP"))
+    Map(
+      "Product" -> p.copy(
+        avgArrayLengths = Map("orderLines" -> avgLines)),
+      "OrderLine" -> ol)
+  }
 }

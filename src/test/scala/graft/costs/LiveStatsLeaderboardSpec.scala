@@ -1,0 +1,86 @@
+package graft.costs
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** The challenge leaderboard END-TO-END from live statistics: generate
+  * the challenge dataset at its declared cardinalities, profile it with
+  * [[StatsCollector.profileChallenge]] (exact counts, HLL++ distincts,
+  * derived embed array length), and drive the FULL
+  * [[ChallengeReporting.runAll]] — planner, simulator, weighted totals,
+  * ranking — from the profiled numbers. The ranking must equal the
+  * reference-stat run's (the design decision the leaderboard exists to
+  * make must not depend on which stat source fed it), and the weighted
+  * totals must land within the stated tolerance (the only live/ref
+  * deviation is HLL++ distinct-count error, rsd ≈ 5% at
+  * `approx_count_distinct` defaults; row counts are exact). */
+class LiveStatsLeaderboardSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** The challenge dataset materialized at its stats.json cardinalities:
+    * 100 k products (5 000 brands, 100 categories), 4 M order lines
+    * (100 k products, 1 M clients → 40 lines/product). Values are
+    * synthetic — only the CARDINALITIES matter to the planner, which is
+    * exactly the point of a statistics profile. */
+  private lazy val liveStats: Map[String, ChallengeModel.CollectionStats] = {
+    val product = spark.range(100000L).select(
+      col("id").as("IDP"),
+      concat(lit("brand_"), (col("id") % 5000).cast("string")).as("brand"),
+      concat(lit("cat_"), (col("id") % 100).cast("string")).as("categorie"),
+      lpad(col("id").cast("string"), 200, "x").as("description"),
+      (col("id") % 1000).cast("double").as("price"))
+    val orderLine = spark.range(4000000L).select(
+      col("id").as("IDL"),
+      (col("id") % 100000).as("IDP"),
+      (col("id") % 1000000).as("IDC"),
+      (col("id") % 10).as("quantity"))
+    StatsCollector.profileChallenge(product, orderLine)
+  }
+
+  test("profiled stats reproduce the declared cardinalities within HLL error") {
+    val p = liveStats("Product")
+    val ol = liveStats("OrderLine")
+    assert(p.nbDocuments == 100000L) // counts are exact
+    assert(ol.nbDocuments == 4000000L)
+    def within(got: Long, want: Long, rsd: Double): Unit =
+      assert(math.abs(got - want).toDouble / want <= rsd,
+        s"$got vs $want beyond ${rsd * 100}%")
+    within(p.distinctValues("brand"), 5000L, 0.05)
+    within(p.distinctValues("categorie"), 100L, 0.05)
+    // rsd is a STANDARD deviation, not a bound — the 1M-distinct column
+    // deterministically lands at ~7.4% here (≈1.5σ), so allow 2σ
+    within(ol.distinctValues("IDC"), 1000000L, 0.10)
+    // the derived embed array length: 4M lines / ~100k products ≈ 40
+    assert(math.abs(p.avgArrayLengths("orderLines") - 40.0) <= 2.0)
+  }
+
+  test("the live-stat leaderboard ranks the denormalizations identically") {
+    val (_, refTotals, _) = ChallengeReporting.runAll()
+    val (liveRows, liveTotals, _) = ChallengeReporting.runAll(liveStats)
+    assert(ChallengeReporting.ordering(liveTotals) ==
+      ChallengeReporting.ordering(refTotals))
+    // every denorm × query pair was planned and simulated
+    assert(liveRows.size == ChallengeModel.refDenorms.size *
+      ChallengeModel.refQueries.size)
+  }
+
+  test("live-stat weighted totals land within 8% of the reference-stat totals") {
+    // counts exact + string sizes from the shared schema ⇒ the only
+    // deviation channel is HLL++ distinct error propagating through the
+    // selectivity products; 8% bounds the default-rsd worst case while
+    // a wrong array length / row count / strategy flip would blow it
+    val (_, refTotals, _) = ChallengeReporting.runAll()
+    val (_, liveTotals, _) = ChallengeReporting.runAll(liveStats)
+    for ((d, ref) <- refTotals) {
+      val live = liveTotals(d)
+      val dev = math.abs(live.weighted - ref.weighted) / ref.weighted
+      info(f"$d: ref ${ref.weighted}%.4f live ${live.weighted}%.4f " +
+        f"(${dev * 100}%.2f%%)")
+      assert(dev <= 0.08, f"$d deviates ${dev * 100}%.1f%% > 8%%")
+    }
+  }
+}
