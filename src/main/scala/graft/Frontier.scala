@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ANN family's SELECTION FRONTIER, measured: for each timed
+  * production form (LSH multi-probe, IVF-SQ, IVF-PQ, persisted-index
+  * build+query) at each scale point, (recall@3 vs an exact sampled
+  * ground truth, wall seconds, shuffle bytes written) — the curve a
+  * 100 TB user actually picks an index from. The per-family recall
+  * FLOORS in `SimilaritySpec` are pass/fail at fixture scale; this main
+  * turns them into a frontier across scale, and SCALING.md checks in
+  * the table.
+  *
+  * Ground truth at scale: the full O(n²) exact top-k is exactly what a
+  * scaled corpus forbids, so recall is measured on a ~150-query SAMPLE
+  * — every mod-th vector's exact top-3 by a broadcast-sample × corpus
+  * pass (linear in n, one bounded window over sample×n rows), the
+  * standard ANN-benchmark methodology (ann-benchmarks does the same
+  * with held-out query sets).
+  *
+  * Shuffle bytes come from a stage-completion listener summing
+  * `shuffleWriteMetrics.bytesWritten` across the timed run — the
+  * exchange volume the exchange-audit spec bounds structurally is here
+  * REPORTED per form, so the frontier shows what the ≤64 B-code
+  * candidate shuffles buy as n grows.
+  *
+  * Usage: runMain graft.Frontier <sf0.1Dir> <outRoot> <factor...>
+  * (factor 1 = the fixture itself; >1 reuses/creates the StressScale
+  * corpus at outRoot/x<factor>). Writes one JSON line to
+  * SPARK_GRAFT_FRONTIER_OUT (default target/frontier_report.json).
+  */
+object Frontier {
+
+  private final class ShuffleBytes
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  /** Exact top-`k` for every `mod`-th vector: broadcast the sampled
+    * queries against one corpus scan — linear in n. */
+  private def exactSampleTopK(spark: SparkSession, dir: String, mod: Long,
+      k: Int): Map[Long, Set[Long]] = {
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dv.as("ev"))
+    val q = e.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("query_id"), col("ev").as("qev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("ev").as("b_ev"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.operators.Similarity.cosine(col("qev"), col("b_ev"))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+  }
+
+  /** The timed ANN family, production forms (same entries Bench times). */
+  private val Forms: Seq[String] = Seq(
+    "sim_ann_lsh", "sim_ann_ivf_sq", "sim_ann_ivfpq",
+    "sim_ann_ivfpq_indexed")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: Frontier <sf0.1Dir> <outRoot> <factor...>")
+    val sfDir = args(0)
+    val outRoot = args(1)
+    val factors = args.drop(2).map(_.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.sources.Tables.requiredConfs.foreach { case (k, v) =>
+      builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKPlanning.register(spark)
+    val registry = SparkEntry.productionQueries
+    val baseVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    try spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    catch { case _: Throwable => () }
+
+    val rows = factors.flatMap { factor =>
+      val dir = if (factor <= 1) sfDir else {
+        val d = s"$outRoot/x$factor"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$d/embeddings.parquet")))
+          StressScale.synthEmbeddings(spark, baseVecs * factor)
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+        d
+      }
+      val n = baseVecs * math.max(1, factor)
+      val mod = math.max(1L, n / 150)
+      val exact = exactSampleTopK(spark, dir, mod, 3)
+      println(s"[frontier] x$factor: n=$n, ${exact.size} sampled queries")
+      Forms.map { form =>
+        val fn = registry(form)
+        val listener = new ShuffleBytes
+        spark.sparkContext.addSparkListener(listener)
+        val wall = try (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min finally {
+          Thread.sleep(2000) // let the async listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+        }
+        val shuffleMb = listener.bytes.get() / 2 / 1e6 // per run (2 runs)
+        spark.catalog.clearCache()
+        val res = fn(spark, dir)
+        val got = res.filter(res.col(res.columns(0)) % mod === 0)
+          .collect().groupBy(_.getLong(0))
+          .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+        val recall = exact.map { case (v, ex) =>
+          (ex intersect got.getOrElse(v, Set.empty)).size.toDouble / ex.size
+        }.sum / exact.size
+        println(f"[frontier] x$factor $form%-22s recall@3=$recall%.3f " +
+          f"wall=$wall%.2fs shuffle=${shuffleMb}%.1fMB")
+        (factor, form, n, recall, wall, shuffleMb)
+      }
+    }
+    val body = rows.map { case (f, form, n, r, w, mb) =>
+      s"""{"factor":$f,"form":"$form","n":$n,"recall_at_3":${f"$r%.4f"},""" +
+        s""""wall_sec":${f"$w%.3f"},"shuffle_mb":${f"$mb%.1f"}}"""
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"ann_frontier","rows":$body,""" +
+      s""""agg":"wall=min-of-2 cache-cleared; shuffle=bytesWritten/run; """ +
+      s"""recall@3 vs exact sampled ground truth (~150 queries)"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_OUT",
+      "target/frontier_report.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[frontier] could not write $outPath: ${e.getMessage}") }
+    spark.stop()
+  }
+}

@@ -446,8 +446,59 @@ object Events {
       |LEFT JOIN p ON u.user_id = p.user_id
       |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 
+  /** The funnel REPORT layer: per-stage reach counts and conversion
+    * rates over [[funnel]]'s per-user rows — the numbers a funnel
+    * dashboard actually displays (reach, step conversion, cumulative
+    * conversion). One extra GLOBAL aggregation over the per-user frame
+    * (map-side partial → single row), then the 3 stage rows are
+    * unpivoted driver-free with `stack`; cost at 100 TB is the funnel's
+    * own user_id shuffle plus a one-row exchange. Rates are exact
+    * ratios of exact counts, so the DuckDB replay hash-matches. */
+  def funnelRates(spark: SparkSession, dir: String): DataFrame =
+    funnel(spark, dir)
+      .agg(count(lit(1)).as("users"),
+        count(col("v_ts")).as("r1"), count(col("c_ts")).as("r2"),
+        count(col("p_ts")).as("r3"))
+      .select(expr("stack(3, 1, 'view', r1, users, " +
+        "2, 'click', r2, r1, 3, 'purchase', r3, r2) " +
+        "AS (stage, stage_name, reached, prev)"),
+        col("users"))
+      .select(col("stage").cast("long").as("stage"), col("stage_name"),
+        col("reached"),
+        (col("reached").cast("double") / col("prev")).as("conv_from_prev"),
+        (col("reached").cast("double") / col("users")).as("conv_from_start"))
+
+  val funnelRatesOracle: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |        AND e.ts <= v.v_ts + INTERVAL 12 HOUR GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |        AND e.ts <= c.c_ts + INTERVAL 12 HOUR GROUP BY 1),
+      |agg AS (SELECT (SELECT count(*) FROM u) AS users,
+      |               (SELECT count(*) FROM v) AS r1,
+      |               (SELECT count(*) FROM c) AS r2,
+      |               (SELECT count(*) FROM p) AS r3)
+      |SELECT stage, stage_name, reached,
+      |       CAST(reached AS DOUBLE) / prev AS conv_from_prev,
+      |       CAST(reached AS DOUBLE) / users AS conv_from_start
+      |FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+      |         r1 AS reached, users AS prev, users FROM agg
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click', r2, r1, users FROM agg
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase', r3, r2, users FROM agg)
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> (funnel _),
+    "events_funnel_rates" -> (funnelRates _),
     "events_zorder_key" -> (zorderKey _),
     "events_hourly_top" -> (hourlyTop _),
     "events_hourly_agg" -> (hourlyAgg _),
@@ -459,6 +510,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_funnel" -> funnelOracle,
+    "events_funnel_rates" -> funnelRatesOracle,
     "events_zorder_key" -> zorderKeyOracle,
     "events_hourly_top" -> hourlyTopOracle,
     "events_hourly_agg" -> hourlyAggOracle,

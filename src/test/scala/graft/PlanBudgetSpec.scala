@@ -64,6 +64,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // one user_id shuffle; the three layered stage windows and the final
     // per-user collapse all reuse it
     "events_funnel" -> (1, 0),
+    // the funnel's user_id shuffle + the one-row global report aggregate
+    "events_funnel_rates" -> (2, 0),
     "events_hourly_agg" -> (2, 0),
     "events_hourly_top" -> (1, 0),
     "events_range_join" -> (0, 1),
