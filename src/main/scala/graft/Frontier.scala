@@ -134,7 +134,52 @@ object Frontier {
         (factor, form, n, recall, wall, shuffleMb)
       }
     }
-    val body = rows.map { case (f, form, n, r, w, mb) =>
+    // the KNOB sweep at the largest scale point: one prebuilt index,
+    // query-only wall + recall per nprobe notch — what a deployment
+    // actually dials to buy recall back as n grows (preK fixed at its
+    // default; the oracle-gated setting is nprobe=8)
+    val sweepRows = {
+      val factor = factors.max
+      val dir = if (factor <= 1) sfDir else s"$outRoot/x$factor"
+      val n = baseVecs * math.max(1, factor)
+      val mod = math.max(1L, n / 150)
+      val exact = exactSampleTopK(spark, dir, mod, 3)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_frontier_idx").toString
+      graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+        graft.sources.Tables.embeddings(spark, dir), root)
+      val out = Seq(4, 8, 16, 32).map { nprobe =>
+        val listener = new ShuffleBytes
+        spark.sparkContext.addSparkListener(listener)
+        val wall = try (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          graft.operators.Similarity.annIvfPqIndexed(spark, dir, root,
+            nprobe).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min finally {
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(listener)
+        }
+        val shuffleMb = listener.bytes.get() / 2 / 1e6
+        spark.catalog.clearCache()
+        val res = graft.operators.Similarity.annIvfPqIndexed(spark, dir,
+          root, nprobe)
+        val got = res.filter(res.col("vec_id") % mod === 0)
+          .collect().groupBy(_.getLong(0))
+          .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+        val recall = exact.map { case (v, ex) =>
+          (ex intersect got.getOrElse(v, Set.empty)).size.toDouble / ex.size
+        }.sum / exact.size
+        println(f"[frontier] x$factor indexed_query nprobe=$nprobe%-3d " +
+          f"recall@3=$recall%.3f wall=$wall%.2fs shuffle=${shuffleMb}%.1fMB")
+        (factor, s"indexed_query_nprobe$nprobe", n, recall, wall, shuffleMb)
+      }
+      graft.streaming.StreamingStaging.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      out
+    }
+    val body = (rows ++ sweepRows).map { case (f, form, n, r, w, mb) =>
       s"""{"factor":$f,"form":"$form","n":$n,"recall_at_3":${f"$r%.4f"},""" +
         s""""wall_sec":${f"$w%.3f"},"shuffle_mb":${f"$mb%.1f"}}"""
     }.mkString("[", ",", "]")

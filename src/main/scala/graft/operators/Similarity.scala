@@ -448,14 +448,15 @@ object Similarity {
 
   /** Every vector's [[IvfProbes]] nearest cells under `cent`:
     * (vec_id, centroid_id, crnk). crnk 1 is the home cell. */
-  private def ivfAssign(v: DataFrame, cent: DataFrame): DataFrame = {
+  private def ivfAssign(v: DataFrame, cent: DataFrame,
+      nprobe: Int = IvfProbes): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
     v.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("centroid_id"),
         cosine(col("ev"), col("cv")).as("ccos"))
       .withColumn("crnk", row_number().over(wAssign))
-      .filter(col("crnk") <= IvfProbes)
+      .filter(col("crnk") <= nprobe)
       .select(col("vec_id"), col("centroid_id"), col("crnk"))
   }
 
@@ -2083,14 +2084,20 @@ object Similarity {
     * rerank the top [[PqPreK]] survivors full-precision against the
     * source table. Row-identical to [[annIvfPq]] over an exact-fold
     * index (the asymmetric expression's fold is bit-identical to the
-    * decoded-array cosine, spec-pinned). */
+    * decoded-array cosine, spec-pinned).
+    *
+    * `nprobe` / `preK` are the deployment's recall-vs-cost knobs
+    * (probe more cells / rerank deeper); the defaults are the
+    * oracle-gated configuration, and `graft.Frontier`'s sweep measures
+    * what each notch buys at scale. */
   def annIvfPqIndexed(spark: SparkSession, dir: String,
-      indexDir: String): DataFrame = {
+      indexDir: String, nprobe: Int = IvfProbes,
+      preK: Int = PqPreK): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
-    val probes = ivfAssign(v, cent)
+    val probes = ivfAssign(v, cent, nprobe)
       .select(col("vec_id"), col("centroid_id"))
     // partition-column type inference can narrow centroid_id to int on
     // read; normalize back to the writer's long before the join
@@ -2108,7 +2115,7 @@ object Similarity {
         graft.functions.VectorFunctions.pq_asymmetric_cosine(
           col("a_ev"), col("b_code"), cbArr, PqS).as("acos"))
       .withColumn("prernk", row_number().over(wPre))
-      .filter(col("prernk") <= PqPreK)
+      .filter(col("prernk") <= preK)
       .select(col("vec_id"), col("neighbor_id"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -2139,9 +2146,12 @@ object Similarity {
     * code candidates ranked by the native asymmetric cosine → bounded
     * full-precision rerank. Query cost scales with |queries| ·
     * nprobe/√n of the index — independent of corpus size beyond the
-    * pruned read. Returns (query_id, neighbor_id, rnk, cosine). */
+    * pruned read. Returns (query_id, neighbor_id, rnk, cosine).
+    * `nprobe` / `preK` as on [[annIvfPqIndexed]] — the service's
+    * recall-vs-latency dials, defaults = the oracle-gated setting. */
   def searchIvfPqIndex(spark: SparkSession, queries: DataFrame,
-      dir: String, indexDir: String): DataFrame = {
+      dir: String, indexDir: String, nprobe: Int = IvfProbes,
+      preK: Int = PqPreK): DataFrame = {
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dvec.as("ev"))
     val q = queries.select(col("query_id"), col("qev"))
@@ -2149,7 +2159,8 @@ object Similarity {
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
     val probes = ivfAssign(
-        q.select(col("query_id").as("vec_id"), col("qev").as("ev")), cent)
+        q.select(col("query_id").as("vec_id"), col("qev").as("ev")), cent,
+        nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
     val members = spark.read.parquet(s"$indexDir/postings.parquet")
       .select(col("vec_id").as("neighbor_id"), col("b_code"),
@@ -2164,7 +2175,7 @@ object Similarity {
         graft.functions.VectorFunctions.pq_asymmetric_cosine(
           col("qev"), col("b_code"), cbArr, PqS).as("acos"))
       .withColumn("prernk", row_number().over(wPre))
-      .filter(col("prernk") <= PqPreK)
+      .filter(col("prernk") <= preK)
       .select(col("query_id"), col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
