@@ -61,6 +61,7 @@ object SparkEntry {
     "sim_quantize_pq" -> (Similarity.quantizePqProd _),
     "sim_ann_ivfpq" -> (Similarity.annIvfPqProd _),
     "sim_ann_ivfpq_indexed" -> (Similarity.annIvfPqIndexedProd _),
+    "sim_ann_lsh_indexed" -> (Similarity.annLshIndexedProd _),
     "sim_ann_index_delta" -> (Similarity.annIvfPqIndexDeltaProd _),
     "sim_ann_index_search" -> (Similarity.annIvfPqIndexSearchProd _),
     "sim_ann_lsh" -> (Similarity.annLshProd _),
@@ -124,7 +125,11 @@ object SparkEntry {
     "sim_ann_index_append" ->
       (Similarity.annIvfPqIndexAppendBench _),
     "sim_ann_index_search_query" ->
-      (Similarity.annIvfPqIndexSearchQueryBench _))
+      (Similarity.annIvfPqIndexSearchQueryBench _),
+    // the persisted LSH index's steady state: exchange-free postings
+    // side (bucketed table), probes-only shuffle
+    "sim_ann_lsh_index_query" ->
+      (Similarity.annLshIndexQueryBench _))
 
   /** The scale-path queries Bench times: production (un-canonicalized)
     * forms, minus the O(n²) oracle baselines. The composed curation

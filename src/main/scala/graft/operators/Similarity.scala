@@ -271,6 +271,16 @@ object Similarity {
     val candC = cand.join(
       packed.select(col("vec_id").as("neighbor_id"), col("b_code")),
       "neighbor_id")
+    lshRankTail(v, candC, cbArr)
+  }
+
+  /** The LSH family's shared ranking tail over coded candidates
+    * (vec_id, bucket, neighbor_id, b_code): asymmetric preselect →
+    * top-[[LshPreK]] full-precision rerank → top-[[AnnK]]. Extracted so
+    * the persisted-index query runs the IDENTICAL ops (its oracle is
+    * [[annLshOracle]] verbatim). */
+  private def lshRankTail(v: DataFrame, candC: DataFrame,
+      cbArr: Array[Array[Array[Double]]]): DataFrame = {
     val wPre = Window.partitionBy(col("vec_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
     val pre = candC
@@ -2373,6 +2383,154 @@ object Similarity {
     searchIvfPqIndex(spark, searchQuerySet(spark, dir), dir, root)
   }
 
+  // --- persisted LSH index (the query-throughput artifact) -----------------
+
+  /** Build a persisted multi-probe LSH index — the bucket-join twin of
+    * the IVF-PQ artifact, tuned for QUERY THROUGHPUT rather than
+    * incremental ingest:
+    *   - `meta.parquet` — num_planes, the index's ONLY trained scalar
+    *     (the hyperplanes themselves are a deterministic LCG of the
+    *     plane number inside [[bucketExpr]] — nothing else to freeze);
+    *   - `codebook.parquet` — the PQ codebook for the asymmetric
+    *     preselect (same layout as the IVF-PQ artifact's);
+    *   - `postings` — (vec_id, bucket, b_code) ≈ 24 B rows as a
+    *     hash-BUCKETED table clustered+sorted on `bucket`
+    *     ([[graft.sources.Layouts.writeBucketedOn]]).
+    * The bucketed layout is the 100 TB point: the in-query LSH form's
+    * candidate join SHUFFLES the postings side every query (measured
+    * 927 MB at 10× fixture scale — the dominant term in its frontier
+    * row), while a bucketed-table scan satisfies ClusteredDistribution
+    * on `bucket`, so the candidate join moves ONLY the 16 B probe rows
+    * and the postings never cross the wire again after the one
+    * write-time shuffle. Signature computation and codebook training
+    * also leave the query path (precomputed at build).
+    *
+    * Scope trade vs the IVF-PQ artifact, recorded: LSH postings accept
+    * appends naturally (bucket membership is frozen with num_planes),
+    * but Spark bucketed-table files encode their bucket id in the FILE
+    * NAME, so the rename-based exactly-once append protocol does not
+    * transfer — a pipeline that needs continuous ingest uses the IVF-PQ
+    * artifact (the full lifecycle: committed append, compaction,
+    * drift); the LSH artifact is rebuild-per-corpus-version. */
+  def buildLshIndex(spark: SparkSession, dir: String, indexDir: String,
+      tableName: String, numBuckets: Int = 32): Unit = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
+    spark.range(1).select(lit(numPlanes).as("num_planes"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+    val cb = pqCodebookExactOn(v)
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    val packed = pqPackedExactOn(pqAssignExactOn(v, cb))
+    writeLshPostings(spark, v, packed, numPlanes, indexDir, tableName,
+      numBuckets)
+  }
+
+  /** [[buildLshIndex]] with the production trainers: fixed-buffer PQ
+    * codebook + native scan-side packed assignment. */
+  def buildLshIndexProd(spark: SparkSession, dir: String, indexDir: String,
+      tableName: String, numBuckets: Int = 32): Unit = {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
+    spark.range(1).select(lit(numPlanes).as("num_planes"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+    val cbArr = pqCodebookProdOn(v)
+    cbArr.zipWithIndex.flatMap { case (codes, m) =>
+      codes.zipWithIndex.map { case (cv, code) => (m, code.toLong, cv.toSeq) }
+    }.toSeq.toDF("m", "code", "cv")
+      .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    val pq = graft.functions.VectorFunctions
+      .pq_assign(col("embedding"), cbArr, PqS)
+    val packed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), pq.getField("packed").as("b_code"))
+    writeLshPostings(spark, v, packed, numPlanes, indexDir, tableName,
+      numBuckets)
+  }
+
+  private def writeLshPostings(spark: SparkSession, v: DataFrame,
+      packed: DataFrame, numPlanes: Int, indexDir: String,
+      tableName: String, numBuckets: Int): Unit =
+    graft.sources.Layouts.writeBucketedOn(
+      v.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
+        .join(packed, "vec_id")
+        .select(col("vec_id"), col("bucket"), col("b_code")),
+      tableName, s"$indexDir/postings", Seq("bucket"), numBuckets)
+
+  /** Query a persisted LSH index: read (vec_id, bucket, b_code) from
+    * the bucketed postings table, expand radius-2 probes, join probes
+    * against the CLUSTERED postings scan (postings side exchange-free),
+    * then the family's shared asymmetric-preselect + rerank tail.
+    * Row-identical to [[annLsh]] over an exact-fold build (buckets are
+    * the same deterministic signature, the codebook round-trips
+    * bit-exact), so the registry row replays [[annLshOracle]]
+    * unchanged. */
+  def annLshIndexed(spark: SparkSession, dir: String,
+      tableName: String): DataFrame = {
+    val indexDir = lshIndexDirOf(spark, tableName)
+    val numPlanes = spark.read.parquet(s"$indexDir/meta.parquet")
+      .head().getAs[Int]("num_planes")
+    val cbArr = pqCodebookArrOf(
+      spark.read.parquet(s"$indexDir/codebook.parquet"))
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val postings = spark.table(tableName)
+    val probes = postings.select(col("vec_id"), col("bucket"),
+      explode(array(probeMasks(numPlanes)
+        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val candC = probes.as("x").join(
+        postings.select(col("vec_id").as("neighbor_id"),
+          col("bucket").as("nb"), col("b_code")),
+        col("probe") === col("nb") && col("x.vec_id") =!= col("neighbor_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
+        col("neighbor_id"), col("b_code"))
+    lshRankTail(v, candC, cbArr)
+  }
+
+  /** The artifact dir backing a registered LSH postings table (stored as
+    * the table's external location's parent). */
+  private def lshIndexDirOf(spark: SparkSession, tableName: String): String =
+    java.nio.file.Paths.get(java.net.URI.create(
+      spark.sql(s"DESCRIBE FORMATTED $tableName")
+        .filter(col("col_name") === "Location")
+        .head().getString(1))).getParent.toString
+
+  private def lshTableFor(dir: String, suffix: String): String =
+    s"graft_lshidx_${indexProcessTag}_" +
+      s"${java.lang.Integer.toHexString(dir.hashCode)}$suffix"
+
+  /** Registry form `sim_ann_lsh_indexed`: exact-fold build + query —
+    * ≡ [[annLsh]], shares its DuckDB oracle. */
+  def annLshIndexedAuto(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lsh")
+    val table = lshTableFor(dir, "_lsh")
+    buildLshIndex(spark, dir, root, table)
+    annLshIndexed(spark, dir, table)
+  }
+
+  /** Production registry form: fixed-buffer build, same query. */
+  def annLshIndexedProd(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshp")
+    val table = lshTableFor(dir, "_lshp")
+    buildLshIndexProd(spark, dir, root, table)
+    annLshIndexed(spark, dir, table)
+  }
+
+  private val benchLshRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bench-only row `sim_ann_lsh_index_query`: the LSH query against a
+    * per-process CACHED bucketed artifact — the exchange-free-postings
+    * steady state (the oracle-gated `sim_ann_lsh_indexed` row rebuilds
+    * per call so the gate exercises build + clustered read + query). */
+  def annLshIndexQueryBench(spark: SparkSession, dir: String): DataFrame = {
+    val table = benchLshRoots.computeIfAbsent(dir, d => {
+      val r = indexRootFor(d, "_lshb")
+      val t = lshTableFor(d, "_lshb")
+      buildLshIndexProd(spark, d, r, t)
+      t
+    })
+    annLshIndexed(spark, dir, table)
+  }
+
   /** Registry form: exact-fold build + query — ≡ [[annIvfPq]], shares
     * its DuckDB oracle. */
   def annIvfPqIndexedAuto(spark: SparkSession, dir: String): DataFrame = {
@@ -2401,6 +2559,7 @@ object Similarity {
     "sim_quantize_pq" -> (quantizePq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _),
+    "sim_ann_lsh_indexed" -> (annLshIndexedAuto _),
     "sim_ann_index_delta" -> (annIvfPqIndexDelta _),
     "sim_ann_index_search" -> (annIvfPqIndexSearch _))
 
@@ -2416,9 +2575,11 @@ object Similarity {
     "sim_ann_ivf_sq" -> annIvfSqOracle,
     "sim_quantize_pq" -> quantizePqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
-    // the persisted-index path reproduces annIvfPq row for row (exact
-    // artifacts round-trip through parquet), so the replay is identical
+    // the persisted-index paths reproduce their in-query twins row for
+    // row (exact artifacts round-trip through parquet), so the replays
+    // are identical
     "sim_ann_ivfpq_indexed" -> annIvfPqOracle,
+    "sim_ann_lsh_indexed" -> annLshOracle,
     "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle,
     "sim_ann_index_search" -> annIvfPqIndexSearchOracle)
 }

@@ -129,6 +129,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // cluster scale the candidate joins shuffle ~32 B rows, never
     // embeddings (the round-8 stress finding)
     "sim_ann_lsh" -> (1, 5),
+    // persisted-index form: signature+code computation left the query
+    // path (one broadcast fewer than the in-query form), bucketed
+    // postings side exchange-free
+    "sim_ann_lsh_indexed" -> (1, 4),
     "sim_centroid_by_lang" -> (1, 1),
     "sim_cosine_neardup" -> (1, 1), // + streamed-side repartition (baseline)
     // streamed-side repartition on vec_id doubles as the top-k window's

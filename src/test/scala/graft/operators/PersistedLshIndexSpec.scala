@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions.col
+
+import graft.TestSpark
+
+/** The persisted LSH index (query-throughput artifact): the exact-fold
+  * build must reproduce the in-query [[Similarity.annLsh]] row for row
+  * after its parquet/bucketed-table round trip, the postings side of
+  * the candidate join must read the bucketed layout EXCHANGE-FREE (the
+  * whole point — the in-query form shuffles the postings every call),
+  * and the artifact must carry only 24 B posting rows, never
+  * embeddings. */
+class PersistedLshIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4))).toSet
+
+  test("querying the persisted exact LSH index reproduces annLsh row for row") {
+    val indexed = rows(Similarity.annLshIndexedAuto(spark, dir))
+    val direct = rows(Similarity.annLsh(spark, dir))
+    assert(direct.nonEmpty)
+    assert(indexed == direct)
+  }
+
+  test("the candidate join's postings side is exchange-free (bucketed scan)") {
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val indexed = Similarity.annLshIndexedAuto(spark, dir)
+      val inQuery = Similarity.annLsh(spark, dir)
+      val iPlan = indexed.queryExecution.executedPlan.toString
+      val qPlan = inQuery.queryExecution.executedPlan.toString
+      // the postings scan is a bucketed read...
+      assert(iPlan.contains("Bucketed: true"), iPlan)
+      // ...and the probe side's shuffle is the only NEW exchange the big
+      // join needs: the persisted form's total shuffle count drops below
+      // the in-query form's (which pays exchanges for signature+code
+      // computation AND moves the postings through its candidate join)
+      val iShuffles = graft.PlanAudit.shuffleCount(iPlan)
+      val qShuffles = graft.PlanAudit.shuffleCount(qPlan)
+      assert(iShuffles < qShuffles,
+        s"indexed=$iShuffles !< in-query=$qShuffles\n$iPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("the postings artifact carries codes, never embeddings") {
+    // build into a known root so the table/artifact pair is inspectable
+    val root = java.nio.file.Files.createTempDirectory("graft_lshidx_spec")
+    try {
+      Similarity.buildLshIndex(spark, dir, root.toString,
+        "graft_lshidx_spec_table")
+      val postings = spark.table("graft_lshidx_spec_table")
+      assert(postings.schema.fieldNames.toSet ==
+        Set("vec_id", "bucket", "b_code"))
+      postings.schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"postings column ${f.name} is an array — the 24 B-row claim broke")
+      }
+      // every corpus vector is present exactly once
+      val n = graft.sources.Tables.embeddings(spark, dir).count()
+      assert(postings.count() == n)
+      assert(postings.select(col("vec_id")).distinct().count() == n)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lshidx_spec_table")
+      graft.streaming.StreamingStaging.deleteRecursively(root)
+    }
+  }
+}
