@@ -67,10 +67,17 @@ object Frontier {
       .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
   }
 
-  /** The timed ANN family, production forms (same entries Bench times). */
+  /** The timed ANN family (same entries Bench times): the production
+    * forms — the two `*_indexed` rows price build+query per call by
+    * design — plus the two CACHED query-only bench rows, which is where
+    * the persisted artifacts' steady state (and the LSH index's
+    * exchange-free postings side) actually shows. A warmup call before
+    * timing builds their per-process artifact so the listener counts
+    * only query traffic. */
   private val Forms: Seq[String] = Seq(
-    "sim_ann_lsh", "sim_ann_ivf_sq", "sim_ann_ivfpq",
-    "sim_ann_ivfpq_indexed")
+    "sim_ann_lsh", "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
+    "sim_ann_ivf_sq", "sim_ann_ivfpq",
+    "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_index_query")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -88,7 +95,7 @@ object Frontier {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKPlanning.register(spark)
-    val registry = SparkEntry.productionQueries
+    val registry = SparkEntry.benchQueries
     val baseVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     try spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     catch { case _: Throwable => () }
@@ -109,6 +116,10 @@ object Frontier {
       println(s"[frontier] x$factor: n=$n, ${exact.size} sampled queries")
       Forms.map { form =>
         val fn = registry(form)
+        // warmup: builds the cached artifact for the *_query rows so
+        // their timed runs (and shuffle bytes) are query-only
+        spark.catalog.clearCache()
+        try fn(spark, dir).count() catch { case _: Throwable => () }
         val listener = new ShuffleBytes
         spark.sparkContext.addSparkListener(listener)
         val wall = try (1 to 2).map { _ =>

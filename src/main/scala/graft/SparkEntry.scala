@@ -62,6 +62,7 @@ object SparkEntry {
     "sim_ann_ivfpq" -> (Similarity.annIvfPqProd _),
     "sim_ann_ivfpq_indexed" -> (Similarity.annIvfPqIndexedProd _),
     "sim_ann_lsh_indexed" -> (Similarity.annLshIndexedProd _),
+    "sim_ann_lsh_search" -> (Similarity.annLshSearchProd _),
     "sim_ann_index_delta" -> (Similarity.annIvfPqIndexDeltaProd _),
     "sim_ann_index_search" -> (Similarity.annIvfPqIndexSearchProd _),
     "sim_ann_lsh" -> (Similarity.annLshProd _),

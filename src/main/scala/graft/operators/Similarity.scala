@@ -2514,6 +2514,143 @@ object Similarity {
     annLshIndexed(spark, dir, table)
   }
 
+  /** Search a persisted LSH index with an EXTERNAL query set — the
+    * search-service call shape on the bucket-join artifact (the IVF-PQ
+    * twin is [[searchIvfPqIndex]]). `queries` is any (query_id, qev)
+    * frame: each query is signed against the FROZEN planes (num_planes
+    * from the artifact; the planes are deterministic), expands its
+    * radius-2 probes, joins the CLUSTERED postings scan (postings side
+    * exchange-free — only the 16 B probe rows move), ranks candidates
+    * by the asymmetric decoded cosine against the frozen codebook, and
+    * reranks the top [[LshPreK]] at full precision from the source
+    * table. No self-exclusion: external queries are not corpus
+    * members. */
+  def searchLshIndex(spark: SparkSession, queries: DataFrame,
+      dir: String, tableName: String): DataFrame = {
+    val indexDir = lshIndexDirOf(spark, tableName)
+    val numPlanes = spark.read.parquet(s"$indexDir/meta.parquet")
+      .head().getAs[Int]("num_planes")
+    val cbArr = pqCodebookArrOf(
+      spark.read.parquet(s"$indexDir/codebook.parquet"))
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dvec.as("ev"))
+    val q = queries.select(col("query_id"), col("qev"))
+    val probes = q
+      .withColumn("bucket", bucketExpr(col("qev"), numPlanes))
+      .select(col("query_id"), explode(array(probeMasks(numPlanes)
+        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val postings = spark.table(tableName)
+    val cand = probes.join(
+        postings.select(col("vec_id").as("neighbor_id"),
+          col("bucket").as("nb"), col("b_code")),
+        col("probe") === col("nb"))
+      .select(col("query_id"), col("neighbor_id"), col("b_code"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val pre = cand
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.pq_asymmetric_cosine(
+          col("qev"), col("b_code"), cbArr, PqS).as("acos"))
+      .withColumn("prernk", row_number().over(wPre))
+      .filter(col("prernk") <= LshPreK)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    (pre
+      .join(q, "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("ev").as("b_ev")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qev"), col("b_ev")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= AnnK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("cosine")))
+  }
+
+  /** Registry form `sim_ann_lsh_search`: exact-fold LSH build over the
+    * corpus, then the external-query search with the registry's derived
+    * query set ([[searchQuerySet]] — same set the IVF search row
+    * uses). */
+  def annLshSearch(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshs")
+    val table = lshTableFor(dir, "_lshs")
+    buildLshIndex(spark, dir, root, table)
+    searchLshIndex(spark, searchQuerySet(spark, dir), dir, table)
+  }
+
+  /** Production registry form: fixed-buffer build, same search. */
+  def annLshSearchProd(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshsp")
+    val table = lshTableFor(dir, "_lshsp")
+    buildLshIndexProd(spark, dir, root, table)
+    searchLshIndex(spark, searchQuerySet(spark, dir), dir, table)
+  }
+
+  /** Oracle for [[annLshSearch]]: the identical algorithm replayed
+    * monolithically — the [[annLshOracle]] corpus CTEs (planes, corpus
+    * buckets, probe masks, PQ codebook + decode) plus the derived query
+    * set signed against the same planes, probed at radius 2, candidates
+    * from corpus buckets, asymmetric preselect, exact rerank. */
+  lazy val annLshSearchOracle: String =
+    s"""WITH $vCte,
+       |${planesSql("embeddings")},
+       |pw AS (SELECT p,
+       |          [CAST((1103515245 * (p * $Dim + i - 1) + 12345) % 2147483648 AS DOUBLE)
+       |             / 2147483648.0 - 0.5
+       |           for i in range(1, $Dim + 1)] AS w
+       |       FROM range(0, $MaxPlanes) t(p)
+       |       WHERE p < (SELECT mp FROM np)),
+       |vb AS (SELECT v.vec_id,
+       |              CAST(sum(CASE WHEN ${sqlDot("v.ev", "pw.w")} > 0
+       |                            THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM v CROSS JOIN pw GROUP BY v.vec_id),
+       |mk AS (SELECT DISTINCT
+       |              xor(CASE WHEN i = -1 THEN 0 ELSE 1 << i END,
+       |                  CASE WHEN j = -1 THEN 0 ELSE 1 << j END) AS mask
+       |       FROM range(-1, $MaxPlanes) t1(i), range(-1, $MaxPlanes) t2(j)
+       |       WHERE i <= j AND i < (SELECT mp FROM np)
+       |         AND j < (SELECT mp FROM np)),
+       |$pqCtes,
+       |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |        FROM pasg GROUP BY 1),
+       |q AS (SELECT vec_id + 300000 AS query_id,
+       |             [CASE WHEN i <= 4 THEN ev[i] + 0.05 ELSE ev[i] END
+       |              for i in range(1, len(ev) + 1)] AS qev
+       |      FROM v WHERE vec_id % 10 = 0),
+       |qb AS (SELECT q.query_id,
+       |              CAST(sum(CASE WHEN ${sqlDot("q.qev", "pw.w")} > 0
+       |                            THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM q CROSS JOIN pw GROUP BY q.query_id),
+       |qpr AS (SELECT query_id, xor(bucket, CAST(mask AS BIGINT)) AS probe
+       |        FROM qb CROSS JOIN mk),
+       |qcand AS (SELECT a.query_id, b.vec_id AS neighbor_id
+       |          FROM qpr a JOIN vb b ON a.probe = b.bucket),
+       |qaq AS (SELECT c.query_id, c.neighbor_id,
+       |               ${sqlCos("q.qev", "d.qv")} AS acos
+       |        FROM qcand c
+       |        JOIN q ON c.query_id = q.query_id
+       |        JOIN dec d ON c.neighbor_id = d.vec_id),
+       |qpre AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY acos DESC, neighbor_id)
+       |                    AS prernk
+       |           FROM qaq)
+       |         WHERE prernk <= $LshPreK),
+       |qp AS (SELECT c.query_id, c.neighbor_id,
+       |              ${sqlCos("q.qev", "b.ev")} AS cosine
+       |       FROM qpre c
+       |       JOIN q ON c.query_id = q.query_id
+       |       JOIN v b ON c.neighbor_id = b.vec_id),
+       |qr AS (SELECT query_id, neighbor_id, cosine,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+       |       FROM qp)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM qr WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
   private val benchLshRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2560,6 +2697,7 @@ object Similarity {
     "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _),
     "sim_ann_lsh_indexed" -> (annLshIndexedAuto _),
+    "sim_ann_lsh_search" -> (annLshSearch _),
     "sim_ann_index_delta" -> (annIvfPqIndexDelta _),
     "sim_ann_index_search" -> (annIvfPqIndexSearch _))
 
@@ -2580,6 +2718,7 @@ object Similarity {
     // are identical
     "sim_ann_ivfpq_indexed" -> annIvfPqOracle,
     "sim_ann_lsh_indexed" -> annLshOracle,
+    "sim_ann_lsh_search" -> annLshSearchOracle,
     "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle,
     "sim_ann_index_search" -> annIvfPqIndexSearchOracle)
 }

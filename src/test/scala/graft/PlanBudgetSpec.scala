@@ -133,6 +133,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // path (one broadcast fewer than the in-query form), bucketed
     // postings side exchange-free
     "sim_ann_lsh_indexed" -> (1, 4),
+    // external-query search on the LSH artifact: same shape, queries
+    // broadcast-joined onto the candidate stream
+    "sim_ann_lsh_search" -> (1, 4),
     "sim_centroid_by_lang" -> (1, 1),
     "sim_cosine_neardup" -> (1, 1), // + streamed-side repartition (baseline)
     // streamed-side repartition on vec_id doubles as the top-k window's

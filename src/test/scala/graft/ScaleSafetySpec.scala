@@ -85,7 +85,8 @@ class ScaleSafetySpec extends AnyFunSuite {
       "sim_ann_ivfpq_indexed", "sim_ann_index_delta", "sim_ann_index_search",
       "sim_ann_ivfpq_index_build", "sim_ann_ivfpq_index_query",
       "sim_ann_index_append", "sim_ann_index_search_query",
-      "sim_ann_lsh_indexed", "sim_ann_lsh_index_query"),
+      "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
+      "sim_ann_lsh_search"),
       s"unaudited ANN query entered the timed registry: $annTimed")
   }
 
@@ -168,6 +169,7 @@ class ScaleSafetySpec extends AnyFunSuite {
         "sim_ann_index_search", "sim_ann_ivfpq_index_query",
         "sim_ann_index_search_query",
         "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
+        "sim_ann_lsh_search",
         "sim_neardup_lsh", "dedup_semantic")
       for (name <- strict) {
         val (got, node) = maxVectorExchangeRows(

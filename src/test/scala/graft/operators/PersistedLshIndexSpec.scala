@@ -50,6 +50,28 @@ class PersistedLshIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("external-query search retrieves the source vector for nearly every query") {
+    // same derived query set as the IVF search row: every 10th corpus
+    // vector, slightly moved (cosine to its source ≈ 0.999). Unlike the
+    // IVF probe (8 of √n cells, which in practice always covers the
+    // source's cell), the LSH probe is EXACT-radius-2: a perturbation
+    // that flips ≥3 sign bits hides the source bucket from the probe
+    // set by construction — so the contract is a high floor, not 100%.
+    // Exactness of the whole algorithm is the DuckDB oracle's job
+    // (sim_ann_lsh_search hash-gates every candidate/rank).
+    val top1 = Similarity.annLshSearch(spark, dir)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nQueries = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(top1.nonEmpty)
+    val hit = top1.count { case (qid, nid) => nid == qid - 300000L }
+    val rate = hit.toDouble / nQueries
+    info(f"source-vector rank-1 retrieval: $hit/$nQueries ($rate%.3f)")
+    assert(rate >= 0.80,
+      f"rank-1 source retrieval $rate%.3f below the 0.80 floor")
+  }
+
   test("the postings artifact carries codes, never embeddings") {
     // build into a known root so the table/artifact pair is inspectable
     val root = java.nio.file.Files.createTempDirectory("graft_lshidx_spec")
