@@ -147,7 +147,13 @@ object StressScale {
     "sim_ann_lsh", "dedup_semantic",
     // the persisted-index form: prices the full ingest (train + write
     // partitioned postings) plus the 1-shuffle query at scale
-    "sim_ann_ivfpq_indexed")
+    "sim_ann_ivfpq_indexed",
+    // the steady-state rows (round 11): cached artifact via
+    // computeIfAbsent — the FIRST timed iteration pays the build, the
+    // second is warm, and min-of-2 reports the warm query. These are
+    // the numbers the frontier showed dominate the 100 TB economics
+    // (42 MB / 1.6 s at 10× for the IVF-PQ warm query).
+    "sim_ann_ivfpq_index_query", "sim_ann_lsh_index_query")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

@@ -1839,6 +1839,16 @@ object Similarity {
     * (full [[buildIvfPqIndex]]) is due — the decision a 100 TB
     * daily-crawl pipeline makes from a dashboard, computed here from
     * two tiny stats artifacts with no corpus scan. */
+  /** The maintenance-cadence dashboard feed: one row per committed
+    * streaming batch — (batch_id, n_vectors, mean_cos, drift,
+    * compacted_cells) — written idempotently by
+    * [[graft.streaming.StreamingIndexAppend.maintainAfterBatch]]. The
+    * operational companion to [[indexDriftReport]] (which recomputes
+    * drift from the raw stats artifacts regardless of cadence). */
+  def indexMaintenanceReport(spark: SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/_stats/maintenance.parquet")
+
   def indexDriftReport(spark: SparkSession, indexDir: String): DataFrame = {
     val build = spark.read.parquet(s"$indexDir/_stats/build.parquet")
       .select(col("n_vectors").as("build_n"),

@@ -65,7 +65,8 @@ class StreamingIndexAppendSpec extends AnyFunSuite {
       assert(streamed == batch)
       // the maintenance artifact: exactly one row per micro-batch, with
       // compaction counts proving WHEN it fired
-      val m = spark.read.parquet(s"$root/_stats/maintenance.parquet")
+      val m = graft.operators.Similarity
+        .indexMaintenanceReport(spark, root.toString)
         .collect().map(r => r.getLong(0) ->
           (r.getLong(1), r.getDouble(3), r.getInt(4))).toMap
       assert(m.keySet == Set(0L, 1L),
