@@ -1589,13 +1589,18 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings.parquet")
     writeBuildStats(spark, home, indexDir)
-    // reset the append log/stats: a fresh build is a new index version
-    graft.streaming.StreamingStaging.deleteRecursively(
-      java.nio.file.Paths.get(s"$indexDir/_stats/appends.parquet"))
-    graft.streaming.StreamingStaging.deleteRecursively(
-      java.nio.file.Paths.get(s"$indexDir/_append_log"))
-    graft.streaming.StreamingStaging.deleteRecursively(
-      java.nio.file.Paths.get(s"$indexDir/_append_staging"))
+    resetAppendLog(spark, indexDir)
+  }
+
+  /** Reset the append log/stats/staging: a fresh build is a new index
+    * version. Resolved through the index root's own filesystem
+    * ([[graft.sources.IndexFs]]) so a remote `indexDir` resets the
+    * REMOTE log, not a same-named local path. */
+  private def resetAppendLog(spark: SparkSession, indexDir: String): Unit = {
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    ifs.deleteRecursive(ifs.child("_stats", "appends.parquet"))
+    ifs.deleteRecursive(ifs.child("_append_log"))
+    ifs.deleteRecursive(ifs.child("_append_staging"))
   }
 
   /** [[buildIvfPqIndex]] with the PRODUCTION trainers: fixed-buffer
@@ -1633,12 +1638,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings.parquet")
     writeBuildStats(spark, home, indexDir)
-    graft.streaming.StreamingStaging.deleteRecursively(
-      java.nio.file.Paths.get(s"$indexDir/_stats/appends.parquet"))
-    graft.streaming.StreamingStaging.deleteRecursively(
-      java.nio.file.Paths.get(s"$indexDir/_append_log"))
-    graft.streaming.StreamingStaging.deleteRecursively(
-      java.nio.file.Paths.get(s"$indexDir/_append_staging"))
+    resetAppendLog(spark, indexDir)
   }
 
   // --- incremental append (the daily-crawl cadence) -----------------------
@@ -1718,29 +1718,37 @@ object Similarity {
     * `foreachBatch` does exactly that ordering. */
   private def committedAppend(spark: SparkSession, indexDir: String,
       batchId: String, enc: => (DataFrame, DataFrame)): Unit = {
-    import java.nio.file.{Files, Paths}
     require(batchId.nonEmpty && batchId.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"batch id must be filesystem-safe: '$batchId'")
-    val log = Paths.get(indexDir, "_append_log")
-    Files.createDirectories(log)
-    val marker = log.resolve(s"batch-$batchId")
-    if (Files.exists(marker)) return
-    dropBatchFiles(indexDir, batchId)
-    val staging = Paths.get(indexDir, "_append_staging", batchId)
-    graft.streaming.StreamingStaging.deleteRecursively(staging)
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    val log = ifs.child("_append_log")
+    ifs.mkdirs(log)
+    val marker = ifs.child("_append_log", s"batch-$batchId")
+    if (ifs.exists(marker)) return
+    dropBatchFiles(ifs, batchId)
+    val staging = ifs.child("_append_staging", batchId)
+    ifs.deleteRecursive(staging)
     val (postings, home) = enc
     postings
       // one file per touched cell per batch (same rationale as the build)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(staging.resolve("postings").toString)
+      .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
+    // the stats row carries identity + order: batch_id names the batch,
+    // seq = number of PREVIOUSLY committed batches (markers are
+    // create-once and appends are serialized per index, so a retried
+    // append recomputes the same seq) — trend ordering for the drift
+    // report no longer leans on parquet read order
+    val seq = ifs.listDir(log).count(_.getName.startsWith("batch-"))
     home.agg(count(lit(1)).as("n_vectors"), avg(col("ccos")).as("mean_cos"))
+      .select(lit(batchId).as("batch_id"), lit(seq.toLong).as("seq"),
+        col("n_vectors"), col("mean_cos"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(staging.resolve("stats").toString)
-    publishBatch(indexDir, staging, batchId)
-    Files.createFile(marker)
-    graft.streaming.StreamingStaging.deleteRecursively(staging)
+      .parquet(new org.apache.hadoop.fs.Path(staging, "stats").toString)
+    publishBatch(ifs, staging, batchId)
+    ifs.touch(marker)
+    ifs.deleteRecursive(staging)
   }
 
   /** Per-file atomic rename of a staged batch into the live artifact
@@ -1748,62 +1756,46 @@ object Similarity {
     * the recovery manifest. Parquet readers ignore file names (partition
     * identity is the `centroid_id=` directory), so tagged files read
     * exactly like the build's `part-*` files. */
-  private def publishBatch(indexDir: String, staging: java.nio.file.Path,
-      batchId: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    def parquetFiles(root: java.nio.file.Path): Vector[java.nio.file.Path] =
-      if (!Files.isDirectory(root)) Vector.empty
-      else {
-        val walk = Files.walk(root)
-        try walk.iterator().asScala.filter(p => Files.isRegularFile(p) &&
-          p.toString.endsWith(".parquet")).toVector
-        finally walk.close()
-      }
-    val live = Paths.get(indexDir, "postings.parquet")
-    parquetFiles(staging.resolve("postings")).zipWithIndex.foreach {
+  private def publishBatch(ifs: graft.sources.IndexFs,
+      staging: org.apache.hadoop.fs.Path, batchId: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def parquetFiles(root: Path): Vector[Path] =
+      ifs.listFilesRec(root).filter(_.getName.endsWith(".parquet"))
+    val live = ifs.child("postings.parquet")
+    parquetFiles(new Path(staging, "postings")).zipWithIndex.foreach {
       case (p, i) =>
-        val cellDir = live.resolve(p.getParent.getFileName.toString)
-        Files.createDirectories(cellDir)
-        Files.move(p, cellDir.resolve(s"batch-$batchId-$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        // the `centroid_id=NN` dir is the partition identity — preserve it
+        val cellDir = new Path(live, p.getParent.getName)
+        ifs.move(p, new Path(cellDir, s"batch-$batchId-$i.parquet"))
     }
-    val statsLive = Paths.get(indexDir, "_stats", "appends.parquet")
-    Files.createDirectories(statsLive)
-    parquetFiles(staging.resolve("stats")).zipWithIndex.foreach {
+    val statsLive = ifs.child("_stats", "appends.parquet")
+    parquetFiles(new Path(staging, "stats")).zipWithIndex.foreach {
       case (p, i) =>
-        Files.move(p, statsLive.resolve(s"batch-$batchId-$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        ifs.move(p, new Path(statsLive, s"batch-$batchId-$i.parquet"))
     }
   }
 
   /** Delete every published file of `batchId` (the trailing dash keeps
     * `batch-1-` from matching `batch-11-…`). */
-  private def dropBatchFiles(indexDir: String, batchId: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
+  private def dropBatchFiles(ifs: graft.sources.IndexFs,
+      batchId: String): Unit = {
     val prefix = s"batch-$batchId-"
-    Seq(Paths.get(indexDir, "postings.parquet"),
-        Paths.get(indexDir, "_stats", "appends.parquet")).foreach { root =>
-      if (Files.isDirectory(root)) {
-        val walk = Files.walk(root)
-        val orphans = try walk.iterator().asScala.filter(p =>
-          Files.isRegularFile(p) &&
-            p.getFileName.toString.startsWith(prefix)).toVector
-        finally walk.close()
-        orphans.foreach(Files.delete)
-      }
+    Seq(ifs.child("postings.parquet"),
+        ifs.child("_stats", "appends.parquet")).foreach { root =>
+      ifs.listFilesRec(root)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(ifs.deleteFile)
     }
   }
 
   /** Un-commit a batch entirely — files + marker (the bench harness's
     * reset between timed append iterations; NOT a production API: a
     * real pipeline never un-commits, it retrains). */
-  private[graft] def dropCommittedBatch(indexDir: String,
+  private[graft] def dropCommittedBatch(spark: SparkSession, indexDir: String,
       batchId: String): Unit = {
-    dropBatchFiles(indexDir, batchId)
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(indexDir, "_append_log", s"batch-$batchId"))
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    dropBatchFiles(ifs, batchId)
+    ifs.deleteFile(ifs.child("_append_log", s"batch-$batchId"))
   }
 
   /** Home-cell assignment KEEPING the similarity: (vec_id, centroid_id,
@@ -1853,11 +1845,23 @@ object Similarity {
     val build = spark.read.parquet(s"$indexDir/_stats/build.parquet")
       .select(col("n_vectors").as("build_n"),
         col("mean_cos").as("build_mean_cos"))
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    // a freshly-built index has no appends yet: an empty report (same
+    // schema), not an AnalysisException — dashboards poll before day 1
+    if (!ifs.exists(ifs.child("_stats", "appends.parquet")))
+      return spark.range(0).select(
+        col("id").as("n_vectors"),
+        lit(0.0).as("mean_cos"), lit(0.0).as("build_mean_cos"),
+        lit(0.0).as("drift"), lit("").as("batch_id"), col("id").as("seq"))
     spark.read.parquet(s"$indexDir/_stats/appends.parquet")
       .crossJoin(broadcast(build))
       .select(col("n_vectors"), col("mean_cos"),
         col("build_mean_cos"),
-        (col("mean_cos") - col("build_mean_cos")).as("drift"))
+        (col("mean_cos") - col("build_mean_cos")).as("drift"),
+        col("batch_id"), col("seq"))
+      // commit order carried IN the rows (seq stamped at append time),
+      // not inferred from parquet file enumeration order
+      .orderBy(col("seq"))
   }
 
   /** [[appendToIvfPqIndex]] with the production encoder: the frozen
@@ -1917,25 +1921,40 @@ object Similarity {
       .select(col("centroid_id"))
     val cells = fragmented.collect().map(_.getLong(0))
     if (cells.isEmpty) return 0
-    val compacted = postings
+    // Stage the compacted cells to their own directory FIRST, then
+    // dynamic-overwrite the live partitions FROM the staged copy. The
+    // overwrite job's lineage therefore never reads the files it is
+    // replacing — a persist()-only guard breaks exactly when an
+    // executor loses cached partitions mid-commit and recomputation
+    // re-reads half-replaced source files (lost rows in hot cells).
+    // Staging costs one extra write of only the fragmented cells; a
+    // crash while staging leaves the live artifact untouched and the
+    // retried maintenance turn re-runs compaction idempotently.
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    val staging = ifs.child("_compact_staging")
+    ifs.deleteRecursive(staging)
+    val compactedRows = postings
       .join(broadcast(fragmented), "centroid_id")
       .select(col("vec_id"), col("b_code"), col("centroid_id"))
       .repartition(col("centroid_id"))
-      .persist()
-    compacted.count() // materialize BEFORE overwriting the source files
-    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try compacted.write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(path)
-    finally {
-      saved match {
+    try {
+      compactedRows.write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+        .select(col("vec_id"), col("b_code"),
+          col("centroid_id").cast("long").as("centroid_id"))
+      val saved =
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try staged.write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(path)
+      finally saved match {
         case Some(v) =>
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None =>
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      compacted.unpersist()
-    }
+    } finally ifs.deleteRecursive(staging)
     cells.length
   }
 
@@ -2367,7 +2386,7 @@ object Similarity {
         Tables.embeddings(spark, d).filter(col("vec_id") % 8 =!= 7), r)
       r
     })
-    dropCommittedBatch(root, "bench")
+    dropCommittedBatch(spark, root, "bench")
     appendToIvfPqIndexProd(spark,
       Tables.embeddings(spark, dir).filter(col("vec_id") % 8 === 7),
       root, "bench")

@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem operations for persisted-index METADATA (commit-log
+  * markers, batch-tagged publish renames, staging cleanup), resolved
+  * through the Hadoop `FileSystem` of the index root's SCHEME — the
+  * same layer Spark itself writes the parquet artifacts through. The
+  * exactly-once append guard is only as portable as its filesystem
+  * calls: `java.nio.file` against a driver-local path silently
+  * no-ops the marker/recovery protocol the moment `indexDir` moves to
+  * `hdfs://` or `s3a://` (markers land on the driver's local disk
+  * beside nothing, recovery scans an empty local dir while orphans
+  * accumulate remotely). Routing every metadata touch through the
+  * root's own `FileSystem` keeps the guard and the data on the same
+  * store — local paths resolve to `file://` and behave exactly as
+  * before.
+  *
+  * Rename caveat (documented, not hidden): the publish step's per-file
+  * rename is atomic on `file://` and `hdfs://`; on object stores
+  * without atomic rename (raw `s3a://`) the batch-TAGGED names still
+  * make any partial copy identifiable and recovery still converges —
+  * the protocol degrades from atomic to idempotent-with-cleanup, which
+  * is the strongest guarantee the store itself offers.
+  */
+final class IndexFs(val fs: FileSystem, val root: Path) {
+
+  /** `root/name0/name1/…` as a qualified path on the root's store. */
+  def child(names: String*): Path = names.foldLeft(root)(new Path(_, _))
+
+  def exists(p: Path): Boolean = fs.exists(p)
+
+  def mkdirs(p: Path): Unit = fs.mkdirs(p)
+
+  /** Create an empty marker file (parents included); fails if present —
+    * markers are create-once by protocol. */
+  def touch(p: Path): Unit = {
+    fs.mkdirs(p.getParent)
+    fs.create(p, false).close()
+  }
+
+  def deleteRecursive(p: Path): Unit =
+    if (fs.exists(p)) fs.delete(p, true)
+
+  def deleteFile(p: Path): Unit =
+    if (fs.exists(p)) fs.delete(p, false)
+
+  /** Every regular file under `p` (recursive), path-sorted for
+    * deterministic publish naming; empty when `p` is absent. */
+  def listFilesRec(p: Path): Vector[Path] = {
+    if (!fs.exists(p)) return Vector.empty
+    val it = fs.listFiles(p, true)
+    val out = Vector.newBuilder[Path]
+    while (it.hasNext) out += it.next().getPath
+    out.result().sortBy(_.toString)
+  }
+
+  /** Direct children of `p` (non-recursive); empty when absent. */
+  def listDir(p: Path): Vector[Path] =
+    if (!fs.exists(p)) Vector.empty
+    else fs.listStatus(p).toVector.map(_.getPath).sortBy(_.toString)
+
+  /** Move `src` onto `dst` (parents created, an existing `dst`
+    * replaced) — the publish-step rename. */
+  def move(src: Path, dst: Path): Unit = {
+    fs.mkdirs(dst.getParent)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+  }
+}
+
+object IndexFs {
+
+  /** Resolve the `FileSystem` for `root`'s scheme from the session's
+    * Hadoop configuration (plain local paths resolve to `file://`).
+    * A `ChecksumFileSystem` wrapper (the local FS) is unwrapped to its
+    * raw FS: markers and renamed batch files are metadata, and the
+    * `.crc` sidecars the wrapper creates would pollute the append log
+    * (marker counts, prefix scans). `hdfs://` and object stores are
+    * not checksum-wrapped — unaffected. */
+  def on(spark: SparkSession, root: String): IndexFs = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf()) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    new IndexFs(fs, p)
+  }
+}

@@ -62,11 +62,15 @@ object StreamingIndexAppend {
     * already reconciled any partial publish (see `committedAppend`). */
   private[streaming] def maintainAfterBatch(spark: SparkSession,
       indexDir: String, batchId: Long, maxFilesPerCell: Int): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val live = Paths.get(indexDir, "_stats", "maintenance.parquet")
-    Files.createDirectories(live)
-    val mfile = live.resolve(s"batch-$batchId.parquet")
-    if (Files.exists(mfile)) return
+    // all metadata touches on the index root's OWN filesystem
+    // ([[graft.sources.IndexFs]]) — the maintenance marker must live
+    // beside the artifact it guards, also when `indexDir` is remote
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    val live = ifs.child("_stats", "maintenance.parquet")
+    ifs.mkdirs(live)
+    val mfile = ifs.child("_stats", "maintenance.parquet",
+      s"batch-$batchId.parquet")
+    if (ifs.exists(mfile)) return
     val compacted = graft.operators.Similarity.compactIvfPqIndex(
       spark, indexDir, maxFilesPerCell)
     val build = spark.read.parquet(s"$indexDir/_stats/build.parquet")
@@ -77,19 +81,17 @@ object StreamingIndexAppend {
       .select(lit(batchId).as("batch_id"), col("n_vectors"), col("mean_cos"),
         (col("mean_cos") - col("build_mean_cos")).as("drift"),
         lit(compacted).as("compacted_cells"))
-    val tmp = Files.createTempDirectory("graft_idx_maint")
+    // stage on the same store as the artifact, then one rename publishes
+    val tmp = ifs.child("_append_staging", s"maint-$batchId")
+    ifs.deleteRecursive(tmp)
     try {
       row.coalesce(1).write.mode("overwrite").parquet(
-        tmp.resolve("m").toString)
-      val part = {
-        import scala.jdk.CollectionConverters._
-        val walk = Files.list(tmp.resolve("m"))
-        try walk.iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq.head
-        finally walk.close()
-      }
-      Files.move(part, mfile, StandardCopyOption.REPLACE_EXISTING)
-    } finally StreamingStaging.deleteRecursively(tmp)
+        new org.apache.hadoop.fs.Path(tmp, "m").toString)
+      val part = ifs
+        .listFilesRec(new org.apache.hadoop.fs.Path(tmp, "m"))
+        .filter(_.getName.endsWith(".parquet")).head
+      ifs.move(part, mfile)
+    } finally ifs.deleteRecursive(tmp)
   }
 
   /** Build the index on the base split (vec_id % 8 ≠ 7), replay the

@@ -261,6 +261,12 @@ class PersistedIndexSpec extends AnyFunSuite {
       val e = graft.sources.Tables.embeddings(spark, dir)
       Similarity.buildIvfPqIndexOn(spark, e.filter(col("vec_id") % 8 =!= 7),
         root.toString)
+      // day 0, before any append: an empty report with the full schema,
+      // not an AnalysisException — dashboards poll from the first build
+      val day0 = Similarity.indexDriftReport(spark, root.toString)
+      assert(day0.columns.toSeq == Seq("n_vectors", "mean_cos",
+        "build_mean_cos", "drift", "batch_id", "seq"))
+      assert(day0.count() == 0L)
       // batch 1: in-distribution (the held-out delta slice)
       Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 16 === 7),
         root.toString, "d1")
@@ -295,6 +301,12 @@ class PersistedIndexSpec extends AnyFunSuite {
         f"in-distribution drift $driftIn%.4f outside the fixture's expected band")
       assert(driftOut < driftIn - 0.05,
         f"shifted-batch drift $driftOut%.4f not clearly below in-dist $driftIn%.4f")
+      // trend order is carried IN the rows (batch_id + commit seq
+      // stamped at append time), not inferred from file read order
+      val order = Similarity.indexDriftReport(spark, root.toString)
+        .select(col("batch_id"), col("seq")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(order == Seq(("d1", 0L), ("d2", 1L)))
     } finally graft.streaming.StreamingStaging.deleteRecursively(root)
   }
 

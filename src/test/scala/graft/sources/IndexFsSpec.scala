@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.hadoop.fs.Path
+
+import graft.TestSpark
+
+/** The persisted-index metadata filesystem layer: every commit-log /
+  * publish / recovery primitive the exactly-once append protocol leans
+  * on, pinned on the local scheme the suites run against. The point of
+  * the layer is that these SAME calls resolve to the index root's own
+  * `FileSystem` when the root is `hdfs://`/`s3a://` — the protocol's
+  * portability reduces to this contract. */
+class IndexFsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(): (IndexFs, java.nio.file.Path) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ifs")
+    (IndexFs.on(spark, root.toString), root)
+  }
+
+  test("local roots unwrap to the raw filesystem — no .crc sidecars") {
+    val (ifs, root) = fresh()
+    try {
+      // the local FS is checksum-wrapped by default; markers written
+      // through the wrapper would sprout `.batch-N.crc` siblings that
+      // poison marker counts and prefix scans
+      ifs.touch(ifs.child("_append_log", "batch-7"))
+      val entries = java.nio.file.Files.list(root.resolve("_append_log"))
+      import scala.jdk.CollectionConverters._
+      val names = try entries.iterator().asScala
+        .map(_.getFileName.toString).toVector
+      finally entries.close()
+      assert(names == Vector("batch-7"), s"unexpected entries: $names")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("markers are create-once: a second touch fails loudly") {
+    val (ifs, root) = fresh()
+    try {
+      val m = ifs.child("_append_log", "batch-1")
+      ifs.touch(m)
+      assert(ifs.exists(m))
+      intercept[java.io.IOException] { ifs.touch(m) }
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("move creates parents, replaces the target, and is a rename") {
+    val (ifs, root) = fresh()
+    try {
+      val src = ifs.child("staging", "f.parquet")
+      ifs.mkdirs(src.getParent)
+      ifs.touch(src)
+      val dst = ifs.child("postings.parquet", "centroid_id=3",
+        "batch-b1-0.parquet")
+      ifs.move(src, dst)
+      assert(!ifs.exists(src) && ifs.exists(dst))
+      // replace: publishing over a leftover orphan wins
+      val src2 = ifs.child("staging", "g.parquet")
+      ifs.touch(src2)
+      ifs.move(src2, dst)
+      assert(!ifs.exists(src2) && ifs.exists(dst))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("recursive listing is path-sorted and vacuous on absent roots") {
+    val (ifs, root) = fresh()
+    try {
+      assert(ifs.listFilesRec(ifs.child("nope")).isEmpty)
+      assert(ifs.listDir(ifs.child("nope")).isEmpty)
+      ifs.touch(ifs.child("d", "centroid_id=2", "b.parquet"))
+      ifs.touch(ifs.child("d", "centroid_id=1", "a.parquet"))
+      val got = ifs.listFilesRec(ifs.child("d")).map(_.getName)
+      assert(got == Vector("a.parquet", "b.parquet"))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("child paths stay on the root") {
+    val (ifs, root) = fresh()
+    try {
+      val p = ifs.child("_stats", "appends.parquet")
+      assert(p.toString == new Path(new Path(root.toString, "_stats"),
+        "appends.parquet").toString)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+}
