@@ -2515,9 +2515,12 @@ object Similarity {
   }
 
   /** The artifact dir backing a registered LSH postings table (stored as
-    * the table's external location's parent). */
+    * the table's external location's parent). Resolved as a Hadoop
+    * `Path`, not `java.nio.file` — a remote table location must yield a
+    * remote artifact dir, and `Paths.get(URI)` throws outright on a
+    * non-`file:` scheme. */
   private def lshIndexDirOf(spark: SparkSession, tableName: String): String =
-    java.nio.file.Paths.get(java.net.URI.create(
+    new org.apache.hadoop.fs.Path(java.net.URI.create(
       spark.sql(s"DESCRIBE FORMATTED $tableName")
         .filter(col("col_name") === "Location")
         .head().getString(1))).getParent.toString

@@ -77,6 +77,50 @@ class IndexFsSpec extends AnyFunSuite {
     } finally graft.streaming.StreamingStaging.deleteRecursively(root)
   }
 
+  test("the full index lifecycle runs on a non-file scheme") {
+    // register the fake scheme, then run build → day-0 drift → append →
+    // RETRIED append → query against `graftfs:` URIs end-to-end: every
+    // metadata touch that still went through java.nio.file would either
+    // throw on the non-file URI or silently miss the marker (making the
+    // retry double-append — caught by the file-list and row asserts)
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_ifs_scheme")
+    val root = "graftfs:" + local.toString
+    try {
+      val dir = graft.TestSpark.sfDir
+      val e = Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndexOn(spark,
+        e.filter(col("vec_id") % 8 =!= 7), root)
+      assert(GraftTestFs.ops.get() > 0L,
+        "no traffic routed through the graftfs scheme — scheme not exercised")
+      // day 0: the no-appends guard must consult the graftfs store
+      assert(Similarity.indexDriftReport(spark, root).count() == 0L)
+      val delta = e.filter(col("vec_id") % 8 === 7)
+      Similarity.appendToIvfPqIndex(spark, delta, root, "d1")
+      val ifs = IndexFs.on(spark, root)
+      def postingFiles() = ifs
+        .listFilesRec(ifs.child("postings.parquet")).map(_.toString)
+      def queryRows() = Similarity.annIvfPqIndexed(spark, dir, root)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val (files1, rows1) = (postingFiles(), queryRows())
+      assert(rows1.nonEmpty)
+      // a retried append must be a no-op: the marker lives on graftfs
+      Similarity.appendToIvfPqIndex(spark, delta, root, "d1")
+      assert(postingFiles() == files1,
+        "retried append changed the postings file set — marker not honored")
+      assert(queryRows() == rows1)
+      val drift = Similarity.indexDriftReport(spark, root)
+        .select(col("batch_id"), col("seq")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(drift == Seq(("d1", 0L)))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
   test("child paths stay on the root") {
     val (ifs, root) = fresh()
     try {
