@@ -66,6 +66,7 @@ object SparkEntry {
     "sim_ann_index_delta" -> (Similarity.annIvfPqIndexDeltaProd _),
     "sim_ann_index_search" -> (Similarity.annIvfPqIndexSearchProd _),
     "sim_ann_lsh" -> (Similarity.annLshProd _),
+    "sim_ann_lsh_capped" -> (Similarity.annLshCappedProd _),
     "sim_neardup_lsh" -> (Similarity.nearDupLshProd _),
     "dedup_semantic" -> (Similarity.semanticDedupProd _),
     "sketch_distinct_hll" -> (TextAnalysis.distinctHllProd _))

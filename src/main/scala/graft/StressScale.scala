@@ -145,6 +145,10 @@ object StressScale {
     // exhaust local scratch — isolated so a failure there still leaves
     // a complete report for everything before it
     "sim_ann_lsh", "dedup_semantic",
+    // the bucket-capped form (round 11): candidates per query hard-bounded
+    // at probes·cap regardless of skew — the fuse whose slope should stay
+    // flat where the uncapped form's candidate volume blows up
+    "sim_ann_lsh_capped",
     // the persisted-index form: prices the full ingest (train + write
     // partitioned postings) plus the 1-shuffle query at scale
     "sim_ann_ivfpq_indexed",

@@ -155,6 +155,13 @@ object Similarity {
   private val TargetOccupancy = 50L
   private val MaxPlanes = 20
 
+  /** Per-bucket postings cap for [[annLshCapped]]: the design-target
+    * occupancy promoted from an average to a worst-case bound. Binds on
+    * every fixture (max occupancy 60–148 vs 50 — the synthetic
+    * embeddings are NOT uniform over buckets), so the capped rows
+    * genuinely diverge from the uncapped oracle. */
+  private[operators] val LshBucketCap = TargetOccupancy
+
   /** Smallest p ≥ 4 with n ≤ 50·2^p — pure integer logic, so the DuckDB
     * oracle derives the identical count from `count(*)` (a float log2
     * could round differently across engines at powers of two). At sf0.01
@@ -232,13 +239,39 @@ object Similarity {
     * collect_list) and the scan-side native packed-code assignment
     * ([[graft.functions.PqAssign]]'s `packed` field) feeding the same
     * pruned candidate dataflow. */
-  def annLshProd(spark: SparkSession, dir: String): DataFrame = {
+  def annLshProd(spark: SparkSession, dir: String): DataFrame =
+    annLshProdFrom(spark, dir, capped = false)
+
+  /** BUCKET-CAPPED LSH ANN: identical to [[annLsh]] except no bucket
+    * contributes more than [[LshBucketCap]] = [[TargetOccupancy]]
+    * postings to the candidate join — the skew fuse the 30× StressScale
+    * run showed the uncapped family needs (candidate volume on hot
+    * buckets, not postings locality, is LSH's scale wall: 50.9× wall at
+    * 30× rows on unclustered data). Postings within a bucket are kept by
+    * an LCG hash of vec_id (deterministic uniform sample, replayed
+    * bit-identically by the DuckDB oracle), so candidates per query are
+    * ≤ probes · cap REGARDLESS of skew, turning the average-occupancy
+    * design target into a worst-case bound. Every vector still QUERIES —
+    * the cap only thins hot buckets' candidate lists, trading bounded
+    * recall on over-dense regions (measured in `SimilaritySpec`) for a
+    * hard candidate-volume ceiling. */
+  def annLshCapped(spark: SparkSession, dir: String): DataFrame =
+    annLshFrom(spark, dir, pqPackedExact(spark, dir),
+      pqCodebookExactArr(spark, dir), capped = true)
+
+  /** Production form of [[annLshCapped]] (fixed-buffer codebook, native
+    * scan-side code assignment — the [[annLshProd]] discipline). */
+  def annLshCappedProd(spark: SparkSession, dir: String): DataFrame =
+    annLshProdFrom(spark, dir, capped = true)
+
+  private def annLshProdFrom(spark: SparkSession, dir: String,
+      capped: Boolean): DataFrame = {
     val cb = pqCodebookProd(spark, dir)
     val pq = graft.functions.VectorFunctions
       .pq_assign(col("embedding"), cb, PqS)
     val packed = Tables.embeddings(spark, dir)
       .select(col("vec_id"), pq.getField("packed").as("b_code"))
-    annLshFrom(spark, dir, packed, cb)
+    annLshFrom(spark, dir, packed, cb, capped)
   }
 
   /** Shared LSH-ANN dataflow: bucket/probe candidate generation (ids
@@ -249,7 +282,8 @@ object Similarity {
     * `packed` maps vec_id → b_code (the 4-bit-per-subspace code
     * word). */
   private def annLshFrom(spark: SparkSession, dir: String,
-      packed: DataFrame, cbArr: Array[Array[Array[Double]]]): DataFrame = {
+      packed: DataFrame, cbArr: Array[Array[Array[Double]]],
+      capped: Boolean = false): DataFrame = {
     val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val buckets = v.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
@@ -257,8 +291,23 @@ object Similarity {
     val probes = buckets.select(col("vec_id"), col("bucket"), explode(array(
       probeMasks(numPlanes).map(m => col("bucket").bitwiseXOR(lit(m))): _*))
       .as("probe"))
-    val cand = probes.as("x").join(
-        buckets.select(col("vec_id").as("neighbor_id"), col("bucket").as("nb")),
+    val postingsAll =
+      buckets.select(col("vec_id").as("neighbor_id"), col("bucket").as("nb"))
+    // the capped neighbor side: ≤ LshBucketCap postings per bucket, kept
+    // by LCG(vec_id) — a deterministic uniform sample both engines rank
+    // identically (the odd multiplier is injective mod 2^31, so no ties;
+    // vec_id breaks them anyway). The window's bucket shuffle lands on
+    // the SAME key the candidate join reads, so AQE/Catalyst reuse the
+    // partitioning — the cap costs no extra exchange on the big side.
+    val postings = if (!capped) postingsAll else {
+      val wB = Window.partitionBy(col("nb")).orderBy(
+        (lit(1103515245L) * col("neighbor_id") + lit(12345L)) % lit(2147483648L),
+        col("neighbor_id"))
+      postingsAll.withColumn("brnk", row_number().over(wB))
+        .filter(col("brnk") <= LshBucketCap)
+        .drop("brnk")
+    }
+    val cand = probes.as("x").join(postings,
         col("probe") === col("nb") && col("x.vec_id") =!= col("neighbor_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
         col("neighbor_id"))
@@ -306,7 +355,23 @@ object Similarity {
   }
 
   // lazy: interpolates pqCtes/LshPreK declared later in the object
-  lazy val annLshOracle: String =
+  lazy val annLshOracle: String = lshOracle(capped = false)
+
+  /** [[annLshCapped]]'s replay: [[annLshOracle]] with the candidate
+    * join's neighbor side thinned to ≤ [[LshBucketCap]] rows per bucket
+    * by the identical LCG ranking. */
+  lazy val annLshCappedOracle: String = lshOracle(capped = true)
+
+  private def lshOracle(capped: Boolean): String = {
+    val capCtes = if (!capped) "" else
+      s"""vbr AS (SELECT vec_id, bucket,
+         |               row_number() OVER (PARTITION BY bucket
+         |                 ORDER BY (1103515245 * vec_id + 12345) % 2147483648,
+         |                          vec_id) AS brnk
+         |        FROM vb),
+         |vbc AS (SELECT vec_id, bucket FROM vbr WHERE brnk <= $LshBucketCap),
+         |""".stripMargin
+    val neighborCte = if (capped) "vbc" else "vb"
     s"""WITH $vCte,
        |${planesSql("embeddings")},
        |pw AS (SELECT p,
@@ -329,8 +394,8 @@ object Similarity {
        |         AND j < (SELECT mp FROM np)),
        |pr AS (SELECT vec_id, bucket, xor(bucket, CAST(mask AS BIGINT)) AS probe
        |       FROM vb CROSS JOIN mk),
-       |cand AS (SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id
-       |         FROM pr a JOIN vb b
+       |${capCtes}cand AS (SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id
+       |         FROM pr a JOIN $neighborCte b
        |           ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
        |$pqCtes,
        |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
@@ -358,6 +423,7 @@ object Similarity {
        |      FROM p)
        |SELECT vec_id, neighbor_id, bucket, rnk, cosine FROM r WHERE rnk <= $AnnK
        |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+  }
 
   // --- IVF ANN (coarse-quantizer + nprobe, the inverted-file scale path) ---
 
@@ -2719,6 +2785,7 @@ object Similarity {
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_lsh_capped" -> (annLshCapped _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_neardup_lsh" -> (nearDupLsh _),
     "dedup_semantic" -> (semanticDedup _),
@@ -2737,6 +2804,7 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_cosine_neardup" -> cosineNearDupOracle,
     "sim_ann_lsh" -> annLshOracle,
+    "sim_ann_lsh_capped" -> annLshCappedOracle,
     "sim_ann_ivf" -> annIvfOracle,
     "sim_neardup_lsh" -> nearDupLshOracle,
     "dedup_semantic" -> semanticDedupOracle,

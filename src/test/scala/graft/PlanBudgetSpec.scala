@@ -129,6 +129,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // cluster scale the candidate joins shuffle ~32 B rows, never
     // embeddings (the round-8 stress finding)
     "sim_ann_lsh" -> (1, 5),
+    // + the per-bucket cap window's exchange on bucket (the skew fuse);
+    // the candidate joins stay broadcast at fixture scale and the
+    // preselect window is the other shuffle — at cluster scale the cap
+    // window's bucket partitioning is the SAME key the candidate join
+    // shuffles on, so the fuse costs no extra exchange on the big side
+    "sim_ann_lsh_capped" -> (2, 5),
     // persisted-index form: signature+code computation left the query
     // path (one broadcast fewer than the in-query form), bucketed
     // postings side exchange-free

@@ -81,7 +81,8 @@ class ScaleSafetySpec extends AnyFunSuite {
     assert(SparkEntry.baselineOnly.contains("sim_ann_ivf"))
     assert(!SparkEntry.benchQueries.contains("sim_ann_ivf"))
     val annTimed = SparkEntry.benchQueries.keySet.filter(_.startsWith("sim_ann"))
-    assert(annTimed == Set("sim_ann_lsh", "sim_ann_ivf_sq", "sim_ann_ivfpq",
+    assert(annTimed == Set("sim_ann_lsh", "sim_ann_lsh_capped",
+      "sim_ann_ivf_sq", "sim_ann_ivfpq",
       "sim_ann_ivfpq_indexed", "sim_ann_index_delta", "sim_ann_index_search",
       "sim_ann_ivfpq_index_build", "sim_ann_ivfpq_index_query",
       "sim_ann_index_append", "sim_ann_index_search_query",
@@ -164,7 +165,8 @@ class ScaleSafetySpec extends AnyFunSuite {
       // ≤24 B (vec_id, b_code, centroid_id) postings by construction,
       // and PersistedIndexSpec pins that no embedding column reaches
       // the postings artifact.)
-      val strict = Seq("sim_ann_lsh", "sim_ann_ivf_sq", "sim_ann_ivfpq",
+      val strict = Seq("sim_ann_lsh", "sim_ann_lsh_capped",
+        "sim_ann_ivf_sq", "sim_ann_ivfpq",
         "sim_ann_ivfpq_indexed", "sim_ann_index_delta",
         "sim_ann_index_search", "sim_ann_ivfpq_index_query",
         "sim_ann_index_search_query",
