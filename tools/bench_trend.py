@@ -54,7 +54,21 @@ notes = json.load(open(notes_path)) if os.path.exists(notes_path) else {}
 def merge_runs(runs, path):
     """Per-query min across sessions; a query errored (-1) in one session
     but timed in another keeps the timed value — a crash in EVERY session
-    stays -1 so it still flags."""
+    stays -1 so it still flags.
+
+    Runs at a different scale factor than the directory's majority are
+    DROPPED loudly, not merged: Bench archives every invocation, so a
+    stray sf0.001 smoke run would otherwise win every per-row min and
+    mask real sf0.1 regressions."""
+    by_sf = {}
+    for d in runs:
+        by_sf.setdefault(d.get("sf"), []).append(d)
+    if len(by_sf) > 1:
+        major = max(by_sf, key=lambda s: len(by_sf[s]))
+        dropped = {s: len(ds) for s, ds in by_sf.items() if s != major}
+        print(f"NOTE {path}: mixed scale factors — merging only the "
+              f"majority sf={major}, dropped {dropped}")
+        runs = by_sf[major]
     queries, spread, merged = {}, {}, {}
     for d in runs:
         for q, t in d["queries"].items():
@@ -85,19 +99,48 @@ def load(path):
                            for f in files], path)
     d = json.load(open(path))
     if "queries" not in d and "tail" in d:  # driver wrapper
-        pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)', d["tail"])
+        # scalar rows ("q":1.23) and spread rows ("q":[min,median,max])
+        # both recover; for spreads the per-row value is the min, matching
+        # Bench's own aggregation
+        pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)[,}]', d["tail"])
         qs = {k: float(v) for k, v in pairs if not k.startswith("sf")}
+        triples = re.findall(
+            r'"([A-Za-z0-9_]+)":\[(-?\d+\.\d+),(-?\d+\.\d+),(-?\d+\.\d+)\]',
+            d["tail"])
+        sp = {}
+        for k, lo, mid, hi in triples:
+            qs[k] = float(lo)
+            sp[k] = [float(lo), float(mid), float(hi)]
         total = qs.pop("value", sum(v for v in qs.values() if v > 0))
-        d = {"queries": qs, "value": total, "sf": d.get("sf"),
+        d = {"queries": qs, "spread": sp, "value": total, "sf": d.get("sf"),
              "partial": True}
         print(f"NOTE {path}: driver wrapper — recovered {len(qs)} "
               "query times from the truncated tail")
+        if not qs:
+            sys.exit(f"ERR {path}: wrapper tail yielded ZERO query times — "
+                     "refusing a vacuous comparison")
+    # a Bench artifact with spread-valued rows ("q":[min,median,max]):
+    # normalize to scalar min + a spread dict so comparisons work
+    if "queries" in d and any(isinstance(v, list)
+                              for v in d["queries"].values()):
+        sp = d.setdefault("spread", {})
+        for q, v in list(d["queries"].items()):
+            if isinstance(v, list):
+                sp.setdefault(q, v)
+                d["queries"][q] = v[0]
     return d
+
+
+def canon_sf(v):
+    """Driver wrappers store sf as a number (0.1), Bench as the fixture
+    dir ("/root/testdata/sf0.1") — compare the numeric part."""
+    m = re.search(r'(?:^|sf)(\d+(?:\.\d+)?)$', str(v)) if v is not None else None
+    return m.group(1) if m else v
 
 
 prior = load(prior_path)
 cur = load(cur_path)
-if prior.get("sf") != cur.get("sf"):
+if canon_sf(prior.get("sf")) != canon_sf(cur.get("sf")):
     print(f"NOTE sf differs: prior={prior.get('sf')} current={cur.get('sf')} "
           "— ratios are not comparable across scale factors")
 
