@@ -62,6 +62,7 @@ object SparkEntry {
     "sim_ann_ivfpq" -> (Similarity.annIvfPqProd _),
     "sim_ann_ivfpq_indexed" -> (Similarity.annIvfPqIndexedProd _),
     "sim_ann_lsh_indexed" -> (Similarity.annLshIndexedProd _),
+    "sim_ann_lsh_capped_indexed" -> (Similarity.annLshCappedIndexedProd _),
     "sim_ann_lsh_search" -> (Similarity.annLshSearchProd _),
     "sim_ann_index_delta" -> (Similarity.annIvfPqIndexDeltaProd _),
     "sim_ann_index_search" -> (Similarity.annIvfPqIndexSearchProd _),
@@ -131,7 +132,12 @@ object SparkEntry {
     // the persisted LSH index's steady state: exchange-free postings
     // side (bucketed table), probes-only shuffle
     "sim_ann_lsh_index_query" ->
-      (Similarity.annLshIndexQueryBench _))
+      (Similarity.annLshIndexQueryBench _),
+    // the capped warm query on the SAME cached artifact (the cap is a
+    // query-time bucket_rank knob) — isolates what the skew fuse buys
+    // on the row that measured the 50.9×-at-30× blowup
+    "sim_ann_lsh_capped_index_query" ->
+      (Similarity.annLshCappedIndexQueryBench _))
 
   /** The scale-path queries Bench times: production (un-canonicalized)
     * forms, minus the O(n²) oracle baselines. The composed curation

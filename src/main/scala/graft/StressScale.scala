@@ -157,7 +157,10 @@ object StressScale {
     // second is warm, and min-of-2 reports the warm query. These are
     // the numbers the frontier showed dominate the 100 TB economics
     // (42 MB / 1.6 s at 10× for the IVF-PQ warm query).
-    "sim_ann_ivfpq_index_query", "sim_ann_lsh_index_query")
+    "sim_ann_ivfpq_index_query", "sim_ann_lsh_index_query",
+    // the capped warm query on the same cached artifact — the fuse's
+    // effect on the exact row that measured the 50.9× blowup
+    "sim_ann_lsh_capped_index_query")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

@@ -2542,14 +2542,27 @@ object Similarity {
       numBuckets)
   }
 
+  /** Postings carry `bucket_rank` — each vector's position within its
+    * bucket under the LCG(vec_id) ordering — so the per-bucket cap is a
+    * QUERY-TIME knob (filter `bucket_rank <= cap`), not a build-time
+    * decision: one artifact serves the uncapped query, the capped query
+    * at any cap, and the probe expansion (which always reads all
+    * postings — every vector queries regardless of cap). The rank
+    * window's bucket shuffle coincides with the bucketed write's own
+    * clustering, so stamping it is free at build. */
   private def writeLshPostings(spark: SparkSession, v: DataFrame,
       packed: DataFrame, numPlanes: Int, indexDir: String,
-      tableName: String, numBuckets: Int): Unit =
+      tableName: String, numBuckets: Int): Unit = {
+    val wB = Window.partitionBy(col("bucket")).orderBy(
+      (lit(1103515245L) * col("vec_id") + lit(12345L)) % lit(2147483648L),
+      col("vec_id"))
     graft.sources.Layouts.writeBucketedOn(
       v.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
         .join(packed, "vec_id")
-        .select(col("vec_id"), col("bucket"), col("b_code")),
+        .select(col("vec_id"), col("bucket"), col("b_code"))
+        .withColumn("bucket_rank", row_number().over(wB).cast("long")),
       tableName, s"$indexDir/postings", Seq("bucket"), numBuckets)
+  }
 
   /** Query a persisted LSH index: read (vec_id, bucket, b_code) from
     * the bucketed postings table, expand radius-2 probes, join probes
@@ -2560,7 +2573,7 @@ object Similarity {
     * bit-exact), so the registry row replays [[annLshOracle]]
     * unchanged. */
   def annLshIndexed(spark: SparkSession, dir: String,
-      tableName: String): DataFrame = {
+      tableName: String, bucketCap: Option[Long] = None): DataFrame = {
     val indexDir = lshIndexDirOf(spark, tableName)
     val numPlanes = spark.read.parquet(s"$indexDir/meta.parquet")
       .head().getAs[Int]("num_planes")
@@ -2571,9 +2584,15 @@ object Similarity {
     val probes = postings.select(col("vec_id"), col("bucket"),
       explode(array(probeMasks(numPlanes)
         .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
-    val candC = probes.as("x").join(
+    // cap = a scan-side filter on the build-stamped bucket_rank: the
+    // skew fuse costs nothing but a pushed predicate here, and the
+    // bucketed scan stays exchange-free
+    val neighborSide = bucketCap.foldLeft(
         postings.select(col("vec_id").as("neighbor_id"),
-          col("bucket").as("nb"), col("b_code")),
+          col("bucket").as("nb"), col("b_code"), col("bucket_rank")))(
+        (p, cap) => p.filter(col("bucket_rank") <= cap))
+      .drop("bucket_rank")
+    val candC = probes.as("x").join(neighborSide,
         col("probe") === col("nb") && col("x.vec_id") =!= col("neighbor_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
         col("neighbor_id"), col("b_code"))
@@ -2610,6 +2629,28 @@ object Similarity {
     val table = lshTableFor(dir, "_lshp")
     buildLshIndexProd(spark, dir, root, table)
     annLshIndexed(spark, dir, table)
+  }
+
+  /** Registry form `sim_ann_lsh_capped_indexed`: the persisted index
+    * queried with the [[LshBucketCap]] knob — row-identical to
+    * [[annLshCapped]] (the build-stamped `bucket_rank` is the same LCG
+    * sample the in-query form computes), so it replays
+    * [[annLshCappedOracle]] unchanged. The skew fuse on the artifact
+    * path: candidate volume ≤ probes·cap via a pushed scan predicate,
+    * postings side still exchange-free. */
+  def annLshCappedIndexedAuto(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lsh")
+    val table = lshTableFor(dir, "_lsh")
+    buildLshIndex(spark, dir, root, table)
+    annLshIndexed(spark, dir, table, bucketCap = Some(LshBucketCap))
+  }
+
+  /** Production registry form: fixed-buffer build, same capped query. */
+  def annLshCappedIndexedProd(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshp")
+    val table = lshTableFor(dir, "_lshp")
+    buildLshIndexProd(spark, dir, root, table)
+    annLshIndexed(spark, dir, table, bucketCap = Some(LshBucketCap))
   }
 
   /** Search a persisted LSH index with an EXTERNAL query set — the
@@ -2766,6 +2807,22 @@ object Similarity {
     annLshIndexed(spark, dir, table)
   }
 
+  /** Steady-state CAPPED warm query — the same cached artifact as
+    * [[annLshIndexQueryBench]] (the cap is a query-time knob on
+    * `bucket_rank`, not a separate build), so the two rows isolate
+    * exactly what the skew fuse buys on the row that measured the
+    * family's 50.9×-at-30× candidate-volume blowup. */
+  def annLshCappedIndexQueryBench(spark: SparkSession,
+      dir: String): DataFrame = {
+    val table = benchLshRoots.computeIfAbsent(dir, d => {
+      val r = indexRootFor(d, "_lshb")
+      val t = lshTableFor(d, "_lshb")
+      buildLshIndexProd(spark, d, r, t)
+      t
+    })
+    annLshIndexed(spark, dir, table, bucketCap = Some(LshBucketCap))
+  }
+
   /** Registry form: exact-fold build + query — ≡ [[annIvfPq]], shares
     * its DuckDB oracle. */
   def annIvfPqIndexedAuto(spark: SparkSession, dir: String): DataFrame = {
@@ -2796,6 +2853,7 @@ object Similarity {
     "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_ivfpq_indexed" -> (annIvfPqIndexedAuto _),
     "sim_ann_lsh_indexed" -> (annLshIndexedAuto _),
+    "sim_ann_lsh_capped_indexed" -> (annLshCappedIndexedAuto _),
     "sim_ann_lsh_search" -> (annLshSearch _),
     "sim_ann_index_delta" -> (annIvfPqIndexDelta _),
     "sim_ann_index_search" -> (annIvfPqIndexSearch _))
@@ -2818,6 +2876,7 @@ object Similarity {
     // are identical
     "sim_ann_ivfpq_indexed" -> annIvfPqOracle,
     "sim_ann_lsh_indexed" -> annLshOracle,
+    "sim_ann_lsh_capped_indexed" -> annLshCappedOracle,
     "sim_ann_lsh_search" -> annLshSearchOracle,
     "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle,
     "sim_ann_index_search" -> annIvfPqIndexSearchOracle)

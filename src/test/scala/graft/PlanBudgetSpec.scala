@@ -139,6 +139,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // path (one broadcast fewer than the in-query form), bucketed
     // postings side exchange-free
     "sim_ann_lsh_indexed" -> (1, 4),
+    // the capped query on the same artifact: the cap is a PUSHED scan
+    // predicate on the build-stamped bucket_rank — identical plan shape
+    // to the uncapped indexed query, no extra exchange
+    "sim_ann_lsh_capped_indexed" -> (1, 4),
     // external-query search on the LSH artifact: same shape, queries
     // broadcast-joined onto the candidate stream
     "sim_ann_lsh_search" -> (1, 4),

@@ -87,6 +87,7 @@ class ScaleSafetySpec extends AnyFunSuite {
       "sim_ann_ivfpq_index_build", "sim_ann_ivfpq_index_query",
       "sim_ann_index_append", "sim_ann_index_search_query",
       "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
+      "sim_ann_lsh_capped_indexed", "sim_ann_lsh_capped_index_query",
       "sim_ann_lsh_search"),
       s"unaudited ANN query entered the timed registry: $annTimed")
   }
@@ -171,6 +172,7 @@ class ScaleSafetySpec extends AnyFunSuite {
         "sim_ann_index_search", "sim_ann_ivfpq_index_query",
         "sim_ann_index_search_query",
         "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
+        "sim_ann_lsh_capped_indexed", "sim_ann_lsh_capped_index_query",
         "sim_ann_lsh_search",
         "sim_neardup_lsh", "dedup_semantic")
       for (name <- strict) {

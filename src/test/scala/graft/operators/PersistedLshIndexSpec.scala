@@ -29,6 +29,17 @@ class PersistedLshIndexSpec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("the bucket_rank cap knob reproduces the in-query capped form row for row") {
+    // same artifact, capped query: the build-stamped LCG rank must select
+    // the SAME per-bucket sample the in-query capped form computes
+    val indexed = rows(Similarity.annLshCappedIndexedAuto(spark, dir))
+    val direct = rows(Similarity.annLshCapped(spark, dir))
+    assert(direct.nonEmpty)
+    assert(indexed == direct)
+    // and the knob genuinely changes the result at this fixture's skew
+    assert(indexed != rows(Similarity.annLshIndexedAuto(spark, dir)))
+  }
+
   test("the candidate join's postings side is exchange-free (bucketed scan)") {
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -80,15 +91,26 @@ class PersistedLshIndexSpec extends AnyFunSuite {
         "graft_lshidx_spec_table")
       val postings = spark.table("graft_lshidx_spec_table")
       assert(postings.schema.fieldNames.toSet ==
-        Set("vec_id", "bucket", "b_code"))
+        Set("vec_id", "bucket", "b_code", "bucket_rank"))
       postings.schema.fields.foreach { f =>
         assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
-          s"postings column ${f.name} is an array — the 24 B-row claim broke")
+          s"postings column ${f.name} is an array — the ~32 B-row claim broke")
       }
       // every corpus vector is present exactly once
       val n = graft.sources.Tables.embeddings(spark, dir).count()
       assert(postings.count() == n)
       assert(postings.select(col("vec_id")).distinct().count() == n)
+      // bucket_rank is a 1..|bucket| permutation per bucket — the cap
+      // knob's contract: filtering rank <= c keeps exactly min(c, size)
+      // postings per bucket, and ranks round-trip the bucketed write
+      val badRank = postings.groupBy(col("bucket"))
+        .agg(org.apache.spark.sql.functions.count("*").as("sz"),
+          org.apache.spark.sql.functions.max(col("bucket_rank")).as("mx"),
+          org.apache.spark.sql.functions.countDistinct(col("bucket_rank"))
+            .as("d"))
+        .filter(col("mx") =!= col("sz") || col("d") =!= col("sz"))
+        .count()
+      assert(badRank == 0L, "bucket_rank is not a per-bucket permutation")
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_lshidx_spec_table")
       graft.streaming.StreamingStaging.deleteRecursively(root)
