@@ -76,6 +76,9 @@ object Frontier {
     * only query traffic. */
   private val Forms: Seq[String] = Seq(
     "sim_ann_lsh", "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
+    // the bucket-capped forms: the skew fuse's frontier point — what
+    // the probes·cap candidate ceiling trades in recall for wall
+    "sim_ann_lsh_capped", "sim_ann_lsh_capped_index_query",
     "sim_ann_ivf_sq", "sim_ann_ivfpq",
     "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_index_query")
 
