@@ -66,6 +66,9 @@ object SparkEntry {
     "sim_ann_lsh_search" -> (Similarity.annLshSearchProd _),
     "sim_ann_index_delta" -> (Similarity.annIvfPqIndexDeltaProd _),
     "sim_ann_index_search" -> (Similarity.annIvfPqIndexSearchProd _),
+    "sim_ann_index_delete" -> (Similarity.annIvfPqIndexDeleteProd _),
+    "sim_ann_index_search_filtered" ->
+      (Similarity.annIvfPqIndexSearchFilteredProd _),
     "sim_ann_lsh" -> (Similarity.annLshProd _),
     "sim_ann_lsh_capped" -> (Similarity.annLshCappedProd _),
     "sim_neardup_lsh" -> (Similarity.nearDupLshProd _),

@@ -1658,15 +1658,31 @@ object Similarity {
     resetAppendLog(spark, indexDir)
   }
 
-  /** Reset the append log/stats/staging: a fresh build is a new index
-    * version. Resolved through the index root's own filesystem
-    * ([[graft.sources.IndexFs]]) so a remote `indexDir` resets the
-    * REMOTE log, not a same-named local path. */
+  /** Reset the append/delete logs, stats, staging, and tombstones: a
+    * fresh build is a new index version (every source vector is re-encoded
+    * live, so carrying an old erasure list forward would delete rows the
+    * new version legitimately holds). Resolved through the index root's
+    * own filesystem ([[graft.sources.IndexFs]]) so a remote `indexDir`
+    * resets the REMOTE log, not a same-named local path. */
   private def resetAppendLog(spark: SparkSession, indexDir: String): Unit = {
     val ifs = graft.sources.IndexFs.on(spark, indexDir)
     ifs.deleteRecursive(ifs.child("_stats", "appends.parquet"))
     ifs.deleteRecursive(ifs.child("_append_log"))
     ifs.deleteRecursive(ifs.child("_append_staging"))
+    ifs.deleteRecursive(ifs.child("tombstones.parquet"))
+    ifs.deleteRecursive(ifs.child("_delete_log"))
+  }
+
+  /** The index's erasure list, when any [[deleteFromIvfPqIndex]] batch
+    * has committed: one `vec_id` per deleted vector. None on an index
+    * with no deletes — the common case pays only an existence check. */
+  private def tombstonesOf(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    if (ifs.exists(ifs.child("tombstones.parquet")))
+      Some(spark.read.parquet(s"$indexDir/tombstones.parquet")
+        .select(col("vec_id")))
+    else None
   }
 
   /** [[buildIvfPqIndex]] with the PRODUCTION trainers: fixed-buffer
@@ -1864,6 +1880,61 @@ object Similarity {
     ifs.deleteFile(ifs.child("_append_log", s"batch-$batchId"))
   }
 
+  /** DELETE vectors from a persisted index — the lifecycle's erasure
+    * verb (a 100 TB corpus receives takedown and privacy-erasure
+    * requests on a cadence, and re-ingesting a billion-vector index per
+    * request is not an answer). Tombstone design, the same trade every
+    * LSM store makes:
+    *   - the delete WRITES only an id list (`tombstones.parquet`,
+    *     8 B/row) — no postings partition is touched, so the operation
+    *     costs O(|ids|) regardless of index size;
+    *   - queries/searches subtract tombstones at the postings read (a
+    *     broadcast anti-join — dead rows never reach the candidate
+    *     exchange) and deleted ids stop querying in the self-join form;
+    *   - [[compactIvfPqIndex]] PHYSICALLY drops tombstoned rows from
+    *     every cell it rewrites (the actual byte erasure, riding the
+    *     maintenance cadence it already runs; `maxFilesPerCell = 0`
+    *     forces a full purge pass when an erasure deadline demands it).
+    *     The tombstone list itself stays authoritative — a tombstone
+    *     for an already-purged row anti-joins nothing.
+    * Same commit-log idempotency contract as the append (marker under
+    * `_delete_log/`, staged write, batch-tagged publish renames,
+    * orphan recovery): a RETRIED delete batch is a no-op, and a crash
+    * at any point of the publish converges on retry.
+    * `PersistedIndexSpec` pins exclusion, idempotency, physical purge,
+    * and query invariance across the purge. */
+  def deleteFromIvfPqIndex(spark: SparkSession, ids: DataFrame,
+      indexDir: String, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batch id must be filesystem-safe: '$batchId'")
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    ifs.mkdirs(ifs.child("_delete_log"))
+    val marker = ifs.child("_delete_log", s"batch-$batchId")
+    if (ifs.exists(marker)) return
+    // recovery: drop any tombstone files a crashed attempt published
+    val prefix = s"batch-$batchId-"
+    ifs.listFilesRec(ifs.child("tombstones.parquet"))
+      .filter(_.getName.startsWith(prefix))
+      .foreach(ifs.deleteFile)
+    val staging = ifs.child("_append_staging", s"del-$batchId")
+    ifs.deleteRecursive(staging)
+    try {
+      ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "tomb").toString)
+      val live = ifs.child("tombstones.parquet")
+      ifs.mkdirs(live)
+      ifs.listFilesRec(new org.apache.hadoop.fs.Path(staging, "tomb"))
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (p, i) =>
+          ifs.move(p, new org.apache.hadoop.fs.Path(live,
+            s"batch-$batchId-$i.parquet"))
+        }
+      ifs.touch(marker)
+    } finally ifs.deleteRecursive(staging)
+  }
+
   /** Home-cell assignment KEEPING the similarity: (vec_id, centroid_id,
     * ccos) — the postings path uses the first two, the drift stats the
     * third, one assignment pass for both. */
@@ -1999,7 +2070,13 @@ object Similarity {
     val ifs = graft.sources.IndexFs.on(spark, indexDir)
     val staging = ifs.child("_compact_staging")
     ifs.deleteRecursive(staging)
-    val compactedRows = postings
+    // tombstoned rows are PHYSICALLY dropped from every rewritten cell —
+    // compaction is where erasure becomes bytes ([[deleteFromIvfPqIndex]]);
+    // the tombstone list stays authoritative for cells not rewritten
+    val liveRows = tombstonesOf(spark, indexDir)
+      .map(t => postings.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(postings)
+    val compactedRows = liveRows
       .join(broadcast(fragmented), "centroid_id")
       .select(col("vec_id"), col("b_code"), col("centroid_id"))
       .repartition(col("centroid_id"))
@@ -2194,21 +2271,35 @@ object Similarity {
     * `nprobe` / `preK` are the deployment's recall-vs-cost knobs
     * (probe more cells / rerank deeper); the defaults are the
     * oracle-gated configuration, and `graft.Frontier`'s sweep measures
-    * what each notch buys at scale. */
+    * what each notch buys at scale.
+    *
+    * Deletes: when the index carries tombstones
+    * ([[deleteFromIvfPqIndex]]), deleted vectors neither query nor
+    * appear as neighbors — a broadcast anti-join on each side (the
+    * erasure list is a trickle relative to the corpus by contract; a
+    * mass delete is a rebuild), applied to the postings read BEFORE the
+    * candidate join so dead rows never enter the probe exchange. */
   def annIvfPqIndexed(spark: SparkSession, dir: String,
       indexDir: String, nprobe: Int = IvfProbes,
       preK: Int = PqPreK): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val tomb = tombstonesOf(spark, indexDir)
+    val vq = tomb.map(t => v.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(v)
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
-    val probes = ivfAssign(v, cent, nprobe)
+    val probes = ivfAssign(vq, cent, nprobe)
       .select(col("vec_id"), col("centroid_id"))
     // partition-column type inference can narrow centroid_id to int on
     // read; normalize back to the writer's long before the join
-    val members = spark.read.parquet(s"$indexDir/postings.parquet")
+    val allMembers = spark.read.parquet(s"$indexDir/postings.parquet")
       .select(col("vec_id").as("neighbor_id"), col("b_code"),
         col("centroid_id").cast("long").as("centroid_id"))
+    val members = tomb.map(t => allMembers.join(
+        broadcast(t.select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti"))
+      .getOrElse(allMembers)
     val cand = probes.join(members, "centroid_id")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"), col("b_code"))
@@ -2256,7 +2347,37 @@ object Similarity {
     * recall-vs-latency dials, defaults = the oracle-gated setting. */
   def searchIvfPqIndex(spark: SparkSession, queries: DataFrame,
       dir: String, indexDir: String, nprobe: Int = IvfProbes,
-      preK: Int = PqPreK): DataFrame = {
+      preK: Int = PqPreK): DataFrame =
+    searchIvfPqIndexFrom(spark, queries, dir, indexDir, None, nprobe, preK)
+
+  /** FILTERED search — the other half of every real vector-search API
+    * (`WHERE lang = 'de' AND <ann>`): restrict the neighbor space to
+    * `allowed` (any single-column frame of corpus `vec_id`s, typically
+    * a metadata predicate on a side table) and return the top-k WITHIN
+    * that subset. PRE-filtering semantics: the restriction lands before
+    * the preselect/rerank windows, so ranks are dense 1..k over allowed
+    * neighbors — not a post-hoc thinning of an unfiltered top-k that
+    * returns fewer than k rows exactly when the filter is selective.
+    *
+    * Placement at scale: the semi-join applies to the CANDIDATES (after
+    * the probe join, before ranking), not to the postings table — for a
+    * search workload candidates number |queries|·nprobe·cell, usually
+    * orders below the index size, and the allowed set may be a large
+    * corpus fraction (a 14% language slice of 10⁹ ids is no broadcast),
+    * so filtering candidate-scale rows is the cheap side. Catalyst still
+    * broadcasts `allowed` when it is small. The candidate pool itself is
+    * the UNfiltered nprobe cells (probes are chosen by geometry, not
+    * metadata), so heavy filters thin candidates — the standard filtered
+    * -ANN recall caveat; raise `nprobe`/`preK` to compensate. */
+  def searchIvfPqIndexFiltered(spark: SparkSession, queries: DataFrame,
+      dir: String, indexDir: String, allowed: DataFrame,
+      nprobe: Int = IvfProbes, preK: Int = PqPreK): DataFrame =
+    searchIvfPqIndexFrom(spark, queries, dir, indexDir, Some(allowed),
+      nprobe, preK)
+
+  private def searchIvfPqIndexFrom(spark: SparkSession, queries: DataFrame,
+      dir: String, indexDir: String, allowed: Option[DataFrame],
+      nprobe: Int, preK: Int): DataFrame = {
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dvec.as("ev"))
     val q = queries.select(col("query_id"), col("qev"))
@@ -2267,11 +2388,22 @@ object Similarity {
         q.select(col("query_id").as("vec_id"), col("qev").as("ev")), cent,
         nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
-    val members = spark.read.parquet(s"$indexDir/postings.parquet")
+    val allMembers = spark.read.parquet(s"$indexDir/postings.parquet")
       .select(col("vec_id").as("neighbor_id"), col("b_code"),
         col("centroid_id").cast("long").as("centroid_id"))
-    val cand = probes.join(members, "centroid_id")
+    // tombstoned vectors leave the search space at the postings read
+    // (broadcast anti-join — the erasure list is small by contract)
+    val members = tombstonesOf(spark, indexDir)
+      .map(t => allMembers.join(
+        broadcast(t.select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti"))
+      .getOrElse(allMembers)
+    val cand0 = probes.join(members, "centroid_id")
       .select(col("query_id"), col("neighbor_id"), col("b_code"))
+    val cand = allowed.map(a => cand0.join(
+        a.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+        "left_semi"))
+      .getOrElse(cand0)
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
     val pre = cand
@@ -2349,6 +2481,149 @@ object Similarity {
        |            WHERE crnk <= $IvfProbes),
        |qcand AS (SELECT a.query_id, m.neighbor_id
        |          FROM qassign a JOIN members m USING (centroid_id)),
+       |qaq AS (SELECT c.query_id, c.neighbor_id,
+       |               ${sqlCos("q.qev", "d.qv")} AS acos
+       |        FROM qcand c
+       |        JOIN q ON c.query_id = q.query_id
+       |        JOIN dec d ON c.neighbor_id = d.vec_id),
+       |qpre AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY acos DESC, neighbor_id)
+       |                    AS prernk
+       |           FROM qaq)
+       |         WHERE prernk <= $PqPreK),
+       |qp AS (SELECT c.query_id, c.neighbor_id,
+       |              ${sqlCos("q.qev", "b.ev")} AS cosine
+       |       FROM qpre c
+       |       JOIN q ON c.query_id = q.query_id
+       |       JOIN v b ON c.neighbor_id = b.vec_id),
+       |qr AS (SELECT query_id, neighbor_id, cosine,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+       |       FROM qp)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM qr WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** Registry form `sim_ann_index_delete`: build the exact index on the
+    * FULL corpus, erase every 10th-slot vector (vec_id % 10 = 5 — ≈10%,
+    * the takedown-batch shape), then run the standard indexed self-join
+    * query: deleted vectors neither query nor appear as neighbors, and
+    * every surviving query's ranks are dense over the thinned space. */
+  def annIvfPqIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_gdpr")
+    buildIvfPqIndex(spark, dir, root)
+    deleteFromIvfPqIndex(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 5)
+        .select(col("vec_id")), root, "erasure-1")
+    annIvfPqIndexed(spark, dir, root)
+  }
+
+  /** Production registry form: fixed-buffer build + the same delete and
+    * query. */
+  def annIvfPqIndexDeleteProd(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_gdpr_prod")
+    buildIvfPqIndexProd(spark, dir, root)
+    deleteFromIvfPqIndex(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 5)
+        .select(col("vec_id")), root, "erasure-1")
+    annIvfPqIndexed(spark, dir, root)
+  }
+
+  /** Oracle for [[annIvfPqIndexDelete]]: the [[annIvfPqOracle]] replay
+    * with the erasure applied where the engine applies it — AFTER
+    * training (the build preceded the delete, so centroids/codebook/home
+    * cells reflect the full corpus) and BEFORE the preselect/rerank
+    * windows (ranks are dense over the thinned candidate set). */
+  val annIvfPqIndexDeleteOracle: String =
+    s"""WITH $ivfCandCtes,
+       |$pqCtes,
+       |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |        FROM pasg GROUP BY 1),
+       |candl AS (SELECT vec_id, neighbor_id FROM cand
+       |          WHERE vec_id % 10 <> 5 AND neighbor_id % 10 <> 5),
+       |a0q AS (SELECT c.vec_id, c.neighbor_id,
+       |               ${sqlCos("a.ev", "d.qv")} AS acos
+       |        FROM candl c
+       |        JOIN v a ON c.vec_id = a.vec_id
+       |        JOIN dec d ON c.neighbor_id = d.vec_id),
+       |pre AS (SELECT vec_id, neighbor_id FROM (
+       |          SELECT vec_id, neighbor_id,
+       |                 row_number() OVER (PARTITION BY vec_id
+       |                                    ORDER BY acos DESC, neighbor_id)
+       |                   AS prernk
+       |          FROM a0q)
+       |        WHERE prernk <= $PqPreK),
+       |p AS (SELECT c.vec_id, c.neighbor_id,
+       |             ${sqlCos("a.ev", "b.ev")} AS cosine
+       |      FROM pre c
+       |      JOIN v a ON c.vec_id = a.vec_id
+       |      JOIN v b ON c.neighbor_id = b.vec_id),
+       |r AS (SELECT vec_id, neighbor_id, cosine,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                                ORDER BY cosine DESC, neighbor_id) AS rnk
+       |      FROM p)
+       |SELECT vec_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** The registry's metadata filter for the filtered search: vectors
+    * whose document (doc_id = vec_id on the fixtures) is German — 14%
+    * of the corpus, selective enough that pre- vs post-filtering
+    * semantics visibly differ. */
+  private def allowedDeVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("lang") === "de")
+      .select(col("doc_id").as("vec_id"))
+
+  /** Registry form `sim_ann_index_search_filtered`: exact build, then
+    * the external-query search restricted to German-language documents
+    * — `WHERE lang = 'de' AND <ann>`, the shape every vector-search
+    * service exposes. */
+  def annIvfPqIndexSearchFiltered(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_searchflt")
+    buildIvfPqIndex(spark, dir, root)
+    searchIvfPqIndexFiltered(spark, searchQuerySet(spark, dir), dir, root,
+      allowedDeVectors(spark, dir))
+  }
+
+  /** Production registry form: fixed-buffer build, same filtered
+    * search. */
+  def annIvfPqIndexSearchFilteredProd(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_searchflt_prod")
+    buildIvfPqIndexProd(spark, dir, root)
+    searchIvfPqIndexFiltered(spark, searchQuerySet(spark, dir), dir, root,
+      allowedDeVectors(spark, dir))
+  }
+
+  /** Oracle for [[annIvfPqIndexSearchFiltered]]: the
+    * [[annIvfPqIndexSearchOracle]] replay with the metadata restriction
+    * applied at the candidate stage — qcand joins `documents` on
+    * neighbor_id = doc_id with the language predicate, then the
+    * standard preselect/rerank windows over the restricted set. */
+  val annIvfPqIndexSearchFilteredOracle: String =
+    s"""WITH $ivfCandCtes,
+       |$pqCtes,
+       |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |        FROM pasg GROUP BY 1),
+       |q AS (SELECT vec_id + 300000 AS query_id,
+       |             [CASE WHEN i <= 4 THEN ev[i] + 0.05 ELSE ev[i] END
+       |              for i in range(1, len(ev) + 1)] AS qev
+       |      FROM v WHERE vec_id % 10 = 0),
+       |qa0 AS (SELECT q.query_id, c.centroid_id,
+       |               ${sqlCos("q.qev", "c.cv")} AS ccos
+       |        FROM q CROSS JOIN cent c),
+       |qassign AS (SELECT query_id, centroid_id FROM (
+       |              SELECT query_id, centroid_id,
+       |                     row_number() OVER (PARTITION BY query_id
+       |                                        ORDER BY ccos DESC, centroid_id)
+       |                       AS crnk
+       |              FROM qa0)
+       |            WHERE crnk <= $IvfProbes),
+       |qcand AS (SELECT a.query_id, m.neighbor_id
+       |          FROM qassign a JOIN members m USING (centroid_id)
+       |          JOIN documents dd
+       |            ON m.neighbor_id = dd.doc_id AND dd.lang = 'de'),
        |qaq AS (SELECT c.query_id, c.neighbor_id,
        |               ${sqlCos("q.qev", "d.qv")} AS acos
        |        FROM qcand c
@@ -2856,7 +3131,9 @@ object Similarity {
     "sim_ann_lsh_capped_indexed" -> (annLshCappedIndexedAuto _),
     "sim_ann_lsh_search" -> (annLshSearch _),
     "sim_ann_index_delta" -> (annIvfPqIndexDelta _),
-    "sim_ann_index_search" -> (annIvfPqIndexSearch _))
+    "sim_ann_index_search" -> (annIvfPqIndexSearch _),
+    "sim_ann_index_delete" -> (annIvfPqIndexDelete _),
+    "sim_ann_index_search_filtered" -> (annIvfPqIndexSearchFiltered _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
@@ -2879,5 +3156,7 @@ object Similarity {
     "sim_ann_lsh_capped_indexed" -> annLshCappedOracle,
     "sim_ann_lsh_search" -> annLshSearchOracle,
     "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle,
-    "sim_ann_index_search" -> annIvfPqIndexSearchOracle)
+    "sim_ann_index_search" -> annIvfPqIndexSearchOracle,
+    "sim_ann_index_delete" -> annIvfPqIndexDeleteOracle,
+    "sim_ann_index_search_filtered" -> annIvfPqIndexSearchFilteredOracle)
 }

@@ -121,6 +121,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     "sim_ann_index_delta" -> (1, 5),
     // external-query search: same 1-shuffle pruned-read query plan
     "sim_ann_index_search" -> (1, 5),
+    // the erasure form: the indexed query's (1, 5) + two broadcast
+    // ANTI joins (tombstones off the query side and the postings side)
+    // — deletes add zero shuffles
+    "sim_ann_index_delete" -> (1, 7),
+    // the metadata filter: the search's (1, 5) + one broadcast SEMI
+    // join (allowed ids onto candidate-scale rows) — zero shuffles
+    "sim_ann_index_search_filtered" -> (1, 6),
     // PQ assignment is ONE scan-side projection against codebook
     // literals (the two bounded codebook-training jobs run beforehand)
     "sim_quantize_pq" -> (0, 0),

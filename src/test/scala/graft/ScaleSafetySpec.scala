@@ -84,6 +84,7 @@ class ScaleSafetySpec extends AnyFunSuite {
     assert(annTimed == Set("sim_ann_lsh", "sim_ann_lsh_capped",
       "sim_ann_ivf_sq", "sim_ann_ivfpq",
       "sim_ann_ivfpq_indexed", "sim_ann_index_delta", "sim_ann_index_search",
+      "sim_ann_index_delete", "sim_ann_index_search_filtered",
       "sim_ann_ivfpq_index_build", "sim_ann_ivfpq_index_query",
       "sim_ann_index_append", "sim_ann_index_search_query",
       "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
@@ -171,6 +172,10 @@ class ScaleSafetySpec extends AnyFunSuite {
         "sim_ann_ivfpq_indexed", "sim_ann_index_delta",
         "sim_ann_index_search", "sim_ann_ivfpq_index_query",
         "sim_ann_index_search_query",
+        // the erasure and metadata-filter forms restrict the SAME
+        // indexed-query/search plans (broadcast anti/semi joins on id
+        // lists) — candidate exchanges still carry only 8 B codes
+        "sim_ann_index_delete", "sim_ann_index_search_filtered",
         "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
         "sim_ann_lsh_capped_indexed", "sim_ann_lsh_capped_index_query",
         "sim_ann_lsh_search",

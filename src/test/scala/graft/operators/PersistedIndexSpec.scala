@@ -329,6 +329,103 @@ class PersistedIndexSpec extends AnyFunSuite {
     assert(top1.size == nQueries)
   }
 
+  test("deleted vectors vanish from the query; a retried delete is a no-op") {
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      val before = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      // the erasure set must actually appear in the pre-delete answers,
+      // or the exclusion assertions below are vacuous
+      assert(before.exists(_._1 % 10 == 5) && before.exists(_._2 % 10 == 5))
+      val ids = e.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+      val preDelete = fileHashes(root)
+      Similarity.deleteFromIvfPqIndex(spark, ids, root.toString, "erasure-1")
+      val once = fileHashes(root)
+      // the delete wrote ONLY tombstones + its marker — every
+      // pre-existing postings/centroid/codebook file is byte-identical
+      preDelete.foreach { case (rel, h) =>
+        assert(once.get(rel).contains(h), s"delete modified $rel")
+      }
+      (once.keySet -- preDelete.keySet)
+        .filterNot(_.endsWith(".crc")).foreach { rel =>
+          assert(rel.startsWith("tombstones.parquet/") ||
+            rel.startsWith("_delete_log/"),
+            s"delete wrote outside tombstones/log: $rel")
+        }
+      val after = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      assert(after.nonEmpty)
+      // deleted ids neither query nor appear as neighbors
+      assert(after.forall(r => r._1 % 10 != 5 && r._2 % 10 != 5))
+      // ranks stay dense 1..k over the thinned neighbor space
+      after.groupBy(_._1).foreach { case (q, rs) =>
+        assert(rs.map(_._3).toSeq.sorted == (1L to rs.size).toSeq,
+          s"query $q has non-dense ranks after delete")
+      }
+      // retry of the committed batch: byte-level no-op
+      Similarity.deleteFromIvfPqIndex(spark, ids, root.toString, "erasure-1")
+      assert(fileHashes(root) == once,
+        "a retried committed delete modified the artifact")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("compaction physically purges tombstoned rows; query rows unchanged") {
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      Similarity.deleteFromIvfPqIndex(spark,
+        e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+        root.toString, "erasure-1")
+      val preQuery = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      val deadBefore = spark.read.parquet(s"$root/postings.parquet")
+        .filter(col("vec_id") % 10 === 5).count()
+      assert(deadBefore > 0, "tombstoned rows already absent — purge vacuous")
+      // erasure-deadline pass: force-rewrite every cell
+      Similarity.compactIvfPqIndex(spark, root.toString, maxFilesPerCell = 0)
+      // the bytes are gone from the postings artifact itself
+      assert(spark.read.parquet(s"$root/postings.parquet")
+        .filter(col("vec_id") % 10 === 5).count() == 0L,
+        "physical purge left tombstoned rows in rewritten postings")
+      // and the query is bit-identical before/after the purge
+      assert(resultRows(Similarity.annIvfPqIndexed(spark, dir, root.toString))
+        == preQuery)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("filtered search: only allowed neighbors, dense ranks, de source at 1") {
+    val res = Similarity.annIvfPqIndexSearchFiltered(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    val allowed = graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === "de").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(allowed.nonEmpty)
+    // every returned neighbor satisfies the metadata predicate
+    res.foreach { case (q, n, _) =>
+      assert(allowed.contains(n), s"query $q returned non-'de' neighbor $n")
+    }
+    // PRE-filter semantics: ranks dense 1..k per query (a post-hoc
+    // thinning of an unfiltered top-3 would leave gaps)
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).toSeq.sorted == (1L to rs.size).toSeq,
+        s"query $q has non-dense filtered ranks")
+    }
+    // interpretable anchor: a query whose SOURCE vector is German must
+    // find it at rank 1 (source cosine ≈ 0.999 dominates the corpus)
+    val deQueries = res.map(_._1).distinct
+      .filter(q => allowed.contains(q - 300000L))
+    assert(deQueries.nonEmpty)
+    val top1 = res.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    deQueries.foreach { q =>
+      assert(top1.get(q).contains(q - 300000L),
+        s"query $q (source is 'de') did not rank its source first")
+    }
+  }
+
   test("production build (bounded trainers) retains the exact form's answers") {
     val root = tempRoot()
     try {
