@@ -1935,6 +1935,83 @@ object Similarity {
     } finally ifs.deleteRecursive(staging)
   }
 
+  // --- versioned alias rotation (how a retrain DEPLOYS) -------------------
+
+  /** The drift report answers "is a retrain due?"; these three calls are
+    * how the retrain SHIPS without stopping the service — the blue-green
+    * rotation every deployed index runs:
+    *   1. build the new version into its own directory under the alias
+    *      root (`aliasDir/<version>/` — a complete, self-contained
+    *      artifact; queries against the LIVE version are untouched);
+    *   2. [[publishIndexVersion]] — one atomic create-once pointer file
+    *      (`_alias/ptr-<seq>`, content = the version name) flips every
+    *      FUTURE [[resolveIndexAlias]] to the new version; readers
+    *      mid-query keep the version directory they already resolved
+    *      (its files are immutable), so there is no torn read;
+    *   3. [[vacuumIndexVersions]] — after a grace period, drop the
+    *      directories of versions no longer among the `keepVersions`
+    *      most recently published (default 2: current + one fallback,
+    *      which is also the instant-rollback lever — re-publish the
+    *      previous name).
+    * Resolution reads the HIGHEST pointer sequence: publish is a single
+    * create (atomic on any store with create-if-absent), never a
+    * read-modify-write of a shared file. Single-writer per alias by
+    * contract (same as the append log); a concurrent publisher loses
+    * the create race loudly instead of clobbering. */
+  def publishIndexVersion(spark: SparkSession, aliasDir: String,
+      versionName: String): Unit = {
+    require(versionName.nonEmpty && versionName.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"version name must be filesystem-safe: '$versionName'")
+    val ifs = graft.sources.IndexFs.on(spark, aliasDir)
+    require(ifs.exists(ifs.child(versionName, "centroids.parquet")),
+      s"$aliasDir/$versionName is not a complete index artifact")
+    val seq = aliasPtrs(ifs).lastOption.map(_._1 + 1).getOrElse(0L)
+    ifs.createUtf8(ifs.child("_alias", f"ptr-$seq%012d"), versionName)
+  }
+
+  /** The alias's current version directory — pass the result as
+    * `indexDir` to [[annIvfPqIndexed]] / [[searchIvfPqIndex]]. */
+  def resolveIndexAlias(spark: SparkSession, aliasDir: String): String = {
+    val ifs = graft.sources.IndexFs.on(spark, aliasDir)
+    val ptrs = aliasPtrs(ifs)
+    require(ptrs.nonEmpty, s"no published version under $aliasDir")
+    s"$aliasDir/${ifs.readUtf8(ptrs.last._2)}"
+  }
+
+  /** Drop version directories older than the `keepVersions` most
+    * recently published distinct names (and their superseded pointer
+    * files); returns how many directories were removed. `keepVersions`
+    * ≥ 1; the default 2 keeps a rollback target and gives in-flight
+    * readers of the previous version their grace period. */
+  def vacuumIndexVersions(spark: SparkSession, aliasDir: String,
+      keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val ifs = graft.sources.IndexFs.on(spark, aliasDir)
+    val ptrs = aliasPtrs(ifs).reverse // newest first
+    val named = ptrs.map { case (seq, p) => (seq, p, ifs.readUtf8(p)) }
+    val keep = named.map(_._3).distinct.take(keepVersions).toSet
+    val dropDirs = named.map(_._3).distinct.filterNot(keep)
+    dropDirs.foreach(v => ifs.deleteRecursive(ifs.child(v)))
+    // prune pointers that no longer resolve to a kept version; the
+    // newest pointer always survives (it names the current version)
+    named.drop(1).filterNot(n => keep(n._3))
+      .foreach(n => ifs.deleteFile(n._2))
+    dropDirs.length
+  }
+
+  /** `_alias/ptr-<seq>` files, sequence-sorted ascending. */
+  private def aliasPtrs(
+      ifs: graft.sources.IndexFs): Vector[(Long, org.apache.hadoop.fs.Path)] =
+    ifs.listDir(ifs.child("_alias"))
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("ptr-")) scala.util.Try(n.drop(4).toLong).toOption
+          .map(_ -> p)
+        else None
+      }
+      .sortBy(_._1)
+
   /** Home-cell assignment KEEPING the similarity: (vec_id, centroid_id,
     * ccos) — the postings path uses the first two, the drift stats the
     * third, one assignment pass for both. */

@@ -68,6 +68,29 @@ final class IndexFs(val fs: FileSystem, val root: Path) {
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(src, dst), s"rename failed: $src -> $dst")
   }
+
+  /** Create-ONCE a tiny metadata file with `content` (UTF-8) — fails if
+    * present, the same atomicity primitive as [[touch]]: on stores with
+    * atomic create-if-absent, whichever writer lands first wins and the
+    * loser sees the failure instead of silently clobbering. */
+  def createUtf8(p: Path, content: String): Unit = {
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a tiny metadata file written by [[createUtf8]]. */
+  def readUtf8(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 }
 
 object IndexFs {

@@ -426,6 +426,53 @@ class PersistedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("alias rotation: atomic version swap, reader follows, vacuum GCs") {
+    val alias = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      // v1 = the day-0 index (base split); the full-corpus retrain ships
+      // as v2 — the deploy the drift report's "retrain due" leads to
+      Similarity.buildIvfPqIndexOn(spark, e.filter(col("vec_id") % 8 =!= 7),
+        s"$alias/v-001")
+      Similarity.publishIndexVersion(spark, alias.toString, "v-001")
+      assert(Similarity.resolveIndexAlias(spark, alias.toString)
+        == s"$alias/v-001")
+      val r1 = resultRows(Similarity.annIvfPqIndexed(spark, dir,
+        Similarity.resolveIndexAlias(spark, alias.toString)))
+      Similarity.buildIvfPqIndex(spark, dir, s"$alias/v-002")
+      Similarity.publishIndexVersion(spark, alias.toString, "v-002")
+      assert(Similarity.resolveIndexAlias(spark, alias.toString)
+        == s"$alias/v-002")
+      val r2 = resultRows(Similarity.annIvfPqIndexed(spark, dir,
+        Similarity.resolveIndexAlias(spark, alias.toString)))
+      // the post-swap alias answers EXACTLY as the oracle-gated
+      // full-corpus form — rotation is transitively under the hash gate
+      assert(r2 == resultRows(Similarity.annIvfPq(spark, dir)))
+      // and the swap visibly changed the answer (the retrain landed)
+      assert(r1 != r2)
+      // publishing an incomplete artifact is refused loudly
+      intercept[IllegalArgumentException] {
+        Similarity.publishIndexVersion(spark, alias.toString, "v-missing")
+      }
+      // vacuum keep=2 is a no-op with two versions; keep=1 drops v-001
+      // (directory AND superseded pointer) and the current version's
+      // answers are untouched
+      assert(Similarity.vacuumIndexVersions(spark, alias.toString) == 0)
+      assert(java.nio.file.Files.exists(alias.resolve("v-001")))
+      assert(Similarity.vacuumIndexVersions(spark, alias.toString,
+        keepVersions = 1) == 1)
+      assert(!java.nio.file.Files.exists(alias.resolve("v-001")))
+      assert(Similarity.resolveIndexAlias(spark, alias.toString)
+        == s"$alias/v-002")
+      assert(resultRows(Similarity.annIvfPqIndexed(spark, dir,
+        Similarity.resolveIndexAlias(spark, alias.toString))) == r2)
+      // rollback lever: re-publishing a kept name flips the alias back
+      Similarity.publishIndexVersion(spark, alias.toString, "v-002")
+      assert(Similarity.resolveIndexAlias(spark, alias.toString)
+        == s"$alias/v-002")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(alias)
+  }
+
   test("production build (bounded trainers) retains the exact form's answers") {
     val root = tempRoot()
     try {
