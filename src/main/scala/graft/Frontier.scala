@@ -148,6 +148,83 @@ object Frontier {
         (factor, form, n, recall, wall, shuffleMb)
       }
     }
+    // FILTERED-search rows: the documented filtered-ANN recall caveat
+    // (probes are chosen by geometry, a selective filter thins the
+    // candidates), measured instead of asserted. Allowed set = a 1-in-7
+    // id slice (≈14%, the registry row's language-slice selectivity,
+    // expressible on the synthesized corpora where no documents table
+    // exists); queries = the same ~150-vector sample as external
+    // queries. Ground truth = exact top-3 AMONG the allowed ids, self
+    // included when allowed — the identical convention on both sides
+    // (external-query search does not exclude the source vector), so
+    // the unfiltered baseline row isolates what the filter alone costs.
+    val filteredRows = factors.flatMap { factor =>
+      val dir = if (factor <= 1) sfDir else s"$outRoot/x$factor"
+      val n = baseVecs * math.max(1, factor)
+      val mod = math.max(1L, n / 150)
+      val dv = transform(col("embedding"), x => x.cast("double"))
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), dv.as("ev"))
+      val q = e.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("query_id"), col("ev").as("qev"))
+      def exactAmong(allowedMod: Option[Long]): Map[Long, Set[Long]] = {
+        val nb0 = e.select(col("vec_id").as("neighbor_id"),
+          col("ev").as("b_ev"))
+        val nb = allowedMod.map(m => nb0.filter(col("neighbor_id") % m === 0))
+          .getOrElse(nb0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        nb.crossJoin(broadcast(q))
+          .select(col("query_id"), col("neighbor_id"),
+            graft.operators.Similarity.cosine(col("qev"), col("b_ev"))
+              .as("cosine"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_frontier_fidx").toString
+      graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+        graft.sources.Tables.embeddings(spark, dir), root)
+      val allowed = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val variants = Seq(
+        ("search_unfiltered", None,
+          () => graft.operators.Similarity.searchIvfPqIndex(
+            spark, q, dir, root)),
+        ("search_filtered_14pct", Some(7L),
+          () => graft.operators.Similarity.searchIvfPqIndexFiltered(
+            spark, q, dir, root, allowed)))
+      val out = variants.map { case (form, allowedMod, run) =>
+        val exactF = exactAmong(allowedMod)
+        val listener = new ShuffleBytes
+        spark.sparkContext.addSparkListener(listener)
+        val wall = try (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          run().count()
+          (System.nanoTime() - t0) / 1e9
+        }.min finally {
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(listener)
+        }
+        val shuffleMb = listener.bytes.get() / 2 / 1e6
+        spark.catalog.clearCache()
+        val got = run().collect().groupBy(_.getLong(0))
+          .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+        val recall = exactF.map { case (v, ex) =>
+          (ex intersect got.getOrElse(v, Set.empty)).size.toDouble / ex.size
+        }.sum / exactF.size
+        println(f"[frontier] x$factor $form%-22s recall@3=$recall%.3f " +
+          f"wall=$wall%.2fs shuffle=${shuffleMb}%.1fMB")
+        (factor, form, n, recall, wall, shuffleMb)
+      }
+      graft.streaming.StreamingStaging.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      out
+    }
     // the KNOB sweep at the largest scale point: one prebuilt index,
     // query-only wall + recall per nprobe notch — what a deployment
     // actually dials to buy recall back as n grows (preK fixed at its
@@ -193,7 +270,8 @@ object Frontier {
         java.nio.file.Paths.get(root))
       out
     }
-    val body = (rows ++ sweepRows).map { case (f, form, n, r, w, mb) =>
+    val body = (rows ++ filteredRows ++ sweepRows).map {
+      case (f, form, n, r, w, mb) =>
       s"""{"factor":$f,"form":"$form","n":$n,"recall_at_3":${f"$r%.4f"},""" +
         s""""wall_sec":${f"$w%.3f"},"shuffle_mb":${f"$mb%.1f"}}"""
     }.mkString("[", ",", "]")
