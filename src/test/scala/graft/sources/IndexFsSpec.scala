@@ -118,6 +118,45 @@ class IndexFsSpec extends AnyFunSuite {
         .select(col("batch_id"), col("seq")).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(drift == Seq(("d1", 0L)))
+      // ERASURE on the same store: tombstones, the delete marker, and
+      // the retry guard all live on graftfs
+      val dead = e.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+      Similarity.deleteFromIvfPqIndex(spark, dead, root, "t1")
+      val rows2 = queryRows()
+      assert(rows2.nonEmpty &&
+        rows2.forall(r => r._1 % 10 != 5 && r._2 % 10 != 5))
+      Similarity.deleteFromIvfPqIndex(spark, dead, root, "t1")
+      assert(queryRows() == rows2,
+        "retried delete changed answers — delete marker not honored on graftfs")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("alias rotation resolves and vacuums through a non-file scheme") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_ifs_alias")
+    val alias = "graftfs:" + local.toString
+    try {
+      val dir = graft.TestSpark.sfDir
+      val e = Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndexOn(spark,
+        e.filter(col("vec_id") % 8 =!= 7), s"$alias/v-001")
+      Similarity.publishIndexVersion(spark, alias, "v-001")
+      assert(Similarity.resolveIndexAlias(spark, alias) == s"$alias/v-001")
+      Similarity.buildIvfPqIndexOn(spark, e, s"$alias/v-002")
+      Similarity.publishIndexVersion(spark, alias, "v-002")
+      assert(Similarity.resolveIndexAlias(spark, alias) == s"$alias/v-002")
+      val rows = Similarity.annIvfPqIndexed(spark, dir,
+        Similarity.resolveIndexAlias(spark, alias)).count()
+      assert(rows > 0)
+      val ifs = IndexFs.on(spark, alias)
+      assert(Similarity.vacuumIndexVersions(spark, alias,
+        keepVersions = 1) == 1)
+      assert(!ifs.exists(ifs.child("v-001")) &&
+        ifs.exists(ifs.child("v-002", "centroids.parquet")),
+        "vacuum did not GC through the graftfs store")
     } finally graft.streaming.StreamingStaging.deleteRecursively(local)
   }
 
