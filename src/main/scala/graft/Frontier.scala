@@ -167,11 +167,11 @@ object Frontier {
         .select(col("vec_id"), dv.as("ev"))
       val q = e.filter(col("vec_id") % mod === 0)
         .select(col("vec_id").as("query_id"), col("ev").as("qev"))
-      def exactAmong(allowedMod: Option[Long]): Map[Long, Set[Long]] = {
+      def exactAmong(
+          pred: Option[org.apache.spark.sql.Column]): Map[Long, Set[Long]] = {
         val nb0 = e.select(col("vec_id").as("neighbor_id"),
           col("ev").as("b_ev"))
-        val nb = allowedMod.map(m => nb0.filter(col("neighbor_id") % m === 0))
-          .getOrElse(nb0)
+        val nb = pred.map(nb0.filter).getOrElse(nb0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -190,15 +190,31 @@ object Frontier {
       graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
         graft.sources.Tables.embeddings(spark, dir), root)
       val allowed = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      // the tombstoned variant runs LAST — its setup mutates the shared
+      // per-factor index (a 10% erasure batch), measuring what the
+      // tombstone anti-joins cost the warm search and that recall among
+      // SURVIVORS is undamaged
       val variants = Seq(
-        ("search_unfiltered", None,
+        ("search_unfiltered",
+          None: Option[org.apache.spark.sql.Column],
+          () => (),
           () => graft.operators.Similarity.searchIvfPqIndex(
             spark, q, dir, root)),
-        ("search_filtered_14pct", Some(7L),
+        ("search_filtered_14pct",
+          Some(col("neighbor_id") % 7 === 0),
+          () => (),
           () => graft.operators.Similarity.searchIvfPqIndexFiltered(
-            spark, q, dir, root, allowed)))
-      val out = variants.map { case (form, allowedMod, run) =>
-        val exactF = exactAmong(allowedMod)
+            spark, q, dir, root, allowed)),
+        ("search_tombstoned_10pct",
+          Some(col("neighbor_id") % 10 =!= 5),
+          () => graft.operators.Similarity.deleteFromIvfPqIndex(spark,
+            e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+            root, "frontier-erasure"),
+          () => graft.operators.Similarity.searchIvfPqIndex(
+            spark, q, dir, root)))
+      val out = variants.map { case (form, pred, setup, run) =>
+        setup()
+        val exactF = exactAmong(pred)
         val listener = new ShuffleBytes
         spark.sparkContext.addSparkListener(listener)
         val wall = try (1 to 2).map { _ =>
