@@ -132,6 +132,13 @@ object SparkEntry {
       (Similarity.annIvfPqIndexAppendBench _),
     "sim_ann_index_search_query" ->
       (Similarity.annIvfPqIndexSearchQueryBench _),
+    // round-11: steady state of the two new lifecycle verbs — a
+    // takedown batch against a cached index (O(|ids|) tombstone write)
+    // and the filtered search against the cached warm artifact
+    "sim_ann_index_delete_apply" ->
+      (Similarity.annIvfPqIndexDeleteApplyBench _),
+    "sim_ann_index_search_filtered_query" ->
+      (Similarity.annIvfPqIndexSearchFilteredQueryBench _),
     // the persisted LSH index's steady state: exchange-free postings
     // side (bucketed table), probes-only shuffle
     "sim_ann_lsh_index_query" ->

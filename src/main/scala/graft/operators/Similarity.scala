@@ -2830,6 +2830,59 @@ object Similarity {
     searchIvfPqIndex(spark, searchQuerySet(spark, dir), dir, root)
   }
 
+  private val benchDeleteRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Un-commit a tombstone batch — files + marker (the bench harness's
+    * reset between timed iterations; NOT a production verb). */
+  private[graft] def dropCommittedDeleteBatch(spark: SparkSession,
+      indexDir: String, batchId: String): Unit = {
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    val prefix = s"batch-$batchId-"
+    ifs.listFilesRec(ifs.child("tombstones.parquet"))
+      .filter(_.getName.startsWith(prefix))
+      .foreach(ifs.deleteFile)
+    ifs.deleteFile(ifs.child("_delete_log", s"batch-$batchId"))
+  }
+
+  /** Bench-only row `sim_ann_index_delete_apply`: the STEADY-STATE
+    * erasure — a takedown batch landing on an EXISTING index (cached
+    * per process), which is what the operation costs in production:
+    * one O(|ids|) tombstone write + marker, no postings partition
+    * touched, independent of index size. The oracle-gated
+    * `sim_ann_index_delete` row prices build+delete+query so the
+    * correctness gate exercises the whole path. Each timed call
+    * un-commits the previous iteration's batch (harness reset) and
+    * re-applies it under the commit-log protocol. */
+  def annIvfPqIndexDeleteApplyBench(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = benchDeleteRoots.computeIfAbsent(dir, d => {
+      val r = indexRootFor(d, "_benchd")
+      buildIvfPqIndexProd(spark, d, r)
+      r
+    })
+    dropCommittedDeleteBatch(spark, root, "bench")
+    deleteFromIvfPqIndex(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 5)
+        .select(col("vec_id")), root, "bench")
+    spark.range(1).toDF("deleted")
+  }
+
+  /** Bench-only row `sim_ann_index_search_filtered_query`: the filtered
+    * search against the per-process CACHED warm artifact (shared with
+    * `sim_ann_index_search_query` — searches never mutate the index),
+    * isolating what the metadata semi-join costs the steady state. */
+  def annIvfPqIndexSearchFilteredQueryBench(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = benchSearchRoots.computeIfAbsent(dir, d => {
+      val r = indexRootFor(d, "_benchs")
+      buildIvfPqIndexProd(spark, d, r)
+      r
+    })
+    searchIvfPqIndexFiltered(spark, searchQuerySet(spark, dir), dir, root,
+      allowedDeVectors(spark, dir))
+  }
+
   // --- persisted LSH index (the query-throughput artifact) -----------------
 
   /** Build a persisted multi-probe LSH index — the bucket-join twin of

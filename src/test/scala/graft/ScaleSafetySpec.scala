@@ -85,6 +85,7 @@ class ScaleSafetySpec extends AnyFunSuite {
       "sim_ann_ivf_sq", "sim_ann_ivfpq",
       "sim_ann_ivfpq_indexed", "sim_ann_index_delta", "sim_ann_index_search",
       "sim_ann_index_delete", "sim_ann_index_search_filtered",
+      "sim_ann_index_delete_apply", "sim_ann_index_search_filtered_query",
       "sim_ann_ivfpq_index_build", "sim_ann_ivfpq_index_query",
       "sim_ann_index_append", "sim_ann_index_search_query",
       "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
@@ -174,8 +175,12 @@ class ScaleSafetySpec extends AnyFunSuite {
         "sim_ann_index_search_query",
         // the erasure and metadata-filter forms restrict the SAME
         // indexed-query/search plans (broadcast anti/semi joins on id
-        // lists) — candidate exchanges still carry only 8 B codes
+        // lists) — candidate exchanges still carry only 8 B codes.
+        // (sim_ann_index_delete_apply is absent like the other WRITE
+        // rows: it returns a 1-row receipt; its only moved data is the
+        // O(|ids|) tombstone list.)
         "sim_ann_index_delete", "sim_ann_index_search_filtered",
+        "sim_ann_index_search_filtered_query",
         "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
         "sim_ann_lsh_capped_indexed", "sim_ann_lsh_capped_index_query",
         "sim_ann_lsh_search",
