@@ -1674,15 +1674,28 @@ object Similarity {
   }
 
   /** The index's erasure list, when any [[deleteFromIvfPqIndex]] batch
-    * has committed: one `vec_id` per deleted vector. None on an index
-    * with no deletes — the common case pays only an existence check. */
+    * has COMMITTED: one `vec_id` per deleted vector. None on an index
+    * with no committed deletes — the common case pays only a directory
+    * listing. Reads are gated on the `_delete_log` markers, not on the
+    * tombstone directory's existence: a crash mid-publish leaves
+    * identifiable-but-uncommitted files (or an empty dir) that must
+    * neither be honored by queries (uncommitted tombstones silently
+    * shrinking answers) nor break them (an empty dir fails parquet
+    * schema inference for EVERY query on the index until the delete is
+    * retried) — so only the files of committed batches, by exact
+    * batch-id match ([[isBatchFileOf]]), are ever read. */
   private def tombstonesOf(spark: SparkSession,
       indexDir: String): Option[DataFrame] = {
     val ifs = graft.sources.IndexFs.on(spark, indexDir)
-    if (ifs.exists(ifs.child("tombstones.parquet")))
-      Some(spark.read.parquet(s"$indexDir/tombstones.parquet")
-        .select(col("vec_id")))
-    else None
+    val committed = ifs.listDir(ifs.child("_delete_log"))
+      .map(_.getName).filter(_.startsWith("batch-"))
+      .map(_.stripPrefix("batch-"))
+    if (committed.isEmpty) return None
+    val files = ifs.listFilesRec(ifs.child("tombstones.parquet"))
+      .filter(p => committed.exists(id => isBatchFileOf(p.getName, id)))
+      .map(_.toString)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files: _*).select(col("vec_id")))
   }
 
   /** [[buildIvfPqIndex]] with the PRODUCTION trainers: fixed-buffer
@@ -1818,11 +1831,14 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
     // the stats row carries identity + order: batch_id names the batch,
-    // seq = number of PREVIOUSLY committed batches (markers are
-    // create-once and appends are serialized per index, so a retried
-    // append recomputes the same seq) — trend ordering for the drift
-    // report no longer leans on parquet read order
-    val seq = ifs.listDir(log).count(_.getName.startsWith("batch-"))
+    // seq is MINTED via a create-once `ord-<seq>` pointer (content =
+    // the batch id) so two concurrent appends to one index can never
+    // share a seq — the loser of the create race retries at seq+1,
+    // and a RETRIED append finds its own pointer and reuses the seq it
+    // already minted. Trend ordering for the drift report therefore
+    // leans neither on parquet read order nor on a single-writer
+    // assumption.
+    val seq = mintAppendSeq(ifs, batchId)
     home.agg(count(lit(1)).as("n_vectors"), avg(col("ccos")).as("mean_cos"))
       .select(lit(batchId).as("batch_id"), lit(seq.toLong).as("seq"),
         col("n_vectors"), col("mean_cos"))
@@ -1831,6 +1847,48 @@ object Similarity {
     publishBatch(ifs, staging, batchId)
     ifs.touch(marker)
     ifs.deleteRecursive(staging)
+  }
+
+  /** Mint this batch's drift-report sequence number: the smallest free
+    * seq claimed by CREATE-ONCE of `_append_log/ord-<seq>` (content =
+    * the batch id — [[publishIndexVersion]]'s pointer pattern). A
+    * retried append finds the pointer it already owns and reuses its
+    * seq; a concurrent append that loses the create race sees the
+    * failure and claims the next seq instead of silently minting a
+    * duplicate. Pre-pointer artifacts (old indexes carry only `batch-*`
+    * markers) start at their committed-marker count, which is exactly
+    * the seq the old derivation would have produced. */
+  private def mintAppendSeq(ifs: graft.sources.IndexFs,
+      batchId: String): Long = {
+    val log = ifs.child("_append_log")
+    val existing: Vector[(Long, org.apache.hadoop.fs.Path)] =
+      ifs.listDir(log).flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("ord-"))
+          scala.util.Try(n.drop(4).toLong).toOption.map(_ -> p)
+        else None
+      }.sortBy(_._1)
+    existing.find { case (_, p) => ifs.readUtf8(p) == batchId } match {
+      case Some((seq, _)) => seq
+      case None =>
+        val markers = ifs.listDir(log).count(_.getName.startsWith("batch-"))
+        var next = math.max(markers.toLong,
+          existing.lastOption.map(_._1 + 1).getOrElse(0L))
+        var attempts = 0
+        while (attempts < 10000) {
+          try {
+            ifs.createUtf8(ifs.child("_append_log", f"ord-$next%012d"),
+              batchId)
+            return next
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: org.apache.hadoop.fs.PathExistsException =>
+              next += 1; attempts += 1 // lost a create race — claim the next
+          }
+        }
+        sys.error(s"could not mint an append seq under $log " +
+          s"after $attempts attempts")
+    }
   }
 
   /** Per-file atomic rename of a staged batch into the live artifact
@@ -1857,18 +1915,29 @@ object Similarity {
     }
   }
 
-  /** Delete every published file of `batchId` (the trailing dash keeps
-    * `batch-1-` from matching `batch-11-…`). */
-  private def dropBatchFiles(ifs: graft.sources.IndexFs,
-      batchId: String): Unit = {
+  /** Is `name` a published file of exactly `batchId`? Published names
+    * are `batch-<id>-<k>.parquet` with k a file index — but '-' is
+    * legal INSIDE batch ids, so a bare prefix match would let batch
+    * "takedown-2026-08" claim (and recovery-delete) the committed
+    * files of batch "takedown-2026-08-15". Anchoring on the trailing
+    * `-<digits>.parquet` makes the id comparison exact: the remainder
+    * after `batch-<id>-` must be nothing but the file index. */
+  private[graft] def isBatchFileOf(name: String, batchId: String): Boolean = {
     val prefix = s"batch-$batchId-"
+    name.startsWith(prefix) &&
+      name.stripPrefix(prefix).matches("""\d+\.parquet""")
+  }
+
+  /** Delete every published file of `batchId` (exact-id anchored —
+    * see [[isBatchFileOf]]). */
+  private def dropBatchFiles(ifs: graft.sources.IndexFs,
+      batchId: String): Unit =
     Seq(ifs.child("postings.parquet"),
         ifs.child("_stats", "appends.parquet")).foreach { root =>
       ifs.listFilesRec(root)
-        .filter(_.getName.startsWith(prefix))
+        .filter(p => isBatchFileOf(p.getName, batchId))
         .foreach(ifs.deleteFile)
     }
-  }
 
   /** Un-commit a batch entirely — files + marker (the bench harness's
     * reset between timed append iterations; NOT a production API: a
@@ -1913,9 +1982,10 @@ object Similarity {
     val marker = ifs.child("_delete_log", s"batch-$batchId")
     if (ifs.exists(marker)) return
     // recovery: drop any tombstone files a crashed attempt published
-    val prefix = s"batch-$batchId-"
+    // (exact-id anchored — a retried batch must never claim another
+    // batch's committed tombstones, see [[isBatchFileOf]])
     ifs.listFilesRec(ifs.child("tombstones.parquet"))
-      .filter(_.getName.startsWith(prefix))
+      .filter(p => isBatchFileOf(p.getName, batchId))
       .foreach(ifs.deleteFile)
     val staging = ifs.child("_append_staging", s"del-$batchId")
     ifs.deleteRecursive(staging)
@@ -2838,9 +2908,8 @@ object Similarity {
   private[graft] def dropCommittedDeleteBatch(spark: SparkSession,
       indexDir: String, batchId: String): Unit = {
     val ifs = graft.sources.IndexFs.on(spark, indexDir)
-    val prefix = s"batch-$batchId-"
     ifs.listFilesRec(ifs.child("tombstones.parquet"))
-      .filter(_.getName.startsWith(prefix))
+      .filter(p => isBatchFileOf(p.getName, batchId))
       .foreach(ifs.deleteFile)
     ifs.deleteFile(ifs.child("_delete_log", s"batch-$batchId"))
   }
@@ -2991,12 +3060,24 @@ object Similarity {
         .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
     // cap = a scan-side filter on the build-stamped bucket_rank: the
     // skew fuse costs nothing but a pushed predicate here, and the
-    // bucketed scan stays exchange-free
-    val neighborSide = bucketCap.foldLeft(
-        postings.select(col("vec_id").as("neighbor_id"),
-          col("bucket").as("nb"), col("b_code"), col("bucket_rank")))(
-        (p, cap) => p.filter(col("bucket_rank") <= cap))
-      .drop("bucket_rank")
+    // bucketed scan stays exchange-free. bucket_rank is touched ONLY
+    // when a cap is requested, so an artifact built before the rank
+    // stamp existed still serves every uncapped query; a capped query
+    // against such an artifact fails loudly with the remedy instead of
+    // an unresolved-column error (or, worse, a silently uncapped
+    // answer).
+    val neighborCols = Seq(col("vec_id").as("neighbor_id"),
+      col("bucket").as("nb"), col("b_code"))
+    val neighborSide = bucketCap match {
+      case None => postings.select(neighborCols: _*)
+      case Some(cap) =>
+        require(postings.columns.contains("bucket_rank"),
+          s"postings table $tableName predates the build-stamped " +
+            "bucket_rank column; rebuild the index (buildLshIndex) to " +
+            "use bucketCap")
+        postings.filter(col("bucket_rank") <= cap)
+          .select(neighborCols: _*)
+    }
     val candC = probes.as("x").join(neighborSide,
         col("probe") === col("nb") && col("x.vec_id") =!= col("neighbor_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),

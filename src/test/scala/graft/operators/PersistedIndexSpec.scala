@@ -496,4 +496,112 @@ class PersistedIndexSpec extends AnyFunSuite {
         f"production index lost too much: $retention%.3f (floor 0.9)")
     } finally graft.streaming.StreamingStaging.deleteRecursively(root)
   }
+
+  test("a batch id that prefixes another's never claims its files") {
+    // '-' is legal inside batch ids, so batch "takedown-2026-08"'s
+    // recovery scan must not delete the committed tombstones of batch
+    // "takedown-2026-08-15" — for deletes that failure mode silently
+    // RESURRECTS privacy-erased vectors.
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      Similarity.deleteFromIvfPqIndex(spark,
+        e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+        root.toString, "takedown-2026-08-15")
+      val firstBatch = fileHashes(root).keySet
+        .filter(_.startsWith("tombstones.parquet/"))
+      assert(firstBatch.nonEmpty)
+      Similarity.deleteFromIvfPqIndex(spark,
+        e.filter(col("vec_id") % 10 === 6).select(col("vec_id")),
+        root.toString, "takedown-2026-08")
+      val afterSecond = fileHashes(root).keySet
+      firstBatch.foreach(f => assert(afterSecond.contains(f),
+        s"the prefix batch's recovery deleted $f — erased vectors resurface"))
+      val rows = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      assert(rows.nonEmpty)
+      assert(rows.forall(r =>
+        r._1 % 10 != 5 && r._2 % 10 != 5 && r._1 % 10 != 6 && r._2 % 10 != 6),
+        "an erased vector from one of the two batches is being served")
+      // the appended-postings path shares the naming scheme — pin the
+      // matcher itself on the adversarial shapes
+      assert(Similarity.isBatchFileOf("batch-a-b-0.parquet", "a-b"))
+      assert(!Similarity.isBatchFileOf("batch-a-b-0.parquet", "a"))
+      assert(!Similarity.isBatchFileOf("batch-a-3.parquet", "a-3"))
+      assert(Similarity.isBatchFileOf("batch-a-3.parquet", "a"))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("uncommitted or empty tombstones are invisible and break nothing") {
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      val before = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      // crash window 1: mkdirs(tombstones.parquet) happened, no file
+      // landed — an empty dir must not fail schema inference for every
+      // query on the index
+      java.nio.file.Files.createDirectories(root.resolve("tombstones.parquet"))
+      assert(resultRows(Similarity.annIvfPqIndexed(spark, dir, root.toString))
+        == before, "an empty tombstone dir changed (or broke) the query")
+      // crash window 2: a tombstone file was published but the commit
+      // marker never landed — queries must NOT honor the uncommitted
+      // erasure (it may yet be rolled back by recovery)
+      val ids = e.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+      ids.coalesce(1).write.mode("overwrite")
+        .parquet(root.resolve("_tmp_tomb").toString)
+      val part = {
+        val walk = java.nio.file.Files.list(root.resolve("_tmp_tomb"))
+        try walk.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        finally walk.close()
+      }
+      java.nio.file.Files.copy(part,
+        root.resolve("tombstones.parquet").resolve("batch-crashed-0.parquet"))
+      assert(resultRows(Similarity.annIvfPqIndexed(spark, dir, root.toString))
+        == before, "an UNCOMMITTED tombstone file was honored by the query")
+      // the retried delete commits — only now does the erasure apply
+      Similarity.deleteFromIvfPqIndex(spark, ids, root.toString, "crashed")
+      val after = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      assert(after.nonEmpty)
+      assert(after.forall(r => r._1 % 10 != 5 && r._2 % 10 != 5))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("append seqs are minted create-once — a raced seq is never shared") {
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndexOn(spark, e.filter(col("vec_id") % 8 < 6),
+        root.toString)
+      // a concurrent writer already claimed seq 0 (its marker may land
+      // later or never) — this append must observe the claim and mint
+      // seq 1, not silently share 0 and collide in the drift report
+      val ifs = graft.sources.IndexFs.on(spark, root.toString)
+      ifs.createUtf8(ifs.child("_append_log", "ord-000000000000"),
+        "some-other-batch")
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 8 === 6),
+        root.toString, "day1")
+      val report = Similarity.indexDriftReport(spark, root.toString)
+        .select(col("batch_id"), col("seq")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(report.toSeq == Seq(("day1", 1L)),
+        s"raced append minted the wrong seq: ${report.toSeq}")
+      // the retried append reuses the seq it already owns
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 8 === 6),
+        root.toString, "day1")
+      assert(Similarity.indexDriftReport(spark, root.toString)
+        .select(col("seq")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // and the next batch continues past both claims
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 8 === 7),
+        root.toString, "day2")
+      assert(Similarity.indexDriftReport(spark, root.toString)
+        .select(col("batch_id"), col("seq")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("day1", 1L), ("day2", 2L)))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
 }

@@ -40,6 +40,38 @@ class PersistedLshIndexSpec extends AnyFunSuite {
     assert(indexed != rows(Similarity.annLshIndexedAuto(spark, dir)))
   }
 
+  test("a pre-bucket_rank artifact serves uncapped queries; capped fails loudly") {
+    // artifacts written before the rank stamp existed lack the
+    // bucket_rank column: every uncapped query must keep working
+    // unchanged (no unresolved-column error), and a capped query must
+    // name the remedy instead of silently serving the uncapped answer
+    val root = java.nio.file.Files.createTempDirectory("graft_lshold")
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val newT = s"graft_lshrank_new_$tag"
+    val oldT = s"graft_lshrank_old_$tag"
+    try {
+      Similarity.buildLshIndex(spark, dir, s"$root/new", newT)
+      spark.read.parquet(s"$root/new/meta.parquet")
+        .write.parquet(s"$root/old/meta.parquet")
+      spark.read.parquet(s"$root/new/codebook.parquet")
+        .write.parquet(s"$root/old/codebook.parquet")
+      graft.sources.Layouts.writeBucketedOn(
+        spark.table(newT).drop("bucket_rank"), oldT, s"$root/old/postings",
+        Seq("bucket"), 32)
+      val direct = rows(Similarity.annLsh(spark, dir))
+      assert(rows(Similarity.annLshIndexed(spark, dir, oldT)) == direct,
+        "uncapped query against a rank-less artifact diverged (or failed)")
+      val err = intercept[IllegalArgumentException] {
+        Similarity.annLshIndexed(spark, dir, oldT, bucketCap = Some(4L))
+      }
+      assert(err.getMessage.contains("bucket_rank"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $newT")
+      spark.sql(s"DROP TABLE IF EXISTS $oldT")
+      graft.streaming.StreamingStaging.deleteRecursively(root)
+    }
+  }
+
   test("the candidate join's postings side is exchange-free (bucketed scan)") {
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

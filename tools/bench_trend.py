@@ -51,6 +51,13 @@ notes_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 notes = json.load(open(notes_path)) if os.path.exists(notes_path) else {}
 
 
+def canon_sf(v):
+    """Driver wrappers store sf as a number (0.1), Bench as the fixture
+    dir ("/root/testdata/sf0.1") — compare the numeric part."""
+    m = re.search(r'(?:^|sf)(\d+(?:\.\d+)?)$', str(v)) if v is not None else None
+    return m.group(1) if m else v
+
+
 def merge_runs(runs, path):
     """Per-query min across sessions; a query errored (-1) in one session
     but timed in another keeps the timed value — a crash in EVERY session
@@ -59,12 +66,15 @@ def merge_runs(runs, path):
     Runs at a different scale factor than the directory's majority are
     DROPPED loudly, not merged: Bench archives every invocation, so a
     stray sf0.001 smoke run would otherwise win every per-row min and
-    mask real sf0.1 regressions."""
+    mask real sf0.1 regressions. Scale factors are compared CANONICALIZED
+    (wrapper runs store 0.1, Bench runs the fixture dir) so equal scales
+    merge regardless of recording format; a count tie breaks on the
+    canonical sf string, not dict order."""
     by_sf = {}
     for d in runs:
-        by_sf.setdefault(d.get("sf"), []).append(d)
+        by_sf.setdefault(canon_sf(d.get("sf")), []).append(d)
     if len(by_sf) > 1:
-        major = max(by_sf, key=lambda s: len(by_sf[s]))
+        major = max(by_sf, key=lambda s: (len(by_sf[s]), str(s)))
         dropped = {s: len(ds) for s, ds in by_sf.items() if s != major}
         print(f"NOTE {path}: mixed scale factors — merging only the "
               f"majority sf={major}, dropped {dropped}")
@@ -82,7 +92,7 @@ def merge_runs(runs, path):
     mspread = {q: [min(s[0] for s in ss), min(s[1] for s in ss),
                    max(s[2] for s in ss)]
                for q, ss in spread.items()}
-    sfs = {d.get("sf") for d in runs}
+    sfs = {canon_sf(d.get("sf")) for d in runs}
     print(f"NOTE {path}: min-merged {len(runs)} sessions, "
           f"{len(merged)} queries")
     return {"queries": merged, "spread": mspread,
@@ -129,13 +139,6 @@ def load(path):
                 sp.setdefault(q, v)
                 d["queries"][q] = v[0]
     return d
-
-
-def canon_sf(v):
-    """Driver wrappers store sf as a number (0.1), Bench as the fixture
-    dir ("/root/testdata/sf0.1") — compare the numeric part."""
-    m = re.search(r'(?:^|sf)(\d+(?:\.\d+)?)$', str(v)) if v is not None else None
-    return m.group(1) if m else v
 
 
 prior = load(prior_path)
