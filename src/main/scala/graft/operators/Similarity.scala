@@ -362,7 +362,18 @@ object Similarity {
     * by the identical LCG ranking. */
   lazy val annLshCappedOracle: String = lshOracle(capped = true)
 
-  private def lshOracle(capped: Boolean): String = {
+  /** [[annLshIndexDelete]]'s replay: [[annLshOracle]] with the registry
+    * erasure batch (vec_id % 10 = 5) applied where the engine applies
+    * it — at the candidate join, on BOTH sides (deleted vectors neither
+    * query nor appear as neighbors), before the preselect/rerank
+    * windows so surviving ranks stay dense. Mirrors
+    * [[annIvfPqIndexDeleteOracle]]. */
+  lazy val annLshIndexDeleteOracle: String =
+    lshOracle(capped = false, erased = true)
+
+  private def lshOracle(capped: Boolean, erased: Boolean = false): String = {
+    val erasedPred = if (!erased) ""
+      else "\n           AND a.vec_id % 10 <> 5 AND b.vec_id % 10 <> 5"
     val capCtes = if (!capped) "" else
       s"""vbr AS (SELECT vec_id, bucket,
          |               row_number() OVER (PARTITION BY bucket
@@ -396,7 +407,7 @@ object Similarity {
        |       FROM vb CROSS JOIN mk),
        |${capCtes}cand AS (SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id
        |         FROM pr a JOIN $neighborCte b
-       |           ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+       |           ON a.probe = b.bucket AND a.vec_id <> b.vec_id$erasedPred),
        |$pqCtes,
        |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
        |        FROM pasg GROUP BY 1),
@@ -1973,6 +1984,25 @@ object Similarity {
     * `PersistedIndexSpec` pins exclusion, idempotency, physical purge,
     * and query invariance across the purge. */
   def deleteFromIvfPqIndex(spark: SparkSession, ids: DataFrame,
+      indexDir: String, batchId: String): Unit =
+    deleteFromIndex(spark, ids, indexDir, batchId)
+
+  /** [[deleteFromIvfPqIndex]] for the persisted LSH artifact — the
+    * erasure verb is index-family-agnostic (it writes only the id list
+    * + commit marker; which reads consult it is the family's query
+    * path): tombstoned vectors leave [[annLshIndexed]] /
+    * [[searchLshIndex]] answers immediately. PHYSICAL purge differs by
+    * family: the IVF-PQ artifact purges via [[compactIvfPqIndex]];
+    * the LSH artifact is rebuild-per-corpus-version by design (Spark
+    * bucketed-table files encode bucket ids in their names, so the
+    * rename-based rewrite doesn't transfer) — a rebuild from the
+    * thinned source IS the purge, and [[buildLshIndex]] resets the
+    * tombstone list because the new artifact re-encodes live rows. */
+  def deleteFromLshIndex(spark: SparkSession, ids: DataFrame,
+      tableName: String, batchId: String): Unit =
+    deleteFromIndex(spark, ids, lshIndexDirOf(spark, tableName), batchId)
+
+  private def deleteFromIndex(spark: SparkSession, ids: DataFrame,
       indexDir: String, batchId: String): Unit = {
     require(batchId.nonEmpty && batchId.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
@@ -3027,6 +3057,14 @@ object Similarity {
   private def writeLshPostings(spark: SparkSession, v: DataFrame,
       packed: DataFrame, numPlanes: Int, indexDir: String,
       tableName: String, numBuckets: Int): Unit = {
+    // a rebuild is a new index version: every source vector is
+    // re-encoded live, so carrying the old erasure list forward would
+    // delete rows the new artifact legitimately holds (same rule as
+    // the IVF-PQ build's resetAppendLog). The rebuild is also the LSH
+    // family's PHYSICAL purge — see [[deleteFromLshIndex]].
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    ifs.deleteRecursive(ifs.child("tombstones.parquet"))
+    ifs.deleteRecursive(ifs.child("_delete_log"))
     val wB = Window.partitionBy(col("bucket")).orderBy(
       (lit(1103515245L) * col("vec_id") + lit(12345L)) % lit(2147483648L),
       col("vec_id"))
@@ -3054,7 +3092,17 @@ object Similarity {
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val postings = spark.table(tableName)
+    // erasure parity with the IVF-PQ artifact: tombstoned vectors
+    // neither query nor appear as neighbors — a broadcast anti-join on
+    // each side of the candidate join (the erasure list is a trickle by
+    // contract), applied at the postings read so dead rows never enter
+    // the probe expansion; the broadcast join preserves the bucketed
+    // scan's clustering, so the postings side stays exchange-free
+    val tomb = tombstonesOf(spark, indexDir)
+    val postings0 = spark.table(tableName)
+    val postings = tomb.map(t =>
+        postings0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(postings0)
     val probes = postings.select(col("vec_id"), col("bucket"),
       explode(array(probeMasks(numPlanes)
         .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
@@ -3139,6 +3187,33 @@ object Similarity {
     annLshIndexed(spark, dir, table, bucketCap = Some(LshBucketCap))
   }
 
+  /** Registry form `sim_ann_lsh_index_delete`: exact LSH build on the
+    * FULL corpus, erase every 10th-slot vector (vec_id % 10 = 5 — the
+    * takedown-batch shape, same slice the IVF-PQ delete row uses), then
+    * the standard indexed query: deleted vectors neither query nor
+    * appear as neighbors, surviving ranks dense. */
+  def annLshIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshgdpr")
+    val table = lshTableFor(dir, "_lshgdpr")
+    buildLshIndex(spark, dir, root, table)
+    deleteFromLshIndex(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 5)
+        .select(col("vec_id")), table, "erasure-1")
+    annLshIndexed(spark, dir, table)
+  }
+
+  /** Production registry form: fixed-buffer build + the same delete and
+    * query. */
+  def annLshIndexDeleteProd(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshgdprp")
+    val table = lshTableFor(dir, "_lshgdprp")
+    buildLshIndexProd(spark, dir, root, table)
+    deleteFromLshIndex(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 5)
+        .select(col("vec_id")), table, "erasure-1")
+    annLshIndexed(spark, dir, table)
+  }
+
   /** Search a persisted LSH index with an EXTERNAL query set — the
     * search-service call shape on the bucket-join artifact (the IVF-PQ
     * twin is [[searchIvfPqIndex]]). `queries` is any (query_id, qev)
@@ -3164,11 +3239,19 @@ object Similarity {
       .withColumn("bucket", bucketExpr(col("qev"), numPlanes))
       .select(col("query_id"), explode(array(probeMasks(numPlanes)
         .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
-    val postings = spark.table(tableName)
-    val cand = probes.join(
-        postings.select(col("vec_id").as("neighbor_id"),
-          col("bucket").as("nb"), col("b_code")),
-        col("probe") === col("nb"))
+    // tombstoned vectors leave the search space at the postings read
+    // (broadcast anti-join — erasure parity with [[searchIvfPqIndex]];
+    // external queries are not corpus members, so only the neighbor
+    // side needs thinning)
+    val neighborSide0 = spark.table(tableName)
+      .select(col("vec_id").as("neighbor_id"),
+        col("bucket").as("nb"), col("b_code"))
+    val neighborSide = tombstonesOf(spark, indexDir)
+      .map(t => neighborSide0.join(
+        broadcast(t.select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti"))
+      .getOrElse(neighborSide0)
+    val cand = probes.join(neighborSide, col("probe") === col("nb"))
       .select(col("query_id"), col("neighbor_id"), col("b_code"))
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
@@ -3341,6 +3424,7 @@ object Similarity {
     "sim_ann_lsh_indexed" -> (annLshIndexedAuto _),
     "sim_ann_lsh_capped_indexed" -> (annLshCappedIndexedAuto _),
     "sim_ann_lsh_search" -> (annLshSearch _),
+    "sim_ann_lsh_index_delete" -> (annLshIndexDelete _),
     "sim_ann_index_delta" -> (annIvfPqIndexDelta _),
     "sim_ann_index_search" -> (annIvfPqIndexSearch _),
     "sim_ann_index_delete" -> (annIvfPqIndexDelete _),
@@ -3366,6 +3450,7 @@ object Similarity {
     "sim_ann_lsh_indexed" -> annLshOracle,
     "sim_ann_lsh_capped_indexed" -> annLshCappedOracle,
     "sim_ann_lsh_search" -> annLshSearchOracle,
+    "sim_ann_lsh_index_delete" -> annLshIndexDeleteOracle,
     "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle,
     "sim_ann_index_search" -> annIvfPqIndexSearchOracle,
     "sim_ann_index_delete" -> annIvfPqIndexDeleteOracle,

@@ -72,6 +72,48 @@ class PersistedLshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH erasure: deleted vectors vanish, retry is no-op, rebuild purges") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lshdel")
+    val t = s"graft_lshdel_${java.lang.Long.toHexString(System.nanoTime())}"
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildLshIndex(spark, dir, s"$root/idx", t)
+      val before = rows(Similarity.annLshIndexed(spark, dir, t))
+      assert(before.exists(_._1 % 10 == 5) && before.exists(_._2 % 10 == 5))
+      val ids = e.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+      Similarity.deleteFromLshIndex(spark, ids, t, "erasure-1")
+      val after = rows(Similarity.annLshIndexed(spark, dir, t))
+      assert(after.nonEmpty)
+      // deleted ids neither query nor appear as neighbors; survivors'
+      // ranks stay dense over the thinned space
+      assert(after.forall(r => r._1 % 10 != 5 && r._2 % 10 != 5))
+      after.groupBy(_._1).foreach { case (q, rs) =>
+        assert(rs.map(_._4).toSeq.sorted == (1L to rs.size).toSeq,
+          s"query $q has non-dense ranks after LSH delete")
+      }
+      // the external search stops serving erased neighbors too
+      val qs = e.filter(col("vec_id") % 10 === 5).limit(5)
+        .select((col("vec_id") + 900000L).as("query_id"),
+          col("embedding").cast("array<double>").as("qev"))
+      val served = Similarity.searchLshIndex(spark, qs, dir, t)
+        .select(col("neighbor_id")).collect().map(_.getLong(0))
+      assert(served.nonEmpty && served.forall(_ % 10 != 5),
+        "external LSH search still serves tombstoned vectors")
+      // retried batch: the answer is unchanged (commit-log idempotency)
+      Similarity.deleteFromLshIndex(spark, ids, t, "erasure-1")
+      assert(rows(Similarity.annLshIndexed(spark, dir, t)) == after)
+      // the LSH family's physical purge is the rebuild: a fresh build of
+      // the same artifact resets the erasure list (the new version
+      // re-encodes whatever source it was given)
+      Similarity.buildLshIndex(spark, dir, s"$root/idx", t)
+      assert(rows(Similarity.annLshIndexed(spark, dir, t)) == before,
+        "rebuild carried the old erasure list into the new version")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.streaming.StreamingStaging.deleteRecursively(root)
+    }
+  }
+
   test("the candidate join's postings side is exchange-free (bucketed scan)") {
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
