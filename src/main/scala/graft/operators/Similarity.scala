@@ -440,6 +440,53 @@ object Similarity {
 
   private val IvfProbes = 8
 
+  /** Sentinel for the persisted-index query/search forms: derive nprobe
+    * from the index's OWN cell count instead of a constant. The round-11
+    * frontier measured why a constant is the wrong default at scale:
+    * with cells = ⌈√n⌉ growing, a fixed nprobe probes a SHRINKING
+    * corpus fraction, so recall@3 fell 0.515 → 0.300 from 1× to 10× on
+    * the isotropic worst case, while each nprobe doubling bought ~0.1
+    * recall back at flat wire bytes (SCALING.md round 11). */
+  val AutoProbes: Int = -1
+
+  /** The probe FRACTION the auto default holds as the corpus grows:
+    * the oracle-gated configuration's own operating point (nprobe 8 of
+    * the 45 cells a 2 000-vector corpus trains — the calibration scale
+    * where the frontier sweep measured the recall-per-doubling rate).
+    * Holding the fraction keeps recall ≈ flat on unclustered data (the
+    * worst case: candidates per query stay a constant corpus share,
+    * priced at 8 B PQ codes); clustered real corpora need less, and the
+    * explicit `nprobe` parameter remains the override. */
+  private val IvfProbeFraction = 8.0 / 45.0
+
+  /** nprobe under the auto rule: hold [[IvfProbeFraction]] of `cells`,
+    * floored at the fixture-scale [[IvfProbes]] (small indexes keep the
+    * oracle-gated setting — the derivation resolves to exactly 8 at
+    * both the sf0.01 correctness and sf0.1 bench scales) and capped at
+    * `cells`. Explicit nprobe values pass through untouched. */
+  private[operators] def resolveNprobe(nprobe: Int, cells: Long): Int =
+    if (nprobe != AutoProbes) nprobe
+    else math.min(cells,
+      math.max(IvfProbes.toLong,
+        math.round(cells * IvfProbeFraction))).toInt
+
+  /** The filtered-search compensation (round-11 measurement: a 14%
+    * filter cost 0.17 recall at 1× because probes are chosen by
+    * geometry, so a selective filter thins candidates): scale the auto
+    * nprobe by the filter's inverse selectivity — probing nprobe/sel
+    * cells restores the EXPECTED number of allowed candidates to the
+    * unfiltered budget. Capped at `cells`: past that the search is a
+    * PQ-coded scan over the filter's own rows, which is exactly the
+    * brute-force-over-allowed economics every filtered-ANN system
+    * degrades to under heavy filters. */
+  private[operators] def resolveFilteredNprobe(npBase: Int, cells: Long,
+      allowedCount: Long, indexSize: Long): Int = {
+    val sel = math.max(allowedCount.toDouble /
+      math.max(1L, indexSize).toDouble, 1e-6)
+    math.min(cells, math.max(npBase.toLong,
+      math.round(npBase / sel))).toInt
+  }
+
   /** ANN top-k via an IVF (inverted-file) index: k = ⌈√n⌉ coarse cells,
     * every vector assigned to its nearest centroid (home cell), queries
     * probe their [[IvfProbes]] nearest cells. The candidate fraction per
@@ -2079,6 +2126,40 @@ object Similarity {
     s"$aliasDir/${ifs.readUtf8(ptrs.last._2)}"
   }
 
+  /** The drift → retrain → deploy loop, CLOSED: the decision the drift
+    * dashboard ([[indexDriftReport]]) exists to inform, made executable.
+    * Reads the CURRENT alias version's newest committed append row; if
+    * its drift fell below `-threshold` (the quantizer no longer fits
+    * the arriving data), rebuilds a fresh version from `corpus` into
+    * `aliasDir/<versionName>` with the production trainers and
+    * publishes it — one create-once pointer flip, in-flight readers of
+    * the old version unaffected (its files are immutable until
+    * [[vacuumIndexVersions]]). Returns the shipped version name, or
+    * None when drift is within tolerance (or the version has no appends
+    * yet — day-0 and freshly-rotated indexes never retrain). `corpus`
+    * is the caller's current full corpus (base + accumulated deltas):
+    * the maintenance cadence owns what "the corpus" means — typically
+    * the same table the appends were read from. Idempotent at the
+    * deployment level: a retried call after a crash between build and
+    * publish re-runs the build into the same version dir (overwrite)
+    * and publishes; after a successful publish the new version's empty
+    * drift report makes the retry a no-op. */
+  def retrainIfDrifted(spark: SparkSession, aliasDir: String,
+      corpus: DataFrame, threshold: Double,
+      versionName: String): Option[String] = {
+    require(threshold > 0, "threshold must be a positive drift magnitude")
+    val current = resolveIndexAlias(spark, aliasDir)
+    val latest = indexDriftReport(spark, current)
+      .orderBy(col("seq").desc).limit(1)
+      .select(col("drift")).collect()
+    if (latest.isEmpty || latest(0).getDouble(0) >= -threshold) None
+    else {
+      buildIvfPqIndexProdOn(spark, corpus, s"$aliasDir/$versionName")
+      publishIndexVersion(spark, aliasDir, versionName)
+      Some(versionName)
+    }
+  }
+
   /** Drop version directories older than the `keepVersions` most
     * recently published distinct names (and their superseded pointer
     * files); returns how many directories were removed. `keepVersions`
@@ -2446,9 +2527,14 @@ object Similarity {
     * decoded-array cosine, spec-pinned).
     *
     * `nprobe` / `preK` are the deployment's recall-vs-cost knobs
-    * (probe more cells / rerank deeper); the defaults are the
-    * oracle-gated configuration, and `graft.Frontier`'s sweep measures
-    * what each notch buys at scale.
+    * (probe more cells / rerank deeper). nprobe DEFAULTS to
+    * [[AutoProbes]]: the probe fraction measured at the oracle-gated
+    * operating point is held as the index grows (cell count read off
+    * the artifact's own centroid table), which is what keeps recall ≈
+    * flat at 10×/30× where the round-11 frontier measured a fixed
+    * nprobe losing 0.2+ recall; at fixture scale the auto rule resolves
+    * to exactly the oracle-gated 8. `graft.Frontier`'s sweep measures
+    * what each explicit notch buys at scale.
     *
     * Deletes: when the index carries tombstones
     * ([[deleteFromIvfPqIndex]]), deleted vectors neither query nor
@@ -2457,16 +2543,21 @@ object Similarity {
     * mass delete is a rebuild), applied to the postings read BEFORE the
     * candidate join so dead rows never enter the probe exchange. */
   def annIvfPqIndexed(spark: SparkSession, dir: String,
-      indexDir: String, nprobe: Int = IvfProbes,
+      indexDir: String, nprobe: Int = AutoProbes,
       preK: Int = PqPreK): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val tomb = tombstonesOf(spark, indexDir)
     val vq = tomb.map(t => v.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(v)
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
+    // the auto default reads the dial off the artifact itself: cell
+    // count from the (≤√n-row) centroid table — the probe fraction, not
+    // a constant probe count, is what holds recall as the index grows
+    val np = if (nprobe == AutoProbes) resolveNprobe(nprobe, cent.count())
+             else nprobe
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
-    val probes = ivfAssign(vq, cent, nprobe)
+    val probes = ivfAssign(vq, cent, np)
       .select(col("vec_id"), col("centroid_id"))
     // partition-column type inference can narrow centroid_id to int on
     // read; normalize back to the writer's long before the join
@@ -2521,9 +2612,11 @@ object Similarity {
     * nprobe/√n of the index — independent of corpus size beyond the
     * pruned read. Returns (query_id, neighbor_id, rnk, cosine).
     * `nprobe` / `preK` as on [[annIvfPqIndexed]] — the service's
-    * recall-vs-latency dials, defaults = the oracle-gated setting. */
+    * recall-vs-latency dials; nprobe defaults to [[AutoProbes]] (the
+    * index-derived probe fraction, = the oracle-gated 8 at fixture
+    * scale). */
   def searchIvfPqIndex(spark: SparkSession, queries: DataFrame,
-      dir: String, indexDir: String, nprobe: Int = IvfProbes,
+      dir: String, indexDir: String, nprobe: Int = AutoProbes,
       preK: Int = PqPreK): DataFrame =
     searchIvfPqIndexFrom(spark, queries, dir, indexDir, None, nprobe, preK)
 
@@ -2544,13 +2637,32 @@ object Similarity {
     * so filtering candidate-scale rows is the cheap side. Catalyst still
     * broadcasts `allowed` when it is small. The candidate pool itself is
     * the UNfiltered nprobe cells (probes are chosen by geometry, not
-    * metadata), so heavy filters thin candidates — the standard filtered
-    * -ANN recall caveat; raise `nprobe`/`preK` to compensate. */
+    * metadata), so heavy filters thin candidates — the standard
+    * filtered-ANN recall caveat. The [[AutoProbes]] default COMPENSATES
+    * automatically: nprobe scales by the filter's inverse selectivity
+    * (capped at all cells — under a heavy filter the search degrades
+    * gracefully to a PQ-coded scan of the filter's rows, the economics
+    * every filtered-ANN system converges to); pass an explicit `nprobe`
+    * to pin the budget instead. */
   def searchIvfPqIndexFiltered(spark: SparkSession, queries: DataFrame,
       dir: String, indexDir: String, allowed: DataFrame,
-      nprobe: Int = IvfProbes, preK: Int = PqPreK): DataFrame =
+      nprobe: Int = AutoProbes, preK: Int = PqPreK): DataFrame =
     searchIvfPqIndexFrom(spark, queries, dir, indexDir, Some(allowed),
       nprobe, preK)
+
+  /** The index's row count from its own stats artifacts (build baseline
+    * + committed append rows — two tiny one-row-per-batch parquets, no
+    * postings scan): the denominator of the filtered search's
+    * selectivity estimate. */
+  private def statsIndexSize(spark: SparkSession, indexDir: String): Long = {
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    def sumOf(rel: String): Long =
+      if (!ifs.exists(ifs.child("_stats", rel))) 0L
+      else Option(spark.read.parquet(s"$indexDir/_stats/$rel")
+        .agg(sum(col("n_vectors"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    sumOf("build.parquet") + sumOf("appends.parquet")
+  }
 
   private def searchIvfPqIndexFrom(spark: SparkSession, queries: DataFrame,
       dir: String, indexDir: String, allowed: Option[DataFrame],
@@ -2559,11 +2671,28 @@ object Similarity {
       .select(col("vec_id"), dvec.as("ev"))
     val q = queries.select(col("query_id"), col("qev"))
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
+    // auto rule: hold the probe fraction as the index grows; a filtered
+    // search additionally scales by the filter's inverse selectivity
+    // (|allowed| from a count of the filter frame, index size from the
+    // stats artifacts — no postings scan), restoring the expected
+    // allowed-candidate budget the geometry-chosen probes would
+    // otherwise thin (the round-11 measured recall penalty)
+    val np =
+      if (nprobe != AutoProbes) nprobe
+      else {
+        val cells = cent.count()
+        val base = resolveNprobe(nprobe, cells)
+        allowed match {
+          case None => base
+          case Some(a) => resolveFilteredNprobe(base, cells,
+            a.count(), statsIndexSize(spark, indexDir))
+        }
+      }
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
     val probes = ivfAssign(
         q.select(col("query_id").as("vec_id"), col("qev").as("ev")), cent,
-        nprobe)
+        np)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
     val allMembers = spark.read.parquet(s"$indexDir/postings.parquet")
       .select(col("vec_id").as("neighbor_id"), col("b_code"),
@@ -2759,8 +2888,12 @@ object Similarity {
       dir: String): DataFrame = {
     val root = indexRootFor(dir, "_searchflt")
     buildIvfPqIndex(spark, dir, root)
+    // the FIXED-knob configuration (nprobe 8), replayed by the oracle:
+    // the gate pins the algorithm at the fixture-scale setting; the
+    // auto default's selectivity compensation is spec-pinned
+    // (AutoNprobeSpec) and frontier-measured instead
     searchIvfPqIndexFiltered(spark, searchQuerySet(spark, dir), dir, root,
-      allowedDeVectors(spark, dir))
+      allowedDeVectors(spark, dir), nprobe = IvfProbes)
   }
 
   /** Production registry form: fixed-buffer build, same filtered
@@ -2770,7 +2903,7 @@ object Similarity {
     val root = indexRootFor(dir, "_searchflt_prod")
     buildIvfPqIndexProd(spark, dir, root)
     searchIvfPqIndexFiltered(spark, searchQuerySet(spark, dir), dir, root,
-      allowedDeVectors(spark, dir))
+      allowedDeVectors(spark, dir), nprobe = IvfProbes)
   }
 
   /** Oracle for [[annIvfPqIndexSearchFiltered]]: the

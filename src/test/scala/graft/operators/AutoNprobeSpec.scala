@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions.{col, transform, when, lit}
+
+import graft.TestSpark
+
+/** The scale-aware ANN defaults (round-12): nprobe derived from the
+  * index's own cell count (hold the probe FRACTION as the corpus grows
+  * — the round-11 frontier measured recall@3 falling 0.515 → 0.300 at a
+  * FIXED nprobe from 1× to 10×), and the filtered search additionally
+  * scaled by the filter's inverse selectivity (the measured 0.17 recall
+  * penalty of a 14% filter at 1×). The derivation must resolve to
+  * exactly the oracle-gated configuration at fixture scale, so every
+  * sim_ann_* correctness row stays green under the auto default. */
+class AutoNprobeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("auto nprobe holds the probe fraction, floored and capped") {
+    // fixture scales resolve to the oracle-gated 8: sf0.01 trains 23
+    // cells (500 vectors), sf0.1 trains 45 (2 000 vectors — the
+    // calibration point, fraction 8/45)
+    assert(Similarity.resolveNprobe(Similarity.AutoProbes, 23) == 8)
+    assert(Similarity.resolveNprobe(Similarity.AutoProbes, 45) == 8)
+    // scaled corpora probe the same FRACTION: 10× (cells 142) and 30×
+    // (cells 245) of the bench fixture
+    assert(Similarity.resolveNprobe(Similarity.AutoProbes, 142) == 25)
+    assert(Similarity.resolveNprobe(Similarity.AutoProbes, 245) == 44)
+    // a tiny index cannot probe more cells than it has
+    assert(Similarity.resolveNprobe(Similarity.AutoProbes, 4) == 4)
+    // explicit values pass through untouched — the user's override
+    assert(Similarity.resolveNprobe(16, 1000000) == 16)
+  }
+
+  test("filtered auto nprobe scales by inverse selectivity, capped at cells") {
+    // a 14% filter at the bench fixture: 8 / 0.143 ≈ 56, capped at the
+    // 45 cells — the search degrades to a PQ-coded scan of the allowed
+    // rows, which is the correct heavy-filter economics
+    assert(Similarity.resolveFilteredNprobe(8, 45, 286, 2000) == 45)
+    // a mild 50% filter doubles the probe budget instead
+    assert(Similarity.resolveFilteredNprobe(8, 1000, 500000, 1000000) == 16)
+    // at 10× scale the auto base (25) with the same 14% filter caps too
+    assert(Similarity.resolveFilteredNprobe(25, 142, 2857, 20000) == 142)
+    // an unselective filter changes nothing
+    assert(Similarity.resolveFilteredNprobe(8, 45, 2000, 2000) == 8)
+    // an empty allowed set must not divide by zero
+    assert(Similarity.resolveFilteredNprobe(8, 45, 0, 2000) == 45)
+  }
+
+  test("at fixture scale the auto default is row-identical to nprobe=8") {
+    // THE oracle-stability property: every persisted-index correctness
+    // row runs under the auto default, so auto must reproduce the
+    // fixed-knob answers exactly at the gate's scale
+    val root = java.nio.file.Files.createTempDirectory("graft_autonp")
+    try {
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      val auto = Similarity.annIvfPqIndexed(spark, dir, root.toString)
+        .collect().toSet
+      val fixed = Similarity.annIvfPqIndexed(spark, dir, root.toString,
+        nprobe = 8).collect().toSet
+      assert(auto.nonEmpty && auto == fixed)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("the auto filtered search recovers the filter's recall penalty") {
+    // frontier methodology at fixture scale: exact top-3 among the
+    // allowed slice as ground truth; the auto rule (which here probes
+    // every cell — 8/0.143 > 23) must land within 0.05 recall of the
+    // UNfiltered auto search measured against its own ground truth,
+    // where the fixed nprobe=8 filtered search measurably cannot
+    val root = java.nio.file.Files.createTempDirectory("graft_autoflt")
+    try {
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      val dv = transform(col("embedding"), x => x.cast("double"))
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), dv.as("ev"))
+      val pert = transform(col("ev"),
+        (x, i) => when(i < 4, x + lit(0.05)).otherwise(x))
+      val q = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 300000L).as("query_id"), pert.as("qev"))
+      val allowed = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+
+      def exactTop3(restrict: Boolean): Map[Long, Set[Long]] = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        val nb0 = e.select(col("vec_id").as("neighbor_id"),
+          col("ev").as("b_ev"))
+        val nb = if (restrict) nb0.filter(col("neighbor_id") % 7 === 0)
+                 else nb0
+        nb.crossJoin(q)
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.cosine(col("qev"), col("b_ev")).as("cosine"))
+          .withColumn("rnk",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+      }
+      def recallOf(res: org.apache.spark.sql.DataFrame,
+          exact: Map[Long, Set[Long]]): Double = {
+        val got = res.select(col("query_id"), col("neighbor_id"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+        exact.map { case (v, ex) =>
+          (ex intersect got.getOrElse(v, Set.empty)).size.toDouble / ex.size
+        }.sum / exact.size
+      }
+      val unfiltered = recallOf(
+        Similarity.searchIvfPqIndex(spark, q, dir, root.toString),
+        exactTop3(restrict = false))
+      val filteredAuto = recallOf(
+        Similarity.searchIvfPqIndexFiltered(spark, q, dir, root.toString,
+          allowed),
+        exactTop3(restrict = true))
+      info(f"recall@3 unfiltered(auto)=$unfiltered%.3f " +
+        f"filtered(auto)=$filteredAuto%.3f")
+      assert(filteredAuto >= unfiltered - 0.05,
+        f"auto rule failed to recover the filter penalty: " +
+          f"$filteredAuto%.3f vs $unfiltered%.3f")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+}

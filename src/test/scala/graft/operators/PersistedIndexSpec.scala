@@ -571,6 +571,80 @@ class PersistedIndexSpec extends AnyFunSuite {
     } finally graft.streaming.StreamingStaging.deleteRecursively(root)
   }
 
+  test("drift-triggered retrain rotates the alias under live reads") {
+    // the closed loop: appends drift → retrainIfDrifted ships a new
+    // version → readers that resolved the alias BEFORE the rotation
+    // keep serving identical rows from the old version (immutable until
+    // vacuum), new resolutions serve the fresh-build-equal new version
+    val alias = tempRoot()
+    val scratch = tempRoot()
+    try {
+      import org.apache.spark.sql.functions.{lit, transform, when}
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val base = e.filter(col("vec_id") % 8 =!= 7)
+      Similarity.buildIvfPqIndexProdOn(spark, base, s"$alias/v1")
+      Similarity.publishIndexVersion(spark, alias.toString, "v1")
+      // a long-lived reader resolves once and keeps the path
+      val preResolved = Similarity.resolveIndexAlias(spark, alias.toString)
+      assert(preResolved.endsWith("/v1"))
+      val qs = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 300000L).as("query_id"),
+          transform(col("embedding").cast("array<double>"),
+            (x, i) => when(i < 4, x + lit(0.05)).otherwise(x)).as("qev"))
+      def search(indexDir: String) =
+        Similarity.searchIvfPqIndex(spark, qs, dir, indexDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+      // day 1: in-distribution append — drift within tolerance, NO ship
+      Similarity.appendToIvfPqIndexProd(spark,
+        e.filter(col("vec_id") % 16 === 7), preResolved, "day1")
+      assert(Similarity.retrainIfDrifted(spark, alias.toString,
+        e, threshold = 0.10, versionName = "v2").isEmpty,
+        "an in-distribution append triggered a retrain")
+      val rowsBefore = search(preResolved)
+      assert(rowsBefore.nonEmpty)
+      // day 2: the corpus MOVED (every dimension shifted) — drift
+      // crosses the threshold and the retrain ships v2, trained on the
+      // caller's current full corpus
+      val shifted = e.filter(col("vec_id") % 8 === 3)
+        .select((col("vec_id") + 500000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x + lit(0.6f)).cast("float")).as("embedding"))
+      Similarity.appendToIvfPqIndexProd(spark, shifted, preResolved, "day2")
+      val corpusNow = base.select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 16 === 7)
+          .select(col("vec_id"), col("embedding")))
+        .unionByName(shifted)
+      val rowsDuring = search(preResolved) // v1 + both appends, pre-swap
+      assert(Similarity.retrainIfDrifted(spark, alias.toString,
+        corpusNow, threshold = 0.10, versionName = "v2").contains("v2"))
+      // DURING: the pre-rotation reader's resolved version still serves
+      // byte-identical answers — the swap is invisible to it
+      assert(search(preResolved) == rowsDuring,
+        "rotation disturbed a reader holding the old version")
+      // AFTER: a fresh resolution serves the new version, bit-equal to
+      // the same build shipped without any rotation machinery
+      val postResolved = Similarity.resolveIndexAlias(spark, alias.toString)
+      assert(postResolved.endsWith("/v2"))
+      Similarity.buildIvfPqIndexProdOn(spark, corpusNow, scratch.toString)
+      assert(search(postResolved) == search(scratch.toString),
+        "rotated version diverges from the equivalent fresh build")
+      // the freshly-rotated version has no appends: the loop is stable
+      // (no retrain storm off the previous version's drift history)
+      assert(Similarity.retrainIfDrifted(spark, alias.toString,
+        corpusNow, threshold = 0.10, versionName = "v3").isEmpty)
+      // vacuum to 1 version: the rollback target (v1) is dropped, the
+      // live version keeps serving
+      assert(Similarity.vacuumIndexVersions(spark, alias.toString,
+        keepVersions = 1) == 1)
+      assert(!java.nio.file.Files.exists(alias.resolve("v1")))
+      assert(search(postResolved) == search(scratch.toString))
+    } finally {
+      graft.streaming.StreamingStaging.deleteRecursively(alias)
+      graft.streaming.StreamingStaging.deleteRecursively(scratch)
+    }
+  }
+
   test("append seqs are minted create-once — a raced seq is never shared") {
     val root = tempRoot()
     try {
