@@ -138,6 +138,12 @@ object SparkEntry {
     // and the filtered search against the cached warm artifact
     "sim_ann_index_delete_apply" ->
       (Similarity.annIvfPqIndexDeleteApplyBench _),
+    // round-12: the erasure-DEADLINE job — full physical purge pass
+    // (every cell rewritten minus tombstoned rows) on a cached artifact
+    // with a 10% tombstone load; prices the byte-erasure cost the
+    // O(|ids|) tombstone write defers
+    "sim_ann_index_purge" ->
+      (Similarity.annIvfPqIndexPurgeBench _),
     "sim_ann_index_search_filtered_query" ->
       (Similarity.annIvfPqIndexSearchFilteredQueryBench _),
     // the persisted LSH index's steady state: exchange-free postings

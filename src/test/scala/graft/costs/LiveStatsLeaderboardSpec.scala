@@ -8,15 +8,15 @@ import graft.TestSpark
 
 /** The challenge leaderboard END-TO-END from live statistics: generate
   * the challenge dataset at its declared cardinalities, profile it with
-  * [[StatsCollector.profileChallenge]] (exact counts, HLL++ distincts,
-  * derived embed array length), and drive the FULL
-  * [[ChallengeReporting.runAll]] — planner, simulator, weighted totals,
-  * ranking — from the profiled numbers. The ranking must equal the
-  * reference-stat run's (the design decision the leaderboard exists to
-  * make must not depend on which stat source fed it), and the weighted
-  * totals must land within the stated tolerance (the only live/ref
-  * deviation is HLL++ distinct-count error, rsd ≈ 5% at
-  * `approx_count_distinct` defaults; row counts are exact). */
+  * [[StatsCollector.profileChallenge]] (exact counts, exact distincts
+  * below the [[StatsCollector.ExactDistinctMaxRows]] threshold — these
+  * fixtures qualify — HLL++ above it, derived embed array length), and
+  * drive the FULL [[ChallengeReporting.runAll]] — planner, simulator,
+  * weighted totals, ranking — from the profiled numbers. The ranking
+  * must equal the reference-stat run's (the design decision the
+  * leaderboard exists to make must not depend on which stat source fed
+  * it), and below the threshold the weighted totals must reproduce the
+  * declared-stat totals to within 1% (every input is exact). */
 class LiveStatsLeaderboardSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -41,21 +41,21 @@ class LiveStatsLeaderboardSpec extends AnyFunSuite {
     StatsCollector.profileChallenge(product, orderLine)
   }
 
-  test("profiled stats reproduce the declared cardinalities within HLL error") {
+  test("profiled stats reproduce the declared cardinalities exactly") {
+    // both fixture tables sit under ExactDistinctMaxRows, so the
+    // profiler uses exact count_distinct — no HLL error channel at all
+    // (the threshold itself is pinned below)
+    assert(StatsCollector.ExactDistinctMaxRows == 10000000L)
+    assert(4000000L <= StatsCollector.ExactDistinctMaxRows)
     val p = liveStats("Product")
     val ol = liveStats("OrderLine")
     assert(p.nbDocuments == 100000L) // counts are exact
     assert(ol.nbDocuments == 4000000L)
-    def within(got: Long, want: Long, rsd: Double): Unit =
-      assert(math.abs(got - want).toDouble / want <= rsd,
-        s"$got vs $want beyond ${rsd * 100}%")
-    within(p.distinctValues("brand"), 5000L, 0.05)
-    within(p.distinctValues("categorie"), 100L, 0.05)
-    // rsd is a STANDARD deviation, not a bound — the 1M-distinct column
-    // deterministically lands at ~7.4% here (≈1.5σ), so allow 2σ
-    within(ol.distinctValues("IDC"), 1000000L, 0.10)
-    // the derived embed array length: 4M lines / ~100k products ≈ 40
-    assert(math.abs(p.avgArrayLengths("orderLines") - 40.0) <= 2.0)
+    assert(p.distinctValues("brand") == 5000L)
+    assert(p.distinctValues("categorie") == 100L)
+    assert(ol.distinctValues("IDC") == 1000000L)
+    // the derived embed array length: 4M lines / 100k products = 40
+    assert(p.avgArrayLengths("orderLines") == 40.0)
   }
 
   test("the live-stat leaderboard ranks the denormalizations identically") {
@@ -68,11 +68,12 @@ class LiveStatsLeaderboardSpec extends AnyFunSuite {
       ChallengeModel.refQueries.size)
   }
 
-  test("live-stat weighted totals land within 8% of the reference-stat totals") {
-    // counts exact + string sizes from the shared schema ⇒ the only
-    // deviation channel is HLL++ distinct error propagating through the
-    // selectivity products; 8% bounds the default-rsd worst case while
-    // a wrong array length / row count / strategy flip would blow it
+  test("live-stat weighted totals land within 1% of the reference-stat totals") {
+    // below ExactDistinctMaxRows every profiled number is exact (counts,
+    // distincts, measured string widths equal the declared ones on this
+    // dataset), so the live run must reproduce the declared-stat totals
+    // to within rounding — the former 8% tolerance existed only for the
+    // HLL++ error channel, which now applies solely above the threshold
     val (_, refTotals, _) = ChallengeReporting.runAll()
     val (_, liveTotals, _) = ChallengeReporting.runAll(liveStats)
     for ((d, ref) <- refTotals) {
@@ -80,7 +81,7 @@ class LiveStatsLeaderboardSpec extends AnyFunSuite {
       val dev = math.abs(live.weighted - ref.weighted) / ref.weighted
       info(f"$d: ref ${ref.weighted}%.4f live ${live.weighted}%.4f " +
         f"(${dev * 100}%.2f%%)")
-      assert(dev <= 0.08, f"$d deviates ${dev * 100}%.1f%% > 8%%")
+      assert(dev <= 0.01, f"$d deviates ${dev * 100}%.2f%% > 1%%")
     }
   }
 }
