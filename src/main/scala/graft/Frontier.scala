@@ -200,6 +200,15 @@ object Frontier {
           () => (),
           () => graft.operators.Similarity.searchIvfPqIndex(
             spark, q, dir, root)),
+        // the FIXED-knob filtered row (the r11 measured recall penalty)
+        // kept as the control for what the auto compensation recovers
+        ("search_filtered_14pct_nprobe8",
+          Some(col("neighbor_id") % 7 === 0),
+          () => (),
+          () => graft.operators.Similarity.searchIvfPqIndexFiltered(
+            spark, q, dir, root, allowed, nprobe = 8)),
+        // the auto default: nprobe scaled by the filter's inverse
+        // selectivity (round 12)
         ("search_filtered_14pct",
           Some(col("neighbor_id") % 7 === 0),
           () => (),
@@ -237,9 +246,28 @@ object Frontier {
           f"wall=$wall%.2fs shuffle=${shuffleMb}%.1fMB")
         (factor, form, n, recall, wall, shuffleMb)
       }
+      // the erasure-DEADLINE purge at this scale: the tombstoned variant
+      // above left a 10% erasure batch on this factor's index — time the
+      // full physical pass (every live cell rewritten minus dead rows;
+      // one run — the job mutates the artifact; recall not applicable,
+      // query invariance across the purge is spec-gated)
+      val purgeRow = {
+        val listener = new ShuffleBytes
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val cells = graft.operators.Similarity.compactIvfPqIndex(
+          spark, root, maxFilesPerCell = 0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(listener)
+        val shuffleMb = listener.bytes.get() / 1e6
+        println(f"[frontier] x$factor purge_10pct_tombstones " +
+          f"cells=$cells wall=$wall%.2fs shuffle=${shuffleMb}%.1fMB")
+        (factor, "purge_10pct_tombstones", n, -1.0, wall, shuffleMb)
+      }
       graft.streaming.StreamingStaging.deleteRecursively(
         java.nio.file.Paths.get(root))
-      out
+      out :+ purgeRow
     }
     // the KNOB sweep at the largest scale point: one prebuilt index,
     // query-only wall + recall per nprobe notch — what a deployment
@@ -255,7 +283,12 @@ object Frontier {
         .createTempDirectory("graft_frontier_idx").toString
       graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
         graft.sources.Tables.embeddings(spark, dir), root)
-      val out = Seq(4, 8, 16, 32).map { nprobe =>
+      // explicit notches + the AUTO default (round 12: nprobe derived
+      // from the index's own cell count — the sweep shows where the
+      // auto rule lands on the same curve)
+      val notches = Seq(4, 8, 16, 32).map(v => (s"nprobe$v", v)) :+
+        ("auto", graft.operators.Similarity.AutoProbes)
+      val out = notches.map { case (label, nprobe) =>
         val listener = new ShuffleBytes
         spark.sparkContext.addSparkListener(listener)
         val wall = try (1 to 2).map { _ =>
@@ -278,9 +311,9 @@ object Frontier {
         val recall = exact.map { case (v, ex) =>
           (ex intersect got.getOrElse(v, Set.empty)).size.toDouble / ex.size
         }.sum / exact.size
-        println(f"[frontier] x$factor indexed_query nprobe=$nprobe%-3d " +
+        println(f"[frontier] x$factor indexed_query $label%-8s " +
           f"recall@3=$recall%.3f wall=$wall%.2fs shuffle=${shuffleMb}%.1fMB")
-        (factor, s"indexed_query_nprobe$nprobe", n, recall, wall, shuffleMb)
+        (factor, s"indexed_query_$label", n, recall, wall, shuffleMb)
       }
       graft.streaming.StreamingStaging.deleteRecursively(
         java.nio.file.Paths.get(root))

@@ -146,6 +146,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // path (one broadcast fewer than the in-query form), bucketed
     // postings side exchange-free
     "sim_ann_lsh_indexed" -> (1, 4),
+    // the indexed plan + the two tombstone anti-joins (broadcast on the
+    // probes side and the neighbor side; postings side still
+    // exchange-free — erasure costs no shuffle)
+    "sim_ann_lsh_index_delete" -> (1, 6),
     // the capped query on the same artifact: the cap is a PUSHED scan
     // predicate on the build-stamped bucket_rank — identical plan shape
     // to the uncapped indexed query, no extra exchange

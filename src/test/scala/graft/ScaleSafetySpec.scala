@@ -86,6 +86,7 @@ class ScaleSafetySpec extends AnyFunSuite {
       "sim_ann_ivfpq_indexed", "sim_ann_index_delta", "sim_ann_index_search",
       "sim_ann_index_delete", "sim_ann_index_search_filtered",
       "sim_ann_index_delete_apply", "sim_ann_index_search_filtered_query",
+      "sim_ann_index_purge", "sim_ann_lsh_index_delete",
       "sim_ann_ivfpq_index_build", "sim_ann_ivfpq_index_query",
       "sim_ann_index_append", "sim_ann_index_search_query",
       "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",

@@ -33,9 +33,17 @@ class StreamingIndexAppendSpec extends AnyFunSuite {
         spark, dir, batchRoot.toString))
       assert(batch.nonEmpty)
       assert(streamed == batch)
-      // both days' markers were committed
-      assert(java.nio.file.Files.list(
-        streamRoot.resolve("_append_log")).count() == 2)
+      // both days committed: a `batch-<id>` marker AND a create-once
+      // `ord-<seq>` pointer per batch (the round-12 raced-seq guard)
+      val logNames = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(streamRoot.resolve("_append_log"))
+        try s.iterator().asScala.map(_.getFileName.toString).toSet
+        finally s.close()
+      }
+      assert(logNames == Set("batch-0", "batch-1",
+        "ord-000000000000", "ord-000000000001"),
+        s"unexpected append log contents: $logNames")
     } finally {
       StreamingStaging.deleteRecursively(streamRoot)
       StreamingStaging.deleteRecursively(batchRoot)
