@@ -75,19 +75,33 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
-    // Build fingerprint (newest class-file mtime under this code
-    // source): sessions are only min-merged WITHIN one build, so a
-    // recompile — i.e. any code change — starts a fresh merge pool and
-    // old (possibly faster) code can never mask a real regression.
+    // Build fingerprint — MD5 over the (path, bytes) of every class
+    // file under this code source: sessions are only min-merged WITHIN
+    // one build, so a recompile that changes any class starts a fresh
+    // merge pool and old (possibly faster) code can never mask a real
+    // regression. Content, not mtimes: sbt touches directory stamps on
+    // every invocation, which made an mtime fingerprint differ across
+    // sessions of the IDENTICAL build.
     val buildTag: String = try {
       val src = new java.io.File(Bench.getClass.getProtectionDomain
-        .getCodeSource.getLocation.toURI)
-      def maxM(f: java.io.File): Long =
-        if (f.isDirectory)
-          (f.lastModified +: Option(f.listFiles())
-            .getOrElse(Array.empty[java.io.File]).map(maxM)).max
-        else f.lastModified
-      java.lang.Long.toHexString(maxM(src))
+        .getCodeSource.getLocation.toURI).toPath
+      val md = java.security.MessageDigest.getInstance("MD5")
+      if (java.nio.file.Files.isDirectory(src)) {
+        val walk = java.nio.file.Files.walk(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              p.toString.endsWith(".class"))
+            .toVector.sortBy(_.toString)
+            .foreach { p =>
+              md.update(src.relativize(p).toString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              md.update(java.nio.file.Files.readAllBytes(p))
+            }
+        } finally walk.close()
+      } else md.update(java.nio.file.Files.readAllBytes(src))
+      md.digest().take(6).map("%02x".format(_)).mkString
     } catch { case _: Exception => "unknown" }
     val sessionLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir","build":"$buildTag","agg":"min-of-$Iterations (5 on JIT-sensitive rows) per query, cache cleared per run; spread=[min,median,max]","registry":"production (no canonicalization sort)"}"""
     System.err.println(s"[bench] session: $sessionLine")
