@@ -3389,7 +3389,28 @@ object Similarity {
     * table. No self-exclusion: external queries are not corpus
     * members. */
   def searchLshIndex(spark: SparkSession, queries: DataFrame,
-      dir: String, tableName: String): DataFrame = {
+      dir: String, tableName: String): DataFrame =
+    searchLshIndexFrom(spark, queries, dir, tableName, None)
+
+  /** FILTERED search on the persisted LSH index — API parity with
+    * [[searchIvfPqIndexFiltered]] (a user of either artifact gets the
+    * same `WHERE lang = 'de' AND <ann>` call): restrict the neighbor
+    * space to `allowed` (any single-column frame of corpus `vec_id`s)
+    * with PRE-filtering semantics — the semi-join lands on the
+    * candidates (|queries|·probes·occupancy rows, after the bucket
+    * join, before ranking), so ranks are dense 1..k over allowed
+    * neighbors and the postings side stays exchange-free. The same
+    * recall caveat as the IVF twin applies (probes are chosen by
+    * geometry, not metadata); the LSH family has no selectivity-scaled
+    * probe dial — a heavily-filtered workload belongs on the IVF-PQ
+    * artifact's [[AutoProbes]] compensation. */
+  def searchLshIndexFiltered(spark: SparkSession, queries: DataFrame,
+      dir: String, tableName: String, allowed: DataFrame): DataFrame =
+    searchLshIndexFrom(spark, queries, dir, tableName, Some(allowed))
+
+  private def searchLshIndexFrom(spark: SparkSession, queries: DataFrame,
+      dir: String, tableName: String,
+      allowed: Option[DataFrame]): DataFrame = {
     val indexDir = lshIndexDirOf(spark, tableName)
     val numPlanes = spark.read.parquet(s"$indexDir/meta.parquet")
       .head().getAs[Int]("num_planes")
@@ -3414,8 +3435,15 @@ object Similarity {
         broadcast(t.select(col("vec_id").as("neighbor_id"))),
         Seq("neighbor_id"), "left_anti"))
       .getOrElse(neighborSide0)
-    val cand = probes.join(neighborSide, col("probe") === col("nb"))
+    val cand0 = probes.join(neighborSide, col("probe") === col("nb"))
       .select(col("query_id"), col("neighbor_id"), col("b_code"))
+    // the metadata restriction applies to CANDIDATES, not postings —
+    // same placement rationale as the IVF twin (candidates number
+    // |queries|·probes·occupancy, orders below index scale)
+    val cand = allowed.map(a => cand0.join(
+        a.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+        "left_semi"))
+      .getOrElse(cand0)
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
     val pre = cand
@@ -3459,12 +3487,47 @@ object Similarity {
     searchLshIndex(spark, searchQuerySet(spark, dir), dir, table)
   }
 
+  /** Registry form `sim_ann_lsh_search_filtered`: exact LSH build, then
+    * the external-query search restricted to German-language documents —
+    * the same `WHERE lang = 'de' AND <ann>` slice the IVF-PQ filtered
+    * row gates, on the bucket-join artifact. */
+  def annLshSearchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshsf")
+    val table = lshTableFor(dir, "_lshsf")
+    buildLshIndex(spark, dir, root, table)
+    searchLshIndexFiltered(spark, searchQuerySet(spark, dir), dir, table,
+      allowedDeVectors(spark, dir))
+  }
+
+  /** Production registry form: fixed-buffer build, same filtered
+    * search. */
+  def annLshSearchFilteredProd(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshsfp")
+    val table = lshTableFor(dir, "_lshsfp")
+    buildLshIndexProd(spark, dir, root, table)
+    searchLshIndexFiltered(spark, searchQuerySet(spark, dir), dir, table,
+      allowedDeVectors(spark, dir))
+  }
+
   /** Oracle for [[annLshSearch]]: the identical algorithm replayed
     * monolithically — the [[annLshOracle]] corpus CTEs (planes, corpus
     * buckets, probe masks, PQ codebook + decode) plus the derived query
     * set signed against the same planes, probed at radius 2, candidates
     * from corpus buckets, asymmetric preselect, exact rerank. */
-  lazy val annLshSearchOracle: String =
+  lazy val annLshSearchOracle: String = lshSearchOracle(filtered = false)
+
+  /** Oracle for [[annLshSearchFiltered]]: the search replay with the
+    * metadata restriction applied at the candidate stage (qcand joins
+    * `documents` on neighbor_id = doc_id with the language predicate),
+    * mirroring [[annIvfPqIndexSearchFilteredOracle]]. */
+  lazy val annLshSearchFilteredOracle: String =
+    lshSearchOracle(filtered = true)
+
+  private def lshSearchOracle(filtered: Boolean): String = {
+    val filterJoin = if (!filtered) ""
+      else "\n          JOIN documents dd" +
+        "\n            ON b.vec_id = dd.doc_id AND dd.lang = 'de'"
     s"""WITH $vCte,
        |${planesSql("embeddings")},
        |pw AS (SELECT p,
@@ -3497,7 +3560,7 @@ object Similarity {
        |qpr AS (SELECT query_id, xor(bucket, CAST(mask AS BIGINT)) AS probe
        |        FROM qb CROSS JOIN mk),
        |qcand AS (SELECT a.query_id, b.vec_id AS neighbor_id
-       |          FROM qpr a JOIN vb b ON a.probe = b.bucket),
+       |          FROM qpr a JOIN vb b ON a.probe = b.bucket$filterJoin),
        |qaq AS (SELECT c.query_id, c.neighbor_id,
        |               ${sqlCos("q.qev", "d.qv")} AS acos
        |        FROM qcand c
@@ -3521,6 +3584,7 @@ object Similarity {
        |       FROM qp)
        |SELECT query_id, neighbor_id, rnk, cosine FROM qr WHERE rnk <= $AnnK
        |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
 
   private val benchLshRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3587,6 +3651,7 @@ object Similarity {
     "sim_ann_lsh_indexed" -> (annLshIndexedAuto _),
     "sim_ann_lsh_capped_indexed" -> (annLshCappedIndexedAuto _),
     "sim_ann_lsh_search" -> (annLshSearch _),
+    "sim_ann_lsh_search_filtered" -> (annLshSearchFiltered _),
     "sim_ann_lsh_index_delete" -> (annLshIndexDelete _),
     "sim_ann_index_delta" -> (annIvfPqIndexDelta _),
     "sim_ann_index_search" -> (annIvfPqIndexSearch _),
@@ -3613,6 +3678,7 @@ object Similarity {
     "sim_ann_lsh_indexed" -> annLshOracle,
     "sim_ann_lsh_capped_indexed" -> annLshCappedOracle,
     "sim_ann_lsh_search" -> annLshSearchOracle,
+    "sim_ann_lsh_search_filtered" -> annLshSearchFilteredOracle,
     "sim_ann_lsh_index_delete" -> annLshIndexDeleteOracle,
     "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle,
     "sim_ann_index_search" -> annIvfPqIndexSearchOracle,

@@ -157,6 +157,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // external-query search on the LSH artifact: same shape, queries
     // broadcast-joined onto the candidate stream
     "sim_ann_lsh_search" -> (1, 4),
+    // + the allowed-id semi-join at candidate scale (broadcast at
+    // fixture selectivity; Catalyst shuffles it if the slice outgrows
+    // the threshold — postings side stays exchange-free either way)
+    "sim_ann_lsh_search_filtered" -> (1, 5),
     "sim_centroid_by_lang" -> (1, 1),
     "sim_cosine_neardup" -> (1, 1), // + streamed-side repartition (baseline)
     // streamed-side repartition on vec_id doubles as the top-k window's

@@ -157,6 +157,35 @@ class PersistedLshIndexSpec extends AnyFunSuite {
       f"rank-1 source retrieval $rate%.3f below the 0.80 floor")
   }
 
+  test("filtered LSH search: only allowed neighbors, dense ranks, de source at 1") {
+    // API parity with the IVF-PQ artifact's filtered search — same
+    // pre-filter semantics, same registry slice (documents.lang = 'de')
+    val res = Similarity.annLshSearchFiltered(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    val allowed = graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === "de").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(allowed.nonEmpty)
+    res.foreach { case (q, n, _) =>
+      assert(allowed.contains(n), s"query $q returned non-'de' neighbor $n")
+    }
+    // PRE-filter semantics: ranks dense 1..k per query
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).toSeq.sorted == (1L to rs.size).toSeq,
+        s"query $q has non-dense filtered ranks")
+    }
+    // a query whose German source vector lands in the probe set must
+    // rank it first (bucket-identical after the small perturbation;
+    // radius-2 probing makes a miss possible by construction, so gate
+    // on presence rather than asserting universal retrieval)
+    val top1 = res.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    val deSourceHits = res.map(_._1).distinct
+      .filter(q => allowed.contains(q - 300000L))
+      .count(q => top1.get(q).contains(q - 300000L))
+    assert(deSourceHits > 0, "no German-source query retrieved its source")
+  }
+
   test("the postings artifact carries codes, never embeddings") {
     // build into a known root so the table/artifact pair is inspectable
     val root = java.nio.file.Files.createTempDirectory("graft_lshidx_spec")
