@@ -2160,6 +2160,89 @@ object Similarity {
     }
   }
 
+  /** One-row health summary of a persisted IVF-PQ index — the numbers a
+    * deployment's dashboard (or an operator at 3 a.m.) needs without
+    * scanning the postings: row count from the stats artifacts, cell
+    * count (and the [[AutoProbes]] nprobe queries will therefore use),
+    * committed append/delete batches from the commit logs, live
+    * tombstoned ids, fragmented cells (the compaction backlog — this is
+    * the one field that reads postings metadata, file NAMES only), and
+    * the newest append's drift. Every input is the metadata the
+    * lifecycle already maintains; cost is independent of index size
+    * except the file listing. */
+  def describeIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    val n = statsIndexSize(spark, indexDir)
+    val cells = spark.read.parquet(s"$indexDir/centroids.parquet").count()
+    def committed(log: String): Long =
+      ifs.listDir(ifs.child(log)).count(_.getName.startsWith("batch-"))
+    val tombs = tombstonesOf(spark, indexDir)
+      .map(_.distinct().count()).getOrElse(0L)
+    val fragmented = spark.read.parquet(s"$indexDir/postings.parquet")
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        input_file_name().as("f"))
+      .distinct()
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("nf"))
+      .filter(col("nf") > 1).count()
+    val drift = indexDriftReport(spark, indexDir)
+      .orderBy(col("seq").desc).limit(1)
+      .select(col("batch_id"), col("drift")).collect().headOption
+    spark.range(1).select(
+      lit(n).as("n_vectors"),
+      lit(cells).as("cells"),
+      lit(resolveNprobe(AutoProbes, cells)).as("auto_nprobe"),
+      lit(committed("_append_log")).as("committed_appends"),
+      lit(committed("_delete_log")).as("committed_deletes"),
+      lit(tombs).as("tombstoned_ids"),
+      lit(fragmented).as("fragmented_cells"),
+      lit(drift.map(_.getString(0)).orNull).as("last_batch_id"),
+      lit(drift.map(_.getDouble(1)).getOrElse(0.0)).as("last_drift"))
+  }
+
+  /** Sampled RECALL canary against a live index — the end-metric
+    * companion to [[indexDriftReport]] (drift measures quantizer FIT;
+    * this measures what the user actually experiences). Every
+    * `sampleMod`-th corpus vector queries the index through the real
+    * search path ([[searchIvfPqIndex]], auto nprobe) and is scored
+    * against its exact top-[[AnnK]] computed by one broadcast-sample ×
+    * corpus pass (linear in n — the standard ANN-benchmark
+    * methodology, `graft.Frontier`'s ground truth productized as an
+    * API). Returns one row (n_vectors, sampled_queries, k,
+    * recall_at_k). Default sample ≈ 150 queries regardless of corpus
+    * size, so the canary costs one corpus scan + one warm search. */
+  def indexRecallProbe(spark: SparkSession, dir: String, indexDir: String,
+      sampleMod: Long = 0L): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
+    val n = e.count()
+    val m = if (sampleMod > 0) sampleMod else math.max(1L, n / 150)
+    val q = e.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("query_id"), col("ev").as("qev"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // exact ground truth INCLUDING the source vector — the external
+    // search does not exclude it, so both sides share the convention
+    val exact = e.select(col("vec_id").as("neighbor_id"),
+        col("ev").as("b_ev"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qev"), col("b_ev")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= AnnK)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = searchIvfPqIndex(spark, q, dir, indexDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val perQuery = q.select(col("query_id"))
+      .join(exact.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits")),
+        Seq("query_id"), "left")
+      .select(coalesce(col("hits"), lit(0L)).cast("double").as("hits"))
+    perQuery.agg(
+        lit(n).as("n_vectors"),
+        count(lit(1)).as("sampled_queries"),
+        lit(AnnK).as("k"),
+        (avg(col("hits")) / AnnK).as("recall_at_k"))
+  }
+
   /** Drop version directories older than the `keepVersions` most
     * recently published distinct names (and their superseded pointer
     * files); returns how many directories were removed. `keepVersions`

@@ -645,6 +645,59 @@ class PersistedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("describeIndex reports the lifecycle's exact bookkeeping") {
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val base = e.filter(col("vec_id") % 8 =!= 7)
+      Similarity.buildIvfPqIndexOn(spark, base, root.toString)
+      Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 8 === 7),
+        root.toString, "day1")
+      val ids = e.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+      Similarity.deleteFromIvfPqIndex(spark, ids, root.toString, "erasure-1")
+      val row = Similarity.describeIndex(spark, root.toString).head()
+      assert(row.getAs[Long]("n_vectors") == e.count())
+      assert(row.getAs[Long]("cells") ==
+        spark.read.parquet(s"$root/centroids.parquet").count())
+      assert(row.getAs[Int]("auto_nprobe") == 8) // fixture scale = floor
+      assert(row.getAs[Long]("committed_appends") == 1L)
+      assert(row.getAs[Long]("committed_deletes") == 1L)
+      assert(row.getAs[Long]("tombstoned_ids") == ids.count())
+      // the append left its touched cells with 2 files — a backlog
+      assert(row.getAs[Long]("fragmented_cells") > 0L)
+      assert(row.getAs[String]("last_batch_id") == "day1")
+      assert(row.getAs[Double]("last_drift") < 0.0)
+      // compaction drains the backlog; everything else is unchanged
+      Similarity.compactIvfPqIndex(spark, root.toString)
+      val after = Similarity.describeIndex(spark, root.toString).head()
+      assert(after.getAs[Long]("fragmented_cells") == 0L)
+      assert(after.getAs[Long]("n_vectors") == e.count())
+      assert(after.getAs[Long]("tombstoned_ids") == ids.count())
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("the recall canary scores the live index against exact ground truth") {
+    val root = tempRoot()
+    try {
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      val row = Similarity.indexRecallProbe(spark, dir, root.toString).head()
+      val n = graft.sources.Tables.embeddings(spark, dir).count()
+      assert(row.getAs[Long]("n_vectors") == n)
+      val sampled = row.getAs[Long]("sampled_queries")
+      assert(sampled > 100L && sampled <= n)
+      assert(row.getAs[Int]("k") == 3)
+      val recall = row.getAs[Double]("recall_at_k")
+      info(f"canary recall@3 = $recall%.3f over $sampled queries")
+      // corpus members query their own index: the source vector alone
+      // guarantees 1/3, and the fixture configuration measures well
+      // above the 0.5 floor — a collapse below it is a broken index
+      assert(recall > 0.5 && recall <= 1.0)
+      // deterministic: the canary is a measurement, not a sample draw
+      assert(Similarity.indexRecallProbe(spark, dir, root.toString)
+        .head().getAs[Double]("recall_at_k") == recall)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
   test("append seqs are minted create-once — a raced seq is never shared") {
     val root = tempRoot()
     try {
