@@ -41,6 +41,47 @@ object StreamingIndexAppend {
     graft.operators.Similarity.appendToIvfPqIndexProd(spark, batch,
       indexDir, batchId.toString)
 
+  /** [[appendBatch]] against an ALIAS root instead of a fixed version
+    * directory: the alias is resolved per micro-batch, so a retrain
+    * that rotates the alias mid-stream
+    * ([[graft.operators.Similarity.retrainIfDrifted]] /
+    * `publishIndexVersion`) redirects the very next batch to the new
+    * version without stopping the streaming query — the ingest-side
+    * half of zero-downtime deploys (the read side is
+    * `resolveIndexAlias` on the query path). Batches committed to the
+    * SUPERSEDED version stay in its commit log: a version plus its
+    * appends is immutable history, and the retrain's corpus snapshot
+    * is what the new version starts from.
+    *
+    * The retry-after-rotation race is closed by a create-once ROUTING
+    * claim, not by luck: before appending, the batch claims its target
+    * version in the alias-level ingest log
+    * (`_alias/_ingest_log/batch-N`, content = version name) — written
+    * BEFORE the append, so a foreachBatch retry that arrives after a
+    * rotation re-reads the claim and re-applies to the version the
+    * batch originally targeted (where the per-version commit log makes
+    * it a no-op), instead of re-resolving the alias and double-landing
+    * the batch's rows in a new version whose build may already contain
+    * them. Two concurrent attempts of one batch race on the
+    * create-once claim; the loser reads the winner's routing. */
+  def appendBatchAliased(spark: SparkSession, aliasDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val ifs = graft.sources.IndexFs.on(spark, aliasDir)
+    val claim = ifs.child("_alias", "_ingest_log", s"batch-$batchId")
+    val version =
+      if (ifs.exists(claim)) ifs.readUtf8(claim)
+      else {
+        val resolved = new org.apache.hadoop.fs.Path(
+          graft.operators.Similarity.resolveIndexAlias(spark, aliasDir))
+          .getName
+        try { ifs.createUtf8(claim, resolved); resolved }
+        catch { // lost the create race — adopt the winner's routing
+          case _: java.io.IOException => ifs.readUtf8(claim)
+        }
+      }
+    appendBatch(spark, s"$aliasDir/$version")(batch, batchId)
+  }
+
   /** One MAINTENANCE turn after a committed micro-batch — the last mile
     * of the index lifecycle: compaction and drift stop being APIs a
     * human remembers to call and become a conditional on the append

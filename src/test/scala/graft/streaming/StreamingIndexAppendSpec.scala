@@ -107,6 +107,93 @@ class StreamingIndexAppendSpec extends AnyFunSuite {
     }
   }
 
+  test("alias-routed ingest follows a mid-stream rotation; claims survive retries") {
+    val alias = java.nio.file.Files.createTempDirectory("graft_idx_alias")
+    val control = java.nio.file.Files.createTempDirectory("graft_idx_actl")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_alias_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_alias_ckpt")
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val base = e.filter(col("vec_id") % 4 === 0)
+      val d0 = e.filter(col("vec_id") % 8 === 1)
+      val d1 = e.filter(col("vec_id") % 8 === 3)
+      val d2 = e.filter(col("vec_id") % 8 === 5)
+      graft.operators.Similarity.buildIvfPqIndexProdOn(spark, base,
+        s"$alias/v1")
+      graft.operators.Similarity.publishIndexVersion(spark,
+        alias.toString, "v1")
+      // three staged files → batches 0, 1, 2 at maxFilesPerTrigger = 1;
+      // the retrain SHIPS inside the stream, right after batch 0 commits
+      Seq(d0, d1, d2).foreach(_.coalesce(1)
+        .write.mode("append").parquet(streamDir.toString))
+      val stream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      val query = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingIndexAppend.appendBatchAliased(spark,
+            alias.toString)(b, id)
+          if (id == 0L) {
+            graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+              base.unionByName(d0), s"$alias/v2")
+            graft.operators.Similarity.publishIndexVersion(spark,
+              alias.toString, "v2")
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      // routing: batch 0 landed on v1, batches 1-2 on the rotated v2
+      def markers(v: String) = {
+        import scala.jdk.CollectionConverters._
+        val p = alias.resolve(v).resolve("_append_log")
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch-")).toSet
+        finally s.close()
+      }
+      assert(markers("v1") == Set("batch-0"))
+      assert(markers("v2") == Set("batch-1", "batch-2"))
+      // the claims record the routing
+      val ifs = graft.sources.IndexFs.on(spark, alias.toString)
+      def claim(id: Int) = ifs.readUtf8(
+        ifs.child("_alias", "_ingest_log", s"batch-$id"))
+      assert(claim(0) == "v1" && claim(1) == "v2" && claim(2) == "v2")
+      // a retry of batch 0 AFTER the rotation must follow its claim back
+      // to v1 and no-op there — not double-land d0's rows into v2 (whose
+      // build already contains them)
+      val v2Rows = spark.read.parquet(s"$alias/v2/postings.parquet").count()
+      StreamingIndexAppend.appendBatchAliased(spark, alias.toString)(d0, 0L)
+      assert(markers("v1") == Set("batch-0"))
+      assert(markers("v2") == Set("batch-1", "batch-2"),
+        "a post-rotation retry re-landed its batch on the new version")
+      assert(spark.read.parquet(s"$alias/v2/postings.parquet").count()
+        == v2Rows)
+      // and the rotated, streamed result equals the batch twin built the
+      // same way with no rotation machinery
+      graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+        base.unionByName(d0), control.toString)
+      graft.operators.Similarity.appendToIvfPqIndexProd(spark, d1,
+        control.toString, "1")
+      graft.operators.Similarity.appendToIvfPqIndexProd(spark, d2,
+        control.toString, "2")
+      val live = graft.operators.Similarity.resolveIndexAlias(spark,
+        alias.toString)
+      assert(live.endsWith("/v2"))
+      val got = resultRows(graft.operators.Similarity.annIvfPqIndexed(
+        spark, dir, live))
+      val want = resultRows(graft.operators.Similarity.annIvfPqIndexed(
+        spark, dir, control.toString))
+      assert(want.nonEmpty)
+      assert(got == want)
+    } finally {
+      StreamingStaging.deleteRecursively(alias)
+      StreamingStaging.deleteRecursively(control)
+      StreamingStaging.deleteRecursively(streamDir)
+      StreamingStaging.deleteRecursively(ckpt)
+    }
+  }
+
   test("a retried (already-committed) batch is a no-op on the postings") {
     val root = java.nio.file.Files.createTempDirectory("graft_idx_retry")
     try {
