@@ -3460,6 +3460,47 @@ object Similarity {
     annLshIndexed(spark, dir, table)
   }
 
+  /** One-row health summary of a persisted LSH index — the twin of
+    * [[describeIndex]] for the bucket-join artifact. Reports the
+    * bucket-CONCENTRATION numbers the frontier measured to decide this
+    * family's economics (max bucket share and Σshare² — the skew that
+    * blew the 10×/30× candidate volume; the per-query candidate
+    * CEILING the [[LshBucketCap]] fuse enforces) WITHOUT turning them
+    * into a recommendation: round 12 measured that analytic
+    * candidate-count models mispredict the wall (SCALING.md round 12 —
+    * the advisor built on them was rejected), so this reports the
+    * measured skew and the frontier table is the interpretation. One
+    * aggregation over the postings (24 B rows) + the tiny metadata
+    * artifacts. */
+  def describeLshIndex(spark: SparkSession, tableName: String): DataFrame = {
+    val indexDir = lshIndexDirOf(spark, tableName)
+    val numPlanes = spark.read.parquet(s"$indexDir/meta.parquet")
+      .head().getAs[Int]("num_planes")
+    val hist = spark.table(tableName)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val a = hist.agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("occupied"),
+      max(col("c")).as("maxc"),
+      sum(col("c") * col("c")).cast("double").as("cc")).head()
+    val n = a.getAs[Long]("n")
+    val tombs = tombstonesOf(spark, indexDir)
+      .map(_.distinct().count()).getOrElse(0L)
+    val probes = probeMasks(numPlanes).size
+    spark.range(1).select(
+      lit(n).as("n_vectors"),
+      lit(numPlanes).as("planes"),
+      lit(a.getAs[Long]("occupied")).as("buckets_occupied"),
+      lit(1L << numPlanes).as("buckets_total"),
+      (lit(a.getAs[Long]("maxc")).cast("double") / n)
+        .as("max_bucket_share"),
+      (lit(a.getAs[Double]("cc")) / (n.toDouble * n.toDouble))
+        .as("sum_share_sq"),
+      lit(probes).as("probes_per_query"),
+      lit(probes.toLong * LshBucketCap).as("capped_candidate_bound"),
+      lit(tombs).as("tombstoned_ids"))
+  }
+
   /** Search a persisted LSH index with an EXTERNAL query set — the
     * search-service call shape on the bucket-join artifact (the IVF-PQ
     * twin is [[searchIvfPqIndex]]). `queries` is any (query_id, qev)

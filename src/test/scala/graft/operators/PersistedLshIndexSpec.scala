@@ -186,6 +186,39 @@ class PersistedLshIndexSpec extends AnyFunSuite {
     assert(deSourceHits > 0, "no German-source query retrieved its source")
   }
 
+  test("describeLshIndex reports the measured bucket concentration") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lshdesc")
+    val t = s"graft_lshdesc_${java.lang.Long.toHexString(System.nanoTime())}"
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildLshIndex(spark, dir, s"$root/idx", t)
+      val ids = e.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+      Similarity.deleteFromLshIndex(spark, ids, t, "erasure-1")
+      val row = Similarity.describeLshIndex(spark, t).head()
+      val n = e.count()
+      assert(row.getAs[Long]("n_vectors") == n) // postings keep the bytes
+      assert(row.getAs[Int]("planes") == 4)     // planesFor: 500 ≤ 50·2^4
+      val occupied = row.getAs[Long]("buckets_occupied")
+      assert(occupied > 0 && occupied <= row.getAs[Long]("buckets_total"))
+      val maxShare = row.getAs[Double]("max_bucket_share")
+      val ss = row.getAs[Double]("sum_share_sq")
+      // concentration bounds: uniform ≤ Σshare² ≤ max-share ≤ 1, and
+      // the fixture is measurably NON-uniform (the skew the frontier's
+      // selection evidence hangs on)
+      assert(ss >= 1.0 / row.getAs[Long]("buckets_total"))
+      assert(maxShare >= ss && maxShare <= 1.0)
+      assert(ss > 1.2 / row.getAs[Long]("buckets_total"),
+        f"fixture buckets unexpectedly uniform: ss=$ss%.5f")
+      assert(row.getAs[Int]("probes_per_query") == 1 + 4 + 6)
+      assert(row.getAs[Long]("capped_candidate_bound") ==
+        11L * Similarity.LshBucketCap)
+      assert(row.getAs[Long]("tombstoned_ids") == ids.count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.streaming.StreamingStaging.deleteRecursively(root)
+    }
+  }
+
   test("the postings artifact carries codes, never embeddings") {
     // build into a known root so the table/artifact pair is inspectable
     val root = java.nio.file.Files.createTempDirectory("graft_lshidx_spec")
