@@ -45,6 +45,12 @@ object StatsCollector {
 
   /** Profile `df` into a collection model: one count pass to pick the
     * distinct strategy, then ONE aggregation pass for all statistics.
+    * The reported row count is the stats pass's own `count(1)` — NOT the
+    * strategy pre-count — so every number in the returned model comes
+    * from the same scan and stays mutually consistent even when the
+    * source is non-deterministic or changing between the two passes
+    * (the pre-count then only risks picking the other distinct strategy,
+    * never an inconsistent stats row).
     *
     * @param statFields fields to gather distinct-value estimates for
     *                   (grouping/filter/join candidates)
@@ -59,9 +65,9 @@ object StatsCollector {
     val fields = df.schema.fields.toSeq
     val stringFields = fields.filter(_.dataType == StringType).map(_.name)
 
-    val nbDocuments = df.count()
+    val preCount = df.count() // strategy selection only — never reported
     val distinctOf: String => org.apache.spark.sql.Column =
-      if (nbDocuments <= ExactDistinctMaxRows) f => count_distinct(col(f))
+      if (preCount <= ExactDistinctMaxRows) f => count_distinct(col(f))
       else f => approx_count_distinct(col(f))
     val aggs =
       Seq(count(lit(1)).as("__n")) ++
@@ -69,6 +75,7 @@ object StatsCollector {
         stringFields.map(f =>
           ceil(avg(octet_length(col(f)))).cast("long").as(s"__w_$f"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val nbDocuments = row.getAs[Long]("__n")
     val distinct = statFields.map(f => f -> row.getAs[Long](s"__d_$f")).toMap
     val widths = stringFields.map { f =>
       f -> Option(row.getAs[Any](s"__w_$f")).map(_.asInstanceOf[Long])

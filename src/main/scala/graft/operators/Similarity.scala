@@ -1919,15 +1919,18 @@ object Similarity {
   private def mintAppendSeq(ifs: graft.sources.IndexFs,
       batchId: String): Long = {
     val log = ifs.child("_append_log")
-    val existing: Vector[(Long, org.apache.hadoop.fs.Path)] =
+    def ordPointers(): Vector[(Long, org.apache.hadoop.fs.Path)] =
       ifs.listDir(log).flatMap { p =>
         val n = p.getName
         if (n.startsWith("ord-"))
           scala.util.Try(n.drop(4).toLong).toOption.map(_ -> p)
         else None
       }.sortBy(_._1)
-    existing.find { case (_, p) => ifs.readUtf8(p) == batchId } match {
-      case Some((seq, _)) => seq
+    def ownSeq(ptrs: Vector[(Long, org.apache.hadoop.fs.Path)]): Option[Long] =
+      ptrs.find { case (_, p) => ifs.readUtf8(p) == batchId }.map(_._1)
+    val existing = ordPointers()
+    ownSeq(existing) match {
+      case Some(seq) => seq
       case None =>
         val markers = ifs.listDir(log).count(_.getName.startsWith("batch-"))
         var next = math.max(markers.toLong,
@@ -1941,7 +1944,20 @@ object Similarity {
           } catch {
             case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                  _: org.apache.hadoop.fs.PathExistsException =>
-              next += 1; attempts += 1 // lost a create race — claim the next
+              // Lost a create race. The winner may be another attempt of
+              // THIS batch (two racing retries of one append) — re-scan
+              // the log for a pointer carrying our own batch id before
+              // claiming a fresh seq, else the same batch ends up owning
+              // two ord pointers and its stats row's seq depends on
+              // which attempt reaches the commit marker first.
+              val ptrs = ordPointers()
+              ownSeq(ptrs) match {
+                case Some(seq) => return seq
+                case None =>
+                  next = math.max(next + 1,
+                    ptrs.lastOption.map(_._1 + 1).getOrElse(next + 1))
+                  attempts += 1
+              }
           }
         }
         sys.error(s"could not mint an append seq under $log " +
@@ -2424,19 +2440,45 @@ object Similarity {
     try {
       compactedRows.write.mode("overwrite").partitionBy("centroid_id")
         .parquet(staging.toString)
-      val staged = spark.read.parquet(staging.toString)
-        .select(col("vec_id"), col("b_code"),
-          col("centroid_id").cast("long").as("centroid_id"))
-      val saved =
-        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try staged.write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(path)
-      finally saved match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // the partitions the staging ACTUALLY produced — read off the
+      // directory listing (≤ |cells| names, no extra Spark job), which
+      // also keeps the all-cells-dead takedown working: an empty staged
+      // write has no partitions to read back as a DataFrame at all
+      val stagedCells = ifs.listDir(staging).map(_.getName)
+        .filter(_.startsWith("centroid_id="))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix("centroid_id=").toLong).toOption)
+        .toSet
+      if (stagedCells.nonEmpty) {
+        val staged = spark.read.parquet(staging.toString)
+          .select(col("vec_id"), col("b_code"),
+            col("centroid_id").cast("long").as("centroid_id"))
+        val saved =
+          spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try staged.write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(path)
+        finally saved match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      // A fragmented cell whose rows are ALL tombstoned stages no rows,
+      // so dynamic overwrite (which only replaces partitions PRESENT in
+      // the written data) leaves the dead cell's files — the erased
+      // vectors' bytes — on disk. Queries stay correct (tombstones are
+      // authoritative), but the purge's byte-erasure guarantee would
+      // silently fail exactly when a takedown batch covers whole cells
+      // (clustered per-tenant vectors — the realistic privacy-deadline
+      // shape). Diff the fragmented list against the partitions the
+      // staging actually produced and delete the empty cells'
+      // partition directories explicitly. Idempotent on retry: a cell
+      // deleted here simply stops appearing in the fragmented list.
+      cells.filterNot(stagedCells).foreach { c =>
+        ifs.deleteRecursive(
+          new org.apache.hadoop.fs.Path(path, s"centroid_id=$c"))
       }
     } finally ifs.deleteRecursive(staging)
     cells.length
@@ -3303,14 +3345,6 @@ object Similarity {
   private def writeLshPostings(spark: SparkSession, v: DataFrame,
       packed: DataFrame, numPlanes: Int, indexDir: String,
       tableName: String, numBuckets: Int): Unit = {
-    // a rebuild is a new index version: every source vector is
-    // re-encoded live, so carrying the old erasure list forward would
-    // delete rows the new artifact legitimately holds (same rule as
-    // the IVF-PQ build's resetAppendLog). The rebuild is also the LSH
-    // family's PHYSICAL purge — see [[deleteFromLshIndex]].
-    val ifs = graft.sources.IndexFs.on(spark, indexDir)
-    ifs.deleteRecursive(ifs.child("tombstones.parquet"))
-    ifs.deleteRecursive(ifs.child("_delete_log"))
     val wB = Window.partitionBy(col("bucket")).orderBy(
       (lit(1103515245L) * col("vec_id") + lit(12345L)) % lit(2147483648L),
       col("vec_id"))
@@ -3320,6 +3354,23 @@ object Similarity {
         .select(col("vec_id"), col("bucket"), col("b_code"))
         .withColumn("bucket_rank", row_number().over(wB).cast("long")),
       tableName, s"$indexDir/postings", Seq("bucket"), numBuckets)
+    // a rebuild is a new index version: every source vector is
+    // re-encoded live, so carrying the old erasure list forward would
+    // delete rows the new artifact legitimately holds (same rule as
+    // the IVF-PQ build's resetAppendLog). The rebuild is also the LSH
+    // family's PHYSICAL purge — see [[deleteFromLshIndex]]. The reset
+    // runs AFTER the new postings table commits: a crash mid-rebuild
+    // then leaves the OLD postings live with the erasure list intact
+    // (privacy-erased vectors stay erased — the failure direction that
+    // matters), whereas a reset-first ordering had a crash window in
+    // which the old postings survived with the tombstones already gone
+    // and erased vectors resurfaced in query answers. The residual
+    // window (crash between commit and reset) only OVER-subtracts: new
+    // rows the stale list names stay hidden until the rebuild is
+    // retried — conservative, never a resurrection.
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    ifs.deleteRecursive(ifs.child("tombstones.parquet"))
+    ifs.deleteRecursive(ifs.child("_delete_log"))
   }
 
   /** Query a persisted LSH index: read (vec_id, bucket, b_code) from

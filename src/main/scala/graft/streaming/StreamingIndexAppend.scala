@@ -68,17 +68,53 @@ object StreamingIndexAppend {
       batch: DataFrame, batchId: Long): Unit = {
     val ifs = graft.sources.IndexFs.on(spark, aliasDir)
     val claim = ifs.child("_alias", "_ingest_log", s"batch-$batchId")
-    val version =
-      if (ifs.exists(claim)) ifs.readUtf8(claim)
+    // A routing claim is only trusted when it names an EXISTING version
+    // directory: create-then-write is not atomic, so a crash between
+    // the create and the content write leaves an existing-but-EMPTY
+    // claim that a naive exists→read path would route to "$aliasDir/"
+    // (an invalid version path). A torn claim here is either our own
+    // crashed previous attempt (safe to delete and re-claim — no attempt
+    // ever appended through it, the routing is what GATES the append) or
+    // a concurrent winner mid-write (re-read catches it next pass).
+    def validClaim(): Option[String] =
+      if (!ifs.exists(claim)) None
       else {
-        val resolved = new org.apache.hadoop.fs.Path(
-          graft.operators.Similarity.resolveIndexAlias(spark, aliasDir))
-          .getName
-        try { ifs.createUtf8(claim, resolved); resolved }
-        catch { // lost the create race — adopt the winner's routing
-          case _: java.io.IOException => ifs.readUtf8(claim)
-        }
+        val c = scala.util.Try(ifs.readUtf8(claim)).getOrElse("")
+        if (c.nonEmpty && !c.contains("/") && ifs.exists(ifs.child(c)))
+          Some(c)
+        else None
       }
+    var version: String = null
+    var attempts = 0
+    while (version == null && attempts < 100) {
+      attempts += 1
+      validClaim() match {
+        case Some(v) => version = v
+        case None if ifs.exists(claim) =>
+          // torn claim: give a mid-write concurrent winner one beat to
+          // finish, then treat it as a crashed attempt's husk
+          Thread.sleep(20L)
+          validClaim() match {
+            case Some(v) => version = v
+            case None => ifs.deleteFile(claim)
+          }
+        case None =>
+          val resolved = new org.apache.hadoop.fs.Path(
+            graft.operators.Similarity.resolveIndexAlias(spark, aliasDir))
+            .getName
+          // only the create-once races are adoption cases — a genuine
+          // create failure (permissions, store down) must surface, not
+          // be misread as "lost the race" ([[mintAppendSeq]]'s rule)
+          try { ifs.createUtf8(claim, resolved); version = resolved }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: org.apache.hadoop.fs.PathExistsException => ()
+          }
+      }
+    }
+    require(version != null,
+      s"could not establish a routing claim for batch $batchId under " +
+        s"$aliasDir after $attempts attempts")
     appendBatch(spark, s"$aliasDir/$version")(batch, batchId)
   }
 

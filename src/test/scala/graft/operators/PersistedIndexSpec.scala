@@ -396,6 +396,59 @@ class PersistedIndexSpec extends AnyFunSuite {
     } finally graft.streaming.StreamingStaging.deleteRecursively(root)
   }
 
+  test("purge erases a WHOLE-cell takedown: dead cell's files leave disk") {
+    // the realistic privacy-deadline shape: a takedown batch that covers
+    // every row of some cells (clustered per-tenant/per-source vectors).
+    // Dynamic partition overwrite only replaces partitions PRESENT in
+    // the staged data, so a cell with zero live rows used to keep its
+    // files (the erased bytes) on disk — the purge must delete those
+    // partition directories explicitly.
+    val root = tempRoot()
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      Similarity.buildIvfPqIndex(spark, dir, root.toString)
+      val postings = spark.read.parquet(s"$root/postings.parquet")
+        .select(col("vec_id"), col("centroid_id").cast("long").as("cell"))
+      // take down EVERY row of the two most populated cells, plus a
+      // 10% sprinkle elsewhere (mixed whole-cell + partial-cell batch)
+      val deadCells = postings.groupBy(col("cell"))
+        .count().orderBy(col("count").desc, col("cell")).limit(2)
+        .collect().map(_.getLong(0))
+      assert(deadCells.length == 2)
+      val cellIds = postings
+        .filter(col("cell").isin(deadCells.toIndexedSeq: _*))
+        .select(col("vec_id"))
+      val ids = cellIds.union(
+        e.filter(col("vec_id") % 10 === 5).select(col("vec_id"))).distinct()
+      val deadIds = ids.collect().map(_.getLong(0)).toSet
+      Similarity.deleteFromIvfPqIndex(spark, ids, root.toString, "takedown-1")
+      val preQuery = resultRows(
+        Similarity.annIvfPqIndexed(spark, dir, root.toString))
+      Similarity.compactIvfPqIndex(spark, root.toString, maxFilesPerCell = 0)
+      // the dead cells' partition DIRECTORIES are gone from disk
+      deadCells.foreach { c =>
+        assert(!java.nio.file.Files.exists(
+          root.resolve("postings.parquet").resolve(s"centroid_id=$c")),
+          s"whole-cell takedown left centroid_id=$c on disk")
+      }
+      // and NO surviving postings file carries any tombstoned id
+      val survivors = spark.read.parquet(s"$root/postings.parquet")
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      assert(survivors.nonEmpty)
+      assert(!survivors.exists(deadIds), "purge left a tombstoned id on disk")
+      // query rows bit-identical across the purge
+      assert(resultRows(Similarity.annIvfPqIndexed(spark, dir, root.toString))
+        == preQuery)
+      // idempotent: a retried purge pass converges (no resurrection, no
+      // error on the already-deleted cells)
+      Similarity.compactIvfPqIndex(spark, root.toString, maxFilesPerCell = 0)
+      deadCells.foreach { c =>
+        assert(!java.nio.file.Files.exists(
+          root.resolve("postings.parquet").resolve(s"centroid_id=$c")))
+      }
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
   test("filtered search: only allowed neighbors, dense ranks, de source at 1") {
     val res = Similarity.annIvfPqIndexSearchFiltered(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
