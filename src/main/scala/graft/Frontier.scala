@@ -82,12 +82,63 @@ object Frontier {
     "sim_ann_ivf_sq", "sim_ann_ivfpq",
     "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_index_query")
 
+  /** The per-factor nprobe sweep on a prebuilt index: query-only wall +
+    * recall per notch, plus the AUTO default — what a deployment
+    * actually dials to buy recall back as n grows. `prefix` tags the
+    * emitted form names (clustered rows report as `clu_indexed_query_*`
+    * so the two corpus shapes never mix in a reader). */
+  private def sweepAt(spark: SparkSession, dir: String, factor: Int,
+      n: Long, prefix: String = ""): Seq[(Int, String, Long, Double, Double, Double)] = {
+    val mod = math.max(1L, n / 150)
+    val exact = exactSampleTopK(spark, dir, mod, 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_frontier_idx").toString
+    graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+      graft.sources.Tables.embeddings(spark, dir), root)
+    val notches = Seq(4, 8, 16, 32).map(v => (s"nprobe$v", v)) :+
+      ("auto", graft.operators.Similarity.AutoProbes)
+    val out = notches.map { case (label, nprobe) =>
+      val listener = new ShuffleBytes
+      spark.sparkContext.addSparkListener(listener)
+      val wall = try (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.annIvfPqIndexed(spark, dir, root,
+          nprobe).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min finally {
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      val shuffleMb = listener.bytes.get() / 2 / 1e6
+      spark.catalog.clearCache()
+      val res = graft.operators.Similarity.annIvfPqIndexed(spark, dir,
+        root, nprobe)
+      val got = res.filter(res.col("vec_id") % mod === 0)
+        .collect().groupBy(_.getLong(0))
+        .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+      val recall = exact.map { case (v, ex) =>
+        (ex intersect got.getOrElse(v, Set.empty)).size.toDouble / ex.size
+      }.sum / exact.size
+      println(f"[frontier] x$factor ${prefix}indexed_query $label%-8s " +
+        f"recall@3=$recall%.3f wall=$wall%.2fs shuffle=${shuffleMb}%.1fMB")
+      (factor, s"${prefix}indexed_query_$label", n, recall, wall, shuffleMb)
+    }
+    graft.streaming.StreamingStaging.deleteRecursively(
+      java.nio.file.Paths.get(root))
+    out
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: Frontier <sf0.1Dir> <outRoot> <factor...>")
-    val sfDir = args(0)
-    val outRoot = args(1)
-    val factors = args.drop(2).map(_.toInt)
+    val flags = args.filter(_.startsWith("--")).toSet
+    val positional = args.filterNot(_.startsWith("--"))
+    require(positional.length >= 3,
+      "usage: Frontier <sf0.1Dir> <outRoot> [--clustered|--filtered-only] <factor...>")
+    val sfDir = positional(0)
+    val outRoot = positional(1)
+    val factors = positional.drop(2).map(_.toInt)
+    val clustered = flags.contains("--clustered")
+    val filteredOnly = flags.contains("--filtered-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -103,8 +154,8 @@ object Frontier {
     try spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     catch { case _: Throwable => () }
 
-    val rows = factors.flatMap { factor =>
-      val dir = if (factor <= 1) sfDir else {
+    def isotropicDir(factor: Int): String =
+      if (factor <= 1) sfDir else {
         val d = s"$outRoot/x$factor"
         if (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$d/embeddings.parquet")))
@@ -113,6 +164,22 @@ object Frontier {
             .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
         d
       }
+    // the clustered corpus is synthesized at EVERY factor including 1×
+    // (the fixture is isotropic — a clustered slope needs the same
+    // corpus shape at its base point)
+    def clusteredDir(factor: Int): String = {
+      val d = s"$outRoot/clu_x$factor"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$d/embeddings.parquet")))
+        StressScale.synthEmbeddingsClustered(spark, baseVecs * factor)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+
+    val rows = if (clustered || filteredOnly) Seq.empty
+    else factors.toSeq.flatMap { factor =>
+      val dir = isotropicDir(factor)
       val n = baseVecs * math.max(1, factor)
       val mod = math.max(1L, n / 150)
       val exact = exactSampleTopK(spark, dir, mod, 3)
@@ -158,8 +225,9 @@ object Frontier {
     // included when allowed — the identical convention on both sides
     // (external-query search does not exclude the source vector), so
     // the unfiltered baseline row isolates what the filter alone costs.
-    val filteredRows = factors.flatMap { factor =>
-      val dir = if (factor <= 1) sfDir else s"$outRoot/x$factor"
+    val filteredRows = if (clustered) Seq.empty
+    else factors.toSeq.flatMap { factor =>
+      val dir = isotropicDir(factor)
       val n = baseVecs * math.max(1, factor)
       val mod = math.max(1L, n / 150)
       val dv = transform(col("embedding"), x => x.cast("double"))
@@ -214,6 +282,22 @@ object Frontier {
           () => (),
           () => graft.operators.Similarity.searchIvfPqIndexFiltered(
             spark, q, dir, root, allowed)),
+        // the LSH artifact's filtered rows (round 13): the fixed
+        // radius-2 control vs the AutoRadius dial — the dial's
+        // qualification is landing within 0.05 of the IVF-PQ filtered
+        // auto point on the same corpus
+        ("lsh_filtered_14pct_r2",
+          Some(col("neighbor_id") % 7 === 0),
+          () => graft.operators.Similarity.buildLshIndexProd(spark, dir,
+            s"$root/lshf", s"graft_frontier_lshf_x$factor"),
+          () => graft.operators.Similarity.searchLshIndexFiltered(
+            spark, q, dir, s"graft_frontier_lshf_x$factor", allowed,
+            radius = 2)),
+        ("lsh_filtered_14pct",
+          Some(col("neighbor_id") % 7 === 0),
+          () => (),
+          () => graft.operators.Similarity.searchLshIndexFiltered(
+            spark, q, dir, s"graft_frontier_lshf_x$factor", allowed)),
         ("search_tombstoned_10pct",
           Some(col("neighbor_id") % 10 =!= 5),
           () => graft.operators.Similarity.deleteFromIvfPqIndex(spark,
@@ -269,56 +353,24 @@ object Frontier {
         java.nio.file.Paths.get(root))
       out :+ purgeRow
     }
-    // the KNOB sweep at the largest scale point: one prebuilt index,
-    // query-only wall + recall per nprobe notch — what a deployment
-    // actually dials to buy recall back as n grows (preK fixed at its
-    // default; the oracle-gated setting is nprobe=8)
-    val sweepRows = {
-      val factor = factors.max
-      val dir = if (factor <= 1) sfDir else s"$outRoot/x$factor"
-      val n = baseVecs * math.max(1, factor)
-      val mod = math.max(1L, n / 150)
-      val exact = exactSampleTopK(spark, dir, mod, 3)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_frontier_idx").toString
-      graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
-        graft.sources.Tables.embeddings(spark, dir), root)
-      // explicit notches + the AUTO default (round 12: nprobe derived
-      // from the index's own cell count — the sweep shows where the
-      // auto rule lands on the same curve)
-      val notches = Seq(4, 8, 16, 32).map(v => (s"nprobe$v", v)) :+
-        ("auto", graft.operators.Similarity.AutoProbes)
-      val out = notches.map { case (label, nprobe) =>
-        val listener = new ShuffleBytes
-        spark.sparkContext.addSparkListener(listener)
-        val wall = try (1 to 2).map { _ =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          graft.operators.Similarity.annIvfPqIndexed(spark, dir, root,
-            nprobe).count()
-          (System.nanoTime() - t0) / 1e9
-        }.min finally {
-          Thread.sleep(2000)
-          spark.sparkContext.removeSparkListener(listener)
-        }
-        val shuffleMb = listener.bytes.get() / 2 / 1e6
-        spark.catalog.clearCache()
-        val res = graft.operators.Similarity.annIvfPqIndexed(spark, dir,
-          root, nprobe)
-        val got = res.filter(res.col("vec_id") % mod === 0)
-          .collect().groupBy(_.getLong(0))
-          .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
-        val recall = exact.map { case (v, ex) =>
-          (ex intersect got.getOrElse(v, Set.empty)).size.toDouble / ex.size
-        }.sum / exact.size
-        println(f"[frontier] x$factor indexed_query $label%-8s " +
-          f"recall@3=$recall%.3f wall=$wall%.2fs shuffle=${shuffleMb}%.1fMB")
-        (factor, s"indexed_query_$label", n, recall, wall, shuffleMb)
+    // the KNOB sweep: one prebuilt index per swept factor, query-only
+    // wall + recall per nprobe notch + the AUTO default. Default mode
+    // sweeps the largest scale point (the curve a deployment dials on);
+    // --clustered sweeps EVERY factor on the mixture-of-Gaussians
+    // corpora — the qualification run for the auto dial's headline
+    // claim ("recall holds as the index grows") on the corpus shape IVF
+    // exists for, not just the isotropic worst case.
+    val sweepRows: Seq[(Int, String, Long, Double, Double, Double)] =
+      if (clustered) factors.toSeq.flatMap { factor =>
+        val dir = clusteredDir(factor)
+        sweepAt(spark, dir, factor, baseVecs * math.max(1, factor), "clu_")
       }
-      graft.streaming.StreamingStaging.deleteRecursively(
-        java.nio.file.Paths.get(root))
-      out
-    }
+      else if (filteredOnly) Seq.empty
+      else {
+        val factor = factors.max
+        sweepAt(spark, isotropicDir(factor), factor,
+          baseVecs * math.max(1, factor))
+      }
     val body = (rows ++ filteredRows ++ sweepRows).map {
       case (f, form, n, r, w, mb) =>
       s"""{"factor":$f,"form":"$form","n":$n,"recall_at_3":${f"$r%.4f"},""" +

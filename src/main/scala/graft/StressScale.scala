@@ -117,6 +117,55 @@ object StressScale {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  /** CLUSTERED embedding synthesis — the realistic corpus shape the
+    * isotropic [[synthEmbeddings]] deliberately lacks, with
+    * SCALE-STABLE neighborhoods:
+    *
+    *   - a fixed mixture of [[ClusterK]] Gaussian clusters (centers
+    *     seeded by cluster id, per-dim std 0.12 — the same envelope as
+    *     the isotropic synthesis), sizes mildly skewed (density ∝
+    *     1/√(c/K) via u² inverse-CDF) — equal cells would flatter the
+    *     quantizer. The cluster count stays FIXED as n grows: scaling
+    *     densifies existing clusters (per-tenant growth), it does not
+    *     mint new ones.
+    *   - inside each cluster, PLANTED NEIGHBOR GROUPS of 4: ids
+    *     4g..4g+3 share a group base (center + per-group offset, std
+    *     0.05/dim) plus a small per-id perturbation (std 0.015/dim), so
+    *     each vector's true top-3 are its group mates at cosine ≈ 0.99
+    *     against a same-cluster background ≈ 0.85. Neighborhoods stay
+    *     the same SIZE as the corpus grows — the related-documents
+    *     shape retrieval serves — so recall@3 across scale is
+    *     well-posed.
+    *
+    * The first round-13 attempt omitted the groups (pure mixture,
+    * within-cluster noise 0.04): measured recall@3 COLLAPSED 0.80 →
+    * 0.19 from 1× to 30× and was insensitive to nprobe, because a 30×
+    * cluster holds ~1 200 exchangeable members at mutual cosine ≈ 0.9
+    * whose top-3 margins sit below PQ resolution — ranking exchangeable
+    * near-ties is information-free for ANY preselect-based method, a
+    * property of the task, not the dial (negative result kept in
+    * SCALING.md round 13). Same determinism rules as every synthesis:
+    * each row is a pure function of its id, partitioning-independent. */
+  val ClusterK = 50
+
+  def synthEmbeddingsClustered(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val k = ClusterK
+    spark.range(n).as[Long].map { id =>
+      val g = id / 4 // planted neighbor group
+      val grng = new scala.util.Random(g * 2862933555777941757L + 3037L)
+      val c = math.min(k - 1, (math.pow(grng.nextDouble(), 2.0) * k).toInt)
+      val crng = new scala.util.Random(c.toLong * 9176L + 31L)
+      val rng = new scala.util.Random(id * 40503L + 777331L)
+      val v = Array.tabulate(64) { _ =>
+        val center = crng.nextGaussian() * 0.12
+        val group = grng.nextGaussian() * 0.05
+        (center + group + rng.nextGaussian() * 0.015).toFloat
+      }
+      (id, v, (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
   /** The scale-sensitive subset: every family whose cost at 100 TB is a
     * real question (self-joins, CC, trained ANN, corpus shuffles, the
     * composed pipeline) plus two linear controls (exact dedup, HLL). */

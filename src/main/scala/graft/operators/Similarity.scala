@@ -487,6 +487,55 @@ object Similarity {
       math.round(npBase / sel))).toInt
   }
 
+  /** Sentinel for the persisted LSH index's filtered search: derive the
+    * multi-probe RADIUS from the filter's selectivity instead of the
+    * fixed radius 2 — the LSH family's analogue of the IVF side's
+    * [[resolveFilteredNprobe]] (round 12 left this as prose: "route
+    * heavily filtered workloads to IVF-PQ"; round 13 gives the LSH
+    * artifact its own compensation dial). */
+  val AutoRadius: Int = -1
+
+  /** The fixed multi-probe radius the oracle-gated rows replay (the
+    * [[probeMasks]] radius — own bucket + 1-bit + 2-bit flips). */
+  private[operators] val LshRadius = 2
+
+  /** Probes at radius `r` over `p` planes: Σ_{i≤r} C(p,i), saturating
+    * well below Long overflow (the comparison targets are ≤ 2^p). */
+  private[operators] def probeCountAt(p: Int, r: Int): Long = {
+    var total = BigInt(0)
+    var c = BigInt(1)
+    var i = 0
+    while (i <= math.min(r, p)) {
+      total += c
+      c = c * (p - i) / (i + 1)
+      i += 1
+    }
+    if (total > BigInt(Long.MaxValue / 4)) Long.MaxValue / 4 else total.toLong
+  }
+
+  /** The filtered LSH search's radius under the auto rule: the smallest
+    * radius whose probe count restores the EXPECTED allowed-candidate
+    * budget — probing B(r) ≥ B(2)/sel buckets puts as many allowed rows
+    * in front of the preselect as the unfiltered radius-2 search sees,
+    * the same restore-the-budget arithmetic as the IVF twin's
+    * nprobe/sel. Capped at `numPlanes` (all buckets): past that the
+    * search degrades to a PQ-coded scan of the filter's own rows — the
+    * brute-force-over-allowed economics every filtered-ANN system
+    * converges to under heavy filters (the query path detects that
+    * case and skips the probe join entirely). Explicit radii pass
+    * through untouched. */
+  private[operators] def resolveLshRadius(radius: Int, numPlanes: Int,
+      allowedCount: Long, indexSize: Long): Int =
+    if (radius != AutoRadius) radius
+    else {
+      val sel = math.max(allowedCount.toDouble /
+        math.max(1L, indexSize).toDouble, 1e-6)
+      val target = probeCountAt(numPlanes, LshRadius) / sel
+      (LshRadius to numPlanes)
+        .find(r => probeCountAt(numPlanes, r) >= target)
+        .getOrElse(numPlanes)
+    }
+
   /** ANN top-k via an IVF (inverted-file) index: k = ⌈√n⌉ coarse cells,
     * every vector assigned to its nearest centroid (home cell), queries
     * probe their [[IvfProbes]] nearest cells. The candidate fraction per
@@ -742,6 +791,20 @@ object Similarity {
       (0 until numPlanes).map(i => 1L << i) ++
       (for { i <- 0 until numPlanes; j <- (i + 1) until numPlanes }
         yield (1L << i) | (1L << j))
+
+  /** [[probeMasks]] generalized to radius `r`: every XOR mask of
+    * popcount ≤ r, each subset enumerated once (by its lowest set bit).
+    * Radius 2 yields the same SET as [[probeMasks]]; the filtered
+    * search's [[AutoRadius]] dial widens r by inverse selectivity. */
+  private[operators] def probeMasksR(numPlanes: Int, r: Int): Seq[Long] = {
+    def withBits(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq.empty
+      else (start until numPlanes).flatMap { i =>
+        val base = 1L << i
+        base +: withBits(i + 1, left - 1).map(base | _)
+      }
+    0L +: withBits(0, math.min(r, numPlanes))
+  }
 
   /** Symmetric-PQ prefilter margin for the near-dup confirm: a candidate
     * pair reaches the exact-cosine join only when the cosine of its two
@@ -1868,7 +1931,27 @@ object Similarity {
     * sequencing rule: run the retried append (recovery) BEFORE any
     * compaction in the same maintenance cadence — compaction folds
     * whatever files exist into untagged ones; the streaming
-    * `foreachBatch` does exactly that ordering. */
+    * `foreachBatch` does exactly that ordering.
+    *
+    * CONCURRENCY CONTRACT (spec-exercised by real parallel writers in
+    * `IndexConcurrencySpec`): concurrent appends of DIFFERENT batch ids
+    * are in-contract — disjoint staging dirs, disjoint batch-tagged
+    * file names, create-once `ord-<seq>` minting, create-once markers.
+    * Concurrent deletes, and appends racing deletes, are in-contract
+    * for the same reason (disjoint commit logs). Two constraints are
+    * the CALLER's to serialize, stated here rather than half-held:
+    *   - duplicate submissions of the SAME batch id must be sequential
+    *     (the retry-after-failure cadence), never simultaneous: a
+    *     racing twin's recovery step (2) can delete files its sibling
+    *     just published before the marker lands. Staging is
+    *     attempt-scoped, so the failure mode is bounded to that
+    *     batch's files and the next sequential retry converges — but
+    *     in-flight duplicate submissions are out of contract;
+    *   - [[compactIvfPqIndex]] must not run concurrently with appends
+    *     to the same index (see its scaladoc): its partition overwrite
+    *     replaces whole `centroid_id=` directories from a snapshot, so
+    *     a batch published mid-compact into a rewritten cell would be
+    *     dropped. Maintenance and ingest serialize per index. */
   private def committedAppend(spark: SparkSession, indexDir: String,
       batchId: String, enc: => (DataFrame, DataFrame)): Unit = {
     require(batchId.nonEmpty && batchId.forall(c =>
@@ -1880,7 +1963,16 @@ object Similarity {
     val marker = ifs.child("_append_log", s"batch-$batchId")
     if (ifs.exists(marker)) return
     dropBatchFiles(ifs, batchId)
-    val staging = ifs.child("_append_staging", batchId)
+    // attempt-scoped staging (an attempt SUBDIR under the batch's own
+    // staging dir — exact directory names, no prefix matching: batch
+    // `b`'s sweep must never touch batch `b-1`'s staging, the same
+    // ambiguity class isBatchFileOf closed for commit-log files): a
+    // crashed attempt's husk can never be half-reused or deleted
+    // mid-write by another attempt; the batch's whole staging dir is
+    // swept after the marker lands
+    val batchStaging = ifs.child("_append_staging", batchId)
+    val staging = new org.apache.hadoop.fs.Path(batchStaging,
+      java.util.UUID.randomUUID().toString.take(8))
     ifs.deleteRecursive(staging)
     val (postings, home) = enc
     postings
@@ -1904,7 +1996,9 @@ object Similarity {
       .parquet(new org.apache.hadoop.fs.Path(staging, "stats").toString)
     publishBatch(ifs, staging, batchId)
     ifs.touch(marker)
-    ifs.deleteRecursive(staging)
+    // sweep this batch's staging dir (all attempts' husks) now that
+    // the batch is committed — exact directory name, never a prefix
+    ifs.deleteRecursive(batchStaging)
   }
 
   /** Mint this batch's drift-report sequence number: the smallest free
@@ -2134,12 +2228,30 @@ object Similarity {
   }
 
   /** The alias's current version directory — pass the result as
-    * `indexDir` to [[annIvfPqIndexed]] / [[searchIvfPqIndex]]. */
+    * `indexDir` to [[annIvfPqIndexed]] / [[searchIvfPqIndex]].
+    *
+    * A publish is create-pointer THEN write-content, so a reader racing
+    * a rotation can observe the newest pointer with its content not yet
+    * landed (or torn). A pointer only counts as PUBLISHED once its
+    * content names a complete version artifact; until then resolution
+    * falls back to the previous pointer — the old version stays live
+    * through the flip, which is exactly blue-green semantics
+    * (`IndexConcurrencySpec` races a routed append against a rotation
+    * through this path). */
   def resolveIndexAlias(spark: SparkSession, aliasDir: String): String = {
     val ifs = graft.sources.IndexFs.on(spark, aliasDir)
     val ptrs = aliasPtrs(ifs)
     require(ptrs.nonEmpty, s"no published version under $aliasDir")
-    s"$aliasDir/${ifs.readUtf8(ptrs.last._2)}"
+    val published = ptrs.reverseIterator.flatMap { case (_, p) =>
+      val c = scala.util.Try(ifs.readUtf8(p)).getOrElse("")
+      if (c.nonEmpty && !c.contains("/") &&
+          ifs.exists(ifs.child(c, "centroids.parquet"))) Some(c)
+      else None
+    }.nextOption()
+    require(published.nonEmpty,
+      s"no pointer under $aliasDir names a complete published version " +
+        "(a publish may be in flight — retry)")
+    s"$aliasDir/${published.get}"
   }
 
   /** The drift → retrain → deploy loop, CLOSED: the decision the drift
@@ -2399,7 +2511,20 @@ object Similarity {
     * ids); the compacted rows are MATERIALIZED (persist + count) before
     * the overwrite so the job never reads the files it is about to
     * replace. The same maintenance cadence every LSM-shaped store runs
-    * (parquet compaction, RocksDB L0→L1, Lucene segment merges). */
+    * (parquet compaction, RocksDB L0→L1, Lucene segment merges).
+    *
+    * SINGLE-WRITER CONSTRAINT, stated explicitly: compaction must not
+    * run concurrently with APPENDS to the same index. The dynamic
+    * partition overwrite replaces whole `centroid_id=` directories
+    * from a snapshot read at staging time, so a batch published into a
+    * rewritten cell between the staging read and the overwrite would
+    * be silently dropped (its commit marker would claim rows the cell
+    * no longer holds). Maintenance and ingest serialize per index —
+    * the streaming `foreachBatch` cadence (recover → append → compact
+    * in one sequential turn) satisfies this by construction. Racing
+    * DELETES are in-contract: a tombstone batch committed mid-compact
+    * may miss this physical pass, but the list stays authoritative for
+    * visibility and the next pass erases it (`IndexConcurrencySpec`). */
   def compactIvfPqIndex(spark: SparkSession, indexDir: String,
       maxFilesPerCell: Int = 1): Int = {
     val path = s"$indexDir/postings.parquet"
@@ -2453,17 +2578,13 @@ object Similarity {
         val staged = spark.read.parquet(staging.toString)
           .select(col("vec_id"), col("b_code"),
             col("centroid_id").cast("long").as("centroid_id"))
-        val saved =
-          spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try staged.write.mode("overwrite").partitionBy("centroid_id")
-          .parquet(path)
-        finally saved match {
-          case Some(v) =>
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None =>
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+        // writer-scoped dynamic overwrite (NOT the session conf: a
+        // session-global toggle would race every other writer on the
+        // session — deletes committing tombstones mid-compact are
+        // in-contract and must not see flipped write semantics)
+        staged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("centroid_id").parquet(path)
       }
       // A fragmented cell whose rows are ALL tombstoned stages no rows,
       // so dynamic overwrite (which only replaces partitions PRESENT in
@@ -3302,8 +3423,10 @@ object Similarity {
   def buildLshIndex(spark: SparkSession, dir: String, indexDir: String,
       tableName: String, numBuckets: Int = 32): Unit = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
-    spark.range(1).select(lit(numPlanes).as("num_planes"))
+    val nVec = Tables.embeddings(spark, dir).count()
+    val numPlanes = planesFor(nVec)
+    spark.range(1).select(lit(numPlanes).as("num_planes"),
+        lit(nVec).as("n_vectors"))
       .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
     val cb = pqCodebookExactOn(v)
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
@@ -3318,8 +3441,10 @@ object Similarity {
       tableName: String, numBuckets: Int = 32): Unit = {
     import spark.implicits._
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
-    spark.range(1).select(lit(numPlanes).as("num_planes"))
+    val nVec = Tables.embeddings(spark, dir).count()
+    val numPlanes = planesFor(nVec)
+    spark.range(1).select(lit(numPlanes).as("num_planes"),
+        lit(nVec).as("n_vectors"))
       .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
     val cbArr = pqCodebookProdOn(v)
     cbArr.zipWithIndex.flatMap { case (codes, m) =>
@@ -3565,7 +3690,7 @@ object Similarity {
     * members. */
   def searchLshIndex(spark: SparkSession, queries: DataFrame,
       dir: String, tableName: String): DataFrame =
-    searchLshIndexFrom(spark, queries, dir, tableName, None)
+    searchLshIndexFrom(spark, queries, dir, tableName, None, LshRadius)
 
   /** FILTERED search on the persisted LSH index — API parity with
     * [[searchIvfPqIndexFiltered]] (a user of either artifact gets the
@@ -3576,28 +3701,48 @@ object Similarity {
     * join, before ranking), so ranks are dense 1..k over allowed
     * neighbors and the postings side stays exchange-free. The same
     * recall caveat as the IVF twin applies (probes are chosen by
-    * geometry, not metadata); the LSH family has no selectivity-scaled
-    * probe dial — a heavily-filtered workload belongs on the IVF-PQ
-    * artifact's [[AutoProbes]] compensation. */
+    * geometry, not metadata); the [[AutoRadius]] default COMPENSATES by
+    * widening the multi-probe radius by the filter's inverse
+    * selectivity ([[resolveLshRadius]]), degrading under heavy filters
+    * to a PQ-coded scan of the allowed rows — the same
+    * restore-the-budget rule (and the same graceful brute-force floor)
+    * as the IVF twin's [[AutoProbes]] compensation. Pass an explicit
+    * `radius` to pin the probe budget instead (the oracle-gated
+    * registry row pins [[LshRadius]], mirroring the IVF row's pinned
+    * nprobe — the dial is qualified by the measured frontier, not the
+    * hash gate). */
   def searchLshIndexFiltered(spark: SparkSession, queries: DataFrame,
-      dir: String, tableName: String, allowed: DataFrame): DataFrame =
-    searchLshIndexFrom(spark, queries, dir, tableName, Some(allowed))
+      dir: String, tableName: String, allowed: DataFrame,
+      radius: Int = AutoRadius): DataFrame =
+    searchLshIndexFrom(spark, queries, dir, tableName, Some(allowed), radius)
 
   private def searchLshIndexFrom(spark: SparkSession, queries: DataFrame,
       dir: String, tableName: String,
-      allowed: Option[DataFrame]): DataFrame = {
+      allowed: Option[DataFrame], radius: Int): DataFrame = {
     val indexDir = lshIndexDirOf(spark, tableName)
-    val numPlanes = spark.read.parquet(s"$indexDir/meta.parquet")
-      .head().getAs[Int]("num_planes")
+    val meta = spark.read.parquet(s"$indexDir/meta.parquet")
+    val numPlanes = meta.head().getAs[Int]("num_planes")
+    val r =
+      if (radius != AutoRadius) radius
+      else {
+        // selectivity = |allowed| / index size; the size comes off the
+        // build-stamped meta row (pre-n_vectors artifacts fall back to
+        // one postings count — 24 B rows, not vectors)
+        val indexSize =
+          if (meta.columns.contains("n_vectors"))
+            meta.head().getAs[Long]("n_vectors")
+          else spark.table(tableName).count()
+        allowed match {
+          case None => LshRadius
+          case Some(a) =>
+            resolveLshRadius(radius, numPlanes, a.count(), indexSize)
+        }
+      }
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dvec.as("ev"))
     val q = queries.select(col("query_id"), col("qev"))
-    val probes = q
-      .withColumn("bucket", bucketExpr(col("qev"), numPlanes))
-      .select(col("query_id"), explode(array(probeMasks(numPlanes)
-        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
     // tombstoned vectors leave the search space at the postings read
     // (broadcast anti-join — erasure parity with [[searchIvfPqIndex]];
     // external queries are not corpus members, so only the neighbor
@@ -3610,15 +3755,38 @@ object Similarity {
         broadcast(t.select(col("vec_id").as("neighbor_id"))),
         Seq("neighbor_id"), "left_anti"))
       .getOrElse(neighborSide0)
-    val cand0 = probes.join(neighborSide, col("probe") === col("nb"))
-      .select(col("query_id"), col("neighbor_id"), col("b_code"))
-    // the metadata restriction applies to CANDIDATES, not postings —
-    // same placement rationale as the IVF twin (candidates number
-    // |queries|·probes·occupancy, orders below index scale)
-    val cand = allowed.map(a => cand0.join(
-        a.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
-        "left_semi"))
-      .getOrElse(cand0)
+    // when an AUTO-resolved radius's probe set covers most of the
+    // bucket space, enumerating masks buys nothing — skip the probe
+    // join and scan the (tombstone-thinned, allowed-restricted)
+    // postings directly against a broadcast of the query ids: the
+    // explicit brute-force-over-allowed floor the radius rule degrades
+    // to. The postings side still never crosses the wire. Explicitly
+    // pinned radii always probe (the oracle-gated rows replay the
+    // probe-join algorithm verbatim at any plane count).
+    val brute = radius == AutoRadius &&
+      probeCountAt(numPlanes, r) * 2 >= (1L << numPlanes)
+    val cand = if (brute) {
+      val nb = allowed.map(a => neighborSide.join(
+          a.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+          "left_semi"))
+        .getOrElse(neighborSide)
+      nb.crossJoin(broadcast(q.select(col("query_id"))))
+        .select(col("query_id"), col("neighbor_id"), col("b_code"))
+    } else {
+      val probes = q
+        .withColumn("bucket", bucketExpr(col("qev"), numPlanes))
+        .select(col("query_id"), explode(array(probeMasksR(numPlanes, r)
+          .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+      val cand0 = probes.join(neighborSide, col("probe") === col("nb"))
+        .select(col("query_id"), col("neighbor_id"), col("b_code"))
+      // the metadata restriction applies to CANDIDATES, not postings —
+      // same placement rationale as the IVF twin (candidates number
+      // |queries|·probes·occupancy, orders below index scale)
+      allowed.map(a => cand0.join(
+          a.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+          "left_semi"))
+        .getOrElse(cand0)
+    }
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
     val pre = cand
@@ -3670,8 +3838,10 @@ object Similarity {
     val root = indexRootFor(dir, "_lshsf")
     val table = lshTableFor(dir, "_lshsf")
     buildLshIndex(spark, dir, root, table)
+    // radius pinned to the oracle's replay (the IVF filtered row pins
+    // nprobe the same way); the AutoRadius dial is frontier-qualified
     searchLshIndexFiltered(spark, searchQuerySet(spark, dir), dir, table,
-      allowedDeVectors(spark, dir))
+      allowedDeVectors(spark, dir), radius = LshRadius)
   }
 
   /** Production registry form: fixed-buffer build, same filtered
@@ -3682,7 +3852,7 @@ object Similarity {
     val table = lshTableFor(dir, "_lshsfp")
     buildLshIndexProd(spark, dir, root, table)
     searchLshIndexFiltered(spark, searchQuerySet(spark, dir), dir, table,
-      allowedDeVectors(spark, dir))
+      allowedDeVectors(spark, dir), radius = LshRadius)
   }
 
   /** Oracle for [[annLshSearch]]: the identical algorithm replayed

@@ -72,7 +72,18 @@ final class IndexFs(val fs: FileSystem, val root: Path) {
   /** Create-ONCE a tiny metadata file with `content` (UTF-8) — fails if
     * present, the same atomicity primitive as [[touch]]: on stores with
     * atomic create-if-absent, whichever writer lands first wins and the
-    * loser sees the failure instead of silently clobbering. */
+    * loser sees the failure instead of silently clobbering.
+    *
+    * PRIMITIVE REQUIREMENT, stated: the commit-log protocol assumes the
+    * store's `create(overwrite = false)` is atomic — HDFS, ABFS and GCS
+    * provide it (S3 via conditional PUT). `RawLocalFileSystem`'s is a
+    * non-atomic exists-then-create; single-JVM local mode never races
+    * it across processes, and the concurrency specs run on
+    * `GraftTestFs`, which supplies the atomic primitive. Content lands
+    * AFTER the create (no store gives one-shot create-with-content), so
+    * readers of create-once pointers must treat an empty/invalid read
+    * as not-yet-published — [[graft.operators.Similarity]]'s alias
+    * resolution and the streaming routing claim both do. */
   def createUtf8(p: Path, content: String): Unit = {
     fs.mkdirs(p.getParent)
     val out = fs.create(p, false)

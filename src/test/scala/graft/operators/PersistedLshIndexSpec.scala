@@ -252,4 +252,79 @@ class PersistedLshIndexSpec extends AnyFunSuite {
       graft.streaming.StreamingStaging.deleteRecursively(root)
     }
   }
+
+  test("filtered-search AutoRadius: restore-the-budget arithmetic") {
+    // explicit radii pass through untouched (the oracle rows pin 2)
+    assert(Similarity.resolveLshRadius(3, 11, 10, 1000) == 3)
+    assert(Similarity.resolveLshRadius(2, 11, 1, 1000000) == 2)
+    // selectivity 1 (no thinning): the unfiltered radius stands
+    assert(Similarity.resolveLshRadius(Similarity.AutoRadius,
+      11, 1000, 1000) == 2)
+    // a 10% filter at p=11: B(2)=67 → target 670 expected-candidate
+    // budget; B(4)=562 still short, B(5)=1024 is the first notch past
+    assert(Similarity.probeCountAt(11, 2) == 67)
+    assert(Similarity.probeCountAt(11, 4) == 562)
+    assert(Similarity.probeCountAt(11, 5) == 1024)
+    assert(Similarity.resolveLshRadius(Similarity.AutoRadius,
+      11, 100, 1000) == 5)
+    // heavy filter: capped at all planes — the brute-force floor
+    assert(Similarity.resolveLshRadius(Similarity.AutoRadius,
+      11, 1, 100000) == 11)
+  }
+
+  test("probeMasksR: every popcount-≤r mask exactly once; radius 2 = the fixed set") {
+    val r2 = Similarity.probeMasksR(6, 2)
+    assert(r2.length == r2.distinct.length)
+    assert(r2.toSet == (0L until 64L)
+      .filter(m => java.lang.Long.bitCount(m) <= 2).toSet)
+    val r4 = Similarity.probeMasksR(6, 4)
+    assert(r4.length == r4.distinct.length)
+    assert(r4.length.toLong == Similarity.probeCountAt(6, 4))
+    assert(r4.forall(m => java.lang.Long.bitCount(m) <= 4))
+  }
+
+  test("AutoRadius under a heavy filter: exact top-3 among allowed, dense ranks") {
+    // 20 of 500 ids allowed (sel 4%): the resolved radius covers the
+    // whole 2^4 bucket space, so the search degrades to the PQ-coded
+    // scan of the allowed rows — and with |allowed| below the preselect
+    // width the answer must be EXACTLY the full-precision top-3 among
+    // the allowed set, the brute-force floor made checkable
+    val root = java.nio.file.Files.createTempDirectory("graft_lshauto")
+    val t = s"graft_lshauto_${java.lang.Long.toHexString(System.nanoTime())}"
+    try {
+      Similarity.buildLshIndexProd(spark, dir, s"$root/idx", t)
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val allowed = e.filter(col("vec_id") % 25 === 0).select(col("vec_id"))
+      val qs = e.filter(col("vec_id") % 100 === 7)
+        .select((col("vec_id") + 900000L).as("query_id"),
+          col("embedding").cast("array<double>").as("qev"))
+      val got = Similarity.searchLshIndexFiltered(spark, qs, dir, t, allowed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.nonEmpty)
+      // dense ranks 1..3 per query, neighbors all allowed
+      got.groupBy(_._1).foreach { case (q, rs) =>
+        assert(rs.map(_._3).sorted.toSeq == (1L to rs.size).toSeq)
+        assert(rs.forall(_._2 % 25 == 0))
+      }
+      // exact ground truth among allowed, computed at full precision
+      val av = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("bev"))
+      val exact = qs.crossJoin(av)
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("qev"), col("bev")).as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(x => (-x._3, x._2)).take(3).map(_._2).toSeq
+        }
+      got.groupBy(_._1).foreach { case (q, rs) =>
+        val mine = rs.sortBy(_._3).map(_._2).toSeq
+        assert(mine == exact(q),
+          s"query $q: got $mine, exact-among-allowed ${exact(q)}")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.streaming.StreamingStaging.deleteRecursively(root)
+    }
+  }
 }
