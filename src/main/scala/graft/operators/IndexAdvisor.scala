@@ -1,0 +1,221 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+/** What a deployment can actually measure about its corpus before
+  * choosing an index family: row count, and (optionally) the mean
+  * assignment cosine a trial [[Similarity.buildIvfPqIndexProdOn]] build
+  * stamps into `_stats/build.parquet` — the concentration statistic the
+  * auto-probe dial is calibrated on. */
+final case class CorpusStats(
+    nVectors: Long,
+    concentration: Option[Double] = None)
+
+/** The workload axes the measured frontier discriminates on.
+  * `filterSelectivity` is the fraction of the corpus a typical metadata
+  * filter keeps (None = unfiltered searches). */
+final case class AnnWorkload(
+    continuousIngest: Boolean = false,
+    erasureDeadlines: Boolean = false,
+    filterSelectivity: Option[Double] = None,
+    latencyPinned: Boolean = false)
+
+/** A recommendation that carries its evidence: the expected operating
+  * point interpolated from MEASURED frontier rows, and a citation
+  * naming the artifact file, the rows used, and the numbers that
+  * decided — never a bare verdict. */
+final case class IndexRecommendation(
+    family: String,
+    expectedRecallAt3: Double,
+    expectedWarmWallSec: Double,
+    expectedShuffleMb: Double,
+    citation: String)
+
+/** The ANN family router round 12's rejected advisor should have been.
+  *
+  * Round 12 derived an ANALYTIC candidate-count model (expected probe-
+  * neighborhood mass from the bucket histogram) and measured that it
+  * recommends exactly backwards — candidate COUNT is not the cost
+  * driver; per-bucket join skew and shuffle-compression asymmetry
+  * dominate, effects no histogram arithmetic sees (SCALING.md round
+  * 12). So this router contains NO model: it interpolates the measured
+  * frontier artifacts checked into `frontier/` (recall@3 / warm wall /
+  * shuffle bytes per family per scale point, measured by
+  * [[graft.Frontier]] and re-measured each time the dial changes) and
+  * reproduces the selection calls SCALING.md itself makes:
+  *
+  *   - continuous-ingest / erasure-deadline pipelines → the IVF-PQ
+  *     artifact: structural, not interpolated — LSH postings live in a
+  *     bucketed table whose file names encode the bucket id, so the
+  *     rename-based exactly-once append protocol does not transfer;
+  *     the LSH artifact is rebuild-per-corpus-version
+  *     (`Similarity.buildLshIndex` scaladoc).
+  *   - filtered workloads → whichever family's measured FILTERED point
+  *     (both under their selectivity-scaled compensation dials) holds
+  *     recall at the workload's scale; ties on recall (within 0.05) go
+  *     to the lower warm wall.
+  *   - otherwise → the measured warm-query rows decide: LSH only where
+  *     it is actually faster at matched recall (the latency-pinned
+  *     small-corpus niche); the IVF-PQ artifact everywhere the frontier
+  *     shows LSH's candidate join paying order-of-magnitude shuffle
+  *     (886 vs 42 MB at 10× — the measured 21× that killed the
+  *     analytic model's "LSH moves fewer rows").
+  *
+  * Scale points between measurements interpolate linearly in log n;
+  * points beyond the measured range clamp to the nearest measurement
+  * and say so in the citation (extrapolation is where analytic models
+  * go to lie). */
+object IndexAdvisor {
+
+  private final case class FrontierRow(
+      form: String, n: Long, recall: Double, wall: Double, shuffleMb: Double)
+
+  /** Rows of one checked-in frontier artifact, grouped by form and
+    * n-sorted. */
+  private def loadArtifact(path: java.nio.file.Path)
+      : Map[String, Vector[FrontierRow]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readString(path))
+    node.get("rows").elements().asScala.map { r =>
+      FrontierRow(r.get("form").asText(), r.get("n").asLong(),
+        r.get("recall_at_3").asDouble(), r.get("wall_sec").asDouble(),
+        r.get("shuffle_mb").asDouble())
+    }.toVector.groupBy(_.form).view.mapValues(_.sortBy(_.n)).toMap
+  }
+
+  private final case class Point(recall: Double, wall: Double,
+      shuffleMb: Double, clampedLow: Boolean, clampedHigh: Boolean) {
+    def clamped: Boolean = clampedLow || clampedHigh
+  }
+
+  /** Interpolate a form's measured curve at `n` (linear in log n);
+    * clamps outside the measured range and says which end. */
+  private def at(rows: Vector[FrontierRow], n: Long): Point = {
+    require(rows.nonEmpty, "no measured rows for form")
+    if (n <= rows.head.n)
+      Point(rows.head.recall, rows.head.wall, rows.head.shuffleMb,
+        n < rows.head.n, clampedHigh = false)
+    else if (n >= rows.last.n)
+      Point(rows.last.recall, rows.last.wall, rows.last.shuffleMb,
+        clampedLow = false, n > rows.last.n)
+    else {
+      val hi = rows.indexWhere(_.n >= n)
+      val (a, b) = (rows(hi - 1), rows(hi))
+      val t = (math.log(n.toDouble) - math.log(a.n.toDouble)) /
+        (math.log(b.n.toDouble) - math.log(a.n.toDouble))
+      def lerp(x: Double, y: Double) = x + (y - x) * t
+      Point(lerp(a.recall, b.recall), lerp(a.wall, b.wall),
+        lerp(a.shuffleMb, b.shuffleMb), clampedLow = false,
+        clampedHigh = false)
+    }
+  }
+
+  /** The concentration bound above which the CLUSTERED frontier is the
+    * right evidence — the same measured calibration point as the
+    * auto-probe dial's (`Similarity.ConcClustered`). */
+  private val ClusteredBound = 0.73
+
+  def recommendIndexFamily(stats: CorpusStats, workload: AnnWorkload,
+      frontierDir: String = "frontier"): IndexRecommendation = {
+    val isoPath = java.nio.file.Paths.get(frontierDir,
+      "frontier_r12_isotropic.json")
+    val cluPath = java.nio.file.Paths.get(frontierDir,
+      "frontier_r13_clustered.json")
+    val fltPath = java.nio.file.Paths.get(frontierDir,
+      "frontier_r13_filtered.json")
+    val iso = loadArtifact(isoPath)
+    val n = stats.nVectors
+
+    def cite(path: java.nio.file.Path, form: String, pt: Point): String = {
+      val clamp =
+        if (pt.clamped) " [beyond the measured range — clamped]" else ""
+      f"${path.getFileName}: $form at n=$n → recall@3=${pt.recall}%.3f, " +
+        f"warm ${pt.wall}%.2f s, ${pt.shuffleMb}%.1f MB shuffle$clamp"
+    }
+
+    // the clustered-corpus evidence: when the corpus measurably
+    // clusters, the IVF-PQ artifact's auto dial keeps the probe floor
+    // and the measured curve is the clustered one (recall flat ≥ 0.99)
+    val clustered = stats.concentration.exists(_ >= ClusteredBound) &&
+      java.nio.file.Files.exists(cluPath)
+    def ivfPoint: (java.nio.file.Path, String, Point) =
+      if (clustered) {
+        val rows = loadArtifact(cluPath)("clu_indexed_query_auto")
+        (cluPath, "clu_indexed_query_auto", at(rows, n))
+      } else (isoPath, "sim_ann_ivfpq_index_query",
+        at(iso("sim_ann_ivfpq_index_query"), n))
+
+    def recommendIvf(reason: String): IndexRecommendation = {
+      val (p, form, pt) = ivfPoint
+      IndexRecommendation("ivf-pq-index", pt.recall, pt.wall, pt.shuffleMb,
+        s"$reason Expected operating point — ${cite(p, form, pt)}.")
+    }
+
+    if (workload.continuousIngest || workload.erasureDeadlines)
+      recommendIvf("The IVF-PQ artifact is the only family with the " +
+        "append/erase/compact lifecycle: LSH postings are a bucketed " +
+        "table (bucket id lives in the file NAME), so the rename-based " +
+        "exactly-once append does not transfer — the LSH artifact is " +
+        "rebuild-per-corpus-version.")
+    else workload.filterSelectivity match {
+      case Some(sel) if sel < 0.5 =>
+        // both families run selectivity-scaled compensation dials; the
+        // measured filtered points (14% slice — the frontier's filtered
+        // workload shape) decide
+        if (java.nio.file.Files.exists(fltPath)) {
+          val flt = loadArtifact(fltPath)
+          val ivf = at(flt("search_filtered_14pct"), n)
+          val lsh = at(flt("lsh_filtered_14pct"), n)
+          // beyond the filtered table's measured range, the verdict
+          // falls to the family whose SCALE path is qualified (the
+          // IVF-PQ frontier runs to 30×; LSH's filtered economics are
+          // unmeasured past 10×) — a clamped row must not decide
+          if (lsh.clampedHigh || ivf.clampedHigh)
+            IndexRecommendation("ivf-pq-index", ivf.recall, ivf.wall,
+              ivf.shuffleMb,
+              "Filtered workload beyond the filtered table's measured " +
+                "range: route to the scale-qualified family — " +
+                s"${cite(fltPath, "search_filtered_14pct", ivf)}; the " +
+                s"LSH dial is measured only to n=20000 " +
+                s"(${cite(fltPath, "lsh_filtered_14pct", lsh)}).")
+          else if (lsh.recall >= ivf.recall - 0.05 && lsh.wall < ivf.wall)
+            IndexRecommendation("lsh-index", lsh.recall, lsh.wall,
+              lsh.shuffleMb,
+              "Measured filtered points under both compensation dials — " +
+                s"${cite(fltPath, "lsh_filtered_14pct", lsh)} vs " +
+                s"${cite(fltPath, "search_filtered_14pct", ivf)}.")
+          else
+            IndexRecommendation("ivf-pq-index", ivf.recall, ivf.wall,
+              ivf.shuffleMb,
+              "Measured filtered points under both compensation dials — " +
+                s"${cite(fltPath, "search_filtered_14pct", ivf)} vs " +
+                s"${cite(fltPath, "lsh_filtered_14pct", lsh)}.")
+        } else {
+          val pt = at(iso("search_filtered_14pct"), n)
+          IndexRecommendation("ivf-pq-index", pt.recall, pt.wall,
+            pt.shuffleMb,
+            "Filtered workload: the IVF-PQ AutoProbes compensation is " +
+              "the measured filtered path — " +
+              s"${cite(isoPath, "search_filtered_14pct", pt)}.")
+        }
+      case _ =>
+        val (ivfP, ivfForm, ivf) = ivfPoint
+        val lsh = at(iso("sim_ann_lsh_index_query"), n)
+        if (workload.latencyPinned && !clustered && !lsh.clampedHigh &&
+            lsh.wall < ivf.wall && lsh.recall >= ivf.recall - 0.05)
+          IndexRecommendation("lsh-index", lsh.recall, lsh.wall,
+            lsh.shuffleMb,
+            "Latency-pinned at a scale where the measured warm LSH " +
+              "query is faster at matched recall — " +
+              s"${cite(isoPath, "sim_ann_lsh_index_query", lsh)} vs " +
+              s"${cite(ivfP, ivfForm, ivf)}.")
+        else
+          recommendIvf("The measured warm-query frontier: " +
+            f"LSH moves ${lsh.shuffleMb}%.1f MB vs ${ivf.shuffleMb}%.1f " +
+            f"MB at this scale (recall ${lsh.recall}%.3f vs " +
+            f"${ivf.recall}%.3f, wall ${lsh.wall}%.2f vs " +
+            f"${ivf.wall}%.2f s) — " +
+            s"${cite(isoPath, "sim_ann_lsh_index_query", lsh)}.")
+    }
+  }
+}

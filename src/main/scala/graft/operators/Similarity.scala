@@ -463,12 +463,74 @@ object Similarity {
     * floored at the fixture-scale [[IvfProbes]] (small indexes keep the
     * oracle-gated setting — the derivation resolves to exactly 8 at
     * both the sf0.01 correctness and sf0.1 bench scales) and capped at
-    * `cells`. Explicit nprobe values pass through untouched. */
+    * `cells`. Explicit nprobe values pass through untouched. This is
+    * the WORST-CASE (isotropic) arm; [[autoNprobeFor]] weights it by
+    * the index's measured cluster concentration when the artifact's
+    * stats are available. */
   private[operators] def resolveNprobe(nprobe: Int, cells: Long): Int =
     if (nprobe != AutoProbes) nprobe
     else math.min(cells,
       math.max(IvfProbes.toLong,
         math.round(cells * IvfProbeFraction))).toInt
+
+  /** MEASURED calibration bounds for the concentration-weighted auto
+    * dial — two corpus shapes, each frontier-qualified at 1×/10×/30×
+    * (SCALING.md rounds 12–13), keyed on the index's own build-stamped
+    * mean assignment cosine (`_stats/build.parquet`, measured round 13
+    * with the production trainer):
+    *   - isotropic synthesis: mean_cos 0.335 / 0.343 / 0.356 at
+    *     1×/10×/30× — recall under a FIXED nprobe decays with scale,
+    *     holding the probe fraction buys back two-thirds of the decay
+    *     (round 12). Bound [[ConcIsotropic]] = 0.40, above every
+    *     measured isotropic point, so those corpora keep the
+    *     fraction-held rule exactly (no round-12 regression).
+    *   - clustered mixture with planted neighbor groups: mean_cos
+    *     0.733 / 0.865 / 0.895 at 1×/10×/30× — recall@3 measured FLAT
+    *     (0.991–1.000) at EVERY notch from nprobe 4 to the held
+    *     fraction (44), so extra probes buy nothing and cost 7× wall
+    *     at 30× (5.8 s → 43.3 s). Bound [[ConcClustered]] = 0.73, at
+    *     the lowest measured clustered point: at or above it the dial
+    *     keeps the [[IvfProbes]] floor.
+    * Between the bounds the weight interpolates linearly — declared as
+    * interpolation between two MEASURED operating points, not an
+    * analytic candidate-count model (round 12 measured why those
+    * mislead). */
+  private val ConcIsotropic = 0.40
+  private val ConcClustered = 0.73
+
+  /** The build-stamped mean assignment cosine — how concentrated the
+    * corpus is around its trained centroids. Build stats carry the
+    * dominant mass (appends re-measure against frozen centroids and
+    * feed the drift report instead); absent stats (foreign artifact) →
+    * None → the conservative fraction-held rule. */
+  private def indexConcentration(spark: SparkSession,
+      indexDir: String): Option[Double] = {
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    if (!ifs.exists(ifs.child("_stats", "build.parquet"))) None
+    else spark.read.parquet(s"$indexDir/_stats/build.parquet")
+      .select(col("mean_cos")).collect().headOption
+      .filterNot(_.isNullAt(0)).map(_.getDouble(0))
+  }
+
+  /** [[AutoProbes]] resolution for a PERSISTED index: the fraction-held
+    * worst-case nprobe ([[resolveNprobe]]), scaled back toward the
+    * [[IvfProbes]] floor as the artifact's measured concentration
+    * approaches the clustered calibration point — on corpora where the
+    * quantizer actually fits (the case IVF exists for), the floor
+    * already holds recall and the held fraction only burns compute. */
+  private def autoNprobeFor(spark: SparkSession, indexDir: String,
+      cells: Long): Int = {
+    val fractional = resolveNprobe(AutoProbes, cells)
+    if (fractional <= IvfProbes) fractional
+    else indexConcentration(spark, indexDir) match {
+      case None => fractional
+      case Some(c) =>
+        val w = math.min(1.0, math.max(0.0,
+          (ConcClustered - c) / (ConcClustered - ConcIsotropic)))
+        math.min(cells, math.max(IvfProbes.toLong,
+          math.round(IvfProbes + (fractional - IvfProbes) * w))).toInt
+    }
+  }
 
   /** The filtered-search compensation (round-11 measurement: a 14%
     * filter cost 0.17 recall at 1× because probes are chosen by
@@ -2318,7 +2380,7 @@ object Similarity {
     spark.range(1).select(
       lit(n).as("n_vectors"),
       lit(cells).as("cells"),
-      lit(resolveNprobe(AutoProbes, cells)).as("auto_nprobe"),
+      lit(autoNprobeFor(spark, indexDir, cells)).as("auto_nprobe"),
       lit(committed("_append_log")).as("committed_appends"),
       lit(committed("_delete_log")).as("committed_deletes"),
       lit(tombs).as("tombstoned_ids"),
@@ -2371,23 +2433,123 @@ object Similarity {
         (avg(col("hits")) / AnnK).as("recall_at_k"))
   }
 
+  /** PIN the alias's current version for a long-running reader: resolve,
+    * take a create-once lease (`_alias/_leases/<version>/<uuid>`), then
+    * RE-VERIFY the version directory still exists — if a concurrent
+    * [[vacuumIndexVersions]] won the race between the resolve and the
+    * lease landing, drop the husk lease and re-pin whatever is current.
+    * The reader therefore either holds a version the vacuum provably
+    * skips, or never started on the deleted one. Returns (resolved
+    * version dir to query, lease token for [[unpinIndexVersion]]).
+    * Readers that outlive the operator's lease horizon (see vacuum's
+    * `breakLeasesOlderThanMs`) must re-pin; a crashed reader's leaked
+    * lease is reclaimed by that horizon. */
+  def pinIndexVersion(spark: SparkSession,
+      aliasDir: String): (String, String) = {
+    val ifs = graft.sources.IndexFs.on(spark, aliasDir)
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val resolved = resolveIndexAlias(spark, aliasDir)
+      val version = new org.apache.hadoop.fs.Path(resolved).getName
+      val lease = ifs.child("_alias", "_leases", version,
+        java.util.UUID.randomUUID().toString.take(12))
+      ifs.createUtf8(lease, version)
+      // the handshake's reader side: the vacuum CONDEMNS before it
+      // checks leases, we check the condemned marker AFTER our lease
+      // lands — for the vacuum to have missed the lease, its check ran
+      // before our create, so its (earlier) marker is visible to this
+      // (later) read: one of the two parties always yields
+      if (!ifs.exists(ifs.child("_alias", "_condemned", version)) &&
+          ifs.exists(ifs.child(version, "centroids.parquet")))
+        return (resolved, lease.toString)
+      ifs.deleteFile(lease) // vacuum owns this version — re-pin current
+      Thread.sleep(20L)
+    }
+    sys.error(s"could not pin a live version under $aliasDir " +
+      s"after $attempts attempts")
+  }
+
+  /** Release a [[pinIndexVersion]] lease (idempotent). */
+  def unpinIndexVersion(spark: SparkSession, aliasDir: String,
+      leaseToken: String): Unit =
+    graft.sources.IndexFs.on(spark, aliasDir)
+      .deleteFile(new org.apache.hadoop.fs.Path(leaseToken))
+
   /** Drop version directories older than the `keepVersions` most
     * recently published distinct names (and their superseded pointer
     * files); returns how many directories were removed. `keepVersions`
     * ≥ 1; the default 2 keeps a rollback target and gives in-flight
-    * readers of the previous version their grace period. */
+    * readers of the previous version their grace period.
+    *
+    * READER CONTRACT: a version holding a live [[pinIndexVersion]]
+    * lease is SKIPPED (its pointers too) — the reader that resolved it
+    * before this vacuum completes against immutable files; the next
+    * vacuum after [[unpinIndexVersion]] collects it. A crashed reader
+    * leaks its lease; pass `breakLeasesOlderThanMs` (the deployment's
+    * max query duration) to reclaim leases older than the horizon —
+    * readers slower than the horizon are out of contract and must
+    * re-pin. With no horizon, leases are honored indefinitely. */
   def vacuumIndexVersions(spark: SparkSession, aliasDir: String,
-      keepVersions: Int = 2): Int = {
+      keepVersions: Int = 2,
+      breakLeasesOlderThanMs: Option[Long] = None): Int = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     val ifs = graft.sources.IndexFs.on(spark, aliasDir)
     val ptrs = aliasPtrs(ifs).reverse // newest first
     val named = ptrs.map { case (seq, p) => (seq, p, ifs.readUtf8(p)) }
     val keep = named.map(_._3).distinct.take(keepVersions).toSet
+    def leased(version: String): Boolean = {
+      val leaseDir = ifs.child("_alias", "_leases", version)
+      if (!ifs.exists(leaseDir)) false
+      else {
+        breakLeasesOlderThanMs.foreach { horizon =>
+          val cutoff = System.currentTimeMillis() - horizon
+          ifs.listDir(leaseDir)
+            .filter(p => ifs.modTimeOf(p) < cutoff)
+            .foreach(ifs.deleteFile)
+        }
+        ifs.listDir(leaseDir).nonEmpty
+      }
+    }
+    // the handshake's vacuum side: CONDEMN (create-once) before the
+    // lease check — a reader whose lease this check misses must have
+    // created it after, so its own condemned-marker check (which runs
+    // after its lease lands) sees this marker and yields. A lease seen
+    // here wins: un-condemn and skip. A condemn that loses its create
+    // race belongs to a concurrent vacuum — skip, that vacuum owns it.
     val dropDirs = named.map(_._3).distinct.filterNot(keep)
-    dropDirs.foreach(v => ifs.deleteRecursive(ifs.child(v)))
+      .filter { v =>
+        val marker = ifs.child("_alias", "_condemned", v)
+        def condemn(): Boolean =
+          try { ifs.createUtf8(marker, v); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: org.apache.hadoop.fs.PathExistsException => false
+          }
+        // a lost condemn race usually means a concurrent vacuum owns
+        // the version — but a marker older than the lease horizon is a
+        // CRASHED vacuum's leak (crash between condemn and delete):
+        // reclaim it, else the version becomes unvacuumable forever
+        val owned = condemn() || {
+          val stale = breakLeasesOlderThanMs.exists(h =>
+            ifs.exists(marker) &&
+              ifs.modTimeOf(marker) < System.currentTimeMillis() - h)
+          if (stale) { ifs.deleteFile(marker); condemn() } else false
+        }
+        if (!owned) false
+        else if (leased(v)) { ifs.deleteFile(marker); false }
+        else true
+      }
+    dropDirs.foreach { v =>
+      ifs.deleteRecursive(ifs.child(v))
+      ifs.deleteRecursive(ifs.child("_alias", "_leases", v))
+      ifs.deleteFile(ifs.child("_alias", "_condemned", v))
+    }
     // prune pointers that no longer resolve to a kept version; the
-    // newest pointer always survives (it names the current version)
-    named.drop(1).filterNot(n => keep(n._3))
+    // newest pointer always survives (it names the current version).
+    // Pointers of leased (still-present) versions survive with them.
+    val dropped = dropDirs.toSet
+    named.drop(1).filter(n => dropped(n._3))
       .foreach(n => ifs.deleteFile(n._2))
     dropDirs.length
   }
@@ -2797,9 +2959,13 @@ object Similarity {
       .getOrElse(v)
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     // the auto default reads the dial off the artifact itself: cell
-    // count from the (≤√n-row) centroid table — the probe fraction, not
-    // a constant probe count, is what holds recall as the index grows
-    val np = if (nprobe == AutoProbes) resolveNprobe(nprobe, cent.count())
+    // count from the (≤√n-row) centroid table, weighted by the
+    // build-stamped concentration — the probe fraction holds recall on
+    // isotropic corpora as the index grows, while a concentrated
+    // (clustered) corpus keeps the floor, where recall is measured
+    // flat and extra probes only burn compute ([[autoNprobeFor]])
+    val np = if (nprobe == AutoProbes)
+               autoNprobeFor(spark, indexDir, cent.count())
              else nprobe
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
@@ -2927,7 +3093,7 @@ object Similarity {
       if (nprobe != AutoProbes) nprobe
       else {
         val cells = cent.count()
-        val base = resolveNprobe(nprobe, cells)
+        val base = autoNprobeFor(spark, indexDir, cells)
         allowed match {
           case None => base
           case Some(a) => resolveFilteredNprobe(base, cells,

@@ -33,6 +33,10 @@ final class IndexFs(val fs: FileSystem, val root: Path) {
 
   def mkdirs(p: Path): Unit = fs.mkdirs(p)
 
+  /** Store-reported modification time (ms epoch) — the staleness input
+    * for lease-horizon reclaim; callers own the clock-skew caveat. */
+  def modTimeOf(p: Path): Long = fs.getFileStatus(p).getModificationTime
+
   /** Create an empty marker file (parents included); fails if present —
     * markers are create-once by protocol. */
   def touch(p: Path): Unit = {

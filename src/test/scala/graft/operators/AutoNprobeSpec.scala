@@ -124,4 +124,37 @@ class AutoNprobeSpec extends AnyFunSuite {
           f"$filteredAuto%.3f vs $unfiltered%.3f")
     } finally graft.streaming.StreamingStaging.deleteRecursively(root)
   }
+
+  test("concentration-weighted auto: clustered index keeps the floor, isotropic holds the fraction") {
+    // round-13 measurement, made a default: at 8 000 synthetic vectors
+    // the index trains ~90 cells, so the fraction-held rule says ~16
+    // probes — on the ISOTROPIC synthesis (build mean_cos ≈ 0.34,
+    // below the 0.40 calibration bound) that is what auto must resolve
+    // to, while on the CLUSTERED mixture (mean_cos ≈ 0.80, above the
+    // 0.73 bound) recall was measured flat from nprobe 4 to the held
+    // fraction, so auto must keep the nprobe-8 floor instead of paying
+    // 7×-at-30× wall for nothing. describeIndex exposes the resolved
+    // value, so the dashboard's auto_nprobe is the dial under test.
+    val n = 8000L
+    def autoOf(df: org.apache.spark.sql.DataFrame): (Long, Int) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_conc")
+      try {
+        Similarity.buildIvfPqIndexProdOn(spark, df, root.toString)
+        val row = Similarity.describeIndex(spark, root.toString).head()
+        (row.getAs[Long]("cells"), row.getAs[Int]("auto_nprobe"))
+      } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+    }
+    val (isoCells, isoAuto) =
+      autoOf(graft.StressScale.synthEmbeddings(spark, n))
+    assert(isoCells > 45, s"fixture too small to observe the dial: $isoCells")
+    assert(isoAuto == Similarity.resolveNprobe(Similarity.AutoProbes,
+      isoCells),
+      s"isotropic corpus must keep the fraction-held rule: $isoAuto")
+    assert(isoAuto > 8)
+    val (cluCells, cluAuto) =
+      autoOf(graft.StressScale.synthEmbeddingsClustered(spark, n))
+    assert(cluCells > 45)
+    assert(cluAuto == 8,
+      s"clustered corpus must keep the measured-flat floor: $cluAuto")
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The measured-frontier router must REPRODUCE the selection calls
+  * SCALING.md itself makes (rounds 11–13), citing the artifact rows
+  * that decide — the codeable replacement for the analytic advisor
+  * round 12 measured recommending backwards and killed. */
+class IndexAdvisorSpec extends AnyFunSuite {
+
+  test("continuous-ingest and erasure pipelines route to the IVF-PQ artifact") {
+    val r = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(1000000L), AnnWorkload(continuousIngest = true))
+    assert(r.family == "ivf-pq-index")
+    assert(r.citation.contains("rebuild-per-corpus-version"),
+      s"citation must state the structural reason: ${r.citation}")
+    val r2 = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(2000L), AnnWorkload(erasureDeadlines = true))
+    assert(r2.family == "ivf-pq-index")
+  }
+
+  test("latency-pinned small corpus routes to LSH — the measured 1x niche") {
+    // SCALING.md round 12: "LSH artifacts serve latency-pinned
+    // small-corpus workloads" — at n=2000 the measured warm LSH query
+    // (0.927 s) beats IVF-PQ (1.054 s) at matched recall
+    val r = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(2000L), AnnWorkload(latencyPinned = true))
+    assert(r.family == "lsh-index", r.citation)
+    assert(r.citation.contains("frontier_r12_isotropic.json"))
+    assert(r.citation.contains("sim_ann_lsh_index_query"))
+  }
+
+  test("at 10x the measured shuffle asymmetry routes to IVF-PQ even latency-pinned") {
+    // the row that killed the analytic model: LSH moves 885.6 MB at
+    // n=20000 where IVF-PQ moves 42.0 — and loses wall and recall
+    val r = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(20000L), AnnWorkload(latencyPinned = true))
+    assert(r.family == "ivf-pq-index", r.citation)
+    assert(r.citation.contains("MB"), r.citation)
+    assert(r.expectedShuffleMb < 100.0)
+  }
+
+  test("filtered workloads in the measured range route to the LSH dial — round 13's result") {
+    // frontier_r13_filtered.json: at n=20000 the LSH AutoRadius dial
+    // measured 0.890 recall at 0.93 s vs IVF-PQ AutoProbes 0.832 at
+    // 1.44 s — the measured table, not the old prose ("route heavily
+    // filtered workloads to IVF-PQ"), decides
+    val r = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(20000L), AnnWorkload(filterSelectivity = Some(0.14)))
+    assert(r.family == "lsh-index", r.citation)
+    assert(r.citation.contains("lsh_filtered_14pct"), r.citation)
+    assert(r.citation.contains("search_filtered_14pct"), r.citation)
+  }
+
+  test("filtered workloads beyond the measured range fall back to the scale-qualified family") {
+    // the LSH filtered economics are unmeasured past 10×: a clamped
+    // row must not decide in LSH's favor at n far beyond it
+    val r = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(60000L), AnnWorkload(filterSelectivity = Some(0.14)))
+    assert(r.family == "ivf-pq-index", r.citation)
+    assert(r.citation.contains("measured range"), r.citation)
+  }
+
+  test("a measurably clustered corpus cites the clustered frontier and its flat recall") {
+    val r = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(60000L, concentration = Some(0.89)), AnnWorkload())
+    assert(r.family == "ivf-pq-index")
+    assert(r.citation.contains("frontier_r13_clustered.json"), r.citation)
+    assert(r.expectedRecallAt3 > 0.9,
+      s"clustered evidence says recall is flat ≥0.99: ${r.expectedRecallAt3}")
+  }
+
+  test("between measured scale points the expectation interpolates, beyond it says so") {
+    val lo = IndexAdvisor.recommendIndexFamily(CorpusStats(2000L),
+      AnnWorkload())
+    val mid = IndexAdvisor.recommendIndexFamily(CorpusStats(6325L),
+      AnnWorkload())
+    val hi = IndexAdvisor.recommendIndexFamily(CorpusStats(20000L),
+      AnnWorkload())
+    assert(mid.expectedWarmWallSec > lo.expectedWarmWallSec &&
+      mid.expectedWarmWallSec < hi.expectedWarmWallSec,
+      s"${lo.expectedWarmWallSec} / ${mid.expectedWarmWallSec} / " +
+        s"${hi.expectedWarmWallSec}")
+    val beyond = IndexAdvisor.recommendIndexFamily(CorpusStats(10000000L),
+      AnnWorkload())
+    assert(beyond.citation.contains("clamped"),
+      s"extrapolation must be labeled: ${beyond.citation}")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions.col
+
+import graft.TestSpark
+
+/** The vacuum-under-live-readers contract: a reader that resolved a
+  * version BEFORE a vacuum must either complete against that version's
+  * immutable files (its lease makes the vacuum provably skip the
+  * directory) or never start on a deleted one (the pin protocol
+  * re-verifies after the lease lands and re-pins the current version
+  * if the vacuum won the race). Crashed readers leak leases; the
+  * operator's lease horizon reclaims them. */
+class VacuumLeaseSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.sources.GraftTestFs].getName)
+    s
+  }
+  private val dir = TestSpark.sfDir
+
+  private def buildVersion(alias: String, v: String,
+      mod: Int): Unit =
+    Similarity.buildIvfPqIndexOn(spark,
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 8 =!= mod),
+      s"$alias/$v")
+
+  test("a pinned version survives the vacuum; the reader's rows are bit-identical") {
+    val local = java.nio.file.Files.createTempDirectory("graft_lease")
+    val alias = "graftfs:" + local.toString
+    try {
+      buildVersion(alias, "v-001", 1)
+      Similarity.publishIndexVersion(spark, alias, "v-001")
+      val (pinnedDir, lease) = Similarity.pinIndexVersion(spark, alias)
+      assert(pinnedDir == s"$alias/v-001")
+      val before = Similarity.annIvfPqIndexed(spark, dir, pinnedDir)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(before.nonEmpty)
+      buildVersion(alias, "v-002", 2)
+      Similarity.publishIndexVersion(spark, alias, "v-002")
+      buildVersion(alias, "v-003", 3)
+      Similarity.publishIndexVersion(spark, alias, "v-003")
+      // keep=1 would drop v-001 and v-002 — v-001 is leased, so only
+      // v-002 goes; the vacuum PROVABLY skipped the held version
+      assert(Similarity.vacuumIndexVersions(spark, alias,
+        keepVersions = 1) == 1)
+      assert(java.nio.file.Files.exists(
+        local.resolve("v-001").resolve("centroids.parquet")))
+      assert(!java.nio.file.Files.exists(local.resolve("v-002")))
+      // the long-running reader completes against immutable files
+      val after = Similarity.annIvfPqIndexed(spark, dir, pinnedDir)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(after == before,
+        "pinned reader's answer changed across the vacuum")
+      // release → the NEXT maintenance pass collects it
+      Similarity.unpinIndexVersion(spark, alias, lease)
+      assert(Similarity.vacuumIndexVersions(spark, alias,
+        keepVersions = 1) == 1)
+      assert(!java.nio.file.Files.exists(local.resolve("v-001")))
+      // the current version still resolves and serves
+      assert(Similarity.resolveIndexAlias(spark, alias) == s"$alias/v-003")
+      assert(Similarity.annIvfPqIndexed(spark, dir,
+        s"$alias/v-003").count() > 0)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("a crashed reader's leaked lease is reclaimed by the horizon") {
+    val local = java.nio.file.Files.createTempDirectory("graft_leasegc")
+    val alias = "graftfs:" + local.toString
+    try {
+      buildVersion(alias, "v-001", 1)
+      Similarity.publishIndexVersion(spark, alias, "v-001")
+      val (_, _) = Similarity.pinIndexVersion(spark, alias) // never released
+      buildVersion(alias, "v-002", 2)
+      Similarity.publishIndexVersion(spark, alias, "v-002")
+      // no horizon: the leaked lease holds the version forever
+      assert(Similarity.vacuumIndexVersions(spark, alias,
+        keepVersions = 1) == 0)
+      assert(java.nio.file.Files.exists(local.resolve("v-001")))
+      // a horizon of 0 ms reclaims any lease older than "now"
+      Thread.sleep(20L)
+      assert(Similarity.vacuumIndexVersions(spark, alias, keepVersions = 1,
+        breakLeasesOlderThanMs = Some(0L)) == 1)
+      assert(!java.nio.file.Files.exists(local.resolve("v-001")))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("a reader pinning DURING rotation+vacuum always completes on a live version") {
+    val local = java.nio.file.Files.createTempDirectory("graft_leaserace")
+    val alias = "graftfs:" + local.toString
+    try {
+      buildVersion(alias, "v-001", 1)
+      Similarity.publishIndexVersion(spark, alias, "v-001")
+      buildVersion(alias, "v-002", 2)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      @volatile var readerRows = -1L
+      @volatile var readerDir: String = null
+      @volatile var failure: Option[Throwable] = None
+      val reader = new Thread(() => {
+        try {
+          barrier.await()
+          val (d, lease) = Similarity.pinIndexVersion(spark, alias)
+          readerDir = d
+          readerRows = Similarity.annIvfPqIndexed(spark, dir, d).count()
+          Similarity.unpinIndexVersion(spark, alias, lease)
+        } catch { case e: Throwable => failure = Some(e) }
+      })
+      val maintainer = new Thread(() => {
+        try {
+          barrier.await()
+          Similarity.publishIndexVersion(spark, alias, "v-002")
+          Similarity.vacuumIndexVersions(spark, alias, keepVersions = 1)
+        } catch { case e: Throwable => failure = Some(e) }
+      })
+      reader.start(); maintainer.start()
+      reader.join(600000L); maintainer.join(600000L)
+      assert(failure.isEmpty, s"race threw: $failure")
+      assert(readerRows > 0,
+        s"reader failed to complete on its pinned version $readerDir")
+      assert(Set(s"$alias/v-001", s"$alias/v-002").contains(readerDir))
+      // after the reader released, maintenance converges fully
+      Similarity.vacuumIndexVersions(spark, alias, keepVersions = 1)
+      assert(!java.nio.file.Files.exists(local.resolve("v-001")))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+}
