@@ -4021,6 +4021,36 @@ object Similarity {
       allowedDeVectors(spark, dir), radius = LshRadius)
   }
 
+  /** Registry form `sim_ann_lsh_search_filtered_auto`: the [[AutoRadius]]
+    * dial end-to-end through the hash gate. At both gate scales the
+    * `lang = 'de'` slice's selectivity resolves the radius to ALL planes
+    * (sf0.01: p=4, target B(2)/0.2 = 55 > B(4); sf0.1: p=6, target 44 >
+    * B(3)), so the search takes the brute-force-over-allowed path —
+    * which is exactly SQL-expressible: every allowed posting is a
+    * candidate, no probe pruning, then the standard PQ preselect and
+    * exact rerank. The probe-join arm of the dial is qualified by the
+    * frontier (recall 0.944/0.890 vs the IVF twin's 0.907/0.832 at
+    * 1×/10×) and the exact-among-allowed unit spec. */
+  def annLshSearchFilteredAuto(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshsfa")
+    val table = lshTableFor(dir, "_lshsfa")
+    buildLshIndex(spark, dir, root, table)
+    searchLshIndexFiltered(spark, searchQuerySet(spark, dir), dir, table,
+      allowedDeVectors(spark, dir))
+  }
+
+  /** Production registry form: fixed-buffer build, same auto-dial
+    * search. */
+  def annLshSearchFilteredAutoProd(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshsfap")
+    val table = lshTableFor(dir, "_lshsfap")
+    buildLshIndexProd(spark, dir, root, table)
+    searchLshIndexFiltered(spark, searchQuerySet(spark, dir), dir, table,
+      allowedDeVectors(spark, dir))
+  }
+
   /** Oracle for [[annLshSearch]]: the identical algorithm replayed
     * monolithically — the [[annLshOracle]] corpus CTEs (planes, corpus
     * buckets, probe masks, PQ codebook + decode) plus the derived query
@@ -4034,6 +4064,50 @@ object Similarity {
     * mirroring [[annIvfPqIndexSearchFilteredOracle]]. */
   lazy val annLshSearchFilteredOracle: String =
     lshSearchOracle(filtered = true)
+
+  /** Oracle for [[annLshSearchFilteredAuto]]: the AutoRadius dial's
+    * resolved plan at gate scale — the brute-force-over-allowed floor.
+    * Candidates are every allowed corpus vector (no probe pruning: the
+    * selectivity-resolved radius covers the whole bucket space, so the
+    * planes/buckets/masks CTEs drop out entirely), then the identical
+    * asymmetric preselect and exact rerank as the probe-join replay. */
+  lazy val annLshSearchFilteredAutoOracle: String =
+    s"""WITH $vCte,
+       |$pqCtes,
+       |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |        FROM pasg GROUP BY 1),
+       |q AS (SELECT vec_id + 300000 AS query_id,
+       |             [CASE WHEN i <= 4 THEN ev[i] + 0.05 ELSE ev[i] END
+       |              for i in range(1, len(ev) + 1)] AS qev
+       |      FROM v WHERE vec_id % 10 = 0),
+       |qcand AS (SELECT q.query_id, b.vec_id AS neighbor_id
+       |          FROM q
+       |          CROSS JOIN v b
+       |          JOIN documents dd
+       |            ON b.vec_id = dd.doc_id AND dd.lang = 'de'),
+       |qaq AS (SELECT c.query_id, c.neighbor_id,
+       |               ${sqlCos("q.qev", "d.qv")} AS acos
+       |        FROM qcand c
+       |        JOIN q ON c.query_id = q.query_id
+       |        JOIN dec d ON c.neighbor_id = d.vec_id),
+       |qpre AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY acos DESC, neighbor_id)
+       |                    AS prernk
+       |           FROM qaq)
+       |         WHERE prernk <= $LshPreK),
+       |qp AS (SELECT c.query_id, c.neighbor_id,
+       |              ${sqlCos("q.qev", "b.ev")} AS cosine
+       |       FROM qpre c
+       |       JOIN q ON c.query_id = q.query_id
+       |       JOIN v b ON c.neighbor_id = b.vec_id),
+       |qr AS (SELECT query_id, neighbor_id, cosine,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+       |       FROM qp)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM qr WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
 
   private def lshSearchOracle(filtered: Boolean): String = {
     val filterJoin = if (!filtered) ""
@@ -4163,6 +4237,7 @@ object Similarity {
     "sim_ann_lsh_capped_indexed" -> (annLshCappedIndexedAuto _),
     "sim_ann_lsh_search" -> (annLshSearch _),
     "sim_ann_lsh_search_filtered" -> (annLshSearchFiltered _),
+    "sim_ann_lsh_search_filtered_auto" -> (annLshSearchFilteredAuto _),
     "sim_ann_lsh_index_delete" -> (annLshIndexDelete _),
     "sim_ann_index_delta" -> (annIvfPqIndexDelta _),
     "sim_ann_index_search" -> (annIvfPqIndexSearch _),
@@ -4190,6 +4265,7 @@ object Similarity {
     "sim_ann_lsh_capped_indexed" -> annLshCappedOracle,
     "sim_ann_lsh_search" -> annLshSearchOracle,
     "sim_ann_lsh_search_filtered" -> annLshSearchFilteredOracle,
+    "sim_ann_lsh_search_filtered_auto" -> annLshSearchFilteredAutoOracle,
     "sim_ann_lsh_index_delete" -> annLshIndexDeleteOracle,
     "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle,
     "sim_ann_index_search" -> annIvfPqIndexSearchOracle,

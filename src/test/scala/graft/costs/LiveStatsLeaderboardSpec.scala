@@ -84,4 +84,56 @@ class LiveStatsLeaderboardSpec extends AnyFunSuite {
       assert(dev <= 0.01, f"$d deviates ${dev * 100}%.2f%% > 1%%")
     }
   }
+
+  test("ABOVE the threshold the HLL branch still ranks the leaderboard identically") {
+    // a 12 M-line synthetic crosses ExactDistinctMaxRows, so OrderLine
+    // profiles its distincts through approx_count_distinct (HLL++,
+    // rsd ≈ 5%) while Product (100 k) stays exact — the branch the
+    // fixture-scale tests leave untested. The design decision the
+    // leaderboard exists to make must survive the sketch's error:
+    // ranking parity against a declared-stat run at the SAME (exact,
+    // known-by-construction) cardinalities, and weighted totals inside
+    // the sketch's error envelope.
+    assert(12000000L > StatsCollector.ExactDistinctMaxRows)
+    val product = spark.range(100000L).select(
+      col("id").as("IDP"),
+      concat(lit("brand_"), (col("id") % 5000).cast("string")).as("brand"),
+      concat(lit("cat_"), (col("id") % 100).cast("string")).as("categorie"),
+      lpad(col("id").cast("string"), 200, "x").as("description"),
+      (col("id") % 1000).cast("double").as("price"))
+    val orderLine = spark.range(12000000L).select(
+      col("id").as("IDL"),
+      (col("id") % 100000).as("IDP"),
+      (col("id") % 3000000).as("IDC"),
+      (col("id") % 10).as("quantity"))
+    val live = StatsCollector.profileChallenge(product, orderLine)
+    val ol = live("OrderLine")
+    assert(ol.nbDocuments == 12000000L) // counts stay exact either branch
+    // the HLL estimates stay inside the sketch's documented envelope
+    assert(math.abs(ol.distinctValues("IDP") - 100000.0) <= 100000.0 * 0.1,
+      s"HLL IDP estimate off: ${ol.distinctValues("IDP")}")
+    assert(math.abs(ol.distinctValues("IDC") - 3000000.0) <= 3000000.0 * 0.1,
+      s"HLL IDC estimate off: ${ol.distinctValues("IDC")}")
+    // declared truth at the same cardinalities — exact by construction
+    val declared = Map(
+      "Product" -> live("Product").copy(
+        distinctValues = Map("IDP" -> 100000L, "brand" -> 5000L,
+          "categorie" -> 100L),
+        avgArrayLengths = Map("orderLines" -> 120.0)),
+      "OrderLine" -> ChallengeModel.CollectionStats(12000000L,
+        distinctValues = Map("IDP" -> 100000L, "IDC" -> 3000000L)))
+    val (_, liveTotals, _) = ChallengeReporting.runAll(live)
+    val (_, refTotals, _) = ChallengeReporting.runAll(declared)
+    assert(ChallengeReporting.ordering(liveTotals) ==
+      ChallengeReporting.ordering(refTotals),
+      "the HLL error channel flipped the leaderboard ranking")
+    for ((d, ref) <- refTotals) {
+      val dev = math.abs(liveTotals(d).weighted - ref.weighted) /
+        ref.weighted
+      info(f"$d: declared ${ref.weighted}%.4f hll-live " +
+        f"${liveTotals(d).weighted}%.4f (${dev * 100}%.2f%%)")
+      assert(dev <= 0.08,
+        f"$d deviates ${dev * 100}%.2f%% — outside the HLL envelope")
+    }
+  }
 }
