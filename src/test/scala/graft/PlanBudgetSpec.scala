@@ -161,6 +161,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // fixture selectivity; Catalyst shuffles it if the slice outgrows
     // the threshold — postings side stays exchange-free either way)
     "sim_ann_lsh_search_filtered" -> (1, 5),
+    // the AutoRadius dial's gate-scale plan: the brute-over-allowed
+    // floor — one probe-free pass, same single shuffle as the probe
+    // form (the ranking windows), broadcasts for queries/allowed/
+    // tombstones/codebook joins
+    "sim_ann_lsh_search_filtered_auto" -> (1, 5),
     "sim_centroid_by_lang" -> (1, 1),
     "sim_cosine_neardup" -> (1, 1), // + streamed-side repartition (baseline)
     // streamed-side repartition on vec_id doubles as the top-k window's
