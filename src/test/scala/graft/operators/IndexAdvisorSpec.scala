@@ -52,11 +52,22 @@ class IndexAdvisorSpec extends AnyFunSuite {
     assert(r.citation.contains("search_filtered_14pct"), r.citation)
   }
 
-  test("filtered workloads beyond the measured range fall back to the scale-qualified family") {
-    // the LSH filtered economics are unmeasured past 10×: a clamped
-    // row must not decide in LSH's favor at n far beyond it
+  test("at 30x the measured filtered crossover routes back to IVF-PQ") {
+    // the dial's honest scale limit, measured: at n=60000 the LSH
+    // filtered auto point is 0.516 vs IVF's 0.573 — past the 0.05
+    // tolerance — so the measured table flips the filtered verdict
+    // without any hand-written scale rule
     val r = IndexAdvisor.recommendIndexFamily(
       CorpusStats(60000L), AnnWorkload(filterSelectivity = Some(0.14)))
+    assert(r.family == "ivf-pq-index", r.citation)
+    assert(r.citation.contains("lsh_filtered_14pct"), r.citation)
+  }
+
+  test("filtered workloads beyond the measured range fall back to the scale-qualified family") {
+    // the filtered table runs to 30×: a clamped row must not decide
+    // in LSH's favor at n far beyond it
+    val r = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(600000L), AnnWorkload(filterSelectivity = Some(0.14)))
     assert(r.family == "ivf-pq-index", r.citation)
     assert(r.citation.contains("measured range"), r.citation)
   }
