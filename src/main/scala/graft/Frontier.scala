@@ -139,6 +139,7 @@ object Frontier {
     val factors = positional.drop(2).map(_.toInt)
     val clustered = flags.contains("--clustered")
     val filteredOnly = flags.contains("--filtered-only")
+    val sweepOnly = flags.contains("--sweep-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -177,7 +178,7 @@ object Frontier {
       d
     }
 
-    val rows = if (clustered || filteredOnly) Seq.empty
+    val rows = if (clustered || filteredOnly || sweepOnly) Seq.empty
     else factors.toSeq.flatMap { factor =>
       val dir = isotropicDir(factor)
       val n = baseVecs * math.max(1, factor)
@@ -225,7 +226,7 @@ object Frontier {
     // included when allowed — the identical convention on both sides
     // (external-query search does not exclude the source vector), so
     // the unfiltered baseline row isolates what the filter alone costs.
-    val filteredRows = if (clustered) Seq.empty
+    val filteredRows = if (clustered || sweepOnly) Seq.empty
     else factors.toSeq.flatMap { factor =>
       val dir = isotropicDir(factor)
       val n = baseVecs * math.max(1, factor)
@@ -364,6 +365,13 @@ object Frontier {
       if (clustered) factors.toSeq.flatMap { factor =>
         val dir = clusteredDir(factor)
         sweepAt(spark, dir, factor, baseVecs * math.max(1, factor), "clu_")
+      }
+      // --sweep-only: the isotropic per-factor sweep alone — how a
+      // dial change gets its no-isotropic-regression check measured
+      // without re-running the full 9-form frontier
+      else if (sweepOnly) factors.toSeq.flatMap { factor =>
+        sweepAt(spark, isotropicDir(factor), factor,
+          baseVecs * math.max(1, factor))
       }
       else if (filteredOnly) Seq.empty
       else {
