@@ -133,7 +133,8 @@ object Frontier {
     val flags = args.filter(_.startsWith("--")).toSet
     val positional = args.filterNot(_.startsWith("--"))
     require(positional.length >= 3,
-      "usage: Frontier <sf0.1Dir> <outRoot> [--clustered|--filtered-only] <factor...>")
+      "usage: Frontier <sf0.1Dir> <outRoot> " +
+        "[--clustered|--filtered-only|--sweep-only] <factor...>")
     val sfDir = positional(0)
     val outRoot = positional(1)
     val factors = positional.drop(2).map(_.toInt)

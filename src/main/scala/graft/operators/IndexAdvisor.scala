@@ -170,14 +170,29 @@ object IndexAdvisor {
           // falls to the family whose SCALE path is qualified (the
           // IVF-PQ frontier runs to 30×; LSH's filtered economics are
           // unmeasured past 10×) — a clamped row must not decide
-          if (lsh.clampedHigh || ivf.clampedHigh)
+          if (lsh.clampedHigh || ivf.clampedHigh) {
+            // the measured-range bounds come off the LOADED rows, and
+            // the text names whichever family actually clamped — the
+            // citation is the advisor's value proposition, it must not
+            // misstate its own evidence (a hardcoded "measured only to
+            // n=20000" survived one frontier extension to n=60000)
+            val ivfMax = flt("search_filtered_14pct").last.n
+            val lshMax = flt("lsh_filtered_14pct").last.n
+            val clampedNames = Seq(
+              if (ivf.clampedHigh) Some(s"IVF-PQ (measured to n=$ivfMax)")
+              else None,
+              if (lsh.clampedHigh) Some(s"LSH (measured to n=$lshMax)")
+              else None).flatten.mkString(" and ")
             IndexRecommendation("ivf-pq-index", ivf.recall, ivf.wall,
               ivf.shuffleMb,
               "Filtered workload beyond the filtered table's measured " +
-                "range: route to the scale-qualified family — " +
-                s"${cite(fltPath, "search_filtered_14pct", ivf)}; the " +
-                s"LSH dial is measured only to n=20000 " +
-                s"(${cite(fltPath, "lsh_filtered_14pct", lsh)}).")
+                s"range for $clampedNames: route to the scale-qualified " +
+                "family (the unfiltered IVF-PQ frontier runs to 30×; " +
+                s"LSH's filtered economics are unmeasured past " +
+                s"n=$lshMax) — " +
+                s"${cite(fltPath, "search_filtered_14pct", ivf)}; " +
+                s"${cite(fltPath, "lsh_filtered_14pct", lsh)}.")
+          }
           else if (lsh.recall >= ivf.recall - 0.05 && lsh.wall < ivf.wall)
             IndexRecommendation("lsh-index", lsh.recall, lsh.wall,
               lsh.shuffleMb,

@@ -91,13 +91,26 @@ object StreamingIndexAppend {
       validClaim() match {
         case Some(v) => version = v
         case None if ifs.exists(claim) =>
-          // torn claim: give a mid-write concurrent winner one beat to
-          // finish, then treat it as a crashed attempt's husk
-          Thread.sleep(20L)
-          validClaim() match {
-            case Some(v) => version = v
-            case None => ifs.deleteFile(claim)
+          // torn claim: a mid-write concurrent winner gets a GRACE
+          // PERIOD of re-reads before the claim is condemned as a
+          // crashed attempt's husk and deleted. One 20 ms beat was too
+          // tight for the stores createUtf8's scaladoc targets (an
+          // S3/ABFS/GCS PUT can sit longer than that between the
+          // create and the content landing) — a live slow writer's
+          // claim deleted mid-write lets two attempts of one batch
+          // adopt DIFFERENT version routings. The grace is
+          // conf-sized (`graft.index.tornClaimGraceMs`, default
+          // 1000 ms — comfortably above object-store small-PUT tail
+          // latency); duplicate submissions remain out of contract,
+          // this only prices the documented assumption realistically.
+          val graceMs = spark.conf
+            .get("graft.index.tornClaimGraceMs", "1000").toLong
+          val deadline = System.nanoTime() + graceMs * 1000000L
+          while (version == null && System.nanoTime() < deadline) {
+            Thread.sleep(20L)
+            validClaim().foreach(v => version = v)
           }
+          if (version == null) ifs.deleteFile(claim)
         case None =>
           val resolved = new org.apache.hadoop.fs.Path(
             graft.operators.Similarity.resolveIndexAlias(spark, aliasDir))

@@ -97,4 +97,32 @@ class IndexAdvisorSpec extends AnyFunSuite {
     assert(beyond.citation.contains("clamped"),
       s"extrapolation must be labeled: ${beyond.citation}")
   }
+
+  test("a 100x corpus gets the conservative clamped answer in every mode") {
+    // every frontier table is measured to 30x (n=60000); 100x
+    // (n=200000) must clamp, SAY it clamped, and land on the
+    // scale-qualified family — never grant a niche on extrapolation
+    val clu = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(200000L, concentration = Some(0.89)), AnnWorkload())
+    assert(clu.family == "ivf-pq-index", clu.citation)
+    assert(clu.citation.contains("clamped"), clu.citation)
+    assert(clu.citation.contains("frontier_r13_clustered.json"),
+      clu.citation)
+    // filtered 100x: BOTH families clamp; the text names each with the
+    // measured bound read off the loaded rows (not a hardcoded n that
+    // goes stale when a frontier re-run extends the table)
+    val flt = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(200000L), AnnWorkload(filterSelectivity = Some(0.14)))
+    assert(flt.family == "ivf-pq-index", flt.citation)
+    assert(flt.citation.contains("IVF-PQ (measured to n=60000)"),
+      flt.citation)
+    assert(flt.citation.contains("LSH (measured to n=60000)"),
+      flt.citation)
+    // latency-pinned 100x: LSH's measured small-corpus niche must not
+    // be granted from a clamped row
+    val lat = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(200000L), AnnWorkload(latencyPinned = true))
+    assert(lat.family == "ivf-pq-index", lat.citation)
+    assert(lat.citation.contains("clamped"), lat.citation)
+  }
 }
