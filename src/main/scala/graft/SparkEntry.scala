@@ -67,6 +67,8 @@ object SparkEntry {
     "sim_ann_lsh_search_filtered" -> (Similarity.annLshSearchFilteredProd _),
     "sim_ann_lsh_search_filtered_auto" ->
       (Similarity.annLshSearchFilteredAutoProd _),
+    "sim_ann_lsh_search_filtered_auto_mid" ->
+      (Similarity.annLshSearchFilteredAutoMidProd _),
     "sim_ann_lsh_index_delete" -> (Similarity.annLshIndexDeleteProd _),
     "sim_ann_index_delta" -> (Similarity.annIvfPqIndexDeltaProd _),
     "sim_ann_index_search" -> (Similarity.annIvfPqIndexSearchProd _),

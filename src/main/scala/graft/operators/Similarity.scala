@@ -475,9 +475,11 @@ object Similarity {
 
   /** MEASURED calibration bounds for the concentration-weighted auto
     * dial — two corpus shapes, each frontier-qualified at 1×/10×/30×
-    * (SCALING.md rounds 12–13), keyed on the index's own build-stamped
-    * mean assignment cosine (`_stats/build.parquet`, measured round 13
-    * with the production trainer):
+    * (SCALING.md rounds 12–13), keyed on the index's own measured mean
+    * assignment cosine (`_stats/build.parquet` vector-weighted with the
+    * committed appends' stats rows — [[indexConcentration]]; the
+    * calibration numbers below were measured round 13 with the
+    * production trainer):
     *   - isotropic synthesis: mean_cos 0.335 / 0.343 / 0.356 at
     *     1×/10×/30× — recall under a FIXED nprobe decays with scale,
     *     holding the probe fraction buys back two-thirds of the decay
@@ -498,18 +500,46 @@ object Similarity {
   private val ConcIsotropic = 0.40
   private val ConcClustered = 0.73
 
-  /** The build-stamped mean assignment cosine — how concentrated the
-    * corpus is around its trained centroids. Build stats carry the
-    * dominant mass (appends re-measure against frozen centroids and
-    * feed the drift report instead); absent stats (foreign artifact) →
-    * None → the conservative fraction-held rule. */
+  /** The index's EFFECTIVE mean assignment cosine — how concentrated
+    * the corpus it currently serves is around its trained centroids:
+    * the vector-weighted combination of the build-stamped stats row
+    * and every COMMITTED append's stats row (each append already
+    * re-measures its batch against the frozen centroids for the drift
+    * report, so this is pure arithmetic over the tiny `_stats`
+    * artifacts — no corpus scan). Weighting the appends in keeps the
+    * auto-probe dial tracking the corpus the index actually holds: a
+    * day-0 isotropic calibration must not keep deciding the probe
+    * budget after months of appends have shifted the distribution
+    * (and vice versa). Only appends whose commit marker landed count —
+    * a crashed attempt's orphan stats row (pre-recovery) must not
+    * steer the dial. Absent stats (foreign artifact) → None → the
+    * conservative fraction-held rule. */
   private def indexConcentration(spark: SparkSession,
       indexDir: String): Option[Double] = {
     val ifs = graft.sources.IndexFs.on(spark, indexDir)
     if (!ifs.exists(ifs.child("_stats", "build.parquet"))) None
     else spark.read.parquet(s"$indexDir/_stats/build.parquet")
-      .select(col("mean_cos")).collect().headOption
-      .filterNot(_.isNullAt(0)).map(_.getDouble(0))
+      .select(col("n_vectors"), col("mean_cos")).collect().headOption
+      .filterNot(_.isNullAt(1)).map { b =>
+        val (bn, bc) = (b.getLong(0), b.getDouble(1))
+        val logDir = ifs.child("_append_log")
+        val committed: Set[String] =
+          if (!ifs.exists(logDir)) Set.empty
+          else ifs.listDir(logDir).map(_.getName)
+            .filter(_.startsWith("batch-"))
+            .map(_.stripPrefix("batch-")).toSet
+        val appends: Seq[(Long, Double)] =
+          if (committed.isEmpty ||
+              !ifs.exists(ifs.child("_stats", "appends.parquet"))) Seq.empty
+          else spark.read.parquet(s"$indexDir/_stats/appends.parquet")
+            .select(col("batch_id"), col("n_vectors"), col("mean_cos"))
+            .collect().toSeq
+            .filter(r => !r.isNullAt(2) && committed.contains(r.getString(0)))
+            .map(r => (r.getLong(1), r.getDouble(2)))
+        val totalN = bn + appends.map(_._1).sum
+        if (totalN <= 0L) bc
+        else (bn * bc + appends.map { case (n, c) => n * c }.sum) / totalN
+      }
   }
 
   /** [[AutoProbes]] resolution for a PERSISTED index: the fraction-held
@@ -3587,10 +3617,11 @@ object Similarity {
     * artifact (the full lifecycle: committed append, compaction,
     * drift); the LSH artifact is rebuild-per-corpus-version. */
   def buildLshIndex(spark: SparkSession, dir: String, indexDir: String,
-      tableName: String, numBuckets: Int = 32): Unit = {
+      tableName: String, numBuckets: Int = 32,
+      planesOverride: Option[Int] = None): Unit = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val nVec = Tables.embeddings(spark, dir).count()
-    val numPlanes = planesFor(nVec)
+    val numPlanes = planesOverride.getOrElse(planesFor(nVec))
     spark.range(1).select(lit(numPlanes).as("num_planes"),
         lit(nVec).as("n_vectors"))
       .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
@@ -3604,11 +3635,12 @@ object Similarity {
   /** [[buildLshIndex]] with the production trainers: fixed-buffer PQ
     * codebook + native scan-side packed assignment. */
   def buildLshIndexProd(spark: SparkSession, dir: String, indexDir: String,
-      tableName: String, numBuckets: Int = 32): Unit = {
+      tableName: String, numBuckets: Int = 32,
+      planesOverride: Option[Int] = None): Unit = {
     import spark.implicits._
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val nVec = Tables.embeddings(spark, dir).count()
-    val numPlanes = planesFor(nVec)
+    val numPlanes = planesOverride.getOrElse(planesFor(nVec))
     spark.range(1).select(lit(numPlanes).as("num_planes"),
         lit(nVec).as("n_vectors"))
       .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
@@ -3939,10 +3971,35 @@ object Similarity {
       nb.crossJoin(broadcast(q.select(col("query_id"))))
         .select(col("query_id"), col("neighbor_id"), col("b_code"))
     } else {
-      val probes = q
-        .withColumn("bucket", bucketExpr(col("qev"), numPlanes))
-        .select(col("query_id"), explode(array(probeMasksR(numPlanes, r)
-          .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+      // Mask materialization strategy: a literal array()/explode()
+      // keeps the probe expansion inside whole-stage codegen but puts
+      // one Catalyst literal PER MASK in the plan — and an auto-
+      // resolved radius can clear thousands-to-hundreds-of-thousands
+      // of masks while staying below the brute threshold at production
+      // plane counts (p=14 allows ~8k, p=20 ~500k at half of 2^p):
+      // expression-tree and codegen size would blow up long before the
+      // data does. Above a fixed literal budget
+      // (`graft.lsh.literalMaskCap`, default 1024) the mask set joins
+      // as a BROADCAST one-column table instead — same probe rows,
+      // plan size O(1) in the mask count, 8 B mask rows the cheapest
+      // broadcast in the engine. Both arms are row-identical
+      // (`PersistedLshIndexSpec` pins it) and the mid-radius oracle
+      // row replays the broadcast arm through the hash gate (r=4 of 16
+      // planes = 2 517 masks).
+      val masks = probeMasksR(numPlanes, r)
+      val literalCap = spark.conf
+        .get("graft.lsh.literalMaskCap", "1024").toInt
+      val qb = q.withColumn("bucket", bucketExpr(col("qev"), numPlanes))
+      val probes =
+        if (masks.size <= literalCap)
+          qb.select(col("query_id"), explode(array(masks
+            .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+        else {
+          import spark.implicits._
+          qb.crossJoin(broadcast(masks.toDF("mask")))
+            .select(col("query_id"),
+              col("bucket").bitwiseXOR(col("mask")).as("probe"))
+        }
       val cand0 = probes.join(neighborSide, col("probe") === col("nb"))
         .select(col("query_id"), col("neighbor_id"), col("b_code"))
       // the metadata restriction applies to CANDIDATES, not postings —
@@ -4051,6 +4108,50 @@ object Similarity {
       allowedDeVectors(spark, dir))
   }
 
+  /** The pinned plane count of the MID-RADIUS auto-dial row: at the
+    * gate scales the corpus-derived plane counts (p=4/6) resolve the
+    * de-filter's selectivity straight past the brute threshold, so the
+    * dial's PRIMARY operating regime — a radius strictly between
+    * [[LshRadius]] and the brute floor — was frontier-measured but
+    * never hash-gated. 16 planes puts the gate inside that regime at
+    * every fixture scale (see [[annLshSearchFilteredAutoMid]]). */
+  private[operators] val MidPlanes = 16
+
+  /** Registry form `sim_ann_lsh_search_filtered_auto_mid`: the
+    * [[AutoRadius]] dial's mid-radius regime through the hash gate.
+    * The index builds with [[MidPlanes]]=16 hyperplanes (the
+    * `planesOverride` a production deployment sizes by corpus scale),
+    * and the `lang = 'de'` slice's selectivity ≈ 0.13–0.14 at every
+    * fixture scale resolves the radius to exactly 4: the budget target
+    * B(2)/sel ≈ 980–1030 falls between B(3)=697 and B(4)=2517, and
+    * 2·B(4) ≪ 2^16 keeps the probe join (no brute floor). The 2 517
+    * masks also exceed the 1 024 literal budget, so the row replays
+    * the BROADCAST-mask arm — the plan shape production plane counts
+    * actually take. The DuckDB oracle enumerates the identical mask
+    * set (popcount ≤ 4 over 16 planes) and replays the probe join,
+    * asymmetric preselect, and exact rerank verbatim. */
+  def annLshSearchFilteredAutoMid(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshsfm")
+    val table = lshTableFor(dir, "_lshsfm")
+    buildLshIndex(spark, dir, root, table,
+      planesOverride = Some(MidPlanes))
+    searchLshIndexFiltered(spark, searchQuerySet(spark, dir), dir, table,
+      allowedDeVectors(spark, dir))
+  }
+
+  /** Production registry form: fixed-buffer build at [[MidPlanes]],
+    * same mid-radius auto search. */
+  def annLshSearchFilteredAutoMidProd(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = indexRootFor(dir, "_lshsfmp")
+    val table = lshTableFor(dir, "_lshsfmp")
+    buildLshIndexProd(spark, dir, root, table,
+      planesOverride = Some(MidPlanes))
+    searchLshIndexFiltered(spark, searchQuerySet(spark, dir), dir, table,
+      allowedDeVectors(spark, dir))
+  }
+
   /** Oracle for [[annLshSearch]]: the identical algorithm replayed
     * monolithically — the [[annLshOracle]] corpus CTEs (planes, corpus
     * buckets, probe masks, PQ codebook + decode) plus the derived query
@@ -4083,6 +4184,69 @@ object Similarity {
        |qcand AS (SELECT q.query_id, b.vec_id AS neighbor_id
        |          FROM q
        |          CROSS JOIN v b
+       |          JOIN documents dd
+       |            ON b.vec_id = dd.doc_id AND dd.lang = 'de'),
+       |qaq AS (SELECT c.query_id, c.neighbor_id,
+       |               ${sqlCos("q.qev", "d.qv")} AS acos
+       |        FROM qcand c
+       |        JOIN q ON c.query_id = q.query_id
+       |        JOIN dec d ON c.neighbor_id = d.vec_id),
+       |qpre AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY acos DESC, neighbor_id)
+       |                    AS prernk
+       |           FROM qaq)
+       |         WHERE prernk <= $LshPreK),
+       |qp AS (SELECT c.query_id, c.neighbor_id,
+       |              ${sqlCos("q.qev", "b.ev")} AS cosine
+       |       FROM qpre c
+       |       JOIN q ON c.query_id = q.query_id
+       |       JOIN v b ON c.neighbor_id = b.vec_id),
+       |qr AS (SELECT query_id, neighbor_id, cosine,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+       |       FROM qp)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM qr WHERE rnk <= $AnnK
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** Oracle for [[annLshSearchFilteredAutoMid]]: the dial's resolved
+    * MID-RADIUS plan replayed monolithically — 16 fixed hyperplanes
+    * (no corpus-derived `np` CTE: the Spark side pins
+    * `planesOverride = 16`), the radius-4 probe set enumerated as
+    * every popcount ≤ 4 mask of the 16-bit bucket space (2 517 masks,
+    * the exact [[probeMasksR]] set), then the identical candidate
+    * join, metadata restriction, asymmetric preselect, and exact
+    * rerank as the radius-2 replay. */
+  lazy val annLshSearchFilteredAutoMidOracle: String =
+    s"""WITH $vCte,
+       |pw AS (SELECT p,
+       |          [CAST((1103515245 * (p * $Dim + i - 1) + 12345) % 2147483648 AS DOUBLE)
+       |             / 2147483648.0 - 0.5
+       |           for i in range(1, $Dim + 1)] AS w
+       |       FROM range(0, $MidPlanes) t(p)),
+       |vb AS (SELECT v.vec_id,
+       |              CAST(sum(CASE WHEN ${sqlDot("v.ev", "pw.w")} > 0
+       |                            THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM v CROSS JOIN pw GROUP BY v.vec_id),
+       |mk AS (SELECT CAST(m AS BIGINT) AS mask
+       |       FROM range(0, ${1 << MidPlanes}) t(m)
+       |       WHERE bit_count(CAST(m AS BIGINT)) <= 4),
+       |$pqCtes,
+       |dec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS qv
+       |        FROM pasg GROUP BY 1),
+       |q AS (SELECT vec_id + 300000 AS query_id,
+       |             [CASE WHEN i <= 4 THEN ev[i] + 0.05 ELSE ev[i] END
+       |              for i in range(1, len(ev) + 1)] AS qev
+       |      FROM v WHERE vec_id % 10 = 0),
+       |qb AS (SELECT q.query_id,
+       |              CAST(sum(CASE WHEN ${sqlDot("q.qev", "pw.w")} > 0
+       |                            THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM q CROSS JOIN pw GROUP BY q.query_id),
+       |qpr AS (SELECT query_id, xor(bucket, mask) AS probe
+       |        FROM qb CROSS JOIN mk),
+       |qcand AS (SELECT a.query_id, b.vec_id AS neighbor_id
+       |          FROM qpr a JOIN vb b ON a.probe = b.bucket
        |          JOIN documents dd
        |            ON b.vec_id = dd.doc_id AND dd.lang = 'de'),
        |qaq AS (SELECT c.query_id, c.neighbor_id,
@@ -4238,6 +4402,8 @@ object Similarity {
     "sim_ann_lsh_search" -> (annLshSearch _),
     "sim_ann_lsh_search_filtered" -> (annLshSearchFiltered _),
     "sim_ann_lsh_search_filtered_auto" -> (annLshSearchFilteredAuto _),
+    "sim_ann_lsh_search_filtered_auto_mid" ->
+      (annLshSearchFilteredAutoMid _),
     "sim_ann_lsh_index_delete" -> (annLshIndexDelete _),
     "sim_ann_index_delta" -> (annIvfPqIndexDelta _),
     "sim_ann_index_search" -> (annIvfPqIndexSearch _),
@@ -4266,6 +4432,8 @@ object Similarity {
     "sim_ann_lsh_search" -> annLshSearchOracle,
     "sim_ann_lsh_search_filtered" -> annLshSearchFilteredOracle,
     "sim_ann_lsh_search_filtered_auto" -> annLshSearchFilteredAutoOracle,
+    "sim_ann_lsh_search_filtered_auto_mid" ->
+      annLshSearchFilteredAutoMidOracle,
     "sim_ann_lsh_index_delete" -> annLshIndexDeleteOracle,
     "sim_ann_index_delta" -> annIvfPqIndexDeltaOracle,
     "sim_ann_index_search" -> annIvfPqIndexSearchOracle,

@@ -166,6 +166,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // form (the ranking windows), broadcasts for queries/allowed/
     // tombstones/codebook joins
     "sim_ann_lsh_search_filtered_auto" -> (1, 5),
+    // mid-radius dial (16 pinned planes, resolved r=4): +1 broadcast —
+    // the 2 517-mask set joins as a broadcast table instead of literals
+    "sim_ann_lsh_search_filtered_auto_mid" -> (1, 6),
     "sim_centroid_by_lang" -> (1, 1),
     "sim_cosine_neardup" -> (1, 1), // + streamed-side repartition (baseline)
     // streamed-side repartition on vec_id doubles as the top-k window's

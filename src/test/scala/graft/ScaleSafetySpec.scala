@@ -92,7 +92,8 @@ class ScaleSafetySpec extends AnyFunSuite {
       "sim_ann_lsh_indexed", "sim_ann_lsh_index_query",
       "sim_ann_lsh_capped_indexed", "sim_ann_lsh_capped_index_query",
       "sim_ann_lsh_search", "sim_ann_lsh_search_filtered",
-      "sim_ann_lsh_search_filtered_auto"),
+      "sim_ann_lsh_search_filtered_auto",
+      "sim_ann_lsh_search_filtered_auto_mid"),
       s"unaudited ANN query entered the timed registry: $annTimed")
   }
 

@@ -157,4 +157,49 @@ class AutoNprobeSpec extends AnyFunSuite {
     assert(cluAuto == 8,
       s"clustered corpus must keep the measured-flat floor: $cluAuto")
   }
+
+  test("appends drift the concentration and the dial follows without a retrain") {
+    // round-14: the dial reads the VECTOR-WEIGHTED concentration of
+    // build + committed append stats rows, not the day-0 calibration
+    // alone. Build a 3 000-vector isotropic index (mean_cos ≈ 0.34 →
+    // fraction-held, auto 10 of 55 cells), then append 2×3 000 vectors
+    // that sit ON the frozen centroids (per-batch mean_cos ≈ 1.0):
+    // the weighted mean crosses the 0.73 clustered calibration bound
+    // (3000·0.34 + 6000·1.0)/9000 ≈ 0.78, so auto must scale back to
+    // the nprobe-8 floor — the corpus the index now actually serves is
+    // concentrated, and the held fraction would buy +0.000 recall at
+    // real wall cost (the round-13 clustered measurement).
+    val root = java.nio.file.Files.createTempDirectory("graft_concdrift")
+    try {
+      val base = graft.StressScale.synthEmbeddings(spark, 3000L)
+      Similarity.buildIvfPqIndexProdOn(spark, base, root.toString)
+      val before = Similarity.describeIndex(spark, root.toString).head()
+      val cells = before.getAs[Long]("cells")
+      assert(before.getAs[Int]("auto_nprobe") ==
+        Similarity.resolveNprobe(Similarity.AutoProbes, cells))
+      assert(before.getAs[Int]("auto_nprobe") > 8,
+        "base must start above the floor to observe the dial move")
+      // appended vectors = copies of the trained centroids (unit
+      // assignment cosine), disjoint vec_ids per batch
+      val cent = spark.read.parquet(s"$root/centroids.parquet")
+      def centroidCopies(offset: Long): org.apache.spark.sql.DataFrame =
+        cent.crossJoin(spark.range(
+              (3000L + cent.count() - 1) / cent.count()).select(
+            col("id").as("rep")))
+          .select((lit(offset) + col("centroid_id") * 1000L + col("rep"))
+              .as("vec_id"),
+            transform(col("cv"), x => x.cast("float")).as("embedding"))
+          .limit(3000)
+      Similarity.appendToIvfPqIndexProd(spark,
+        centroidCopies(10000000L), root.toString, "drift-a")
+      Similarity.appendToIvfPqIndexProd(spark,
+        centroidCopies(20000000L), root.toString, "drift-b")
+      val after = Similarity.describeIndex(spark, root.toString).head()
+      assert(after.getAs[Long]("committed_appends") == 2L)
+      assert(after.getAs[Int]("auto_nprobe") == 8,
+        "appends pushed the weighted concentration across the " +
+          s"clustered bound; the dial must follow to the floor: " +
+          s"${after.getAs[Int]("auto_nprobe")}")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
 }

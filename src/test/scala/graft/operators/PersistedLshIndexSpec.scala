@@ -283,6 +283,62 @@ class PersistedLshIndexSpec extends AnyFunSuite {
     assert(r4.forall(m => java.lang.Long.bitCount(m) <= 4))
   }
 
+  test("mid-radius auto dial: 16 planes resolve the de slice to radius 4; mask arms row-identical") {
+    // the registry row's arithmetic (`sim_ann_lsh_search_filtered_auto_mid`):
+    // at MidPlanes=16 the de slice's sel ≈ 0.14 targets B(2)/sel ≈ 970–980
+    // probes, strictly between B(3) and B(4) — the dial's PRIMARY
+    // operating regime, resolved radius strictly between the pinned 2
+    // and the brute floor
+    assert(Similarity.probeCountAt(16, 2) == 137)
+    assert(Similarity.probeCountAt(16, 3) == 697)
+    assert(Similarity.probeCountAt(16, 4) == 2517)
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val n = e.count()
+    val de = graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === "de").count()
+    val resolved = Similarity.resolveLshRadius(Similarity.AutoRadius,
+      Similarity.MidPlanes, de, n)
+    assert(resolved == 4,
+      s"the gate fixture must resolve the MID radius: r=$resolved " +
+        s"(de=$de, n=$n)")
+    assert(resolved > 2 &&
+      Similarity.probeCountAt(16, resolved) * 2 < (1L << 16),
+      "resolved radius must sit strictly between the pinned radius " +
+        "and the brute threshold")
+    // end-to-end: the auto search (2 517 masks > the 1 024 literal
+    // budget → BROADCAST-mask arm) is row-identical to the explicitly
+    // pinned radius-4 search run on the LITERAL arm (budget raised) —
+    // the dial and both mask strategies agree
+    val root = java.nio.file.Files.createTempDirectory("graft_lshmid")
+    val t = s"graft_lshmid_${java.lang.Long.toHexString(System.nanoTime())}"
+    try {
+      Similarity.buildLshIndexProd(spark, dir, s"$root/idx", t,
+        planesOverride = Some(Similarity.MidPlanes))
+      val allowed = graft.sources.Tables.documents(spark, dir)
+        .filter(col("lang") === "de").select(col("doc_id").as("vec_id"))
+      val qs = e.filter(col("vec_id") % 100 === 7)
+        .select((col("vec_id") + 900000L).as("query_id"),
+          col("embedding").cast("array<double>").as("qev"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val auto = rows(
+        Similarity.searchLshIndexFiltered(spark, qs, dir, t, allowed))
+      spark.conf.set("graft.lsh.literalMaskCap", "100000")
+      val literalR4 =
+        try rows(Similarity.searchLshIndexFiltered(spark, qs, dir, t,
+          allowed, radius = 4))
+        finally spark.conf.unset("graft.lsh.literalMaskCap")
+      assert(auto.nonEmpty)
+      assert(auto == literalR4,
+        "broadcast-mask auto search diverged from the literal-arm " +
+          "radius-4 search")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.streaming.StreamingStaging.deleteRecursively(root)
+    }
+  }
+
   test("AutoRadius under a heavy filter: exact top-3 among allowed, dense ranks") {
     // 20 of 500 ids allowed (sel 4%): the resolved radius covers the
     // whole 2^4 bucket space, so the search degrades to the PQ-coded
