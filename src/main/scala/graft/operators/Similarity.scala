@@ -1884,6 +1884,7 @@ object Similarity {
     ifs.deleteRecursive(ifs.child("_append_staging"))
     ifs.deleteRecursive(ifs.child("tombstones.parquet"))
     ifs.deleteRecursive(ifs.child("_delete_log"))
+    ifs.deleteRecursive(ifs.child(WriterLeaseDirName))
   }
 
   /** The index's erasure list, when any [[deleteFromIvfPqIndex]] batch
@@ -2030,20 +2031,182 @@ object Similarity {
     * are in-contract — disjoint staging dirs, disjoint batch-tagged
     * file names, create-once `ord-<seq>` minting, create-once markers.
     * Concurrent deletes, and appends racing deletes, are in-contract
-    * for the same reason (disjoint commit logs). Two constraints are
-    * the CALLER's to serialize, stated here rather than half-held:
+    * for the same reason (disjoint commit logs). The two remaining
+    * races are ENFORCED by the per-index writer lease
+    * ([[acquireWriterLease]]) — an out-of-contract concurrent writer
+    * fails loudly with [[IndexWriterContentionException]] instead of
+    * corrupting silently:
     *   - duplicate submissions of the SAME batch id must be sequential
     *     (the retry-after-failure cadence), never simultaneous: a
     *     racing twin's recovery step (2) can delete files its sibling
-    *     just published before the marker lands. Staging is
-    *     attempt-scoped, so the failure mode is bounded to that
-    *     batch's files and the next sequential retry converges — but
-    *     in-flight duplicate submissions are out of contract;
+    *     just published before the marker lands. The create-once
+    *     attempt guard admits exactly one in-flight attempt per batch
+    *     id; the loser throws, and its sequential retry converges
+    *     (usually to the marker's no-op);
     *   - [[compactIvfPqIndex]] must not run concurrently with appends
     *     to the same index (see its scaladoc): its partition overwrite
     *     replaces whole `centroid_id=` directories from a snapshot, so
     *     a batch published mid-compact into a rewritten cell would be
-    *     dropped. Maintenance and ingest serialize per index. */
+    *     dropped. The sequenced lease totally orders the two verbs and
+    *     the later-minted party yields loudly. */
+  // --- per-index writer serialization (the lease the protocol needs) ------
+
+  /** Loud failure of a writer that lost the per-index serialization —
+    * the two races the commit-log protocol documents as out of contract
+    * and (since round 14) ENFORCES instead of merely stating: duplicate
+    * concurrent submissions of one batch id, and compaction racing an
+    * append. The loser mutates nothing; the caller retries SEQUENTIALLY
+    * after the winner finishes (or past the horizon if the holder
+    * crashed). */
+  final class IndexWriterContentionException(msg: String)
+    extends RuntimeException(msg)
+
+  private val WriterLeaseDirName = "_writer_leases"
+
+  /** The horizon past which a writer lease is presumed crashed and is
+    * reclaimable — the writer-side mirror of [[vacuumIndexVersions]]'s
+    * reader-lease horizon. Conf `graft.index.writerLeaseHorizonMs`,
+    * default 15 min: a crashed attempt's husk self-heals on the next
+    * retry past the horizon, and a writer slower than the horizon is
+    * out of contract (size it to the deployment's max writer
+    * duration). */
+  private def writerLeaseHorizonMs(spark: SparkSession): Long =
+    spark.conf.get("graft.index.writerLeaseHorizonMs", "900000").toLong
+
+  /** Acquire the per-index writer lease for one `kind` attempt
+    * ("append" / "delete" / "compact"; `id` = the batch id, or "all"
+    * for compaction). Two layers, both under `_writer_leases/`:
+    *
+    *   1. ATTEMPT GUARD `<kind>-<id>`, create-once — exactly one
+    *      in-flight attempt per (verb, batch id). A live duplicate
+    *      fails loudly ([[IndexWriterContentionException]]): a racing
+    *      twin's recovery step can delete files its sibling just
+    *      published before the marker lands, so duplicate submissions
+    *      must be sequential — now enforced, not prose. (The same
+    *      guard under id "all" serializes compactions, whose
+    *      `_compact_staging` dir is shared.) A husk older than the
+    *      horizon is reclaimed and the create retried.
+    *   2. for appends and compactions — the two verbs whose postings
+    *      mutations genuinely conflict — a SEQUENCED lease
+    *      `lease-<seq>` minted create-once ([[mintAppendSeq]]'s
+    *      arbitration pattern). Minting totally orders the racers, so
+    *      of two conflicting writers exactly ONE holds the lower seq
+    *      and wins; the higher-seq party removes its lease and fails
+    *      loudly. Appends conflict only with live lower compact
+    *      leases (append∥append, and everything∥delete, are
+    *      in-contract — `IndexConcurrencySpec`); compactions conflict
+    *      with live lower append leases. A torn mid-write lease read
+    *      is retried briefly, then treated as conflicting — false
+    *      positives can only add losers, never a second winner.
+    *
+    * Returns the lease files to delete on release (always in a
+    * `finally`). */
+  private def acquireWriterLease(ifs: graft.sources.IndexFs, kind: String,
+      id: String, horizonMs: Long)
+      : Vector[org.apache.hadoop.fs.Path] = {
+    val dir = ifs.child(WriterLeaseDirName)
+    ifs.mkdirs(dir)
+    val now = System.currentTimeMillis()
+    def tsOf(p: org.apache.hadoop.fs.Path): Long = {
+      val parts = scala.util.Try(ifs.readUtf8(p)).getOrElse("").split(':')
+      if (parts.length >= 3) scala.util.Try(parts(2).toLong)
+        .getOrElse(scala.util.Try(ifs.modTimeOf(p)).getOrElse(now))
+      else scala.util.Try(ifs.modTimeOf(p)).getOrElse(now)
+    }
+    def staleAt(p: org.apache.hadoop.fs.Path): Boolean =
+      now - tsOf(p) > horizonMs
+    // 1. the attempt guard
+    val guard = ifs.child(WriterLeaseDirName, s"$kind-$id")
+    var held = false
+    var attempts = 0
+    while (!held && attempts < 3) {
+      attempts += 1
+      try { ifs.createUtf8(guard, s"$kind:$id:$now"); held = true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          if (ifs.exists(guard) && staleAt(guard)) ifs.deleteFile(guard)
+          else throw new IndexWriterContentionException(
+            s"concurrent duplicate $kind '$id' on ${ifs.root}: another " +
+              s"attempt holds ${guard.getName} — submissions of one " +
+              "batch must be sequential; retry after the holder " +
+              "finishes (a crashed holder reclaims past " +
+              "graft.index.writerLeaseHorizonMs)")
+      }
+    }
+    if (!held) throw new IndexWriterContentionException(
+      s"could not claim ${guard.getName} on ${ifs.root} after " +
+        s"$attempts attempts")
+    if (kind == "delete") return Vector(guard)
+    // 2. the sequenced append/compact lease
+    def seqLeases(): Vector[(Long, org.apache.hadoop.fs.Path)] =
+      ifs.listDir(dir).flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("lease-"))
+          scala.util.Try(n.drop(6).toLong).toOption.map(_ -> p)
+        else None
+      }.sortBy(_._1)
+    var next = seqLeases().lastOption.map(_._1 + 1).getOrElse(0L)
+    var mine: org.apache.hadoop.fs.Path = null
+    var mySeq = -1L
+    var tries = 0
+    while (mine == null && tries < 10000) {
+      tries += 1
+      val cand = ifs.child(WriterLeaseDirName, f"lease-$next%012d")
+      try {
+        ifs.createUtf8(cand, s"$kind:$id:$now"); mine = cand; mySeq = next
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException => next += 1
+      }
+    }
+    if (mine == null) {
+      ifs.deleteFile(guard)
+      throw new IndexWriterContentionException(
+        s"could not mint a writer lease on ${ifs.root} after $tries " +
+          "attempts")
+    }
+    // kind of a live lower lease; null = released mid-scan. A lease
+    // whose content has not landed yet gets a grace of re-reads, then
+    // counts as conflicting (the safe direction: the LOWEST live
+    // conflicting seq never scans upward, so a misread can only make
+    // this higher-seq party yield — one winner always survives).
+    def liveKindOf(p: org.apache.hadoop.fs.Path): String = {
+      val deadline = System.nanoTime() + 1000L * 1000000L
+      while (true) {
+        if (!ifs.exists(p)) return null
+        val c = scala.util.Try(ifs.readUtf8(p)).getOrElse("")
+        if (c.contains(":")) return c.takeWhile(_ != ':')
+        if (System.nanoTime() >= deadline) return "compact"
+        Thread.sleep(20L)
+      }
+      "compact"
+    }
+    val conflicts = seqLeases().filter(_._1 < mySeq).flatMap { case (_, p) =>
+      Option(liveKindOf(p)).flatMap { k =>
+        val clash =
+          if (kind == "append") k == "compact"
+          else k == "append" || k == "compact"
+        if (!clash) None
+        else if (staleAt(p)) { ifs.deleteFile(p); None } // crashed writer
+        else Some(s"${p.getName}=$k")
+      }
+    }
+    if (conflicts.nonEmpty) {
+      ifs.deleteFile(mine)
+      ifs.deleteFile(guard)
+      throw new IndexWriterContentionException(
+        s"$kind '$id' lost the writer lease on ${ifs.root} to " +
+          s"${conflicts.mkString(", ")}: compaction and appends to one " +
+          "index must serialize — retry after the holder finishes")
+    }
+    Vector(guard, mine)
+  }
+
+  private def releaseWriterLease(ifs: graft.sources.IndexFs,
+      lease: Vector[org.apache.hadoop.fs.Path]): Unit =
+    lease.foreach(ifs.deleteFile)
+
   private def committedAppend(spark: SparkSession, indexDir: String,
       batchId: String, enc: => (DataFrame, DataFrame)): Unit = {
     require(batchId.nonEmpty && batchId.forall(c =>
@@ -2053,6 +2216,20 @@ object Similarity {
     val log = ifs.child("_append_log")
     ifs.mkdirs(log)
     val marker = ifs.child("_append_log", s"batch-$batchId")
+    if (ifs.exists(marker)) return
+    val lease = acquireWriterLease(ifs, "append", batchId,
+      writerLeaseHorizonMs(spark))
+    try {
+      committedAppendHeld(spark, ifs, marker, batchId, enc)
+    } finally releaseWriterLease(ifs, lease)
+  }
+
+  /** [[committedAppend]]'s body, run under the writer lease. */
+  private def committedAppendHeld(spark: SparkSession,
+      ifs: graft.sources.IndexFs, marker: org.apache.hadoop.fs.Path,
+      batchId: String, enc: => (DataFrame, DataFrame)): Unit = {
+    // a sequential retry that lost the guard earlier may find the
+    // winner's marker by the time its own lease lands
     if (ifs.exists(marker)) return
     dropBatchFiles(ifs, batchId)
     // attempt-scoped staging (an attempt SUBDIR under the batch's own
@@ -2260,28 +2437,39 @@ object Similarity {
     ifs.mkdirs(ifs.child("_delete_log"))
     val marker = ifs.child("_delete_log", s"batch-$batchId")
     if (ifs.exists(marker)) return
-    // recovery: drop any tombstone files a crashed attempt published
-    // (exact-id anchored — a retried batch must never claim another
-    // batch's committed tombstones, see [[isBatchFileOf]])
-    ifs.listFilesRec(ifs.child("tombstones.parquet"))
-      .filter(p => isBatchFileOf(p.getName, batchId))
-      .foreach(ifs.deleteFile)
-    val staging = ifs.child("_append_staging", s"del-$batchId")
-    ifs.deleteRecursive(staging)
+    // same duplicate-submission enforcement as the append (the
+    // recovery sweep below is exactly as destructive): one in-flight
+    // attempt per batch id, the loser fails loudly. Deletes take no
+    // sequenced lease — delete∥append, delete∥delete, and
+    // delete∥compact are all in-contract (disjoint commit logs; the
+    // tombstone list stays authoritative across a compaction pass).
+    val lease = acquireWriterLease(ifs, "delete", batchId,
+      writerLeaseHorizonMs(spark))
     try {
-      ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(staging, "tomb").toString)
-      val live = ifs.child("tombstones.parquet")
-      ifs.mkdirs(live)
-      ifs.listFilesRec(new org.apache.hadoop.fs.Path(staging, "tomb"))
-        .filter(_.getName.endsWith(".parquet")).zipWithIndex
-        .foreach { case (p, i) =>
-          ifs.move(p, new org.apache.hadoop.fs.Path(live,
-            s"batch-$batchId-$i.parquet"))
-        }
-      ifs.touch(marker)
-    } finally ifs.deleteRecursive(staging)
+      if (ifs.exists(marker)) return
+      // recovery: drop any tombstone files a crashed attempt published
+      // (exact-id anchored — a retried batch must never claim another
+      // batch's committed tombstones, see [[isBatchFileOf]])
+      ifs.listFilesRec(ifs.child("tombstones.parquet"))
+        .filter(p => isBatchFileOf(p.getName, batchId))
+        .foreach(ifs.deleteFile)
+      val staging = ifs.child("_append_staging", s"del-$batchId")
+      ifs.deleteRecursive(staging)
+      try {
+        ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(staging, "tomb").toString)
+        val live = ifs.child("tombstones.parquet")
+        ifs.mkdirs(live)
+        ifs.listFilesRec(new org.apache.hadoop.fs.Path(staging, "tomb"))
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (p, i) =>
+            ifs.move(p, new org.apache.hadoop.fs.Path(live,
+              s"batch-$batchId-$i.parquet"))
+          }
+        ifs.touch(marker)
+      } finally ifs.deleteRecursive(staging)
+    } finally releaseWriterLease(ifs, lease)
   }
 
   // --- versioned alias rotation (how a retrain DEPLOYS) -------------------
@@ -2705,15 +2893,19 @@ object Similarity {
     * replace. The same maintenance cadence every LSM-shaped store runs
     * (parquet compaction, RocksDB L0→L1, Lucene segment merges).
     *
-    * SINGLE-WRITER CONSTRAINT, stated explicitly: compaction must not
-    * run concurrently with APPENDS to the same index. The dynamic
+    * SINGLE-WRITER CONSTRAINT, enforced by the per-index writer lease
+    * (round 14 — previously prose): compaction must not run
+    * concurrently with APPENDS to the same index. The dynamic
     * partition overwrite replaces whole `centroid_id=` directories
     * from a snapshot read at staging time, so a batch published into a
     * rewritten cell between the staging read and the overwrite would
     * be silently dropped (its commit marker would claim rows the cell
     * no longer holds). Maintenance and ingest serialize per index —
     * the streaming `foreachBatch` cadence (recover → append → compact
-    * in one sequential turn) satisfies this by construction. Racing
+    * in one sequential turn) satisfies this by construction, and an
+    * out-of-contract concurrent pair now loses one party loudly
+    * ([[IndexWriterContentionException]]) instead of dropping rows
+    * silently (`IndexConcurrencySpec`). Racing
     * DELETES are in-contract: a tombstone batch committed mid-compact
     * may miss this physical pass, but the list stays authoritative for
     * visibility and the next pass erases it (`IndexConcurrencySpec`). */
@@ -2742,6 +2934,21 @@ object Similarity {
     // crash while staging leaves the live artifact untouched and the
     // retried maintenance turn re-runs compaction idempotently.
     val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    // the writer lease (held through the staging read AND the
+    // overwrite): the partition overwrite replaces whole cell
+    // directories from the snapshot the staging write reads, so an
+    // append publishing into a rewritten cell mid-pass would be
+    // silently dropped — the race the protocol documents and, since
+    // round 14, enforces. Of a racing compact+append pair exactly one
+    // wins the sequenced lease; the other throws
+    // [[IndexWriterContentionException]] and retries sequentially.
+    // Racing DELETES stay in-contract and take no sequenced lease: a
+    // tombstone batch committed mid-compact may miss this physical
+    // pass, but the list stays authoritative and the next pass erases
+    // it (`IndexConcurrencySpec`).
+    val lease = acquireWriterLease(ifs, "compact", "all",
+      writerLeaseHorizonMs(spark))
+    try {
     val staging = ifs.child("_compact_staging")
     ifs.deleteRecursive(staging)
     // tombstoned rows are PHYSICALLY dropped from every rewritten cell —
@@ -2794,6 +3001,7 @@ object Similarity {
           new org.apache.hadoop.fs.Path(path, s"centroid_id=$c"))
       }
     } finally ifs.deleteRecursive(staging)
+    } finally releaseWriterLease(ifs, lease)
     cells.length
   }
 

@@ -17,12 +17,12 @@ import graft.TestSpark
   * the same invariants after the dust settles: visible set equals the
   * model, seqs unique, retries no-ops, no erased vector resurrected.
   *
-  * The two races the protocol does NOT claim are stated in the
-  * verbs' scaladoc instead of half-held here: duplicate concurrent
-  * submissions of ONE batch id (sequential retry is the contract —
-  * [[Similarity.appendToIvfPqIndex]]), and compaction racing appends
-  * ([[Similarity.compactIvfPqIndex]] — partition overwrite replaces
-  * whole cell directories from a snapshot). */
+  * The two races the protocol cannot survive are ENFORCED by the
+  * per-index writer lease (round 14 — previously documented contracts
+  * held by prose): duplicate concurrent submissions of ONE batch id,
+  * and compaction racing appends. Those cases here assert exactly one
+  * winner, a loud [[Similarity.IndexWriterContentionException]] loser,
+  * and a converged artifact after the loser's sequential retry. */
 class IndexConcurrencySpec extends AnyFunSuite {
 
   private lazy val spark = {
@@ -193,6 +193,138 @@ class IndexConcurrencySpec extends AnyFunSuite {
         "second purge pass left the mid-purge batch's bytes on disk")
       val desc = Similarity.describeIndex(spark, root).head()
       assert(desc.getAs[Long]("committed_deletes") == 2L)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("compaction racing an append: one winner, loud loser, converged artifact") {
+    val (local, root) = newRoot("compapp")
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val base = e.filter(col("vec_id") % 4 === 0)
+      Similarity.buildIvfPqIndexOn(spark, base, root)
+      val d1 = e.filter(col("vec_id") % 4 === 1)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.appendToIvfPqIndex(spark, d1, root, "seed-1")
+      val d2 = e.filter(col("vec_id") % 4 === 2)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val outcomes = race(
+        () => Similarity.appendToIvfPqIndex(spark, d2, root, "race-b"),
+        () => { Similarity.compactIvfPqIndex(spark, root,
+          maxFilesPerCell = 0); () })
+      // EXACTLY one winner: the sequenced lease totally orders the two
+      // verbs, so of a genuinely concurrent pair one proceeds and one
+      // throws the contention error — never both-succeed (the silent
+      // row-drop this lease exists to prevent), never both-fail
+      val failures = outcomes.flatten
+      assert(failures.length == 1,
+        s"expected exactly one loud loser, got ${failures.length}: " +
+          s"${failures.map(_.toString)}")
+      assert(failures.head.isInstanceOf[
+          Similarity.IndexWriterContentionException],
+        s"loser must fail with the contention error: ${failures.head}")
+      // no lease husk survives either path
+      assert(!java.nio.file.Files.exists(local.resolve("_writer_leases"))
+        || local.resolve("_writer_leases").toFile.list().isEmpty,
+        "a writer lease leaked past its release")
+      // the loser retries SEQUENTIALLY and the artifact converges to
+      // base + both deltas, fully compacted on the final pass
+      if (outcomes(0).isDefined)
+        Similarity.appendToIvfPqIndex(spark, d2, root, "race-b")
+      Similarity.compactIvfPqIndex(spark, root, maxFilesPerCell = 0)
+      val want = (base.select(col("vec_id")) union d1.select(col("vec_id"))
+        union d2.select(col("vec_id"))).collect().map(_.getLong(0)).toSet
+      assert(postingIds(root) == want,
+        "the enforced race dropped or duplicated rows")
+      val desc = Similarity.describeIndex(spark, root).head()
+      assert(desc.getAs[Long]("committed_appends") == 2L)
+      // retries of both verbs stay byte no-ops after the dust settles
+      val once = fileHashes(local)
+      Similarity.appendToIvfPqIndex(spark, d2, root, "race-b")
+      assert(fileHashes(local) == once, "a retried append mutated bytes")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("duplicate concurrent submissions of one batch id: one winner, loud loser, one copy") {
+    val (local, root) = newRoot("dupbatch")
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val base = e.filter(col("vec_id") % 4 === 0)
+      Similarity.buildIvfPqIndexOn(spark, base, root)
+      val delta = e.filter(col("vec_id") % 4 === 1)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val outcomes = race(
+        () => Similarity.appendToIvfPqIndex(spark, delta, root, "dup-1"),
+        () => Similarity.appendToIvfPqIndex(spark, delta, root, "dup-1"))
+      // the attempt guard admits exactly one in-flight attempt of a
+      // batch id: one twin commits, the other fails LOUDLY (the old
+      // failure mode was the loser's recovery sweep deleting files the
+      // winner had just published before the marker landed)
+      val failures = outcomes.flatten
+      assert(failures.length == 1,
+        s"expected exactly one loud loser, got ${failures.length}: " +
+          s"${failures.map(_.toString)}")
+      assert(failures.head.isInstanceOf[
+          Similarity.IndexWriterContentionException],
+        s"loser must fail with the contention error: ${failures.head}")
+      val want = (base.select(col("vec_id")) union delta.select(col("vec_id")))
+        .collect().map(_.getLong(0)).toSet
+      assert(postingIds(root) == want,
+        "the duplicate race left missing or doubled rows")
+      val desc = Similarity.describeIndex(spark, root).head()
+      assert(desc.getAs[Long]("committed_appends") == 1L)
+      // the loser's sequential retry is the contract cadence: a no-op
+      val once = fileHashes(local)
+      Similarity.appendToIvfPqIndex(spark, delta, root, "dup-1")
+      assert(fileHashes(local) == once,
+        "the sequential retry after losing the guard was not a no-op")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("writer-lease enforcement is symmetric and horizon-reclaimable") {
+    val (local, root) = newRoot("lease")
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.buildIvfPqIndexOn(spark,
+        e.filter(col("vec_id") % 4 === 0), root)
+      Similarity.appendToIvfPqIndex(spark,
+        e.filter(col("vec_id") % 4 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")), root, "seed-1")
+      val ifs = graft.sources.IndexFs.on(spark, root)
+      val now = System.currentTimeMillis()
+      // a live append holds its lease mid-flight → compaction yields
+      ifs.createUtf8(ifs.child("_writer_leases", "append-inflight"),
+        s"append:inflight:$now")
+      ifs.createUtf8(ifs.child("_writer_leases", "lease-000000000000"),
+        s"append:inflight:$now")
+      intercept[Similarity.IndexWriterContentionException] {
+        Similarity.compactIvfPqIndex(spark, root, maxFilesPerCell = 0)
+      }
+      ifs.deleteFile(ifs.child("_writer_leases", "lease-000000000000"))
+      ifs.deleteFile(ifs.child("_writer_leases", "append-inflight"))
+      // a live compaction holds its lease mid-flight → append yields
+      ifs.createUtf8(ifs.child("_writer_leases", "compact-all"),
+        s"compact:all:$now")
+      ifs.createUtf8(ifs.child("_writer_leases", "lease-000000000001"),
+        s"compact:all:$now")
+      val d2 = e.filter(col("vec_id") % 4 === 2)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      intercept[Similarity.IndexWriterContentionException] {
+        Similarity.appendToIvfPqIndex(spark, d2, root, "blocked-1")
+      }
+      // a CRASHED writer's husk reclaims past the horizon — the next
+      // sequential attempt self-heals instead of bricking the index
+      spark.conf.set("graft.index.writerLeaseHorizonMs", "1")
+      try {
+        Thread.sleep(10L)
+        Similarity.appendToIvfPqIndex(spark, d2, root, "blocked-1")
+      } finally spark.conf.unset("graft.index.writerLeaseHorizonMs")
+      val desc = Similarity.describeIndex(spark, root).head()
+      assert(desc.getAs[Long]("committed_appends") == 2L,
+        "the post-reclaim append did not commit")
     } finally graft.streaming.StreamingStaging.deleteRecursively(local)
   }
 
