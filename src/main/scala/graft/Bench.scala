@@ -95,26 +95,48 @@ object Bench {
     def isMeasurementOnly(rel: String): Boolean =
       measurementOnlyMains.exists(m =>
         rel == s"$m.class" || rel.startsWith(s"$m$$"))
+    // The code source is the classes DIRECTORY under a plain
+    // `java -cp` launch but a PACKAGED bg-jobs JAR under `sbt runMain`
+    // — the round-13 implementation hashed the jar as one blob there,
+    // so the exclusion list never applied and any recompile (including
+    // measurement-only mains) re-keyed the pool: the exact orphaning
+    // this fingerprint exists to prevent. Both layouts now enumerate
+    // the same (relative .class name, bytes) pairs, so the tag is
+    // launcher-independent.
     val buildTag: String = try {
       val src = new java.io.File(Bench.getClass.getProtectionDomain
         .getCodeSource.getLocation.toURI).toPath
       val md = java.security.MessageDigest.getInstance("MD5")
-      if (java.nio.file.Files.isDirectory(src)) {
-        val walk = java.nio.file.Files.walk(src)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala
-            .filter(p => java.nio.file.Files.isRegularFile(p) &&
-              p.toString.endsWith(".class"))
-            .toVector.sortBy(_.toString)
-            .filterNot(p => isMeasurementOnly(src.relativize(p).toString))
-            .foreach { p =>
-              md.update(src.relativize(p).toString
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              md.update(java.nio.file.Files.readAllBytes(p))
-            }
-        } finally walk.close()
-      } else md.update(java.nio.file.Files.readAllBytes(src))
+      val entries: Vector[(String, Array[Byte])] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val walk = java.nio.file.Files.walk(src)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p) &&
+                p.toString.endsWith(".class"))
+              .map(p => (src.relativize(p).toString,
+                java.nio.file.Files.readAllBytes(p)))
+              .toVector
+          } finally walk.close()
+        } else {
+          val jar = new java.util.jar.JarFile(src.toFile)
+          try {
+            import scala.jdk.CollectionConverters._
+            jar.entries().asScala
+              .filter(e => !e.isDirectory && e.getName.endsWith(".class"))
+              .map { e =>
+                val in = jar.getInputStream(e)
+                try (e.getName, in.readAllBytes()) finally in.close()
+              }.toVector
+          } finally jar.close()
+        }
+      entries.sortBy(_._1)
+        .filterNot { case (name, _) => isMeasurementOnly(name) }
+        .foreach { case (name, bytes) =>
+          md.update(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.update(bytes)
+        }
       md.digest().take(6).map("%02x".format(_)).mkString
     } catch { case _: Exception => "unknown" }
     val sessionLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir","build":"$buildTag","agg":"min-of-$Iterations (5 on JIT-sensitive rows) per query, cache cleared per run; spread=[min,median,max]","registry":"production (no canonicalization sort)"}"""

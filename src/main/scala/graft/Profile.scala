@@ -3,21 +3,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch profiler (temporary; repointed per round at the current bench
-  * hog). Round 9: dedup_simhash regressed 0.60 → 1.61 s r7→r8 with a
-  * TIGHT spread (all three bench iterations slow — not min-of-3 noise)
-  * and no round-8 commits to Dedup.scala. Hypothesis, by analogy with
-  * the round-8 mm_video_mjpeg finding: the bench runs alphabetically, so
-  * seven other dedup-family queries execute first in the same session,
-  * all funnelling through the shared shingle/hash scalar expressions —
-  * the JIT profile of those shared paths degrades (megamorphic call
-  * sites, deopt/recompile) before dedup_simhash ever runs. Protocol:
-  * time dedup_simhash alone on a fresh JVM (iteration curve → JIT ramp
-  * vs steady state), then run the alphabetically-preceding dedup family
-  * once each, then time dedup_simhash again — a jump in the second set
-  * isolates the shared-path JIT interaction from plain query cost. */
+  * hog). Round 14: `dedup_semantic` showed the steepest non-ANN 10×
+  * wall ratio of the round-13 full-registry session (8.4× on 10× rows —
+  * sub-quadratic but worth decomposing before it compounds). The query
+  * is two stages: LSH-bucketed near-dup PAIR GENERATION
+  * ([[graft.operators.Similarity.nearDupLshProd]] — bucket join, PQ
+  * prefilter, exact confirm) followed by CONNECTED COMPONENTS over the
+  * pair set (driver union-find under `spark.graft.cc.driverMaxPairs` =
+  * 2²⁰ pairs, distributed min-label propagation past it). Protocol, at
+  * 1× (sf0.1) and at the 10× corpus (args: <sfDir> <scaledDir>):
+  *   - time the pair stage alone (nearDupLshProd.count) and record the
+  *     PAIR COUNT — which side of the union-find threshold the corpus
+  *     actually sits on at each scale;
+  *   - time the full query under the default conf (driver union-find
+  *     engaged if pairs ≤ 2²⁰) and again with
+  *     `spark.graft.cc.driverMaxPairs=0` (forced distributed loop) —
+  *     the difference to the pair stage isolates each CC strategy's
+  *     cost, and comparing the two answers whether the threshold is
+  *     pinned where the measurement says it should be.
+  * Each point min-of-2, cache cleared per run (the bench discipline).
+  * Round-9 JIT-ramp protocol (dedup_simhash) retired with its finding —
+  * see git history. */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val scaledDir = args.drop(1).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,47 +39,38 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKPlanning.register(spark)
 
-    def time(name: String)(f: => Long): Unit = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"PROFILE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
+    def time(name: String)(f: => Long): Double = {
+      val runs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (sec, n) = runs.minBy(_._1)
+      println(f"PROFILE $name: $sec%.2f s (rows=$n)")
+      sec
     }
 
-    graft.sources.Tables.region(spark, sfDir).count()
-    // arg mode: time the named production queries, 4 iterations each, in
-    // this fresh JVM — for isolating a flagged bench row from session
-    // effects (run order, shared-path JIT, heap history)
-    if (args.nonEmpty) {
-      val registry = SparkEntry.benchQueries
-      args.foreach { name =>
-        var j = 0
-        while (j < 4) {
-          time(name)(registry(name)(spark, sfDir).count())
-          j += 1
-        }
-      }
-      spark.stop()
-      return
-    }
-    var i = 0
-    while (i < 6) {
-      time("dedup_simhash (fresh-JVM curve)")(
-        graft.operators.Dedup.simhashPairs(spark, sfDir).count())
-      i += 1
-    }
-    // the bench's alphabetical predecessors from the same family — the
-    // queries sharing the shingle/hash expression paths
-    val preceding = Seq("dedup_clusters", "dedup_cross_source",
-      "dedup_dup_spans", "dedup_exact", "dedup_incremental",
-      "dedup_minhash_lsh", "dedup_semantic")
-    val registry = SparkEntry.benchQueries
-    preceding.foreach(n => time(s"$n (once)")(registry(n)(spark, sfDir).count()))
-    i = 0
-    while (i < 4) {
-      time("dedup_simhash (post-family)")(
-        graft.operators.Dedup.simhashPairs(spark, sfDir).count())
-      i += 1
+    graft.sources.Tables.region(spark, sfDir).count() // JVM/codegen warmup
+
+    for ((dir, label) <- Seq(sfDir -> "1x") ++
+        scaledDir.map(_ -> "10x").toSeq) {
+      println(s"--- $label ($dir) ---")
+      val nVec = graft.sources.Tables.embeddings(spark, dir).count()
+      val tPairs = time(s"$label pairs (nearDupLshProd)")(
+        graft.operators.Similarity.nearDupLshProd(spark, dir).count())
+      val pairCount = graft.operators.Similarity
+        .nearDupLshProd(spark, dir).count()
+      val tDefault = time(s"$label semantic_dedup (default cc)")(
+        graft.operators.Similarity.semanticDedupProd(spark, dir).count())
+      spark.conf.set("spark.graft.cc.driverMaxPairs", "0")
+      val tDist = try time(s"$label semantic_dedup (forced distributed cc)")(
+        graft.operators.Similarity.semanticDedupProd(spark, dir).count())
+      finally spark.conf.unset("spark.graft.cc.driverMaxPairs")
+      println(f"PROFILE $label summary: n=$nVec pairs=$pairCount " +
+        f"(threshold=${1L << 20}) pair_stage=$tPairs%.2f s " +
+        f"cc_driver≈${tDefault - tPairs}%.2f s " +
+        f"cc_distributed≈${tDist - tPairs}%.2f s")
     }
     spark.stop()
   }

@@ -166,6 +166,40 @@ object StressScale {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  /** Events synthesis at N× — the stream-shaped table's realistic
+    * growth: the user population scales WITH the event count, so
+    * per-user event density, inter-event gaps, and sessions-per-user
+    * keep the 1× shape (more tenants, same behavior — the same
+    * densify-don't-reshape rule as the clustered embeddings), while
+    * the fixture's 30-day window holds and traffic density rises ∝ N.
+    * Matches the fixture's observed shape: ts monotone-ish in
+    * event_id (uniform stride + jitter), 5 uniform event types,
+    * exponential value (mean ≈ 50), `{"k": 0..99}` props. Same
+    * determinism rule as every synthesis: each row is a pure function
+    * of its id. */
+  def synthEvents(spark: SparkSession, n: Long, users: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val types = Array("click", "view", "purchase", "signup", "error")
+    val windowMicros = 30L * 24 * 3600 * 1000000L
+    val t0Micros = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val stride = windowMicros.toDouble / n
+    spark.range(n).as[Long].map { id =>
+      val rng = new scala.util.Random(id * 1181783497276652981L + 571L)
+      val tsMicros = t0Micros + (id * stride).toLong +
+        (rng.nextDouble() * stride).toLong
+      val user = (rng.nextDouble() * users).toLong
+      val value = math.rint(
+        -50.0 * math.log1p(-rng.nextDouble()) * 100) / 100
+      (id, tsMicros, user, types(rng.nextInt(types.length)), value,
+        s"""{"k": ${rng.nextInt(100)}}""")
+    }.toDF("event_id", "ts_micros", "user_id", "event_type", "value",
+        "props")
+      .select(col("event_id"), timestamp_micros(col("ts_micros")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
   /** The scale-sensitive subset: every family whose cost at 100 TB is a
     * real question (self-joins, CC, trained ANN, corpus shuffles, the
     * composed pipeline) plus two linear controls (exact dedup, HLL). */
@@ -238,6 +272,17 @@ object StressScale {
         .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
       synthEmbeddings(spark, baseVecs * factor).repartition(32)
         .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+    }
+    // events are synthesized separately (round 14 — pre-existing corpora
+    // carry docs/embeddings only, and regenerating those to add events
+    // would orphan their measured points)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$scaledDir/events.parquet"))) {
+      val baseEv = spark.read.parquet(s"$sfDir/events.parquet")
+      val nEv = baseEv.count()
+      val nUsers = baseEv.select("user_id").distinct().count()
+      synthEvents(spark, nEv * factor, nUsers * factor).repartition(32)
+        .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
     }
 
     // per-query fault isolation: a query that exhausts scratch disk or
