@@ -4113,10 +4113,10 @@ object Similarity {
     * to a PQ-coded scan of the allowed rows — the same
     * restore-the-budget rule (and the same graceful brute-force floor)
     * as the IVF twin's [[AutoProbes]] compensation. Pass an explicit
-    * `radius` to pin the probe budget instead (the oracle-gated
-    * registry row pins [[LshRadius]], mirroring the IVF row's pinned
-    * nprobe — the dial is qualified by the measured frontier, not the
-    * hash gate). */
+    * `radius` to pin the probe budget (the radius-pinned row replays
+    * [[LshRadius]]). The dial is hash-gated at BOTH resolutions — the
+    * brute floor (`sim_ann_lsh_search_filtered_auto`) and the r=4/16
+    * mid-radius probe join ([[annLshSearchFilteredAutoMid]]). */
   def searchLshIndexFiltered(spark: SparkSession, queries: DataFrame,
       dir: String, tableName: String, allowed: DataFrame,
       radius: Int = AutoRadius): DataFrame =
