@@ -282,6 +282,65 @@ class IndexConcurrencySpec extends AnyFunSuite {
     } finally graft.streaming.StreamingStaging.deleteRecursively(local)
   }
 
+  test("duplicate concurrent deletes of one batch id: one winner, loud loser, one tombstone set") {
+    val (local, root) = newRoot("dupdel")
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.buildIvfPqIndexOn(spark, e, root)
+      val dead = e.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+      val deadIds = dead.collect().map(_.getLong(0)).toSet
+      val outcomes = race(
+        () => Similarity.deleteFromIvfPqIndex(spark, dead, root, "erase-x"),
+        () => Similarity.deleteFromIvfPqIndex(spark, dead, root, "erase-x"))
+      // the delete verb's recovery sweep is as destructive as the
+      // append's (it deletes its batch's tombstone files), so the same
+      // attempt guard applies: one twin commits, one fails loudly
+      val failures = outcomes.flatten
+      assert(failures.length == 1,
+        s"expected exactly one loud loser: ${failures.map(_.toString)}")
+      assert(failures.head.isInstanceOf[
+          Similarity.IndexWriterContentionException], failures.head.toString)
+      val desc = Similarity.describeIndex(spark, root).head()
+      assert(desc.getAs[Long]("committed_deletes") == 1L)
+      assert(desc.getAs[Long]("tombstoned_ids") == deadIds.size,
+        "the duplicate delete race doubled or lost tombstones")
+      // erasure holds and the loser's sequential retry no-ops
+      val served = Similarity.annIvfPqIndexed(spark, dir, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      served.foreach { case (q, n) =>
+        assert(!deadIds.contains(q) && !deadIds.contains(n)) }
+      val once = fileHashes(local)
+      Similarity.deleteFromIvfPqIndex(spark, dead, root, "erase-x")
+      assert(fileHashes(local) == once, "a retried delete mutated bytes")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("a failed attempt releases its lease: the sequential retry proceeds") {
+    val (local, root) = newRoot("leaserel")
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.buildIvfPqIndexOn(spark,
+        e.filter(col("vec_id") % 4 === 0), root)
+      val delta = e.filter(col("vec_id") % 4 === 1)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      // an attempt whose BODY throws (bad delta: missing column) must
+      // release both lease files on the way out, not brick the index
+      intercept[Throwable] {
+        Similarity.appendToIvfPqIndex(spark,
+          delta.select(col("vec_id")), root, "crash-1")
+      }
+      assert(!java.nio.file.Files.exists(local.resolve("_writer_leases"))
+        || local.resolve("_writer_leases").toFile.list().isEmpty,
+        "a failed attempt leaked its writer lease")
+      // the sequential retry with the fixed delta commits normally
+      Similarity.appendToIvfPqIndex(spark, delta, root, "crash-1")
+      val desc = Similarity.describeIndex(spark, root).head()
+      assert(desc.getAs[Long]("committed_appends") == 1L)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
   test("writer-lease enforcement is symmetric and horizon-reclaimable") {
     val (local, root) = newRoot("lease")
     try {
