@@ -121,6 +121,8 @@ object IndexAdvisor {
       "frontier_r12_isotropic.json")
     val cluPath = java.nio.file.Paths.get(frontierDir,
       "frontier_r13_clustered.json")
+    val cluPath100 = java.nio.file.Paths.get(frontierDir,
+      "frontier_r14_clustered_x100.json")
     val fltPath = java.nio.file.Paths.get(frontierDir,
       "frontier_r13_filtered.json")
     val iso = loadArtifact(isoPath)
@@ -140,8 +142,19 @@ object IndexAdvisor {
       java.nio.file.Files.exists(cluPath)
     def ivfPoint: (java.nio.file.Path, String, Point) =
       if (clustered) {
-        val rows = loadArtifact(cluPath)("clu_indexed_query_auto")
-        (cluPath, "clu_indexed_query_auto", at(rows, n))
+        // the r14 100× sweep extends the clustered table to n=200 000
+        // (and measured WHY extrapolating would be wrong: more probes
+        // REDUCE recall at that density — preselect crowding); the
+        // citation names whichever artifact's measured range actually
+        // covers n, and the clamp now starts beyond the 100× point
+        val base = loadArtifact(cluPath)("clu_indexed_query_auto")
+        val ext =
+          if (!java.nio.file.Files.exists(cluPath100)) Vector.empty
+          else loadArtifact(cluPath100)
+            .getOrElse("clu_indexed_query_auto", Vector.empty)
+        val rows = (base ++ ext).sortBy(_.n)
+        val p = if (ext.nonEmpty && n > base.last.n) cluPath100 else cluPath
+        (p, "clu_indexed_query_auto", at(rows, n))
       } else (isoPath, "sim_ann_ivfpq_index_query",
         at(iso("sim_ann_ivfpq_index_query"), n))
 

@@ -2599,6 +2599,12 @@ object Similarity {
       lit(n).as("n_vectors"),
       lit(cells).as("cells"),
       lit(autoNprobeFor(spark, indexDir, cells)).as("auto_nprobe"),
+      // the weighted concentration the dial actually reads (build +
+      // committed appends, [[indexConcentration]]) — surfaced so an
+      // operator can see WHY auto_nprobe sits where it does and when
+      // appends have drifted the index across a calibration bound
+      lit(indexConcentration(spark, indexDir).map(Double.box).orNull)
+        .cast("double").as("effective_mean_cos"),
       lit(committed("_append_log")).as("committed_appends"),
       lit(committed("_delete_log")).as("committed_deletes"),
       lit(tombs).as("tombstoned_ids"),

@@ -99,15 +99,38 @@ class IndexAdvisorSpec extends AnyFunSuite {
   }
 
   test("a 100x corpus gets the conservative clamped answer in every mode") {
-    // every frontier table is measured to 30x (n=60000); 100x
-    // (n=200000) must clamp, SAY it clamped, and land on the
-    // scale-qualified family — never grant a niche on extrapolation
+    // the CLUSTERED table now runs to 100x (n=200000 — the r14 sweep):
+    // a 100x clustered corpus gets the MEASURED point (auto at the
+    // floor, recall 0.967) with the citation naming the artifact whose
+    // range covers it, no clamp label
     val clu = IndexAdvisor.recommendIndexFamily(
       CorpusStats(200000L, concentration = Some(0.89)), AnnWorkload())
     assert(clu.family == "ivf-pq-index", clu.citation)
-    assert(clu.citation.contains("clamped"), clu.citation)
-    assert(clu.citation.contains("frontier_r13_clustered.json"),
+    // the RECOMMENDED operating point is measured, not clamped (the
+    // comparison clause may still honestly label the LSH row clamped —
+    // LSH is unmeasured at this n, which is part of why IVF wins)
+    assert(!clu.citation.split("Expected operating point").last
+      .contains("clamped"), clu.citation)
+    assert(clu.citation.contains("frontier_r14_clustered_x100.json"),
       clu.citation)
+    assert(math.abs(clu.expectedRecallAt3 - 0.9669) < 1e-9,
+      s"100x must cite the measured row exactly: ${clu.expectedRecallAt3}")
+    // between the r13 30x and r14 100x points the curve interpolates
+    val mid = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(110000L, concentration = Some(0.89)), AnnWorkload())
+    assert(mid.expectedRecallAt3 < 0.993 && mid.expectedRecallAt3 > 0.9669,
+      s"interpolation between measured clustered points: ${
+        mid.expectedRecallAt3}")
+    // BEYOND the measured 100x the clamp still fires, says so, and the
+    // scale-qualified family wins — extrapolation stays banned (the
+    // 100x sweep measured why: more probes REDUCE recall at that
+    // density, a sign flip no extrapolation predicts)
+    val beyond = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(2000000L, concentration = Some(0.89)), AnnWorkload())
+    assert(beyond.family == "ivf-pq-index", beyond.citation)
+    assert(beyond.citation.contains("clamped"), beyond.citation)
+    assert(beyond.citation.contains("frontier_r14_clustered_x100.json"),
+      beyond.citation)
     // filtered 100x: BOTH families clamp; the text names each with the
     // measured bound read off the loaded rows (not a hardcoded n that
     // goes stale when a frontier re-run extends the table)
