@@ -200,6 +200,13 @@ class AutoNprobeSpec extends AnyFunSuite {
         "appends pushed the weighted concentration across the " +
           s"clustered bound; the dial must follow to the floor: " +
           s"${after.getAs[Int]("auto_nprobe")}")
+      // the dashboard surfaces the weighted concentration the dial
+      // read, so the operator can SEE the crossing: before ≈ the
+      // isotropic build stamp (< 0.40), after ≥ the 0.73 bound
+      assert(before.getAs[Double]("effective_mean_cos") < 0.40,
+        s"${before.getAs[Double]("effective_mean_cos")}")
+      assert(after.getAs[Double]("effective_mean_cos") >= 0.73,
+        s"${after.getAs[Double]("effective_mean_cos")}")
     } finally graft.streaming.StreamingStaging.deleteRecursively(root)
   }
 }
