@@ -2073,6 +2073,61 @@ object Similarity {
   private def writerLeaseHorizonMs(spark: SparkSession): Long =
     spark.conf.get("graft.index.writerLeaseHorizonMs", "900000").toLong
 
+  /** Lease-file timestamp: the third `:`-field of the content
+    * (`kind:id:millis`), falling back to the FS modification time for
+    * a torn or content-less file, then to `now` (never-stale — the
+    * safe direction: an unreadable lease is treated as live). */
+  private def leaseTsOf(ifs: graft.sources.IndexFs,
+      p: org.apache.hadoop.fs.Path, now: Long): Long = {
+    val parts = scala.util.Try(ifs.readUtf8(p)).getOrElse("").split(':')
+    if (parts.length >= 3) scala.util.Try(parts(2).toLong)
+      .getOrElse(scala.util.Try(ifs.modTimeOf(p)).getOrElse(now))
+    else scala.util.Try(ifs.modTimeOf(p)).getOrElse(now)
+  }
+
+  /** Sweep one crashed attempt-guard husk (`<kind>-<id>` whose stamped
+    * ts is `huskTs`, already read as horizon-stale by the caller) —
+    * but only through the ts-keyed create-once marker
+    * `reclaim-<kind>-<id>-<huskTs>`, so two stragglers can never both
+    * delete, and never delete a FRESH guard re-created at the same
+    * name (the fresh guard stamps a new ts: its marker name differs
+    * AND the post-win re-read refuses a mismatched ts). Returns true
+    * when this caller swept (or the husk was already gone), false when
+    * it swept a CRASHED reclaimer's stale marker instead (caller
+    * retries the whole attempt); throws
+    * [[IndexWriterContentionException]] while another reclaimer's
+    * marker is live. `private[operators]` so the spec can pin each
+    * interleaving directly. */
+  private[operators] def reclaimGuardHusk(ifs: graft.sources.IndexFs,
+      kind: String, id: String, huskTs: Long, now: Long,
+      horizonMs: Long): Boolean = {
+    val guard = ifs.child(WriterLeaseDirName, s"$kind-$id")
+    val marker = ifs.child(WriterLeaseDirName, s"reclaim-$kind-$id-$huskTs")
+    val won =
+      try { ifs.createUtf8(marker, s"reclaim:$kind-$id:$now"); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          if (ifs.exists(marker) &&
+              now - leaseTsOf(ifs, marker, now) > horizonMs) {
+            // the marker holder itself crashed mid-reclaim — sweep its
+            // husk and let the caller retry the whole attempt
+            ifs.deleteFile(marker); false
+          } else throw new IndexWriterContentionException(
+            s"$kind '$id' on ${ifs.root}: another reclaimer is " +
+              s"sweeping the crashed ${guard.getName} husk " +
+              s"(${marker.getName}); retry shortly")
+      }
+    if (won) {
+      // post-win re-verify: delete ONLY the huskTs we claimed. A fresh
+      // guard stamps a new ts — refuse and lose to it.
+      val curTs = if (ifs.exists(guard)) leaseTsOf(ifs, guard, now) else -1L
+      if (curTs == huskTs) ifs.deleteFile(guard)
+      ifs.deleteFile(marker)
+    }
+    won
+  }
+
   /** Acquire the per-index writer lease for one `kind` attempt
     * ("append" / "delete" / "compact"; `id` = the batch id, or "all"
     * for compaction). Two layers, both under `_writer_leases/`:
@@ -2085,7 +2140,20 @@ object Similarity {
     *      must be sequential — now enforced, not prose. (The same
     *      guard under id "all" serializes compactions, whose
     *      `_compact_staging` dir is shared.) A husk older than the
-    *      horizon is reclaimed and the create retried.
+    *      horizon is reclaimed and the create retried — but never by a
+    *      blind delete: a straggler that read the husk as stale, then
+    *      paused while a faster reclaimer swept it and re-created a
+    *      FRESH guard at the same name, would delete the fresh guard
+    *      and re-admit the two-winner corruption the guard exists to
+    *      prevent. Reclaim therefore goes through a ts-keyed
+    *      create-once marker `reclaim-<kind>-<id>-<huskTs>`: only the
+    *      marker's winner may delete, and only after RE-READING the
+    *      guard and confirming it still carries `huskTs` (a fresh
+    *      guard stamps a new ts, so its marker name differs and the
+    *      re-read refuses). A crashed reclaimer's marker husk is
+    *      itself horizon-reclaimed; a reclaimer pausing longer than
+    *      the horizon between steps is out of contract — the same
+    *      bound the protocol already places on writers.
     *   2. for appends and compactions — the two verbs whose postings
     *      mutations genuinely conflict — a SEQUENCED lease
     *      `lease-<seq>` minted create-once ([[mintAppendSeq]]'s
@@ -2097,36 +2165,48 @@ object Similarity {
     *      in-contract — `IndexConcurrencySpec`); compactions conflict
     *      with live lower append leases. A torn mid-write lease read
     *      is retried briefly, then treated as conflicting — false
-    *      positives can only add losers, never a second winner.
+    *      positives can only add losers, never a second winner. A
+    *      STALE conflicting lease is retired, not just deleted: a
+    *      create-once tombstone `retired-<seq>` lands BEFORE the
+    *      delete, and a minter whose fresh create collides with a
+    *      retired seq self-invalidates and moves up — so a seq number,
+    *      once retired, is never validly held again, and a straggler's
+    *      delete of a re-minted lease at a reused seq (the two-winner
+    *      TOCTOU mirror of the guard's) is structurally impossible.
     *
     * Returns the lease files to delete on release (always in a
-    * `finally`). */
-  private def acquireWriterLease(ifs: graft.sources.IndexFs, kind: String,
-      id: String, horizonMs: Long)
+    * `finally`). `private[operators]` so `IndexConcurrencySpec` can
+    * pin the reclaim interleavings directly. */
+  private[operators] def acquireWriterLease(ifs: graft.sources.IndexFs,
+      kind: String, id: String, horizonMs: Long)
       : Vector[org.apache.hadoop.fs.Path] = {
     val dir = ifs.child(WriterLeaseDirName)
     ifs.mkdirs(dir)
     val now = System.currentTimeMillis()
-    def tsOf(p: org.apache.hadoop.fs.Path): Long = {
-      val parts = scala.util.Try(ifs.readUtf8(p)).getOrElse("").split(':')
-      if (parts.length >= 3) scala.util.Try(parts(2).toLong)
-        .getOrElse(scala.util.Try(ifs.modTimeOf(p)).getOrElse(now))
-      else scala.util.Try(ifs.modTimeOf(p)).getOrElse(now)
-    }
+    def tsOf(p: org.apache.hadoop.fs.Path): Long = leaseTsOf(ifs, p, now)
     def staleAt(p: org.apache.hadoop.fs.Path): Boolean =
       now - tsOf(p) > horizonMs
     // 1. the attempt guard
     val guard = ifs.child(WriterLeaseDirName, s"$kind-$id")
     var held = false
     var attempts = 0
-    while (!held && attempts < 3) {
+    // 4 attempts: the worst in-contract chain is (stale-marker sweep,
+    // husk reclaim, create) = 3, plus one for a lost create race
+    while (!held && attempts < 4) {
       attempts += 1
       try { ifs.createUtf8(guard, s"$kind:$id:$now"); held = true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: org.apache.hadoop.fs.PathExistsException =>
-          if (ifs.exists(guard) && staleAt(guard)) ifs.deleteFile(guard)
-          else throw new IndexWriterContentionException(
+          val huskTs = if (ifs.exists(guard)) tsOf(guard) else -1L
+          if (huskTs >= 0 && now - huskTs > horizonMs) {
+            // stale husk: reclaim through the ts-keyed create-once
+            // marker (scaladoc above). A blind delete here could land
+            // on a FRESH guard re-created at the same name by a faster
+            // reclaimer while this thread was paused between its
+            // staleness read and the delete.
+            reclaimGuardHusk(ifs, kind, id, huskTs, now, horizonMs)
+          } else throw new IndexWriterContentionException(
             s"concurrent duplicate $kind '$id' on ${ifs.root}: another " +
               s"attempt holds ${guard.getName} — submissions of one " +
               "batch must be sequential; retry after the holder " +
@@ -2146,6 +2226,8 @@ object Similarity {
           scala.util.Try(n.drop(6).toLong).toOption.map(_ -> p)
         else None
       }.sortBy(_._1)
+    def retiredMarker(seq: Long): org.apache.hadoop.fs.Path =
+      ifs.child(WriterLeaseDirName, f"retired-$seq%012d")
     var next = seqLeases().lastOption.map(_._1 + 1).getOrElse(0L)
     var mine: org.apache.hadoop.fs.Path = null
     var mySeq = -1L
@@ -2154,7 +2236,16 @@ object Similarity {
       tries += 1
       val cand = ifs.child(WriterLeaseDirName, f"lease-$next%012d")
       try {
-        ifs.createUtf8(cand, s"$kind:$id:$now"); mine = cand; mySeq = next
+        ifs.createUtf8(cand, s"$kind:$id:$now")
+        // a retired seq is never validly held again: if a stale lease
+        // at this seq was tombstoned (retire-before-delete in the
+        // conflict scan), a fresh mint here would hand a straggler's
+        // pending delete of "lease-<seq>" a NEW victim — self-
+        // invalidate and move up instead. The check runs AFTER the
+        // create (check-then-create would race the retirement).
+        if (ifs.exists(retiredMarker(next))) {
+          ifs.deleteFile(cand); next += 1
+        } else { mine = cand; mySeq = next }
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: org.apache.hadoop.fs.PathExistsException => next += 1
@@ -2188,7 +2279,22 @@ object Similarity {
           if (kind == "append") k == "compact"
           else k == "append" || k == "compact"
         if (!clash) None
-        else if (staleAt(p)) { ifs.deleteFile(p); None } // crashed writer
+        else if (staleAt(p)) {
+          // crashed writer: RETIRE before deleting — the tombstone
+          // permanently invalidates this seq (see mint loop), so the
+          // delete below can never be the straggler-kills-fresh-mint
+          // TOCTOU. Losing the tombstone race to another scanner is
+          // fine; the delete is idempotent.
+          val seq = scala.util.Try(p.getName.drop(6).toLong).toOption
+          seq.foreach { s =>
+            try ifs.createUtf8(retiredMarker(s), s"retired:${p.getName}:$now")
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                   _: org.apache.hadoop.fs.PathExistsException => ()
+            }
+          }
+          ifs.deleteFile(p); None
+        }
         else Some(s"${p.getName}=$k")
       }
     }
@@ -2753,12 +2859,36 @@ object Similarity {
         // a lost condemn race usually means a concurrent vacuum owns
         // the version — but a marker older than the lease horizon is a
         // CRASHED vacuum's leak (crash between condemn and delete):
-        // reclaim it, else the version becomes unvacuumable forever
+        // reclaim it, else the version becomes unvacuumable forever.
+        // The reclaim is NOT a blind delete (the writer-lease TOCTOU,
+        // round 14): a straggler that read the marker as stale could
+        // otherwise delete the FRESH marker a faster reclaimer just
+        // re-created, leaving a window where a reader pins a version
+        // mid-deletion. Sweep only through a modTime-keyed create-once
+        // reclaim marker, and re-verify the ts after winning.
         val owned = condemn() || {
-          val stale = breakLeasesOlderThanMs.exists(h =>
-            ifs.exists(marker) &&
-              ifs.modTimeOf(marker) < System.currentTimeMillis() - h)
-          if (stale) { ifs.deleteFile(marker); condemn() } else false
+          val staleTs = breakLeasesOlderThanMs.flatMap { h =>
+            val ts = if (ifs.exists(marker))
+              scala.util.Try(ifs.modTimeOf(marker)).getOrElse(Long.MaxValue)
+            else Long.MaxValue
+            if (ts < System.currentTimeMillis() - h) Some(ts) else None
+          }
+          staleTs.exists { ts =>
+            val reclaim = ifs.child("_alias", "_condemned", s"reclaim-$v-$ts")
+            val wonSweep =
+              try { ifs.createUtf8(reclaim, s"$v:$ts"); true }
+              catch {
+                case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                     _: org.apache.hadoop.fs.PathExistsException => false
+              }
+            if (wonSweep) {
+              if (ifs.exists(marker) &&
+                  scala.util.Try(ifs.modTimeOf(marker)).toOption.contains(ts))
+                ifs.deleteFile(marker)
+              ifs.deleteFile(reclaim)
+            }
+            wonSweep && condemn()
+          }
         }
         if (!owned) false
         else if (leased(v)) { ifs.deleteFile(marker); false }

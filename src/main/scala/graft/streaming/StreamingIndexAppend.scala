@@ -110,7 +110,49 @@ object StreamingIndexAppend {
             Thread.sleep(20L)
             validClaim().foreach(v => version = v)
           }
-          if (version == null) ifs.deleteFile(claim)
+          // Condemning the husk is SERIALIZED and re-verified, not a
+          // blind delete (the reclaim TOCTOU, closed engine-wide in
+          // round 14): a straggler whose grace expired could otherwise
+          // delete a claim whose content landed just after — or a
+          // FRESH claim re-created at the same name by a faster
+          // sweeper — and the two attempts of one batch would adopt
+          // different version routings. Sweep through a modTime-keyed
+          // create-once marker; after winning, re-read the claim and
+          // ADOPT it if it became valid. A crashed sweeper's marker is
+          // reclaimed past the same grace; a sweeper pausing longer
+          // than that between steps is out of contract.
+          if (version == null) {
+            val ts = scala.util.Try(ifs.modTimeOf(claim)).getOrElse(-1L)
+            if (ts >= 0) {
+              val sweep = ifs.child("_alias", "_ingest_log",
+                s"reclaim-batch-$batchId-$ts")
+              val won =
+                try { ifs.createUtf8(sweep, s"batch-$batchId:$ts"); true }
+                catch {
+                  case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                       _: org.apache.hadoop.fs.PathExistsException =>
+                    // a sweep is a few metadata ops; a marker older
+                    // than several grace periods is a crashed
+                    // sweeper's husk (never merely a slow one)
+                    val sweepHorizon = math.max(graceMs * 5, 5000L)
+                    val sweepTs = scala.util.Try(ifs.modTimeOf(sweep))
+                      .getOrElse(Long.MaxValue)
+                    if (System.currentTimeMillis() - sweepTs > sweepHorizon)
+                      ifs.deleteFile(sweep) // crashed sweeper's husk
+                    false // loop re-reads; the live sweeper resolves it
+                }
+              if (won) {
+                validClaim() match {
+                  case Some(v) => version = v // content landed late: adopt
+                  case None =>
+                    if (scala.util.Try(ifs.modTimeOf(claim)).toOption
+                        .contains(ts))
+                      ifs.deleteFile(claim)
+                }
+                ifs.deleteFile(sweep)
+              }
+            } // else: the claim vanished — loop re-enters and re-claims
+          }
         case None =>
           val resolved = new org.apache.hadoop.fs.Path(
             graft.operators.Similarity.resolveIndexAlias(spark, aliasDir))

@@ -428,4 +428,171 @@ class IndexConcurrencySpec extends AnyFunSuite {
         "replayed micro-batch was not routed to its claim / not a no-op")
     } finally graft.streaming.StreamingStaging.deleteRecursively(local)
   }
+
+  // ------------------------------------------------------------------
+  // Reclaim TOCTOU (round 14, second pass): sweeping a crashed husk
+  // used to be a blind exists-stale-then-delete — a straggler that read
+  // the husk as stale, paused a few MILLISECONDS while a faster
+  // reclaimer swept it and re-created a fresh guard at the same name,
+  // would delete the fresh guard and re-admit the two-winner
+  // corruption, with no horizon violation anywhere. Reclaim now goes
+  // through a ts-keyed create-once marker plus a post-win re-read, and
+  // stale sequenced leases are RETIRED (create-once tombstone before
+  // the delete) so a seq number is never validly held twice. These
+  // cases pin each interleaving at the protocol level.
+  // ------------------------------------------------------------------
+
+  private def leaseDir(ifs: graft.sources.IndexFs) = ifs.child("_writer_leases")
+
+  test("guard reclaim: a live reclaim marker blocks a second reclaimer; the husk survives") {
+    val (local, root) = newRoot("recl_live")
+    try {
+      val ifs = graft.sources.IndexFs.on(spark, root)
+      ifs.mkdirs(leaseDir(ifs))
+      val now = System.currentTimeMillis()
+      val huskTs = now - 100000L
+      ifs.createUtf8(ifs.child("_writer_leases", "append-b1"),
+        s"append:b1:$huskTs")
+      // another reclaimer holds the marker for exactly this husk ts
+      ifs.createUtf8(ifs.child("_writer_leases", s"reclaim-append-b1-$huskTs"),
+        s"reclaim:append-b1:$now")
+      val e = intercept[Similarity.IndexWriterContentionException] {
+        Similarity.acquireWriterLease(ifs, "append", "b1", 60000L)
+      }
+      assert(e.getMessage.contains("reclaimer"), s"wrong failure: $e")
+      assert(ifs.exists(ifs.child("_writer_leases", "append-b1")),
+        "a blocked reclaimer must never touch the husk")
+      // the marker's winner finishes its sweep → the next attempt heals
+      ifs.deleteFile(ifs.child("_writer_leases", s"reclaim-append-b1-$huskTs"))
+      ifs.deleteFile(ifs.child("_writer_leases", "append-b1"))
+      val lease = Similarity.acquireWriterLease(ifs, "append", "b1", 60000L)
+      assert(lease.nonEmpty)
+      lease.foreach(ifs.deleteFile)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("guard reclaim: a crashed reclaimer's stale marker is swept and the husk still heals") {
+    val (local, root) = newRoot("recl_crash")
+    try {
+      val ifs = graft.sources.IndexFs.on(spark, root)
+      ifs.mkdirs(leaseDir(ifs))
+      val now = System.currentTimeMillis()
+      val huskTs = now - 100000L
+      ifs.createUtf8(ifs.child("_writer_leases", "append-b2"),
+        s"append:b2:$huskTs")
+      // a reclaimer crashed mid-sweep: its marker is itself past horizon
+      ifs.createUtf8(ifs.child("_writer_leases", s"reclaim-append-b2-$huskTs"),
+        s"reclaim:append-b2:$huskTs")
+      val lease = Similarity.acquireWriterLease(ifs, "append", "b2", 60000L)
+      assert(lease.exists(_.getName == "append-b2"),
+        "the sequential retry must hold a fresh guard")
+      assert(!ifs.exists(
+        ifs.child("_writer_leases", s"reclaim-append-b2-$huskTs")),
+        "the crashed reclaimer's marker husk must be swept")
+      val content = ifs.readUtf8(ifs.child("_writer_leases", "append-b2"))
+      assert(!content.endsWith(s":$huskTs"), "the guard must be re-stamped")
+      lease.foreach(ifs.deleteFile)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("guard reclaim never deletes a fresh guard: the post-win re-read refuses a changed ts") {
+    val (local, root) = newRoot("recl_fresh")
+    try {
+      val ifs = graft.sources.IndexFs.on(spark, root)
+      ifs.mkdirs(leaseDir(ifs))
+      val now = System.currentTimeMillis()
+      val freshContent = s"append:b3:$now"
+      ifs.createUtf8(ifs.child("_writer_leases", "append-b3"), freshContent)
+      // the straggler: it read the guard as a stale husk at an OLD ts,
+      // paused, and only now runs its sweep — meanwhile the husk was
+      // reclaimed and a FRESH guard re-created at the same name
+      val oldTs = now - 100000L
+      val won = Similarity.reclaimGuardHusk(
+        ifs, "append", "b3", oldTs, now, 60000L)
+      assert(won, "nobody contends the straggler's marker")
+      assert(ifs.exists(ifs.child("_writer_leases", "append-b3")),
+        "the straggler deleted the fresh guard: two-winner TOCTOU")
+      assert(ifs.readUtf8(ifs.child("_writer_leases", "append-b3"))
+        == freshContent, "the fresh guard was rewritten")
+      assert(!ifs.exists(
+        ifs.child("_writer_leases", s"reclaim-append-b3-$oldTs")),
+        "the straggler's marker must be cleaned up")
+      ifs.deleteFile(ifs.child("_writer_leases", "append-b3"))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("a retired seq is never validly held again: the mint self-invalidates and moves up") {
+    val (local, root) = newRoot("recl_retired")
+    try {
+      val ifs = graft.sources.IndexFs.on(spark, root)
+      ifs.mkdirs(leaseDir(ifs))
+      val now = System.currentTimeMillis()
+      // three live append leases (no clash for an append acquirer) and
+      // a retirement tombstone where the next mint would land
+      for (s <- 0 to 2)
+        ifs.createUtf8(ifs.child("_writer_leases", f"lease-$s%012d"),
+          s"append:other-$s:$now")
+      ifs.createUtf8(ifs.child("_writer_leases", "retired-000000000003"),
+        s"retired:lease-000000000003:$now")
+      val lease = Similarity.acquireWriterLease(ifs, "append", "b4", 60000L)
+      assert(lease.exists(_.getName == "lease-000000000004"),
+        s"mint must skip the retired seq 3: held ${lease.map(_.getName)}")
+      assert(!ifs.exists(ifs.child("_writer_leases", "lease-000000000003")),
+        "the self-invalidated transient mint at seq 3 must be removed")
+      lease.foreach(ifs.deleteFile)
+      for (s <- 0 to 2)
+        ifs.deleteFile(ifs.child("_writer_leases", f"lease-$s%012d"))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("a stale conflicting lease is retired before deletion") {
+    val (local, root) = newRoot("recl_retire")
+    try {
+      val ifs = graft.sources.IndexFs.on(spark, root)
+      ifs.mkdirs(leaseDir(ifs))
+      val now = System.currentTimeMillis()
+      // a crashed compaction's seq lease, past horizon (no guard husk —
+      // its guard was already reclaimed by an earlier attempt)
+      ifs.createUtf8(ifs.child("_writer_leases", "lease-000000000000"),
+        s"compact:all:${now - 100000L}")
+      val lease = Similarity.acquireWriterLease(ifs, "append", "b5", 60000L)
+      assert(lease.exists(_.getName == "lease-000000000001"))
+      assert(ifs.exists(ifs.child("_writer_leases", "retired-000000000000")),
+        "the stale lease must be tombstoned BEFORE deletion")
+      assert(!ifs.exists(ifs.child("_writer_leases", "lease-000000000000")),
+        "the stale lease must still be swept")
+      lease.foreach(ifs.deleteFile)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
+  test("racing duplicate submissions over a crashed husk: exactly one holder emerges") {
+    val (local, root) = newRoot("recl_race")
+    try {
+      val ifs = graft.sources.IndexFs.on(spark, root)
+      ifs.mkdirs(leaseDir(ifs))
+      val now = System.currentTimeMillis()
+      ifs.createUtf8(ifs.child("_writer_leases", "append-b6"),
+        s"append:b6:${now - 100000L}")
+      val heldLeases =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      // winners HOLD until every loser has resolved — a released lease
+      // would make a second sequential winner legitimate
+      val losers = new java.util.concurrent.CountDownLatch(3)
+      val outcomes = race((1 to 4).map(_ => () => {
+        val l =
+          try Similarity.acquireWriterLease(ifs, "append", "b6", 60000L)
+          catch { case e: Throwable => losers.countDown(); throw e }
+        l.foreach(p => heldLeases.add(p.getName))
+        losers.await(60L, java.util.concurrent.TimeUnit.SECONDS)
+        l.foreach(ifs.deleteFile)
+      }): _*)
+      val failures = outcomes.flatten
+      assert(failures.size == 3,
+        s"exactly one racer must win over the husk; failures=$failures")
+      assert(failures.forall(
+        _.isInstanceOf[Similarity.IndexWriterContentionException]),
+        s"losers must fail loudly with contention: $failures")
+      assert(heldLeases.contains("append-b6"))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
 }

@@ -93,6 +93,44 @@ class VacuumLeaseSpec extends AnyFunSuite {
     } finally graft.streaming.StreamingStaging.deleteRecursively(local)
   }
 
+  test("a crashed vacuum's stale condemned marker reclaims — but never by a blind delete") {
+    val local = java.nio.file.Files.createTempDirectory("graft_leasecm")
+    val alias = "graftfs:" + local.toString
+    try {
+      buildVersion(alias, "v-001", 1)
+      Similarity.publishIndexVersion(spark, alias, "v-001")
+      buildVersion(alias, "v-002", 2)
+      Similarity.publishIndexVersion(spark, alias, "v-002")
+      val ifs = graft.sources.IndexFs.on(spark, alias)
+      // a vacuum crashed between condemn and delete: its marker leaks
+      val marker = ifs.child("_alias", "_condemned", "v-001")
+      ifs.createUtf8(marker, "v-001")
+      // no horizon: the leak holds the version (documented contract)
+      assert(Similarity.vacuumIndexVersions(spark, alias,
+        keepVersions = 1) == 0)
+      assert(java.nio.file.Files.exists(local.resolve("v-001")))
+      Thread.sleep(20L)
+      // a LIVE sweep of exactly this marker epoch is in flight — the
+      // straggler must yield, not blind-delete the marker out from
+      // under it (the writer-lease reclaim TOCTOU, closed engine-wide)
+      val ts = ifs.modTimeOf(marker)
+      val sweep = ifs.child("_alias", "_condemned", s"reclaim-v-001-$ts")
+      ifs.createUtf8(sweep, s"v-001:$ts")
+      assert(Similarity.vacuumIndexVersions(spark, alias, keepVersions = 1,
+        breakLeasesOlderThanMs = Some(0L)) == 0)
+      assert(ifs.exists(marker),
+        "a blocked sweeper must never touch the condemned marker")
+      assert(java.nio.file.Files.exists(local.resolve("v-001")))
+      // the in-flight sweeper finishes → the next pass self-heals
+      ifs.deleteFile(sweep)
+      Thread.sleep(20L)
+      assert(Similarity.vacuumIndexVersions(spark, alias, keepVersions = 1,
+        breakLeasesOlderThanMs = Some(0L)) == 1)
+      assert(!java.nio.file.Files.exists(local.resolve("v-001")))
+      assert(Similarity.resolveIndexAlias(spark, alias) == s"$alias/v-002")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
   test("a reader pinning DURING rotation+vacuum always completes on a live version") {
     val local = java.nio.file.Files.createTempDirectory("graft_leaserace")
     val alias = "graftfs:" + local.toString

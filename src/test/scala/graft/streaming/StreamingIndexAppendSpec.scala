@@ -222,4 +222,78 @@ class StreamingIndexAppendSpec extends AnyFunSuite {
         root.resolve("_append_log").resolve("batch-1")))
     } finally StreamingStaging.deleteRecursively(root)
   }
+
+  test("torn-claim sweep is serialized and re-verified — never a blind delete") {
+    val alias = java.nio.file.Files.createTempDirectory("graft_idx_torn")
+    try {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+        e.filter(col("vec_id") % 8 === 0), s"$alias/v1")
+      graft.operators.Similarity.publishIndexVersion(spark,
+        alias.toString, "v1")
+      graft.operators.Similarity.buildIvfPqIndexProdOn(spark,
+        e.filter(col("vec_id") % 8 === 1), s"$alias/v2")
+      graft.operators.Similarity.publishIndexVersion(spark,
+        alias.toString, "v2") // current: a blind re-route would pick v2
+      val ifs = graft.sources.IndexFs.on(spark, alias.toString)
+      val emptyBatch = e.limit(0)
+
+      // ---- phase 1: a crashed sweeper's stale marker self-heals ----
+      spark.conf.set("graft.index.tornClaimGraceMs", "100")
+      try {
+        ifs.createUtf8(ifs.child("_alias", "_ingest_log", "batch-8"), "")
+        val ts8 = ifs.modTimeOf(ifs.child("_alias", "_ingest_log", "batch-8"))
+        val crashed = alias.resolve("_alias").resolve("_ingest_log")
+          .resolve(s"reclaim-batch-8-$ts8")
+        java.nio.file.Files.writeString(crashed, s"batch-8:$ts8")
+        java.nio.file.Files.setLastModifiedTime(crashed,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000L))
+        StreamingIndexAppend.appendBatchAliased(spark, alias.toString)(
+          emptyBatch, 8L)
+        assert(ifs.readUtf8(
+          ifs.child("_alias", "_ingest_log", "batch-8")) == "v2",
+          "the healed claim must route to the current version")
+        assert(!java.nio.file.Files.exists(crashed),
+          "the crashed sweeper's marker husk must be reclaimed")
+        assert(java.nio.file.Files.exists(
+          alias.resolve("v2").resolve("_append_log").resolve("batch-8")))
+
+        // ---- phase 2: a LIVE sweep marker blocks the straggler; the
+        // winner's resolution is ADOPTED, not re-routed ----
+        ifs.createUtf8(ifs.child("_alias", "_ingest_log", "batch-9"), "")
+        val claim9 = ifs.child("_alias", "_ingest_log", "batch-9")
+        val ts9 = ifs.modTimeOf(claim9)
+        ifs.createUtf8(ifs.child("_alias", "_ingest_log",
+          s"reclaim-batch-9-$ts9"), s"batch-9:$ts9") // live sweeper
+        @volatile var failure: Option[Throwable] = None
+        val straggler = new Thread(() => {
+          try StreamingIndexAppend.appendBatchAliased(spark,
+            alias.toString)(emptyBatch, 9L)
+          catch { case t: Throwable => failure = Some(t) }
+        }, "graft-torn-straggler")
+        straggler.start()
+        Thread.sleep(600L) // several grace expiries deep
+        assert(ifs.exists(claim9),
+          "the straggler deleted the torn claim despite the live marker")
+        // the live sweeper finishes: it routes batch 9 to the OLD v1
+        ifs.deleteFile(claim9)
+        ifs.createUtf8(claim9, "v1")
+        ifs.deleteFile(ifs.child("_alias", "_ingest_log",
+          s"reclaim-batch-9-$ts9"))
+        straggler.join(120000L)
+        assert(!straggler.isAlive && failure.isEmpty,
+          s"straggler did not adopt the winner's routing: $failure")
+        assert(ifs.readUtf8(claim9) == "v1",
+          "the winner's claim was rewritten")
+        assert(java.nio.file.Files.exists(
+          alias.resolve("v1").resolve("_append_log").resolve("batch-9")),
+          "the straggler must follow the adopted claim to v1")
+        assert(!java.nio.file.Files.exists(
+          alias.resolve("v2").resolve("_append_log").resolve("batch-9")),
+          "batch 9 double-landed on the current version")
+      } finally spark.conf.unset("graft.index.tornClaimGraceMs")
+    } finally StreamingStaging.deleteRecursively(alias)
+  }
 }
