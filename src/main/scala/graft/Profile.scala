@@ -39,7 +39,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKPlanning.register(spark)
 
-    def time(name: String)(f: => Long): Double = {
+    def time(name: String)(f: => Long): (Double, Long) = {
       val runs = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -48,7 +48,7 @@ object Profile {
       }
       val (sec, n) = runs.minBy(_._1)
       println(f"PROFILE $name: $sec%.2f s (rows=$n)")
-      sec
+      (sec, n)
     }
 
     graft.sources.Tables.region(spark, sfDir).count() // JVM/codegen warmup
@@ -57,16 +57,18 @@ object Profile {
         scaledDir.map(_ -> "10x").toSeq) {
       println(s"--- $label ($dir) ---")
       val nVec = graft.sources.Tables.embeddings(spark, dir).count()
-      val tPairs = time(s"$label pairs (nearDupLshProd)")(
+      // the timing run already computed the pair count — at the scaled
+      // point the pair stage IS the expensive part, so never pay a
+      // third full run just to re-read a number time() had in hand
+      val (tPairs, pairCount) = time(s"$label pairs (nearDupLshProd)")(
         graft.operators.Similarity.nearDupLshProd(spark, dir).count())
-      val pairCount = graft.operators.Similarity
-        .nearDupLshProd(spark, dir).count()
-      val tDefault = time(s"$label semantic_dedup (default cc)")(
+      val (tDefault, _) = time(s"$label semantic_dedup (default cc)")(
         graft.operators.Similarity.semanticDedupProd(spark, dir).count())
       spark.conf.set("spark.graft.cc.driverMaxPairs", "0")
-      val tDist = try time(s"$label semantic_dedup (forced distributed cc)")(
-        graft.operators.Similarity.semanticDedupProd(spark, dir).count())
-      finally spark.conf.unset("spark.graft.cc.driverMaxPairs")
+      val (tDist, _) =
+        try time(s"$label semantic_dedup (forced distributed cc)")(
+          graft.operators.Similarity.semanticDedupProd(spark, dir).count())
+        finally spark.conf.unset("spark.graft.cc.driverMaxPairs")
       println(f"PROFILE $label summary: n=$nVec pairs=$pairCount " +
         f"(threshold=${1L << 20}) pair_stage=$tPairs%.2f s " +
         f"cc_driver≈${tDefault - tPairs}%.2f s " +

@@ -549,10 +549,16 @@ object Similarity {
     * quantizer actually fits (the case IVF exists for), the floor
     * already holds recall and the held fraction only burns compute. */
   private def autoNprobeFor(spark: SparkSession, indexDir: String,
-      cells: Long): Int = {
+      cells: Long): Int =
+    autoNprobeWith(indexConcentration(spark, indexDir), cells)
+
+  /** [[autoNprobeFor]] on an already-computed concentration — callers
+    * that also surface the concentration (describeIndex) read the
+    * `_stats` artifacts once, not twice. */
+  private def autoNprobeWith(conc: Option[Double], cells: Long): Int = {
     val fractional = resolveNprobe(AutoProbes, cells)
     if (fractional <= IvfProbes) fractional
-    else indexConcentration(spark, indexDir) match {
+    else conc match {
       case None => fractional
       case Some(c) =>
         val w = math.min(1.0, math.max(0.0,
@@ -2073,6 +2079,13 @@ object Similarity {
   private def writerLeaseHorizonMs(spark: SparkSession): Long =
     spark.conf.get("graft.index.writerLeaseHorizonMs", "900000").toLong
 
+  /** How long a content-less (torn mid-write) lease or claim read is
+    * re-read before being judged — sized to the store's small-PUT tail
+    * latency, the same assumption `graft.index.tornClaimGraceMs`
+    * prices for streaming routing claims (so one knob tunes both). */
+  private def tornGraceMsOf(spark: SparkSession): Long =
+    spark.conf.get("graft.index.tornClaimGraceMs", "1000").toLong
+
   /** Lease-file timestamp: the third `:`-field of the content
     * (`kind:id:millis`), falling back to the FS modification time for
     * a torn or content-less file, then to `now` (never-stale — the
@@ -2178,7 +2191,8 @@ object Similarity {
     * `finally`). `private[operators]` so `IndexConcurrencySpec` can
     * pin the reclaim interleavings directly. */
   private[operators] def acquireWriterLease(ifs: graft.sources.IndexFs,
-      kind: String, id: String, horizonMs: Long)
+      kind: String, id: String, horizonMs: Long,
+      tornGraceMs: Long = 1000L)
       : Vector[org.apache.hadoop.fs.Path] = {
     val dir = ifs.child(WriterLeaseDirName)
     ifs.mkdirs(dir)
@@ -2263,7 +2277,7 @@ object Similarity {
     // conflicting seq never scans upward, so a misread can only make
     // this higher-seq party yield — one winner always survives).
     def liveKindOf(p: org.apache.hadoop.fs.Path): String = {
-      val deadline = System.nanoTime() + 1000L * 1000000L
+      val deadline = System.nanoTime() + tornGraceMs * 1000000L
       while (true) {
         if (!ifs.exists(p)) return null
         val c = scala.util.Try(ifs.readUtf8(p)).getOrElse("")
@@ -2324,7 +2338,7 @@ object Similarity {
     val marker = ifs.child("_append_log", s"batch-$batchId")
     if (ifs.exists(marker)) return
     val lease = acquireWriterLease(ifs, "append", batchId,
-      writerLeaseHorizonMs(spark))
+      writerLeaseHorizonMs(spark), tornGraceMsOf(spark))
     try {
       committedAppendHeld(spark, ifs, marker, batchId, enc)
     } finally releaseWriterLease(ifs, lease)
@@ -2550,7 +2564,7 @@ object Similarity {
     // delete∥compact are all in-contract (disjoint commit logs; the
     // tombstone list stays authoritative across a compaction pass).
     val lease = acquireWriterLease(ifs, "delete", batchId,
-      writerLeaseHorizonMs(spark))
+      writerLeaseHorizonMs(spark), tornGraceMsOf(spark))
     try {
       if (ifs.exists(marker)) return
       // recovery: drop any tombstone files a crashed attempt published
@@ -2701,15 +2715,19 @@ object Similarity {
     val drift = indexDriftReport(spark, indexDir)
       .orderBy(col("seq").desc).limit(1)
       .select(col("batch_id"), col("drift")).collect().headOption
+    // the weighted concentration the dial actually reads (build +
+    // committed appends, [[indexConcentration]]) — computed ONCE and
+    // shared between the surfaced column and the nprobe resolution
+    // (each read costs a stats-parquet scan + an _append_log listing)
+    val conc = indexConcentration(spark, indexDir)
     spark.range(1).select(
       lit(n).as("n_vectors"),
       lit(cells).as("cells"),
-      lit(autoNprobeFor(spark, indexDir, cells)).as("auto_nprobe"),
-      // the weighted concentration the dial actually reads (build +
-      // committed appends, [[indexConcentration]]) — surfaced so an
-      // operator can see WHY auto_nprobe sits where it does and when
-      // appends have drifted the index across a calibration bound
-      lit(indexConcentration(spark, indexDir).map(Double.box).orNull)
+      lit(autoNprobeWith(conc, cells)).as("auto_nprobe"),
+      // surfaced so an operator can see WHY auto_nprobe sits where it
+      // does and when appends have drifted the index across a
+      // calibration bound
+      lit(conc.map(Double.box).orNull)
         .cast("double").as("effective_mean_cos"),
       lit(committed("_append_log")).as("committed_appends"),
       lit(committed("_delete_log")).as("committed_deletes"),
@@ -2850,8 +2868,18 @@ object Similarity {
     val dropDirs = named.map(_._3).distinct.filterNot(keep)
       .filter { v =>
         val marker = ifs.child("_alias", "_condemned", v)
+        // content stamps a millisecond ts (readers only check
+        // existence): staleness and the sweep re-verify key on the
+        // CONTENT ts, not the FS modTime, so a marker deleted and
+        // re-created within the store's timestamp granularity (1 s on
+        // some object stores) can never alias the old epoch. Legacy
+        // markers without the stamp fall back to modTime in
+        // [[leaseTsOf]].
         def condemn(): Boolean =
-          try { ifs.createUtf8(marker, v); true }
+          try {
+            ifs.createUtf8(marker,
+              s"condemned:$v:${System.currentTimeMillis()}"); true
+          }
           catch {
             case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                  _: org.apache.hadoop.fs.PathExistsException => false
@@ -2867,23 +2895,32 @@ object Similarity {
         // mid-deletion. Sweep only through a modTime-keyed create-once
         // reclaim marker, and re-verify the ts after winning.
         val owned = condemn() || {
+          val now = System.currentTimeMillis()
           val staleTs = breakLeasesOlderThanMs.flatMap { h =>
-            val ts = if (ifs.exists(marker))
-              scala.util.Try(ifs.modTimeOf(marker)).getOrElse(Long.MaxValue)
+            val ts = if (ifs.exists(marker)) leaseTsOf(ifs, marker, now)
             else Long.MaxValue
-            if (ts < System.currentTimeMillis() - h) Some(ts) else None
+            if (ts < now - h) Some(ts) else None
           }
           staleTs.exists { ts =>
             val reclaim = ifs.child("_alias", "_condemned", s"reclaim-$v-$ts")
             val wonSweep =
-              try { ifs.createUtf8(reclaim, s"$v:$ts"); true }
+              try { ifs.createUtf8(reclaim, s"reclaim:$v:$now"); true }
               catch {
                 case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                     _: org.apache.hadoop.fs.PathExistsException => false
+                     _: org.apache.hadoop.fs.PathExistsException =>
+                  // a reclaim marker past the horizon is a CRASHED
+                  // sweeper's husk (crash between its create and its
+                  // cleanup) — sweep it so the NEXT pass can heal,
+                  // else the version becomes unvacuumable forever,
+                  // the exact leak this path exists to close
+                  if (ifs.exists(reclaim) &&
+                      breakLeasesOlderThanMs.exists(h =>
+                        now - leaseTsOf(ifs, reclaim, now) > h))
+                    ifs.deleteFile(reclaim)
+                  false
               }
             if (wonSweep) {
-              if (ifs.exists(marker) &&
-                  scala.util.Try(ifs.modTimeOf(marker)).toOption.contains(ts))
+              if (ifs.exists(marker) && leaseTsOf(ifs, marker, now) == ts)
                 ifs.deleteFile(marker)
               ifs.deleteFile(reclaim)
             }
@@ -3048,6 +3085,25 @@ object Similarity {
   def compactIvfPqIndex(spark: SparkSession, indexDir: String,
       maxFilesPerCell: Int = 1): Int = {
     val path = s"$indexDir/postings.parquet"
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    // the writer lease — acquired BEFORE the snapshot reads, and held
+    // through the staging read AND the overwrite: the postings
+    // DataFrames below freeze their FILE LISTING when they are
+    // created, so a lease taken after the listing would leave a window
+    // where an append acquires, commits into a soon-rewritten cell,
+    // and releases — no live lease for this acquire to conflict with —
+    // yet its files are absent from the snapshot and the dynamic
+    // overwrite silently drops them. With the lease first, any append
+    // committed before this point is IN the listing, and any append
+    // after it loses the sequenced-lease arbitration loudly
+    // ([[IndexWriterContentionException]]) and retries sequentially.
+    // Racing DELETES stay in-contract and take no sequenced lease: a
+    // tombstone batch committed mid-compact may miss this physical
+    // pass, but the list stays authoritative and the next pass erases
+    // it (`IndexConcurrencySpec`).
+    val lease = acquireWriterLease(ifs, "compact", "all",
+      writerLeaseHorizonMs(spark), tornGraceMsOf(spark))
+    try {
     val postings = spark.read.parquet(path)
       .select(col("vec_id"), col("b_code"),
         col("centroid_id").cast("long").as("centroid_id"))
@@ -3069,22 +3125,6 @@ object Similarity {
     // Staging costs one extra write of only the fragmented cells; a
     // crash while staging leaves the live artifact untouched and the
     // retried maintenance turn re-runs compaction idempotently.
-    val ifs = graft.sources.IndexFs.on(spark, indexDir)
-    // the writer lease (held through the staging read AND the
-    // overwrite): the partition overwrite replaces whole cell
-    // directories from the snapshot the staging write reads, so an
-    // append publishing into a rewritten cell mid-pass would be
-    // silently dropped — the race the protocol documents and, since
-    // round 14, enforces. Of a racing compact+append pair exactly one
-    // wins the sequenced lease; the other throws
-    // [[IndexWriterContentionException]] and retries sequentially.
-    // Racing DELETES stay in-contract and take no sequenced lease: a
-    // tombstone batch committed mid-compact may miss this physical
-    // pass, but the list stays authoritative and the next pass erases
-    // it (`IndexConcurrencySpec`).
-    val lease = acquireWriterLease(ifs, "compact", "all",
-      writerLeaseHorizonMs(spark))
-    try {
     val staging = ifs.child("_compact_staging")
     ifs.deleteRecursive(staging)
     // tombstoned rows are PHYSICALLY dropped from every rewritten cell —
@@ -3137,8 +3177,8 @@ object Similarity {
           new org.apache.hadoop.fs.Path(path, s"centroid_id=$c"))
       }
     } finally ifs.deleteRecursive(staging)
-    } finally releaseWriterLease(ifs, lease)
     cells.length
+    } finally releaseWriterLease(ifs, lease)
   }
 
   /** Deterministic base/delta split of the fixture for the incremental

@@ -119,8 +119,18 @@ object StreamingIndexAppend {
           // different version routings. Sweep through a modTime-keyed
           // create-once marker; after winning, re-read the claim and
           // ADOPT it if it became valid. A crashed sweeper's marker is
-          // reclaimed past the same grace; a sweeper pausing longer
-          // than that between steps is out of contract.
+          // reclaimed past a multi-grace horizon; a sweeper pausing
+          // longer than that between steps is out of contract. (A TORN
+          // claim has no content to stamp, so unlike the lease/marker
+          // reclaims this re-verify keys on modTime: two torn-claim
+          // epochs inside one store timestamp quantum can alias. The
+          // exposure is only the claim FILE of a claimant that already
+          // adopted its routing correctly, and it bites only if that
+          // batch is ALSO retried after a rotation (the re-claim then
+          // routes to the new version). Reaching it needs an
+          // out-of-contract concurrent duplicate AND two torn writes
+          // inside one timestamp quantum — strictly narrower than the
+          // unserialized sweep this replaces.)
           if (version == null) {
             val ts = scala.util.Try(ifs.modTimeOf(claim)).getOrElse(-1L)
             if (ts >= 0) {

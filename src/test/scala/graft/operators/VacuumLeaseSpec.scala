@@ -102,14 +102,19 @@ class VacuumLeaseSpec extends AnyFunSuite {
       buildVersion(alias, "v-002", 2)
       Similarity.publishIndexVersion(spark, alias, "v-002")
       val ifs = graft.sources.IndexFs.on(spark, alias)
-      // a vacuum crashed between condemn and delete: its marker leaks
+      // a vacuum crashed between condemn and delete 60 s ago: its
+      // marker leaks (legacy content form — staleness falls back to
+      // the FS modTime)
       val marker = ifs.child("_alias", "_condemned", "v-001")
       ifs.createUtf8(marker, "v-001")
+      java.nio.file.Files.setLastModifiedTime(
+        local.resolve("_alias").resolve("_condemned").resolve("v-001"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
       // no horizon: the leak holds the version (documented contract)
       assert(Similarity.vacuumIndexVersions(spark, alias,
         keepVersions = 1) == 0)
       assert(java.nio.file.Files.exists(local.resolve("v-001")))
-      Thread.sleep(20L)
       // a LIVE sweep of exactly this marker epoch is in flight — the
       // straggler must yield, not blind-delete the marker out from
       // under it (the writer-lease reclaim TOCTOU, closed engine-wide)
@@ -117,15 +122,25 @@ class VacuumLeaseSpec extends AnyFunSuite {
       val sweep = ifs.child("_alias", "_condemned", s"reclaim-v-001-$ts")
       ifs.createUtf8(sweep, s"v-001:$ts")
       assert(Similarity.vacuumIndexVersions(spark, alias, keepVersions = 1,
-        breakLeasesOlderThanMs = Some(0L)) == 0)
+        breakLeasesOlderThanMs = Some(10000L)) == 0)
       assert(ifs.exists(marker),
         "a blocked sweeper must never touch the condemned marker")
+      assert(ifs.exists(sweep),
+        "the straggler must not delete the LIVE sweep marker")
       assert(java.nio.file.Files.exists(local.resolve("v-001")))
-      // the in-flight sweeper finishes → the next pass self-heals
-      ifs.deleteFile(sweep)
-      Thread.sleep(20L)
+      // the in-flight sweeper crashed instead: past the horizon its
+      // husk is swept, and the NEXT pass heals the condemned marker
+      java.nio.file.Files.setLastModifiedTime(
+        local.resolve("_alias").resolve("_condemned")
+          .resolve(s"reclaim-v-001-$ts"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
       assert(Similarity.vacuumIndexVersions(spark, alias, keepVersions = 1,
-        breakLeasesOlderThanMs = Some(0L)) == 1)
+        breakLeasesOlderThanMs = Some(10000L)) == 0)
+      assert(!ifs.exists(sweep),
+        "a crashed sweeper's husk must be reclaimed past the horizon")
+      assert(Similarity.vacuumIndexVersions(spark, alias, keepVersions = 1,
+        breakLeasesOlderThanMs = Some(10000L)) == 1)
       assert(!java.nio.file.Files.exists(local.resolve("v-001")))
       assert(Similarity.resolveIndexAlias(spark, alias) == s"$alias/v-002")
     } finally graft.streaming.StreamingStaging.deleteRecursively(local)
