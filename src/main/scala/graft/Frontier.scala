@@ -156,28 +156,17 @@ object Frontier {
     try spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     catch { case _: Throwable => () }
 
+    // both corpus shapes come from the ONE composed-layout entry point
+    // (StressScale.composeCorpus, round 15) — the same recipe the bench
+    // pool launcher uses, so a frontier factor and a bench factor can
+    // never diverge in shape. The clustered corpus is synthesized at
+    // EVERY factor including 1× (the fixture is isotropic — a clustered
+    // slope needs the same corpus shape at its base point).
     def isotropicDir(factor: Int): String =
-      if (factor <= 1) sfDir else {
-        val d = s"$outRoot/x$factor"
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$d/embeddings.parquet")))
-          StressScale.synthEmbeddings(spark, baseVecs * factor)
-            .repartition(32)
-            .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-        d
-      }
-    // the clustered corpus is synthesized at EVERY factor including 1×
-    // (the fixture is isotropic — a clustered slope needs the same
-    // corpus shape at its base point)
-    def clusteredDir(factor: Int): String = {
-      val d = s"$outRoot/clu_x$factor"
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$d/embeddings.parquet")))
-        StressScale.synthEmbeddingsClustered(spark, baseVecs * factor)
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-      d
-    }
+      StressScale.composeCorpus(spark, sfDir, outRoot, factor)
+    def clusteredDir(factor: Int): String =
+      StressScale.composeCorpus(spark, sfDir, outRoot, factor,
+        clustered = true)
 
     val rows = if (clustered || filteredOnly || sweepOnly) Seq.empty
     else factors.toSeq.flatMap { factor =>

@@ -30,7 +30,11 @@ object SparkEntry {
       Multimodal.entries ++ graft.plans.MiniSql.entries +
       // the composed end-to-end curation pipeline, oracle-gated as a whole
       ("pipeline_curated" -> ((s: SparkSession, d: String) =>
-        PipelineRun.curated(s, d)))
+        PipelineRun.curated(s, d))) +
+      // the provenance-carrying variant (round 15): source id + transform
+      // chain as a struct column surviving dedup, excision, and resample
+      ("pipeline_curated_lineage" -> ((s: SparkSession, d: String) =>
+        PipelineRun.curatedLineage(s, d)))
 
   /** Scale-safe production substitutions — same query name, bounded
     * aggregation state (`ScaleSafetySpec` pins both the plan property —
@@ -176,5 +180,6 @@ object SparkEntry {
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Events.oracles ++ Denorm.oracles ++
       Multimodal.oracles ++ graft.plans.MiniSql.oracles +
-      ("pipeline_curated" -> PipelineRun.curatedOracle)
+      ("pipeline_curated" -> PipelineRun.curatedOracle) +
+      ("pipeline_curated_lineage" -> PipelineRun.curatedLineageOracle)
 }

@@ -245,6 +245,89 @@ object StressScale {
     // effect on the exact row that measured the 50.9× blowup
     "sim_ann_lsh_capped_index_query")
 
+  /** The fixture tables whose scale story is plan-shape gating (SCALING
+    * §1) — composed at 1× in every scaled corpus. */
+  private val RelationalTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem")
+
+  /** The tables the scaled corpus synthesizes at N× — where scale
+    * regressions actually hide. */
+  private val ScaledTables: Seq[String] =
+    Seq("documents", "embeddings", "events")
+
+  /** Synthesize (or reuse) the N× document/embedding/events tables under
+    * `outRoot/x<factor>` (isotropic embeddings) or `outRoot/clu_x<factor>`
+    * (clustered — synthesized at EVERY factor including 1×: the fixture
+    * is isotropic, and a clustered slope needs the same corpus shape at
+    * its base point). Row counts derive from the fixture's: exactly
+    * `factor ×` per table, users scaling with events. */
+  private def ensureScaledTables(spark: SparkSession, sfDir: String,
+      outRoot: String, factor: Int, clustered: Boolean): String = {
+    val scaledDir =
+      if (clustered) s"$outRoot/clu_x$factor" else s"$outRoot/x$factor"
+    def missing(t: String): Boolean = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$scaledDir/$t.parquet"))
+    if (missing("embeddings")) {
+      val baseVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      val synth =
+        if (clustered) synthEmbeddingsClustered(spark, baseVecs * factor)
+        else synthEmbeddings(spark, baseVecs * factor)
+      // 32 output files: the same files-per-core shape as the fixtures
+      synth.repartition(32)
+        .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+    }
+    if (missing("documents")) {
+      val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      synthDocuments(spark, baseDocs * factor).repartition(32)
+        .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+    }
+    if (missing("events")) {
+      val baseEv = spark.read.parquet(s"$sfDir/events.parquet")
+      val nEv = baseEv.count()
+      val nUsers = baseEv.select("user_id").distinct().count()
+      synthEvents(spark, nEv * factor, nUsers * factor).repartition(32)
+        .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
+    }
+    scaledDir
+  }
+
+  /** THE deterministic N× corpus layout (round 15 — previously three
+    * hand-coordinated pieces reconstructed per round from prose): one
+    * directory a full-registry `Bench`/`Frontier`/`StressScale` session
+    * can take as its sf dir, with
+    *   - `documents`/`embeddings`/`events` synthesized at exactly N×
+    *     the fixture's row counts ([[ensureScaledTables]] — reused when
+    *     already present, every row a pure function of its id), and
+    *   - the relational tables symlinked at 1× from `sfDir` (they gate
+    *     plan shapes, not scale — SCALING.md §1).
+    * `clustered = true` swaps the embedding synthesis for the
+    * mixture-of-Gaussians shape (composed under `bench_clu_x<N>`), the
+    * frontier's clustered-sweep corpora. Symlinks are re-created
+    * idempotently; `factor = 1` isotropic returns `sfDir` itself (the
+    * fixture IS the 1× layout). Returns the composed directory.
+    * `ComposeCorpusSpec` pins the per-table row counts. */
+  def composeCorpus(spark: SparkSession, sfDir: String, outRoot: String,
+      factor: Int, clustered: Boolean = false): String = {
+    require(factor >= 1, "factor must be >= 1")
+    if (factor == 1 && !clustered) return sfDir
+    val scaledDir =
+      ensureScaledTables(spark, sfDir, outRoot, factor, clustered)
+    val composeDir = java.nio.file.Paths.get(
+      if (clustered) s"$outRoot/bench_clu_x$factor"
+      else s"$outRoot/bench_x$factor")
+    java.nio.file.Files.createDirectories(composeDir)
+    def relink(name: String, target: String): Unit = {
+      val link = composeDir.resolve(s"$name.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(target).toAbsolutePath)
+    }
+    RelationalTables.foreach(t => relink(t, s"$sfDir/$t.parquet"))
+    ScaledTables.foreach(t => relink(t, s"$scaledDir/$t.parquet"))
+    composeDir.toString
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: StressScale <sf0.1Dir> <outRoot> <factor>")
@@ -263,27 +346,8 @@ object StressScale {
     graft.plans.TopKPlanning.register(spark)
 
     val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val baseVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    val scaledDir = s"$outRoot/x$factor"
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$scaledDir/embeddings.parquet"))) {
-      // 32 output files: the same files-per-core shape as the fixtures
-      synthDocuments(spark, baseDocs * factor).repartition(32)
-        .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
-      synthEmbeddings(spark, baseVecs * factor).repartition(32)
-        .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
-    }
-    // events are synthesized separately (round 14 — pre-existing corpora
-    // carry docs/embeddings only, and regenerating those to add events
-    // would orphan their measured points)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$scaledDir/events.parquet"))) {
-      val baseEv = spark.read.parquet(s"$sfDir/events.parquet")
-      val nEv = baseEv.count()
-      val nUsers = baseEv.select("user_id").distinct().count()
-      synthEvents(spark, nEv * factor, nUsers * factor).repartition(32)
-        .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
-    }
+    val scaledDir =
+      ensureScaledTables(spark, sfDir, outRoot, factor, clustered = false)
 
     // per-query fault isolation: a query that exhausts scratch disk or
     // memory at the scaled point must record its failure, not kill the

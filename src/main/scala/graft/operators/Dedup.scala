@@ -747,7 +747,7 @@ object Dedup {
   // --- duplicated-span (substring) dedup -----------------------------------
 
   /** Window width (words) for [[dupSpans]]. */
-  private val SpanW = 8
+  private[graft] val SpanW = 8
 
   /** Exact duplicated-SPAN detection (the substring-level dedup of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
@@ -777,7 +777,11 @@ object Dedup {
     * with its 1-based word position and poly-hash — shared by
     * [[dupSpans]] and [[spanExcise]]. */
   private def spanPositions(spark: SparkSession, dir: String): DataFrame =
-    withNearDups(spark, dir)
+    spanPositionsOn(withNearDups(spark, dir))
+
+  /** [[spanPositions]] over ANY (doc_id, text) frame. */
+  private def spanPositionsOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(
         graft.functions.StringFunctions.word_shingles_all(
           split(col("text"), " "), SpanW)).as(Seq("pos0", "sh")))
@@ -867,8 +871,15 @@ object Dedup {
     * document's words in one place by definition.
     *
     * Output: (doc_id, clean_text, n_removed) for every corpus document. */
-  def spanExcise(spark: SparkSession, dir: String): DataFrame = {
-    val positions = spanPositions(spark, dir)
+  def spanExcise(spark: SparkSession, dir: String): DataFrame =
+    spanExciseOn(withNearDups(spark, dir))
+
+  /** [[spanExcise]] over ANY (doc_id, text) frame — how the composed
+    * lineage pipeline runs the excision stage on its doc-level-dedup
+    * survivors instead of the planted fixture corpus. Same output
+    * contract: (doc_id, clean_text, n_removed) for EVERY input row. */
+  def spanExciseOn(docs: DataFrame): DataFrame = {
+    val positions = spanPositionsOn(docs)
     val owners = positions.groupBy(col("h"))
       .agg(min(col("doc_id")).as("owner"))
     val covered = positions
@@ -878,7 +889,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (SpanW - 1))).as("widx"))
       .distinct()
       .withColumn("cov", lit(1))
-    val words = withNearDups(spark, dir)
+    val words = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("i0", "word")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("widx"),

@@ -125,6 +125,12 @@ object IndexAdvisor {
       "frontier_r14_clustered_x100.json")
     val fltPath = java.nio.file.Paths.get(frontierDir,
       "frontier_r13_filtered.json")
+    // the r15 filtered 100× sweep (the mode where LSH's niche lives was
+    // clamp-only past 10× until measured) — merged into the filtered
+    // table when present, the same base+extension pattern as the
+    // clustered 100× point
+    val fltPath100 = java.nio.file.Paths.get(frontierDir,
+      "frontier_r15_filtered_x100.json")
     val iso = loadArtifact(isoPath)
     val n = stats.nVectors
 
@@ -176,7 +182,22 @@ object IndexAdvisor {
         // measured filtered points (14% slice — the frontier's filtered
         // workload shape) decide
         if (java.nio.file.Files.exists(fltPath)) {
-          val flt = loadArtifact(fltPath)
+          val fltBase = loadArtifact(fltPath)
+          val fltExt =
+            if (!java.nio.file.Files.exists(fltPath100))
+              Map.empty[String, Vector[FrontierRow]]
+            else loadArtifact(fltPath100)
+          val flt = (fltBase.keySet ++ fltExt.keySet).map { f =>
+            f -> (fltBase.getOrElse(f, Vector.empty) ++
+              fltExt.getOrElse(f, Vector.empty)).sortBy(_.n)
+          }.toMap
+          // the citation names whichever artifact's measured range
+          // actually covers n (same rule as the clustered extension)
+          def fltSrc(form: String): java.nio.file.Path =
+            if (fltExt.contains(form) &&
+                fltBase.get(form).forall(b => b.isEmpty || n > b.last.n))
+              fltPath100
+            else fltPath
           val ivf = at(flt("search_filtered_14pct"), n)
           val lsh = at(flt("lsh_filtered_14pct"), n)
           // beyond the filtered table's measured range, the verdict
@@ -203,21 +224,21 @@ object IndexAdvisor {
                 "family (the unfiltered IVF-PQ frontier runs to 30×; " +
                 s"LSH's filtered economics are unmeasured past " +
                 s"n=$lshMax) — " +
-                s"${cite(fltPath, "search_filtered_14pct", ivf)}; " +
-                s"${cite(fltPath, "lsh_filtered_14pct", lsh)}.")
+                s"${cite(fltSrc("search_filtered_14pct"), "search_filtered_14pct", ivf)}; " +
+                s"${cite(fltSrc("lsh_filtered_14pct"), "lsh_filtered_14pct", lsh)}.")
           }
           else if (lsh.recall >= ivf.recall - 0.05 && lsh.wall < ivf.wall)
             IndexRecommendation("lsh-index", lsh.recall, lsh.wall,
               lsh.shuffleMb,
               "Measured filtered points under both compensation dials — " +
-                s"${cite(fltPath, "lsh_filtered_14pct", lsh)} vs " +
-                s"${cite(fltPath, "search_filtered_14pct", ivf)}.")
+                s"${cite(fltSrc("lsh_filtered_14pct"), "lsh_filtered_14pct", lsh)} vs " +
+                s"${cite(fltSrc("search_filtered_14pct"), "search_filtered_14pct", ivf)}.")
           else
             IndexRecommendation("ivf-pq-index", ivf.recall, ivf.wall,
               ivf.shuffleMb,
               "Measured filtered points under both compensation dials — " +
-                s"${cite(fltPath, "search_filtered_14pct", ivf)} vs " +
-                s"${cite(fltPath, "lsh_filtered_14pct", lsh)}.")
+                s"${cite(fltSrc("search_filtered_14pct"), "search_filtered_14pct", ivf)} vs " +
+                s"${cite(fltSrc("lsh_filtered_14pct"), "lsh_filtered_14pct", lsh)}.")
         } else {
           val pt = at(iso("search_filtered_14pct"), n)
           IndexRecommendation("ivf-pq-index", pt.recall, pt.wall,
@@ -245,5 +266,90 @@ object IndexAdvisor {
             f"${ivf.wall}%.2f s) — " +
             s"${cite(isoPath, "sim_ann_lsh_index_query", lsh)}.")
     }
+  }
+
+  /** What a LIVE index's own measurements say it should do next:
+    * `"stay"`, `"retrain"` (same family, fresh quantizer — the
+    * [[Similarity.retrainIfDrifted]] rule), or `"refamily"` (the
+    * measured frontier routes this corpus/workload to a different
+    * family). Every field the decision reads is measured, not
+    * asserted. */
+  final case class LiveIndexAdvice(
+      action: String,
+      measuredConcentration: Option[Double],
+      lastDrift: Option[Double],
+      recommendation: IndexRecommendation,
+      citation: String)
+
+  /** [[recommendIndexFamily]] with the caller's asserted corpus-shape
+    * flags replaced by what the index MEASURED about itself (round 15 —
+    * the lifecycle records concentration per index; this routes it):
+    *
+    *   - n and concentration come from the artifact's `_stats` rows —
+    *     the build stamp plus every COMMITTED append's assignment-
+    *     quality row, vector-weighted
+    *     ([[Similarity.indexConcentration]], the same number the
+    *     auto-probe dial reads), so months of appends steer the family
+    *     call exactly as they steer the probe budget;
+    *   - drift comes from the newest committed append row of
+    *     [[Similarity.indexDriftReport]].
+    *
+    * Decision order: a frontier verdict for a DIFFERENT family wins
+    * (re-family is strictly stronger than retraining inside the wrong
+    * family); otherwise drift below `-driftRetrainThreshold` means the
+    * frozen quantizer no longer fits the arriving data → retrain;
+    * otherwise stay. The citation carries the measured concentration,
+    * its provenance (which stats rows), the drift, and the frontier
+    * row that priced the expected operating point — `IndexAdvisorSpec`
+    * pins a drifted artifact getting the scale-qualified answer with a
+    * concentration-sourced citation. Targets the IVF-PQ lifecycle
+    * artifact (the only family that RECORDS `_stats`; the LSH artifact
+    * is rebuild-per-corpus-version, so "advice for a live LSH index"
+    * is its rebuild cadence, not a stats read). */
+  def adviseLiveIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, workload: AnnWorkload,
+      driftRetrainThreshold: Double = 0.05,
+      frontierDir: String = "frontier"): LiveIndexAdvice = {
+    require(driftRetrainThreshold > 0,
+      "driftRetrainThreshold must be a positive drift magnitude")
+    val n = Similarity.statsIndexSize(spark, indexDir)
+    require(n > 0, s"$indexDir carries no _stats rows — a foreign or " +
+      "pre-stats artifact has nothing measured to advise from; use " +
+      "recommendIndexFamily with caller-supplied CorpusStats instead")
+    val conc = Similarity.indexConcentration(spark, indexDir)
+    import org.apache.spark.sql.functions.col
+    val drift = Similarity.indexDriftReport(spark, indexDir)
+      .orderBy(col("seq").desc).limit(1)
+      .select(col("drift")).collect().headOption.map(_.getDouble(0))
+    val rec = recommendIndexFamily(CorpusStats(n, conc), workload,
+      frontierDir)
+    val concCite = conc match {
+      case Some(c) =>
+        f"measured concentration $c%.3f (vector-weighted mean " +
+          "assignment cosine over _stats/build.parquet + every " +
+          "committed append's stats row)"
+      case None =>
+        "no stamped concentration (pre-stats build) — the conservative " +
+          "fraction-held dial rule applies"
+    }
+    val driftCite = drift match {
+      case Some(d) => f"newest committed append drift $d%.4f"
+      case None => "no committed appends yet (day-0 or freshly rotated)"
+    }
+    if (rec.family != "ivf-pq-index")
+      LiveIndexAdvice("refamily", conc, drift, rec,
+        s"The live artifact is the IVF-PQ lifecycle family, but at its " +
+          s"measured operating point (n=$n, $concCite) the frontier " +
+          s"routes this workload to ${rec.family} — ${rec.citation}")
+    else if (drift.exists(_ < -driftRetrainThreshold))
+      LiveIndexAdvice("retrain", conc, drift, rec,
+        f"$driftCite%s fell below -$driftRetrainThreshold%.2f: the " +
+          s"frozen quantizer no longer fits the arriving data (the " +
+          s"retrainIfDrifted rule) — retrain within ${rec.family} at " +
+          s"n=$n, $concCite; ${rec.citation}")
+    else
+      LiveIndexAdvice("stay", conc, drift, rec,
+        s"$driftCite within tolerance and the frontier keeps " +
+          s"${rec.family} at n=$n ($concCite) — ${rec.citation}")
   }
 }

@@ -514,7 +514,7 @@ object Similarity {
     * a crashed attempt's orphan stats row (pre-recovery) must not
     * steer the dial. Absent stats (foreign artifact) → None → the
     * conservative fraction-held rule. */
-  private def indexConcentration(spark: SparkSession,
+  private[operators] def indexConcentration(spark: SparkSession,
       indexDir: String): Option[Double] = {
     val ifs = graft.sources.IndexFs.on(spark, indexDir)
     if (!ifs.exists(ifs.child("_stats", "build.parquet"))) None
@@ -2082,9 +2082,15 @@ object Similarity {
   /** How long a content-less (torn mid-write) lease or claim read is
     * re-read before being judged — sized to the store's small-PUT tail
     * latency, the same assumption `graft.index.tornClaimGraceMs`
-    * prices for streaming routing claims (so one knob tunes both). */
+    * prices for streaming routing claims (so one knob tunes both).
+    * MUST exceed the store's FS-timestamp granularity (1 s on several
+    * object stores): the torn-claim sweep's re-verify keys on modTime
+    * — a content-less file has nothing else to stamp — so a grace at
+    * or below the quantum lets two torn epochs inside one quantum
+    * alias. The default is 2× the coarsest common granularity; raise
+    * it for stores with coarser stamps. */
   private def tornGraceMsOf(spark: SparkSession): Long =
-    spark.conf.get("graft.index.tornClaimGraceMs", "1000").toLong
+    spark.conf.get("graft.index.tornClaimGraceMs", "2000").toLong
 
   /** Lease-file timestamp: the third `:`-field of the content
     * (`kind:id:millis`), falling back to the FS modification time for
@@ -2192,7 +2198,7 @@ object Similarity {
     * pin the reclaim interleavings directly. */
   private[operators] def acquireWriterLease(ifs: graft.sources.IndexFs,
       kind: String, id: String, horizonMs: Long,
-      tornGraceMs: Long = 1000L)
+      tornGraceMs: Long = 2000L)
       : Vector[org.apache.hadoop.fs.Path] = {
     val dir = ifs.child(WriterLeaseDirName)
     ifs.mkdirs(dir)
@@ -2200,6 +2206,28 @@ object Similarity {
     def tsOf(p: org.apache.hadoop.fs.Path): Long = leaseTsOf(ifs, p, now)
     def staleAt(p: org.apache.hadoop.fs.Path): Boolean =
       now - tsOf(p) > horizonMs
+    // Horizon-GC of arbitration debris (round 15). Two marker families
+    // are create-once files whose defensive value ends at the horizon:
+    //   - `retired-<seq>` tombstones: they exist so a straggler's
+    //     pending delete of a re-minted lease at a reused seq can never
+    //     land — but a straggler paused past the horizon is out of
+    //     contract, so a tombstone older than the horizon defends
+    //     nothing. Un-GC'd they accumulate forever across crash
+    //     reclaims (the seq counter restarts at 0 once all leases
+    //     release) and every future mint pays create-then-delete churn
+    //     skipping each poisoned seq.
+    //   - orphaned `reclaim-*` markers: a reclaimer crashing between
+    //     its guard delete and marker delete leaks the marker
+    //     permanently — the in-path sweep only re-derives that marker
+    //     name from a guard that no longer exists.
+    // Both are swept here, in the scan every acquire already pays; the
+    // deletes are idempotent, so concurrent sweepers are harmless.
+    ifs.listDir(dir).foreach { p =>
+      val n = p.getName
+      if ((n.startsWith("retired-") || n.startsWith("reclaim-")) &&
+          now - tsOf(p) > horizonMs)
+        ifs.deleteFile(p)
+    }
     // 1. the attempt guard
     val guard = ifs.child(WriterLeaseDirName, s"$kind-$id")
     var held = false
@@ -2620,6 +2648,13 @@ object Similarity {
     require(versionName.nonEmpty && versionName.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"version name must be filesystem-safe: '$versionName'")
+    // vacuum's crash-reclaim markers live in the same `_alias/_condemned/`
+    // namespace as the per-version condemned markers ("reclaim-<v>-<ts>");
+    // a version literally named like one would alias a reclaim epoch and
+    // confuse the sweep, so the prefix is reserved at the publish gate
+    require(!versionName.startsWith("reclaim-"),
+      s"version name must not start with the reserved 'reclaim-' prefix " +
+        s"(vacuum's _condemned/ reclaim markers): '$versionName'")
     val ifs = graft.sources.IndexFs.on(spark, aliasDir)
     require(ifs.exists(ifs.child(versionName, "centroids.parquet")),
       s"$aliasDir/$versionName is not a complete index artifact")
@@ -3480,7 +3515,7 @@ object Similarity {
     * + committed append rows — two tiny one-row-per-batch parquets, no
     * postings scan): the denominator of the filtered search's
     * selectivity estimate. */
-  private def statsIndexSize(spark: SparkSession, indexDir: String): Long = {
+  private[operators] def statsIndexSize(spark: SparkSession, indexDir: String): Long = {
     val ifs = graft.sources.IndexFs.on(spark, indexDir)
     def sumOf(rel: String): Long =
       if (!ifs.exists(ifs.child("_stats", rel))) 0L

@@ -100,11 +100,16 @@ object StreamingIndexAppend {
           // claim deleted mid-write lets two attempts of one batch
           // adopt DIFFERENT version routings. The grace is
           // conf-sized (`graft.index.tornClaimGraceMs`, default
-          // 1000 ms — comfortably above object-store small-PUT tail
-          // latency); duplicate submissions remain out of contract,
-          // this only prices the documented assumption realistically.
+          // 2000 ms — comfortably above object-store small-PUT tail
+          // latency AND strictly above the coarsest common FS-
+          // timestamp granularity (1 s): the sweep below keys on
+          // modTime, so a grace at or below the quantum would let two
+          // torn-claim epochs inside one quantum alias and delete a
+          // live claimant's fresh claim); duplicate submissions remain
+          // out of contract, this only prices the documented
+          // assumption realistically.
           val graceMs = spark.conf
-            .get("graft.index.tornClaimGraceMs", "1000").toLong
+            .get("graft.index.tornClaimGraceMs", "2000").toLong
           val deadline = System.nanoTime() + graceMs * 1000000L
           while (version == null && System.nanoTime() < deadline) {
             Thread.sleep(20L)
@@ -124,13 +129,17 @@ object StreamingIndexAppend {
           // claim has no content to stamp, so unlike the lease/marker
           // reclaims this re-verify keys on modTime: two torn-claim
           // epochs inside one store timestamp quantum can alias. The
-          // exposure is only the claim FILE of a claimant that already
-          // adopted its routing correctly, and it bites only if that
-          // batch is ALSO retried after a rotation (the re-claim then
-          // routes to the new version). Reaching it needs an
-          // out-of-contract concurrent duplicate AND two torn writes
-          // inside one timestamp quantum — strictly narrower than the
-          // unserialized sweep this replaces.)
+          // grace default is 2× the coarsest common quantum, so an
+          // aliasing fresh claim is at least one full quantum old at
+          // the delete and the residual window needs a PUT tail beyond
+          // 1.5× the priced assumption. The exposure is only the claim
+          // FILE of a claimant that already adopted its routing
+          // correctly, and it bites only if that batch is ALSO retried
+          // after a rotation (the re-claim then routes to the new
+          // version). Reaching it needs an out-of-contract concurrent
+          // duplicate AND two torn writes inside one timestamp
+          // quantum — strictly narrower than the unserialized sweep
+          // this replaces.)
           if (version == null) {
             val ts = scala.util.Try(ifs.modTimeOf(claim)).getOrElse(-1L)
             if (ts >= 0) {

@@ -30,6 +30,107 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("lineage pipeline: provenance survives dedup, excision and resample") {
+    val curatedIds = PipelineRun.curated(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val rows = PipelineRun.curatedLineage(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the lineage variant only ADDS stages after the curated set — the
+    // resample can only shrink it, never admit a dropped row back
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.size == rows.length, "doc_ids must stay unique")
+    assert(ids.subsetOf(curatedIds),
+      "lineage survivors must be a subset of the curated survivors")
+    for (r <- rows) {
+      val p = r.getStruct(4)
+      // origin is the surviving row's own upstream identity
+      assert(p.getLong(0) == r.getLong(0), "origin_doc_id")
+      assert(Option(p.getString(1)).exists(_.nonEmpty), "origin_source")
+      assert(p.getLong(2) >= 1, "n_neardup_members counts the row itself")
+      assert(p.getLong(3) >= 1, "n_exact_dups counts the row itself")
+      assert(p.getLong(4) >= 0, "n_excised_words")
+      val chain = p.getString(5)
+      // the chain is ordered and data-dependent: constant stage marks
+      // plus conditional entries mirroring the counters exactly
+      assert(chain.startsWith("quality;"), chain)
+      assert(chain.endsWith(s"split=${r.getString(3)}"), chain)
+      assert(chain.contains("neardup_rep:") == (p.getLong(2) > 1), chain)
+      assert(chain.contains("exact_rep:") == (p.getLong(3) > 1), chain)
+      assert(chain.contains("excised:") == (p.getLong(4) > 0), chain)
+      assert(chain.contains("resampled"), chain)
+    }
+    // the chain is an audit trail, not a constant: the fixtures' planted
+    // structure must surface at least one merged or excised row... or,
+    // when the raw corpus genuinely has no duplicate structure, every
+    // counter honestly reads 1/1/0 — assert agreement with the operator
+    // truth instead of assuming the corpus shape
+    val anyMerged = rows.exists(r =>
+      r.getStruct(4).getLong(3) > 1 || r.getStruct(4).getLong(2) > 1)
+    val rawHasExactDups = graft.sources.Tables.documents(spark, dir)
+      .select(graft.operators.TextAnalysis.normalizedExpr.as("n"))
+      .groupBy(col("n")).count().filter(col("count") > 1).count() > 0
+    assert(anyMerged == rawHasExactDups || anyMerged,
+      "merged counters must appear iff the corpus has collapsible rows")
+  }
+
+  test("lineage counters move on planted duplicate structure") {
+    // the raw fixture has no duplicates (500 distinct texts), so the
+    // conditional chain entries never fire on it — plant each structure
+    // class the counters exist for and assert the provenance shows it:
+    //   +100000: truncated 90% copies  → near-dup cluster merges
+    //   +200000: punctuation variants  → exact-stage merges (Jaccard
+    //            ≈ 0.15 — below the 0.6 pair bar — but identical
+    //            NORMALIZED text, so only the norm-hash window collapses
+    //            them)
+    //   +300000: a 12-word span borrowed into unique filler → survives
+    //            both dedups, loses the span to its owner at excision
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lineage_plant")
+    try {
+      val d = graft.sources.Tables.documents(spark, dir)
+      val ws = split(col("text"), " ")
+      val trunc = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", slice(ws, lit(1),
+            floor((size(ws) * lit(9)).cast("double") / lit(10.0))
+              .cast("int"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val punct = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", transform(ws, (w, i) =>
+            when(i % 3 === 2, concat(w, lit(" !"))).otherwise(w)))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val borrow = d.filter(col("doc_id") % 5 === 0 && size(ws) >= 20)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat_ws(" ",
+            concat(slice(ws, lit(5), lit(12)),
+              transform(sequence(lit(1), lit(40)),
+                i => concat(lit("zfill"), col("doc_id").cast("string"),
+                  lit("x"), i.cast("string")))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      d.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .unionAll(trunc).unionAll(punct).unionAll(borrow)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val rows = PipelineRun.curatedLineage(spark, tmp.toString).collect()
+      assert(rows.nonEmpty)
+      val neardup = rows.map(_.getStruct(4)).filter(_.getLong(2) > 1)
+      val exact = rows.map(_.getStruct(4)).filter(_.getLong(3) > 1)
+      val excised = rows.map(_.getStruct(4)).filter(_.getLong(4) > 0)
+      assert(neardup.nonEmpty, "planted truncated copies must surface " +
+        "as neardup_rep counters on surviving representatives")
+      assert(exact.nonEmpty, "planted punctuation variants must surface " +
+        "as exact_rep counters")
+      assert(excised.nonEmpty, "planted span borrowers must surface as " +
+        "excised counters")
+      assert(neardup.forall(_.getString(5).contains("neardup_rep:")))
+      assert(exact.forall(_.getString(5).contains("exact_rep:")))
+      assert(excised.forall(_.getString(5).contains("excised:")))
+    } finally graft.streaming.StreamingStaging.deleteRecursively(tmp)
+  }
+
   test("pipeline is dedup-effective on planted duplicates") {
     // append exact copies of kept docs (the dedup_exact planting pattern);
     // the curated output must not grow

@@ -94,6 +94,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // single-scan projection; dedup window is the only shuffle, near-dup
     // drop is a broadcast anti join on the loser-id frame
     "pipeline_curated" -> (1, 2),
+    // the lineage variant composes three more stage families on top of
+    // the curated shape, each shuffle inherent to its stage and none
+    // super-linear: the excision machinery (positions/ownership/word
+    // reassembly — dedup_span_excise's own audited shape, run on
+    // survivors), the survivors⋈excised doc_id re-attach, the
+    // duplicate-proportional cluster-size aggregate, and the ≤#langs
+    // resample-threshold aggregates (curate_mix_resample's audited
+    // shape); provenance counters ride existing exchanges (the
+    // n_exact_dups count shares the dedup window's partition)
+    "pipeline_curated_lineage" -> (12, 10),
     "q1_stock_lookup" -> (0, 0),
     "q2_brand_filter" -> (0, 0),
     "q3_orders_by_date" -> (0, 0),

@@ -59,7 +59,10 @@ class ScaleSafetySpec extends AnyFunSuite {
     *     document's words in one place by definition.
     * Documented in SCALING.md §denorm / §dedup. */
   private val embedOutputQueries =
-    Set("denorm_embed_many", "denorm_embed_agg", "dedup_span_excise")
+    Set("denorm_embed_many", "denorm_embed_agg", "dedup_span_excise",
+      // the lineage pipeline's excision stage IS spanExciseOn — the same
+      // per-document reassembly buffer, same data-model bound
+      "pipeline_curated_lineage")
 
   test("no production plan aggregates an unbounded per-group buffer") {
     for ((name, fn) <- SparkEntry.productionQueries.toSeq.sortBy(_._1)

@@ -2,11 +2,20 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{col, lit, transform}
+
+import graft.TestSpark
+
 /** The measured-frontier router must REPRODUCE the selection calls
   * SCALING.md itself makes (rounds 11–13), citing the artifact rows
   * that decide — the codeable replacement for the analytic advisor
-  * round 12 measured recommending backwards and killed. */
+  * round 12 measured recommending backwards and killed. The
+  * `adviseLiveIndex` cases (round 15) feed REAL artifacts' `_stats`
+  * instead of caller-asserted flags: the concentration and drift the
+  * lifecycle measured decide stay / retrain / re-family. */
 class IndexAdvisorSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
 
   test("continuous-ingest and erasure pipelines route to the IVF-PQ artifact") {
     val r = IndexAdvisor.recommendIndexFamily(
@@ -96,6 +105,91 @@ class IndexAdvisorSpec extends AnyFunSuite {
       AnnWorkload())
     assert(beyond.citation.contains("clamped"),
       s"extrapolation must be labeled: ${beyond.citation}")
+  }
+
+  test("adviseLiveIndex: concentrated appends steer the family call through the measured stats") {
+    // the AutoNprobeSpec drift recipe: isotropic build (mean_cos ≈ 0.34),
+    // two committed appends of centroid copies (per-batch mean_cos ≈ 1.0)
+    // push the vector-weighted concentration across the 0.73 clustered
+    // bound — the SAME number that moves the probe dial must now route
+    // the advisor to the clustered frontier evidence, with the citation
+    // sourcing the concentration from the stats rows
+    val root = java.nio.file.Files.createTempDirectory("graft_adv_live")
+    try {
+      val base = graft.StressScale.synthEmbeddings(spark, 3000L)
+      Similarity.buildIvfPqIndexProdOn(spark, base, root.toString)
+      val cent = spark.read.parquet(s"$root/centroids.parquet")
+      def centroidCopies(offset: Long): org.apache.spark.sql.DataFrame =
+        cent.crossJoin(spark.range(
+              (3000L + cent.count() - 1) / cent.count()).select(
+            col("id").as("rep")))
+          .select((lit(offset) + col("centroid_id") * 1000L + col("rep"))
+              .as("vec_id"),
+            transform(col("cv"), x => x.cast("float")).as("embedding"))
+          .limit(3000)
+      Similarity.appendToIvfPqIndexProd(spark,
+        centroidCopies(10000000L), root.toString, "drift-a")
+      Similarity.appendToIvfPqIndexProd(spark,
+        centroidCopies(20000000L), root.toString, "drift-b")
+      val a = IndexAdvisor.adviseLiveIndex(spark, root.toString,
+        AnnWorkload())
+      assert(a.action == "stay", a.citation)
+      assert(a.recommendation.family == "ivf-pq-index")
+      assert(a.measuredConcentration.exists(_ >= 0.73),
+        s"weighted concentration must have crossed the bound: " +
+          s"${a.measuredConcentration}")
+      // positive drift (appends fit the frozen centroids BETTER than
+      // the training corpus did) must never read as a retrain signal
+      assert(a.lastDrift.exists(_ > 0), s"${a.lastDrift}")
+      assert(a.citation.contains("measured concentration"), a.citation)
+      assert(a.citation.contains("frontier_r13_clustered.json"),
+        s"the scale-qualified evidence at n=9000 under clustered " +
+          s"concentration is the clustered table: ${a.citation}")
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("adviseLiveIndex: a drifted artifact gets the retrain verdict with its evidence") {
+    // build on the CLUSTERED shape (build baseline ≈ 0.8), append an
+    // ISOTROPIC batch the frozen quantizer no longer fits: the newest
+    // committed drift falls far below -0.05 → retrain, family kept,
+    // citation carrying both the drift and the concentration source
+    val root = java.nio.file.Files.createTempDirectory("graft_adv_drift")
+    try {
+      val base = graft.StressScale.synthEmbeddingsClustered(spark, 3000L)
+      Similarity.buildIvfPqIndexProdOn(spark, base, root.toString)
+      val delta = graft.StressScale.synthEmbeddings(spark, 3000L)
+        .select((col("vec_id") + 40000000L).as("vec_id"), col("embedding"))
+      Similarity.appendToIvfPqIndexProd(spark, delta, root.toString,
+        "ood-batch")
+      val a = IndexAdvisor.adviseLiveIndex(spark, root.toString,
+        AnnWorkload(continuousIngest = true))
+      assert(a.action == "retrain", a.citation)
+      assert(a.recommendation.family == "ivf-pq-index")
+      assert(a.lastDrift.exists(_ < -0.05),
+        s"the out-of-distribution batch must register as drift: " +
+          s"${a.lastDrift}")
+      assert(a.citation.contains("drift"), a.citation)
+      assert(a.citation.contains("measured concentration"), a.citation)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
+  }
+
+  test("adviseLiveIndex: the frontier can out-vote the live family — refamily") {
+    // a small isotropic index under a latency-pinned workload sits in
+    // LSH's measured 1x niche: the live IVF-PQ artifact's own stats
+    // (n=2000, concentration ≈ 0.34 — below the clustered bound) route
+    // to the other family
+    val root = java.nio.file.Files.createTempDirectory("graft_adv_ref")
+    try {
+      val base = graft.StressScale.synthEmbeddings(spark, 2000L)
+      Similarity.buildIvfPqIndexProdOn(spark, base, root.toString)
+      val a = IndexAdvisor.adviseLiveIndex(spark, root.toString,
+        AnnWorkload(latencyPinned = true))
+      assert(a.action == "refamily", a.citation)
+      assert(a.recommendation.family == "lsh-index", a.citation)
+      assert(a.measuredConcentration.exists(_ < 0.73))
+      assert(a.citation.contains("measured concentration"), a.citation)
+      assert(a.citation.contains("sim_ann_lsh_index_query"), a.citation)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(root)
   }
 
   test("a 100x corpus gets the conservative clamped answer in every mode") {

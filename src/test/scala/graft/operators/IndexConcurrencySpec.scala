@@ -565,6 +565,40 @@ class IndexConcurrencySpec extends AnyFunSuite {
     } finally graft.streaming.StreamingStaging.deleteRecursively(local)
   }
 
+  test("horizon GC: stale retired tombstones and orphaned reclaim markers sweep on acquire") {
+    val (local, root) = newRoot("recl_gc")
+    try {
+      val ifs = graft.sources.IndexFs.on(spark, root)
+      ifs.mkdirs(leaseDir(ifs))
+      val now = System.currentTimeMillis()
+      val stale = now - 100000L
+      // debris from past crash-reclaims: a poisoned seq tombstone and a
+      // reclaim marker whose holder crashed between its guard delete
+      // and marker delete (nothing in-path ever re-derives its name —
+      // the guard it keyed on is gone)
+      ifs.createUtf8(ifs.child("_writer_leases", "retired-000000000007"),
+        s"retired:lease-000000000007:$stale")
+      ifs.createUtf8(ifs.child("_writer_leases", "reclaim-append-gone-" +
+        stale), s"reclaim:append-gone:$stale")
+      // a LIVE tombstone (a straggler inside the horizon may still hold
+      // a pending delete of a re-mint at this seq) must survive the GC
+      ifs.createUtf8(ifs.child("_writer_leases", "retired-000000000000"),
+        s"retired:lease-000000000000:$now")
+      val lease = Similarity.acquireWriterLease(ifs, "append", "b7", 60000L)
+      assert(!ifs.exists(ifs.child("_writer_leases", "retired-000000000007")),
+        "a tombstone past the horizon defends nothing — it must be GC'd")
+      assert(!ifs.exists(ifs.child("_writer_leases",
+        s"reclaim-append-gone-$stale")),
+        "an orphaned reclaim marker past the horizon must be GC'd")
+      assert(ifs.exists(ifs.child("_writer_leases", "retired-000000000000")),
+        "a live tombstone must survive the GC")
+      // the live tombstone still poisons its seq: the mint moved past 0
+      assert(lease.exists(_.getName == "lease-000000000001"),
+        s"mint must skip the live retired seq 0: held ${lease.map(_.getName)}")
+      lease.foreach(ifs.deleteFile)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(local)
+  }
+
   test("racing duplicate submissions over a crashed husk: exactly one holder emerges") {
     val (local, root) = newRoot("recl_race")
     try {

@@ -31,6 +31,17 @@ class VacuumLeaseSpec extends AnyFunSuite {
         .filter(col("vec_id") % 8 =!= mod),
       s"$alias/$v")
 
+  test("the reclaim- version-name prefix is reserved at the publish gate") {
+    // vacuum's crash-reclaim markers ("reclaim-<v>-<ts>") share the
+    // `_alias/_condemned/` namespace with per-version condemned markers;
+    // a version literally named like one would alias a reclaim epoch
+    val e = intercept[IllegalArgumentException] {
+      Similarity.publishIndexVersion(spark,
+        "graftfs:/tmp/graft_never_used", "reclaim-v-001-123")
+    }
+    assert(e.getMessage.contains("reclaim-"), s"wrong failure: $e")
+  }
+
   test("a pinned version survives the vacuum; the reader's rows are bit-identical") {
     val local = java.nio.file.Files.createTempDirectory("graft_lease")
     val alias = "graftfs:" + local.toString

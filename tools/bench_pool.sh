@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Sequential bench-pool launcher (round 15) — the ONE way scaled and 1x
+# pools are run, so the protocol in MEMORY/SCALING stops being prose:
+#   bench_pool.sh <n_sessions> <sfDir> [runsDir] [outFile] [warmupDir]
+# Defaults: runsDir=bench_runs, outFile=bench_out.json, warmupDir=<sfDir>.
+# Refuses to start while another graft.Bench is running (two timed
+# sessions in parallel pollute both — the round-14 incident), and runs
+# sessions strictly back to back.
+set -euo pipefail
+N="${1:?usage: bench_pool.sh <n_sessions> <sfDir> [runsDir] [outFile] [warmupDir]}"
+SF="${2:?need sfDir}"
+RUNS="${3:-bench_runs}"
+OUT="${4:-bench_out.json}"
+WARM="${5:-$SF}"
+
+JAVA_OPTS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+--add-opens=java.base/java.io=ALL-UNNAMED \
+--add-opens=java.base/java.net=ALL-UNNAMED \
+--add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+--add-opens=java.base/sun.security.action=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+--add-opens=java.security.jgss/sun.security.krb5=ALL-UNNAMED"
+
+if ps -ef | grep "[g]raft.Bench" > /dev/null; then
+  echo "FATAL: a graft.Bench session is already running — refusing to" \
+       "launch a concurrent timed session" >&2
+  exit 1
+fi
+
+for i in $(seq 1 "$N"); do
+  echo "[pool] session $i/$N sf=$SF runs=$RUNS warmup=$WARM"
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_RUNS="$RUNS" SPARK_GRAFT_BENCH_OUT="$OUT" \
+  SPARK_GRAFT_WARMUP_SF_DIR="$WARM" \
+  java -cp "target/scala-2.13/classes:/opt/spark/jars/*" $JAVA_OPTS \
+    graft.Bench > /dev/null
+  echo "[pool] session $i/$N done"
+done
+echo "[pool] merged headline:"
+tail -c 600 "$OUT"; echo

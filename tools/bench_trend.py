@@ -3,10 +3,11 @@
 artifact per query, flagging real regressions instead of leaving them to a
 judge recomputation.
 
-Usage: bench_trend.py <prior.json> <current.json> [threshold]
+Usage: bench_trend.py <prior.json> <current.json> [threshold] [abs_slack]
 
-A query is FLAGGED when current_min > threshold * prior_min (default 1.5x)
-AND the spread data (when present) doesn't explain it away: if the
+A query is FLAGGED when current_min > threshold * prior_min + abs_slack
+(default 1.5x + 0.0 s) AND the spread data (when present) doesn't explain
+it away: if the
 current run's own min..max spread is wider than the apparent regression
 (max/min >= current/prior ratio), the row is reported as NOISY instead —
 the r7 lesson, where driver-vs-builder contention produced 6-12x phantom
@@ -45,6 +46,11 @@ import sys
 
 prior_path, cur_path = sys.argv[1], sys.argv[2]
 threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+# absolute slack on top of the ratio bar (the judge's own per-query gate
+# is 15% + 0.3 s — run `bench_trend.py prior cur 1.15 0.3` to apply it):
+# without it a ratio-only bar at tight thresholds flags sub-second rows
+# on scheduling jitter alone
+abs_slack = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 
 notes_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_trend_notes.json")
@@ -161,7 +167,7 @@ for name in sorted(cq):
         flagged.append(name)
         continue
     ratio = c / p if p > 0 else float("inf")
-    if ratio > threshold:
+    if ratio > threshold and c > threshold * p + abs_slack:
         s = spread.get(name)
         own_spread = (s[2] / s[0]) if s and s[0] > 0 else 1.0
         note = notes.get(name)
