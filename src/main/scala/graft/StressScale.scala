@@ -330,10 +330,30 @@ object StressScale {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: StressScale <sf0.1Dir> <outRoot> <factor>")
+      "usage: StressScale <sf0.1Dir> <outRoot> <factor> " +
+        "[--compose-only] [query ...]")
     val sfDir = args(0)
     val outRoot = args(1)
     val factor = args(2).toInt
+    // --compose-only: synthesize + symlink the composed N× layout and
+    // exit — how the pool launcher pre-builds corpora without running a
+    // single timed query (corpus synthesis must never overlap a timed
+    // session)
+    if (args.contains("--compose-only")) {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val b0 = SparkSession.builder()
+        .master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false")
+      graft.sources.Tables.requiredConfs.foreach { case (k, v) =>
+        b0.config(k, v) }
+      val s0 = b0.getOrCreate()
+      s0.sparkContext.setLogLevel("WARN")
+      val composed = composeCorpus(s0, sfDir, outRoot, factor)
+      println(s"[compose] $composed")
+      s0.stop()
+      return
+    }
     require(factor >= 2, "factor must be >= 2")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
