@@ -225,16 +225,28 @@ class IndexAdvisorSpec extends AnyFunSuite {
     assert(beyond.citation.contains("clamped"), beyond.citation)
     assert(beyond.citation.contains("frontier_r14_clustered_x100.json"),
       beyond.citation)
-    // filtered 100x: BOTH families clamp; the text names each with the
-    // measured bound read off the loaded rows (not a hardcoded n that
-    // goes stale when a frontier re-run extends the table)
+    // filtered 100x: MEASURED since the r15 sweep (the mode where LSH's
+    // niche lives was clamp-only past 10× until then). At n=200000 both
+    // compensation dials sit near the isotropic information floor
+    // (0.483 vs 0.446 — inside the 0.05 tolerance) and LSH's warm wall
+    // is lower, so the measured table flips the filtered verdict back
+    // to LSH, citing the extension artifact — no clamp label
     val flt = IndexAdvisor.recommendIndexFamily(
       CorpusStats(200000L), AnnWorkload(filterSelectivity = Some(0.14)))
-    assert(flt.family == "ivf-pq-index", flt.citation)
-    assert(flt.citation.contains("IVF-PQ (measured to n=60000)"),
+    assert(flt.family == "lsh-index", flt.citation)
+    assert(flt.citation.contains("frontier_r15_filtered_x100.json"),
       flt.citation)
-    assert(flt.citation.contains("LSH (measured to n=60000)"),
-      flt.citation)
+    assert(!flt.citation.contains("clamped"), flt.citation)
+    // BEYOND the measured filtered range the clamp still fires and the
+    // text names each family's bound read off the LOADED rows (now
+    // 200000 — not a hardcoded n that goes stale on a frontier re-run)
+    val fltBeyond = IndexAdvisor.recommendIndexFamily(
+      CorpusStats(2000000L), AnnWorkload(filterSelectivity = Some(0.14)))
+    assert(fltBeyond.family == "ivf-pq-index", fltBeyond.citation)
+    assert(fltBeyond.citation.contains("IVF-PQ (measured to n=200000)"),
+      fltBeyond.citation)
+    assert(fltBeyond.citation.contains("LSH (measured to n=200000)"),
+      fltBeyond.citation)
     // latency-pinned 100x: LSH's measured small-corpus niche must not
     // be granted from a clamped row
     val lat = IndexAdvisor.recommendIndexFamily(
