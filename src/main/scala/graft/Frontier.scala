@@ -134,12 +134,17 @@ object Frontier {
     val positional = args.filterNot(_.startsWith("--"))
     require(positional.length >= 3,
       "usage: Frontier <sf0.1Dir> <outRoot> " +
-        "[--clustered|--filtered-only|--sweep-only] <factor...>")
+        "[--clustered|--filtered-only|--clustered-filtered|--sweep-only]" +
+        " <factor...>")
     val sfDir = positional(0)
     val outRoot = positional(1)
     val factors = positional.drop(2).map(_.toInt)
     val clustered = flags.contains("--clustered")
     val filteredOnly = flags.contains("--filtered-only")
+    // the 2×2's fourth quadrant (round 16): the FILTERED variants on the
+    // mixture-of-Gaussians corpus — rows emit as clu_<form> so the
+    // advisor can hold clustered and isotropic filtered evidence apart
+    val clusteredFiltered = flags.contains("--clustered-filtered")
     val sweepOnly = flags.contains("--sweep-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -162,13 +167,22 @@ object Frontier {
     // never diverge in shape. The clustered corpus is synthesized at
     // EVERY factor including 1× (the fixture is isotropic — a clustered
     // slope needs the same corpus shape at its base point).
+    // embeddings-only: every frontier form reads embeddings.parquet
+    // alone, and a first uncached 100x compose otherwise pays document
+    // + event synthesis it never uses (the compose call is shared with
+    // the bench launcher, which requests the full set; either order
+    // fills in what the other skipped — composeCorpus re-links
+    // idempotently and never dangles an absent table)
     def isotropicDir(factor: Int): String =
-      StressScale.composeCorpus(spark, sfDir, outRoot, factor)
+      StressScale.composeCorpus(spark, sfDir, outRoot, factor,
+        tables = Seq("embeddings"))
     def clusteredDir(factor: Int): String =
       StressScale.composeCorpus(spark, sfDir, outRoot, factor,
-        clustered = true)
+        clustered = true, tables = Seq("embeddings"))
 
-    val rows = if (clustered || filteredOnly || sweepOnly) Seq.empty
+    val rows =
+      if (clustered || filteredOnly || clusteredFiltered || sweepOnly)
+        Seq.empty
     else factors.toSeq.flatMap { factor =>
       val dir = isotropicDir(factor)
       val n = baseVecs * math.max(1, factor)
@@ -218,7 +232,10 @@ object Frontier {
     // the unfiltered baseline row isolates what the filter alone costs.
     val filteredRows = if (clustered || sweepOnly) Seq.empty
     else factors.toSeq.flatMap { factor =>
-      val dir = isotropicDir(factor)
+      val pfx = if (clusteredFiltered) "clu_" else ""
+      val dir =
+        if (clusteredFiltered) clusteredDir(factor) else isotropicDir(factor)
+      val lshfTable = s"graft_frontier_lshf_$pfx" + s"x$factor"
       val n = baseVecs * math.max(1, factor)
       val mod = math.max(1L, n / 150)
       val dv = transform(col("embedding"), x => x.cast("double"))
@@ -280,15 +297,15 @@ object Frontier {
         ("lsh_filtered_14pct_r2",
           Some(col("neighbor_id") % 7 === 0),
           () => graft.operators.Similarity.buildLshIndexProd(spark, dir,
-            s"$root/lshf", s"graft_frontier_lshf_x$factor"),
+            s"$root/lshf", lshfTable),
           () => graft.operators.Similarity.searchLshIndexFiltered(
-            spark, q, dir, s"graft_frontier_lshf_x$factor", allowed,
+            spark, q, dir, lshfTable, allowed,
             radius = 2)),
         ("lsh_filtered_14pct",
           Some(col("neighbor_id") % 7 === 0),
           () => (),
           () => graft.operators.Similarity.searchLshIndexFiltered(
-            spark, q, dir, s"graft_frontier_lshf_x$factor", allowed)),
+            spark, q, dir, lshfTable, allowed)),
         ("search_tombstoned_10pct",
           Some(col("neighbor_id") % 10 =!= 5),
           () => graft.operators.Similarity.deleteFromIvfPqIndex(spark,
@@ -296,7 +313,8 @@ object Frontier {
             root, "frontier-erasure"),
           () => graft.operators.Similarity.searchIvfPqIndex(
             spark, q, dir, root)))
-      val out = variants.map { case (form, pred, setup, run) =>
+      val out = variants.map { case (form0, pred, setup, run) =>
+        val form = pfx + form0
         setup()
         val exactF = exactAmong(pred)
         val listener = new ShuffleBytes
@@ -336,9 +354,9 @@ object Frontier {
         Thread.sleep(2000)
         spark.sparkContext.removeSparkListener(listener)
         val shuffleMb = listener.bytes.get() / 1e6
-        println(f"[frontier] x$factor purge_10pct_tombstones " +
+        println(f"[frontier] x$factor ${pfx}purge_10pct_tombstones " +
           f"cells=$cells wall=$wall%.2fs shuffle=${shuffleMb}%.1fMB")
-        (factor, "purge_10pct_tombstones", n, -1.0, wall, shuffleMb)
+        (factor, s"${pfx}purge_10pct_tombstones", n, -1.0, wall, shuffleMb)
       }
       graft.streaming.StreamingStaging.deleteRecursively(
         java.nio.file.Paths.get(root))
@@ -363,7 +381,7 @@ object Frontier {
         sweepAt(spark, isotropicDir(factor), factor,
           baseVecs * math.max(1, factor))
       }
-      else if (filteredOnly) Seq.empty
+      else if (filteredOnly || clusteredFiltered) Seq.empty
       else {
         val factor = factors.max
         sweepAt(spark, isotropicDir(factor), factor,

@@ -180,17 +180,44 @@ object PipelineRun {
           .as("provenance")))
   }
 
-  /** DuckDB replay of [[curatedLineage]] — every stage fragment chained
-    * as the Spark side chains the expressions, the provenance struct
-    * built with `struct_pack` in the same field order. A defect in any
-    * stage, in the lineage counters, or in how the stages compose
+  /** [[curatedLineage]] with the provenance struct flattened to six
+    * scalar top-level columns — the REGISTERED row shape. The struct
+    * form is the API (one nested column travels with the row through
+    * any downstream select); this form is what the correctness gate
+    * can actually sort and hash: the driver's comparator lexsorts raw
+    * result columns before hashing, and a struct lands in pandas as a
+    * dict — unhashable, the round-15 red row. Every provenance field
+    * is a string or long, so the flattening loses nothing;
+    * `PipelineSpec` pins flat ≡ struct field-for-field. */
+  def curatedLineageFlat(spark: SparkSession, dir: String): DataFrame =
+    curatedLineage(spark, dir).select(
+      col("doc_id"), col("text"), col("lang"), col("split"),
+      col("provenance.origin_doc_id").as("origin_doc_id"),
+      col("provenance.origin_source").as("origin_source"),
+      col("provenance.n_neardup_members").as("n_neardup_members"),
+      col("provenance.n_exact_dups").as("n_exact_dups"),
+      col("provenance.n_excised_words").as("n_excised_words"),
+      col("provenance.transforms").as("transforms"))
+
+  /** DuckDB replay of [[curatedLineageFlat]] — every stage fragment
+    * chained as the Spark side chains the expressions, the provenance
+    * fields emitted as the same six scalar top-level columns (the
+    * round-15 struct_pack form crashed the driver's comparator — a
+    * nested column is unsortable in its pandas lexsort). A defect in
+    * any stage, in the lineage counters, or in how the stages compose
     * breaks the row hash. */
   val curatedLineageOracle: String = {
     import graft.operators.{Dedup, TextAnalysis => TA}
+    // empty-string guard: DuckDB's string_split('', '') yields ['']
+    // and ord('') is -1, so the unguarded fold evaluates to -1 where
+    // Spark's poly_hash('') folds zero characters to 0 — a fully
+    // excised doc would then pass the oracle's resample filter at
+    // thr_ppm = 0 while Spark drops it (latent tiny-corpus mismatch)
     def phSql(c: String): String =
-      s"""list_reduce(list_transform(string_split($c, ''),
-         |                           c -> CAST(ord(c) AS BIGINT)),
-         |            (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+      s"""(CASE WHEN $c = '' THEN 0 ELSE
+         | list_reduce(list_transform(string_split($c, ''),
+         |                            c -> CAST(ord(c) AS BIGINT)),
+         |             (a, b) -> (a * 31 + b) % 1000000007) END)""".stripMargin
     s"""WITH RECURSIVE ${Dedup.rawKeepersCtes},
        |nd_loser AS (SELECT u AS doc_id, min(v) AS rep FROM reach
        |             GROUP BY u HAVING u > min(v)),
@@ -263,23 +290,22 @@ object PipelineRun {
        |        JOIN thr USING (lang)
        |        WHERE ${phSql("exc.text")} % 1000000 < thr.thr_ppm)
        |SELECT doc_id, text, lang, split,
-       |       struct_pack(
-       |         origin_doc_id := doc_id,
-       |         origin_source := source,
-       |         n_neardup_members := n_neardup_members,
-       |         n_exact_dups := n_exact_dups,
-       |         n_excised_words := n_removed,
-       |         transforms := concat_ws(';',
-       |           'quality',
-       |           CASE WHEN masked_text <> raw_text THEN 'pii_masked' END,
-       |           CASE WHEN n_neardup_members > 1
-       |                THEN 'neardup_rep:' || n_neardup_members::VARCHAR END,
-       |           CASE WHEN n_exact_dups > 1
-       |                THEN 'exact_rep:' || n_exact_dups::VARCHAR END,
-       |           CASE WHEN n_removed > 0
-       |                THEN 'excised:' || n_removed::VARCHAR END,
-       |           'resampled',
-       |           'split=' || split)) AS provenance
+       |       doc_id AS origin_doc_id,
+       |       source AS origin_source,
+       |       n_neardup_members,
+       |       n_exact_dups,
+       |       n_removed AS n_excised_words,
+       |       concat_ws(';',
+       |         'quality',
+       |         CASE WHEN masked_text <> raw_text THEN 'pii_masked' END,
+       |         CASE WHEN n_neardup_members > 1
+       |              THEN 'neardup_rep:' || n_neardup_members::VARCHAR END,
+       |         CASE WHEN n_exact_dups > 1
+       |              THEN 'exact_rep:' || n_exact_dups::VARCHAR END,
+       |         CASE WHEN n_removed > 0
+       |              THEN 'excised:' || n_removed::VARCHAR END,
+       |         'resampled',
+       |         'split=' || split) AS transforms
        |FROM fin ORDER BY 1, 2, 3, 4""".stripMargin
   }
 

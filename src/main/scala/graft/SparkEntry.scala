@@ -32,9 +32,13 @@ object SparkEntry {
       ("pipeline_curated" -> ((s: SparkSession, d: String) =>
         PipelineRun.curated(s, d))) +
       // the provenance-carrying variant (round 15): source id + transform
-      // chain as a struct column surviving dedup, excision, and resample
+      // chain surviving dedup, excision, and resample. Registered FLAT
+      // (round 16): the driver's comparator lexsorts raw result columns,
+      // so the struct API form is unsortable there — the six scalar
+      // provenance columns carry identical information (spec-pinned
+      // flat ≡ struct in PipelineSpec)
       ("pipeline_curated_lineage" -> ((s: SparkSession, d: String) =>
-        PipelineRun.curatedLineage(s, d)))
+        PipelineRun.curatedLineageFlat(s, d)))
 
   /** Scale-safe production substitutions — same query name, bounded
     * aggregation state (`ScaleSafetySpec` pins both the plan property —

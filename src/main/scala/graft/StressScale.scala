@@ -263,11 +263,13 @@ object StressScale {
     * its base point). Row counts derive from the fixture's: exactly
     * `factor ×` per table, users scaling with events. */
   private def ensureScaledTables(spark: SparkSession, sfDir: String,
-      outRoot: String, factor: Int, clustered: Boolean): String = {
+      outRoot: String, factor: Int, clustered: Boolean,
+      tables: Seq[String] = ScaledTables): String = {
     val scaledDir =
       if (clustered) s"$outRoot/clu_x$factor" else s"$outRoot/x$factor"
-    def missing(t: String): Boolean = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$scaledDir/$t.parquet"))
+    def missing(t: String): Boolean = tables.contains(t) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$scaledDir/$t.parquet"))
     if (missing("embeddings")) {
       val baseVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
       val synth =
@@ -308,11 +310,14 @@ object StressScale {
     * fixture IS the 1× layout). Returns the composed directory.
     * `ComposeCorpusSpec` pins the per-table row counts. */
   def composeCorpus(spark: SparkSession, sfDir: String, outRoot: String,
-      factor: Int, clustered: Boolean = false): String = {
+      factor: Int, clustered: Boolean = false,
+      tables: Seq[String] = ScaledTables): String = {
     require(factor >= 1, "factor must be >= 1")
+    require(tables.nonEmpty && tables.forall(ScaledTables.contains),
+      s"tables must be a non-empty subset of $ScaledTables: $tables")
     if (factor == 1 && !clustered) return sfDir
     val scaledDir =
-      ensureScaledTables(spark, sfDir, outRoot, factor, clustered)
+      ensureScaledTables(spark, sfDir, outRoot, factor, clustered, tables)
     val composeDir = java.nio.file.Paths.get(
       if (clustered) s"$outRoot/bench_clu_x$factor"
       else s"$outRoot/bench_x$factor")
@@ -324,7 +329,14 @@ object StressScale {
         java.nio.file.Paths.get(target).toAbsolutePath)
     }
     RelationalTables.foreach(t => relink(t, s"$sfDir/$t.parquet"))
-    ScaledTables.foreach(t => relink(t, s"$scaledDir/$t.parquet"))
+    // link every scaled table synthesized at this factor so far — the
+    // requested subset plus any a previous fuller compose left behind —
+    // and never a dangling link for an absent one (an embeddings-only
+    // frontier compose must not break a later full bench compose, or
+    // vice versa; each call re-links idempotently)
+    ScaledTables.filter(t => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$scaledDir/$t.parquet")))
+      .foreach(t => relink(t, s"$scaledDir/$t.parquet"))
     composeDir.toString
   }
 

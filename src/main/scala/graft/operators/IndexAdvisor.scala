@@ -180,8 +180,49 @@ object IndexAdvisor {
       case Some(sel) if sel < 0.5 =>
         // both families run selectivity-scaled compensation dials; the
         // measured filtered points (14% slice — the frontier's filtered
-        // workload shape) decide
-        if (java.nio.file.Files.exists(fltPath)) {
+        // workload shape) decide.
+        //
+        // CORPUS SHAPE FIRST (round 16): the round-13/15 readings say
+        // shape is the dominant lever at high density, and until now a
+        // clustered corpus's filtered call interpolated from ISOTROPIC
+        // filtered points. When the corpus measurably clusters and the
+        // clustered×filtered quadrant has been measured
+        // (frontier_r16_clustered_filtered.json, `clu_*` forms from the
+        // same Frontier variants on the mixture-of-Gaussians corpus),
+        // that table decides under the same tie rules.
+        val cfPath = java.nio.file.Paths.get(frontierDir,
+          "frontier_r16_clustered_filtered.json")
+        if (clustered && java.nio.file.Files.exists(cfPath)) {
+          val cf = loadArtifact(cfPath)
+          val ivf = at(cf("clu_search_filtered_14pct"), n)
+          val lsh = at(cf("clu_lsh_filtered_14pct"), n)
+          if (lsh.clampedHigh || ivf.clampedHigh) {
+            val lshMax = cf("clu_lsh_filtered_14pct").last.n
+            IndexRecommendation("ivf-pq-index", ivf.recall, ivf.wall,
+              ivf.shuffleMb,
+              "Clustered corpus, filtered workload beyond the " +
+                "clustered×filtered table's measured range: route to " +
+                "the scale-qualified family (the clustered IVF-PQ " +
+                "frontier runs to 100×; clustered LSH filtered " +
+                s"economics are unmeasured past n=$lshMax) — " +
+                s"${cite(cfPath, "clu_search_filtered_14pct", ivf)}; " +
+                s"${cite(cfPath, "clu_lsh_filtered_14pct", lsh)}.")
+          } else if (lsh.recall >= ivf.recall - 0.05 && lsh.wall < ivf.wall)
+            IndexRecommendation("lsh-index", lsh.recall, lsh.wall,
+              lsh.shuffleMb,
+              "Clustered corpus: the measured clustered×filtered " +
+                "quadrant under both compensation dials — " +
+                s"${cite(cfPath, "clu_lsh_filtered_14pct", lsh)} vs " +
+                s"${cite(cfPath, "clu_search_filtered_14pct", ivf)}.")
+          else
+            IndexRecommendation("ivf-pq-index", ivf.recall, ivf.wall,
+              ivf.shuffleMb,
+              "Clustered corpus: the measured clustered×filtered " +
+                "quadrant under both compensation dials — " +
+                s"${cite(cfPath, "clu_search_filtered_14pct", ivf)} vs " +
+                s"${cite(cfPath, "clu_lsh_filtered_14pct", lsh)}.")
+        }
+        else if (java.nio.file.Files.exists(fltPath)) {
           val fltBase = loadArtifact(fltPath)
           val fltExt =
             if (!java.nio.file.Files.exists(fltPath100))

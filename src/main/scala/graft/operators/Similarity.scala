@@ -2643,6 +2643,27 @@ object Similarity {
     * read-modify-write of a shared file. Single-writer per alias by
     * contract (same as the append log); a concurrent publisher loses
     * the create race loudly instead of clobbering. */
+  /** A version directory is a COMPLETE publishable artifact when its
+    * family's root file exists: `centroids.parquet` (the IVF-PQ
+    * lifecycle artifact) or `meta.parquet` (the LSH bucket-join
+    * artifact — deployable behind an alias since round 16's advised
+    * re-family rebuilds). The file is the last thing each builder
+    * commits, so existence means the build finished. */
+  private def indexArtifactComplete(ifs: graft.sources.IndexFs,
+      versionName: String): Boolean =
+    ifs.exists(ifs.child(versionName, "centroids.parquet")) ||
+      ifs.exists(ifs.child(versionName, "meta.parquet"))
+
+  /** Which family a version directory holds — the dispatch key for
+    * [[searchIndexAlias]] and the deployment answer
+    * [[maintainIndexAlias]] reports. */
+  def indexFamilyOf(spark: SparkSession, versionDir: String): String = {
+    val ifs = graft.sources.IndexFs.on(spark, versionDir)
+    if (ifs.exists(ifs.child("centroids.parquet"))) "ivf-pq-index"
+    else if (ifs.exists(ifs.child("meta.parquet"))) "lsh-index"
+    else sys.error(s"$versionDir holds no recognizable index artifact")
+  }
+
   def publishIndexVersion(spark: SparkSession, aliasDir: String,
       versionName: String): Unit = {
     require(versionName.nonEmpty && versionName.forall(c =>
@@ -2656,7 +2677,7 @@ object Similarity {
       s"version name must not start with the reserved 'reclaim-' prefix " +
         s"(vacuum's _condemned/ reclaim markers): '$versionName'")
     val ifs = graft.sources.IndexFs.on(spark, aliasDir)
-    require(ifs.exists(ifs.child(versionName, "centroids.parquet")),
+    require(indexArtifactComplete(ifs, versionName),
       s"$aliasDir/$versionName is not a complete index artifact")
     val seq = aliasPtrs(ifs).lastOption.map(_._1 + 1).getOrElse(0L)
     ifs.createUtf8(ifs.child("_alias", f"ptr-$seq%012d"), versionName)
@@ -2679,8 +2700,8 @@ object Similarity {
     require(ptrs.nonEmpty, s"no published version under $aliasDir")
     val published = ptrs.reverseIterator.flatMap { case (_, p) =>
       val c = scala.util.Try(ifs.readUtf8(p)).getOrElse("")
-      if (c.nonEmpty && !c.contains("/") &&
-          ifs.exists(ifs.child(c, "centroids.parquet"))) Some(c)
+      if (c.nonEmpty && !c.contains("/") && indexArtifactComplete(ifs, c))
+        Some(c)
       else None
     }.nextOption()
     require(published.nonEmpty,
@@ -2720,6 +2741,88 @@ object Similarity {
       buildIvfPqIndexProdOn(spark, corpus, s"$aliasDir/$versionName")
       publishIndexVersion(spark, aliasDir, versionName)
       Some(versionName)
+    }
+  }
+
+  /** Deterministic postings-table name for an alias-deployed LSH
+    * version — derivable from (aliasDir, versionName) alone, so a
+    * reader that resolved the alias in a later session names the same
+    * table the build registered. */
+  private def lshAliasTable(aliasDir: String, versionName: String): String =
+    s"graft_lshidx_alias_" +
+      s"${java.lang.Integer.toHexString(aliasDir.hashCode)}_" +
+      versionName.map(c => if (c.isLetterOrDigit) c else '_')
+
+  /** [[retrainIfDrifted]]'s advised sibling (round 16): the maintenance
+    * cadence asks [[IndexAdvisor.adviseLiveIndex]] what the LIVE
+    * version's own measurements say, then EXECUTES the verdict instead
+    * of hard-coding "rebuild the same family on raw drift":
+    *
+    *   - `stay` → None (nothing rebuilt);
+    *   - `retrain` → fresh IVF-PQ quantizer from `dir`'s embeddings
+    *     into `aliasDir/<versionName>`, published — the
+    *     [[retrainIfDrifted]] action, now taken on the advisor's
+    *     drift reading;
+    *   - `refamily` → the rebuild routes to the RECOMMENDED family:
+    *     the measured frontier says this corpus/workload operating
+    *     point belongs to the other artifact, so rebuilding the same
+    *     family would re-deploy the wrong index at a retrain's full
+    *     cost. An LSH verdict builds [[buildLshIndexProd]] into the
+    *     SAME alias (postings table named deterministically from
+    *     (aliasDir, version)); the pointer flip is the identical
+    *     create-once publish either way, so readers of
+    *     [[searchIndexAlias]] migrate families without a URL change.
+    *
+    * Returns (shipped version, family), or None when the advice is
+    * stay — or when the alias already serves an LSH version: the LSH
+    * artifact records no `_stats` (rebuild-per-corpus-version is its
+    * documented cadence), so there is nothing measured to advise from
+    * and the verb is idempotent after a re-family.
+    * `IndexRefamilySpec` replays a live artifact whose own stats route
+    * to the other family and ends with the alias serving it. */
+  def maintainIndexAlias(spark: SparkSession, aliasDir: String,
+      dir: String, workload: AnnWorkload, versionName: String,
+      driftRetrainThreshold: Double = 0.05,
+      frontierDir: String = "frontier"): Option[(String, String)] = {
+    val current = resolveIndexAlias(spark, aliasDir)
+    if (indexFamilyOf(spark, current) != "ivf-pq-index") None
+    else {
+      val advice = IndexAdvisor.adviseLiveIndex(spark, current, workload,
+        driftRetrainThreshold, frontierDir)
+      val target = advice.recommendation.family
+      advice.action match {
+        case "stay" => None
+        case other =>
+          if (other == "refamily" && target == "lsh-index")
+            buildLshIndexProd(spark, dir, s"$aliasDir/$versionName",
+              lshAliasTable(aliasDir, versionName))
+          else
+            buildIvfPqIndexProdOn(spark, Tables.embeddings(spark, dir),
+              s"$aliasDir/$versionName")
+          publishIndexVersion(spark, aliasDir, versionName)
+          Some((versionName,
+            if (other == "refamily") target else "ivf-pq-index"))
+      }
+    }
+  }
+
+  /** Search through an alias, whichever family its live version holds —
+    * the reader-side completion of the advised re-family: resolve the
+    * pointer, detect the family, dispatch to [[searchIvfPqIndex]] or
+    * [[searchLshIndex]] (the LSH postings table name comes off the
+    * version's meta stamp). Same (query_id, neighbor_id, rnk, cosine)
+    * contract from either path. */
+  def searchIndexAlias(spark: SparkSession, queries: DataFrame,
+      dir: String, aliasDir: String): DataFrame = {
+    val current = resolveIndexAlias(spark, aliasDir)
+    indexFamilyOf(spark, current) match {
+      case "ivf-pq-index" => searchIvfPqIndex(spark, queries, dir, current)
+      case _ =>
+        val meta = spark.read.parquet(s"$current/meta.parquet")
+        require(meta.columns.contains("table_name"),
+          s"$current predates the table-name stamp — rebuild the version")
+        searchLshIndex(spark, queries, dir,
+          meta.head().getAs[String]("table_name"))
     }
   }
 
@@ -4041,14 +4144,18 @@ object Similarity {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val nVec = Tables.embeddings(spark, dir).count()
     val numPlanes = planesOverride.getOrElse(planesFor(nVec))
-    spark.range(1).select(lit(numPlanes).as("num_planes"),
-        lit(nVec).as("n_vectors"))
-      .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
     val cb = pqCodebookExactOn(v)
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
     val packed = pqPackedExactOn(pqAssignExactOn(v, cb))
     writeLshPostings(spark, v, packed, numPlanes, indexDir, tableName,
       numBuckets)
+    // meta commits LAST: it is the artifact's completeness marker (the
+    // alias lifecycle's publish/resolve gate — centroids.parquet plays
+    // the same role for the IVF-PQ family), and it stamps the postings
+    // table name so an alias resolution can dispatch the search
+    spark.range(1).select(lit(numPlanes).as("num_planes"),
+        lit(nVec).as("n_vectors"), lit(tableName).as("table_name"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
   }
 
   /** [[buildLshIndex]] with the production trainers: fixed-buffer PQ
@@ -4060,9 +4167,6 @@ object Similarity {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val nVec = Tables.embeddings(spark, dir).count()
     val numPlanes = planesOverride.getOrElse(planesFor(nVec))
-    spark.range(1).select(lit(numPlanes).as("num_planes"),
-        lit(nVec).as("n_vectors"))
-      .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
     val cbArr = pqCodebookProdOn(v)
     cbArr.zipWithIndex.flatMap { case (codes, m) =>
       codes.zipWithIndex.map { case (cv, code) => (m, code.toLong, cv.toSeq) }
@@ -4074,6 +4178,11 @@ object Similarity {
       .select(col("vec_id"), pq.getField("packed").as("b_code"))
     writeLshPostings(spark, v, packed, numPlanes, indexDir, tableName,
       numBuckets)
+    // meta commits LAST — completeness marker + table-name stamp (see
+    // [[buildLshIndex]])
+    spark.range(1).select(lit(numPlanes).as("num_planes"),
+        lit(nVec).as("n_vectors"), lit(tableName).as("table_name"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
   }
 
   /** Postings carry `bucket_rank` — each vector's position within its

@@ -73,6 +73,29 @@ class PipelineSpec extends AnyFunSuite {
       "merged counters must appear iff the corpus has collapsible rows")
   }
 
+  test("lineage flat form (the registered row) is the struct API field-for-field") {
+    // the driver's comparator lexsorts raw result columns, so the
+    // REGISTERED row flattens the provenance struct to six scalar
+    // columns (round 16 — the struct form crashed the round-15 gate).
+    // The flattening must lose nothing: every struct row re-expressed
+    // as its flat fields equals the flat output exactly
+    val flat = PipelineRun.curatedLineageFlat(spark, dir).collect()
+      .map(_.toSeq).toSet
+    val viaStruct = PipelineRun.curatedLineage(spark, dir).collect()
+      .map { r =>
+        val p = r.getStruct(4)
+        Seq(r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          p.getLong(0), p.getString(1), p.getLong(2), p.getLong(3),
+          p.getLong(4), p.getString(5))
+      }.toSet
+    assert(flat == viaStruct)
+    val nested = Set("struct", "array", "map")
+    assert(PipelineRun.curatedLineageFlat(spark, dir).schema.fields
+      .forall(f => !nested.exists(f.dataType.typeName.startsWith)),
+      "the registered row must stay scalar-only — the gate cannot sort " +
+        "nested columns")
+  }
+
   test("lineage counters move on planted duplicate structure") {
     // the raw fixture has no duplicates (500 distinct texts), so the
     // conditional chain entries never fire on it — plant each structure

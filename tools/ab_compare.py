@@ -5,29 +5,39 @@ Usage: ab_compare.py <pool_runs_dir> <ab_runs_dir> <excluded_row> [pct]
 
 Arm A = the headline pool (full registry, warm-up on). Arm B = sessions
 run with SPARK_GRAFT_BENCH_EXCLUDE=<excluded_row> (same build, same sf,
-warm-up on). Both arms are min-merged per row; the report lists every
-row's A-vs-B movement, leading with the excluded row's known JIT-sharing
-neighbors. PASS iff no shared row moves more than `pct` (default 5%)
-plus a 0.05 s absolute floor (sub-100 ms rows flip whole percents on
-scheduler jitter alone).
+warm-up on). The report lists every row's A-vs-B movement, leading with
+the excluded row's known JIT-sharing neighbors. PASS iff no shared row
+moves more than `pct` (default 5%) plus a 0.05 s absolute floor
+(sub-100 ms rows flip whole percents on scheduler jitter alone).
+
+EQUAL-DEPTH comparison (round 16): min-merge depth biases rows downward
+as sessions pile up, so a deep arm A vs a shallow arm B reads as B
+"regressing" on unrelated rows (the round-15 SCALING.md note measured
++9-25% of pure depth bias). When the arms differ in session count, the
+deeper arm is SUBSAMPLED to the shallower depth over up to MAX_COMBOS
+deterministic session combinations and each row compares against the
+MEDIAN of those equal-depth min-merges — the honest test the r15 doc
+ran by hand as C(8,4) sub-pools.
 """
+import itertools
 import json
 import os
+import statistics
 import sys
 
 pool_dir, ab_dir, excluded = sys.argv[1], sys.argv[2], sys.argv[3]
 pct = float(sys.argv[4]) if len(sys.argv) > 4 else 5.0
 ABS_FLOOR = 0.05
+MAX_COMBOS = 256
 
 NEIGHBORS = ["sim_ann_lsh_capped_indexed", "sim_ann_lsh_index_delete",
              "sim_ann_lsh_search_filtered_auto", "sim_ann_lsh_search",
              "sim_ann_lsh_indexed", "sim_ann_lsh_capped", "sim_ann_lsh"]
 
 
-def merged(d, build=None):
-    qs = {}
-    builds = set()
-    n = 0
+def sessions(d, build=None):
+    """Per-session {row: sec} dicts (valid rows only) + builds seen."""
+    out, builds = [], set()
     for f in sorted(os.listdir(d)):
         if not f.endswith(".json"):
             continue
@@ -35,19 +45,51 @@ def merged(d, build=None):
         if build is not None and j.get("build") != build:
             continue
         builds.add(j.get("build"))
+        out.append({q: t for q, t in j.get("queries", {}).items() if t >= 0})
+    print(f"NOTE {d}: {len(out)} sessions, builds={builds}")
+    return out, builds
+
+
+def min_merge(sess):
+    qs = {}
+    for s in sess:
+        for q, t in s.items():
+            qs.setdefault(q, []).append(t)
+    return {q: min(ts) for q, ts in qs.items()}
+
+
+def equal_depth_baseline(deep, depth):
+    """Median per-row min-merge over deterministic depth-sized
+    combinations of the deeper arm's sessions."""
+    combos = itertools.islice(
+        itertools.combinations(range(len(deep)), depth), MAX_COMBOS)
+    per_row = {}
+    n = 0
+    for c in combos:
         n += 1
-        for q, t in j.get("queries", {}).items():
-            if t >= 0:
-                qs.setdefault(q, []).append(t)
-    print(f"NOTE {d}: merged {n} sessions, builds={builds}")
-    return {q: min(ts) for q, ts in qs.items()}, builds
+        for q, t in min_merge([deep[i] for i in c]).items():
+            per_row.setdefault(q, []).append(t)
+    print(f"NOTE equal-depth: {n} C({len(deep)},{depth}) sub-pools, "
+          f"per-row MEDIAN of sub-pool min-merges")
+    return {q: statistics.median(ts) for q, ts in per_row.items()}
 
 
 # arm B's sessions are all on the current build; arm A (the headline
 # pool dir) holds prior rounds' sessions too — filter A to B's build
-b, b_builds = merged(ab_dir)
+b_sess, b_builds = sessions(ab_dir)
 assert len(b_builds) == 1, f"arm B spans builds: {b_builds}"
-a, _ = merged(pool_dir, build=next(iter(b_builds)))
+a_sess, _ = sessions(pool_dir, build=next(iter(b_builds)))
+assert a_sess and b_sess, "an arm is empty"
+
+if len(a_sess) == len(b_sess):
+    a, b = min_merge(a_sess), min_merge(b_sess)
+elif len(a_sess) > len(b_sess):
+    a = equal_depth_baseline(a_sess, len(b_sess))
+    b = min_merge(b_sess)
+else:
+    a = min_merge(a_sess)
+    b = equal_depth_baseline(b_sess, len(a_sess))
+
 if excluded in b:
     sys.exit(f"ERR: arm B contains the excluded row {excluded}")
 shared = sorted(set(a) & set(b))

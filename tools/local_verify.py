@@ -23,10 +23,51 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+    # DRIVER SEMANTICS (round 16): sort RAW columns. The driver's
+    # comparator lexsorts the columns as read, so a nested value (a
+    # struct lands as dict, an array as ndarray/list) crashes its
+    # sort_values with "unhashable type" and the row records red.
+    # This stand-in used to cast object columns to str BEFORE sorting —
+    # a permissive drift that passed the struct row the real gate
+    # failed in round 15. Fail loudly and identically instead.
+    for c in df.columns:
+        if df[c].dtype == object:
+            bad = df[c].dropna().head(1)
+            if len(bad) and (
+                    isinstance(bad.iloc[0], (dict, list, tuple))
+                    or type(bad.iloc[0]).__name__ == "ndarray"):
+                raise TypeError(
+                    f"non-scalar column '{c}' ({type(bad.iloc[0]).__name__})"
+                    " — the driver's comparator cannot sort nested values;"
+                    " register a flattened row shape")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    # AFTER the raw sort, stringify remaining object columns for the
+    # value compare only (None vs NaN canonicalization) — scalar
+    # strings sort identically raw or cast, so this cannot re-admit
+    # what the sort above rejects
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
     return df
+
+
+def selftest() -> int:
+    """The gate-drift regression test: a struct-shaped (dict) column and
+    an array column must FAIL canon exactly like the driver's sort."""
+    for bad in [{"a": 1}, [1, 2]]:
+        df = pd.DataFrame({"k": [2, 1], "p": [bad, bad]})
+        try:
+            canon(df)
+        except TypeError as e:
+            print(f"selftest OK: {type(bad).__name__} column rejected ({e})")
+        else:
+            print(f"selftest FAIL: {type(bad).__name__} column passed canon"
+                  " — the stand-in is more permissive than the driver again")
+            return 1
+    flat = canon(pd.DataFrame({"k": [2, 1], "s": ["b", None]}))
+    assert list(flat["k"]) == [1, 2], "raw sort must still order scalars"
+    print("selftest OK: scalar frame sorts")
+    return 0
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -41,8 +82,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: no spark output")
             fails += 1
             continue
-        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
-        want = canon(con.execute(oracle[name]).fetchdf())
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            want = canon(con.execute(oracle[name]).fetchdf())
+        except TypeError as e:
+            # the driver records this row red with the traceback as err —
+            # mirror it as a per-row FAIL, never a pass
+            print(f"FAIL {name}: {e}")
+            fails += 1
+            continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             fails += 1
@@ -70,4 +118,6 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
