@@ -254,4 +254,64 @@ class IndexAdvisorSpec extends AnyFunSuite {
     assert(lat.family == "ivf-pq-index", lat.citation)
     assert(lat.citation.contains("clamped"), lat.citation)
   }
+
+  test("clustered corpora under filters use the clustered×filtered quadrant once measured") {
+    // round 16: until the fourth quadrant artifact exists, a clustered
+    // corpus's filtered call interpolates ISOTROPIC filtered points;
+    // once frontier_r16_clustered_filtered.json is present, it decides.
+    // Synthetic artifact (LSH wins at 2k, loses at 200k) in a temp
+    // frontier dir proves branch selection + citation sourcing without
+    // depending on the real sweep's values.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_frontier")
+    try {
+      for (f <- Seq("frontier_r12_isotropic.json",
+          "frontier_r13_clustered.json", "frontier_r14_clustered_x100.json",
+          "frontier_r13_filtered.json", "frontier_r15_filtered_x100.json"))
+        java.nio.file.Files.copy(java.nio.file.Paths.get("frontier", f),
+          tmp.resolve(f))
+      def row(form: String, n: Long, r: Double, w: Double): String =
+        s"""{"factor":1,"form":"$form","n":$n,"recall_at_3":$r,""" +
+          s""""wall_sec":$w,"shuffle_mb":1.0}"""
+      // BEFORE the artifact lands: isotropic-filtered evidence decides
+      val before = IndexAdvisor.recommendIndexFamily(
+        CorpusStats(20000L, concentration = Some(0.9)),
+        AnnWorkload(filterSelectivity = Some(0.14)), tmp.toString)
+      assert(before.citation.contains("filtered"), before.citation)
+      assert(!before.citation.contains("clustered_filtered"),
+        before.citation)
+      java.nio.file.Files.writeString(
+        tmp.resolve("frontier_r16_clustered_filtered.json"),
+        s"""{"metric":"ann_frontier","rows":[
+           |${row("clu_search_filtered_14pct", 2000L, 0.90, 1.0)},
+           |${row("clu_search_filtered_14pct", 200000L, 0.60, 5.0)},
+           |${row("clu_lsh_filtered_14pct", 2000L, 0.93, 0.7)},
+           |${row("clu_lsh_filtered_14pct", 200000L, 0.40, 4.0)}
+           |]}""".stripMargin)
+      val small = IndexAdvisor.recommendIndexFamily(
+        CorpusStats(2000L, concentration = Some(0.9)),
+        AnnWorkload(filterSelectivity = Some(0.14)), tmp.toString)
+      assert(small.family == "lsh-index", small.citation)
+      assert(small.citation.contains("frontier_r16_clustered_filtered"),
+        small.citation)
+      val big = IndexAdvisor.recommendIndexFamily(
+        CorpusStats(200000L, concentration = Some(0.9)),
+        AnnWorkload(filterSelectivity = Some(0.14)), tmp.toString)
+      assert(big.family == "ivf-pq-index", big.citation)
+      assert(big.citation.contains("frontier_r16_clustered_filtered"),
+        big.citation)
+      // beyond the measured range the clamp routes to the
+      // scale-qualified family and says so
+      val beyondCf = IndexAdvisor.recommendIndexFamily(
+        CorpusStats(2000000L, concentration = Some(0.9)),
+        AnnWorkload(filterSelectivity = Some(0.14)), tmp.toString)
+      assert(beyondCf.family == "ivf-pq-index", beyondCf.citation)
+      assert(beyondCf.citation.contains("measured range"), beyondCf.citation)
+      // an ISOTROPIC corpus under filters never reads the clustered
+      // quadrant even when the artifact exists
+      val iso = IndexAdvisor.recommendIndexFamily(
+        CorpusStats(20000L, concentration = Some(0.3)),
+        AnnWorkload(filterSelectivity = Some(0.14)), tmp.toString)
+      assert(!iso.citation.contains("clustered_filtered"), iso.citation)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(tmp)
+  }
 }
