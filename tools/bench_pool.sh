@@ -6,7 +6,12 @@
 # Refuses to start while another graft.Bench is running (two timed
 # sessions in parallel pollute both — the round-14 incident), and runs
 # sessions strictly back to back.
-set -euo pipefail
+# -e removed (round 16): session 2 of the r16 30x pool died on a
+# one-iteration executor OOM (java exits nonzero after archiving its
+# partial artifact) and set -e then killed the POOL before session 3 —
+# a failed session must cost one session, not the pool. Each session's
+# rc is checked and logged instead.
+set -uo pipefail
 N="${1:?usage: bench_pool.sh <n_sessions> <sfDir> [runsDir] [outFile] [warmupDir]}"
 SF="${2:?need sfDir}"
 RUNS="${3:-bench_runs}"
@@ -36,12 +41,22 @@ fi
 
 for i in $(seq 1 "$N"); do
   echo "[pool] session $i/$N sf=$SF runs=$RUNS warmup=$WARM"
+  # -Xmx100g: the default heap (25% of RAM = 32 GiB) OOM'd one 30x
+  # iteration of sim_ann_lsh_index_query (r16) — scaled probe joins at
+  # local[32] need headroom; an explicit bound also makes sessions
+  # comparable across hosts
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_RUNS="$RUNS" SPARK_GRAFT_BENCH_OUT="$OUT" \
   SPARK_GRAFT_WARMUP_SF_DIR="$WARM" \
-  java -cp "target/scala-2.13/classes:/opt/spark/jars/*" $JAVA_OPTS \
+  java -Xmx100g -cp "target/scala-2.13/classes:/opt/spark/jars/*" $JAVA_OPTS \
     graft.Bench > /dev/null
-  echo "[pool] session $i/$N done"
+  rc=$?
+  if [ $rc -ne 0 ]; then
+    echo "[pool] session $i/$N FAILED rc=$rc (partial artifact archived;" \
+         "continuing with the remaining sessions)" >&2
+  else
+    echo "[pool] session $i/$N done"
+  fi
 done
 echo "[pool] merged headline:"
 tail -c 600 "$OUT"; echo

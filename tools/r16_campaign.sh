@@ -48,28 +48,28 @@ if [ "$PHASE" = a ]; then
 fi
 
 if [ "$PHASE" = b ]; then
-  echo "=== B1 1x pool, 16 sessions (depth-matched to r14) $(date +%T) ==="
-  bash tools/bench_pool.sh 16 $SF1 bench_runs bench_out.json \
+  echo "=== B0 frontier clustered-filtered x1 x100 $(date +%T) ==="
+  SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_FRONTIER_OUT=/tmp/frontier_r16_clustered_filtered.json \
+    run graft.Frontier $SF1 $ROOT --clustered-filtered 1 100 \
+    > /tmp/r16_frontier.log 2>&1
+  echo "B0 rc=$?"
+  tail -c 400 /tmp/frontier_r16_clustered_filtered.json 2>/dev/null; echo
+
+  echo "=== B1 1x pool, 8 sessions (equal-depth analysis corrects the gate) $(date +%T) ==="
+  bash tools/bench_pool.sh 8 $SF1 bench_runs bench_out.json \
     > /tmp/r16_pool1x.log 2>&1
   echo "B1 rc=$?"
 
-  echo "=== B2 10x pool, 3 sessions $(date +%T) ==="
+  echo "=== B2 10x pool, 2 sessions $(date +%T) ==="
   git show HEAD:bench_out_x10.json > /tmp/x10_pinned_r15.json
-  bash tools/bench_pool.sh 3 $ROOT/bench_x10 bench_runs_x10 bench_out_x10.json \
+  bash tools/bench_pool.sh 2 $ROOT/bench_x10 bench_runs_x10 bench_out_x10.json \
     $SF1 > /tmp/r16_pool10x.log 2>&1
   echo "B2 rc=$?"
   echo "--- 10x trend gate (pinned r15 vs fresh) ---"
   python3 tools/bench_trend.py /tmp/x10_pinned_r15.json bench_out_x10.json \
     1.15 0.3 | tee /tmp/r16_trend10x.log
   echo "trend10x rc=$?"
-
-  echo "=== B3 frontier clustered-filtered 1/10/100 $(date +%T) ==="
-  SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_FRONTIER_OUT=/tmp/frontier_r16_clustered_filtered.json \
-    run graft.Frontier $SF1 $ROOT --clustered-filtered 1 10 100 \
-    > /tmp/r16_frontier.log 2>&1
-  echo "B3 rc=$?"
-  tail -c 400 /tmp/frontier_r16_clustered_filtered.json 2>/dev/null; echo
 
   echo "--- 1x trend gate (r15 headline vs fresh) ---"
   git show HEAD:bench_out.json > /tmp/x1_r15.json
