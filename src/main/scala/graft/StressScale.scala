@@ -366,6 +366,61 @@ object StressScale {
       s0.stop()
       return
     }
+    // --pair-stage: time ONLY the dedup_semantic PAIR stage
+    // (Similarity.nearDupLshProd — radius-2 LSH candidates + PQ
+    // preselect + exact-cosine confirm) at a factor ladder up to
+    // <factor>, embeddings-only corpora. The row's recorded (log n)²
+    // probe-count slope says the in-query form crosses super-linear at
+    // some corpus size; this isolates the stage that carries the slope
+    // from the CC closure + corpus join behind it, so the crossing is
+    // PLACED by measurement and the decision rule in SCALING.md (round
+    // 17) fires on a number, not a debate. Measurement-only: excluded
+    // from the bench fingerprint like the rest of this main.
+    if (args.contains("--pair-stage")) {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val b0 = SparkSession.builder()
+        .master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false")
+      graft.sources.Tables.requiredConfs.foreach { case (k, v) =>
+        b0.config(k, v) }
+      val s0 = b0.getOrCreate()
+      s0.sparkContext.setLogLevel("WARN")
+      val ladder = Seq(1, 10, 30, 100).filter(_ <= factor)
+      val rows = ladder.map { f =>
+        val d =
+          if (f == 1) sfDir
+          else composeCorpus(s0, sfDir, outRoot, f,
+            tables = Seq("embeddings"))
+        val n = s0.read.parquet(s"$d/embeddings.parquet").count()
+        var pairs = 0L
+        val wall = (1 to 2).map { _ =>
+          s0.catalog.clearCache()
+          val t0 = System.nanoTime()
+          pairs = graft.operators.Similarity.nearDupLshProd(s0, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[pair-stage] x$f n=$n wall=$wall%.2f pairs=$pairs")
+        (f, n, wall, pairs)
+      }
+      val base = rows.head._3
+      val body = rows.map { case (f, n, w, p) =>
+        s""""x$f":{"n":$n,"wall_sec":${f"$w%.3f"},"pairs":$p,""" +
+          s""""wall_ratio":${f"${w / math.max(base, 1e-9)}%.2f"}}"""
+      }.mkString("{", ",", "}")
+      val line = s"""{"metric":"semantic_pair_stage","points":$body,""" +
+        s""""agg":"min-of-2 per point, cache cleared per run"}"""
+      println(line)
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
+        "target/pair_stage_report.json")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath), line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[pair-stage] could not write $outPath: " +
+          e.getMessage) }
+      s0.stop()
+      return
+    }
     require(factor >= 2, "factor must be >= 2")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()

@@ -343,16 +343,27 @@ object IndexAdvisor {
     * its provenance (which stats rows), the drift, and the frontier
     * row that priced the expected operating point — `IndexAdvisorSpec`
     * pins a drifted artifact getting the scale-qualified answer with a
-    * concentration-sourced citation. Targets the IVF-PQ lifecycle
-    * artifact (the only family that RECORDS `_stats`; the LSH artifact
-    * is rebuild-per-corpus-version, so "advice for a live LSH index"
-    * is its rebuild cadence, not a stats read). */
+    * concentration-sourced citation.
+    *
+    * FAMILY-AWARE (round 17): the live family is detected from the
+    * artifact ([[Similarity.indexFamilyOf]]), and `refamily` means "the
+    * frontier routes to a family OTHER than the live one" — in either
+    * direction. A deployed LSH version advises from its own stamped
+    * `_stats/build.parquet` (n_vectors + the concentration the
+    * re-family verdict carried forward — see
+    * `Similarity.writeLshArtifactMeta`), so an alias that re-familied
+    * to LSH has a measured way BACK to IVF-PQ when the corpus or
+    * workload shifts. The drift→retrain rule remains IVF-PQ-only by
+    * construction: only that family commits appends (LSH is
+    * rebuild-per-corpus-version), so an LSH artifact has no drift to
+    * read and its in-family verdict is always `stay`. */
   def adviseLiveIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, workload: AnnWorkload,
       driftRetrainThreshold: Double = 0.05,
       frontierDir: String = "frontier"): LiveIndexAdvice = {
     require(driftRetrainThreshold > 0,
       "driftRetrainThreshold must be a positive drift magnitude")
+    val liveFamily = Similarity.indexFamilyOf(spark, indexDir)
     val n = Similarity.statsIndexSize(spark, indexDir)
     require(n > 0, s"$indexDir carries no _stats rows — a foreign or " +
       "pre-stats artifact has nothing measured to advise from; use " +
@@ -377,12 +388,13 @@ object IndexAdvisor {
       case Some(d) => f"newest committed append drift $d%.4f"
       case None => "no committed appends yet (day-0 or freshly rotated)"
     }
-    if (rec.family != "ivf-pq-index")
+    if (rec.family != liveFamily)
       LiveIndexAdvice("refamily", conc, drift, rec,
-        s"The live artifact is the IVF-PQ lifecycle family, but at its " +
+        s"The live artifact is the $liveFamily family, but at its " +
           s"measured operating point (n=$n, $concCite) the frontier " +
           s"routes this workload to ${rec.family} — ${rec.citation}")
-    else if (drift.exists(_ < -driftRetrainThreshold))
+    else if (liveFamily == "ivf-pq-index" &&
+        drift.exists(_ < -driftRetrainThreshold))
       LiveIndexAdvice("retrain", conc, drift, rec,
         f"$driftCite%s fell below -$driftRetrainThreshold%.2f: the " +
           s"frozen quantizer no longer fits the arriving data (the " +

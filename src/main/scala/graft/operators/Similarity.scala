@@ -2745,13 +2745,59 @@ object Similarity {
   }
 
   /** Deterministic postings-table name for an alias-deployed LSH
-    * version — derivable from (aliasDir, versionName) alone, so a
-    * reader that resolved the alias in a later session names the same
-    * table the build registered. */
+    * version — derivable from (aliasDir, versionName) alone, so every
+    * session derives the same name. The name alone does NOT make the
+    * table readable in a LATER session (saveAsTable registers it in the
+    * build session's in-memory catalog only — there is no persistent
+    * metastore here); [[lshTableOfVersion]] closes that gap by
+    * re-registering the bucketed table from the on-disk artifact on a
+    * catalog miss. */
   private def lshAliasTable(aliasDir: String, versionName: String): String =
     s"graft_lshidx_alias_" +
       s"${java.lang.Integer.toHexString(aliasDir.hashCode)}_" +
       versionName.map(c => if (c.isLetterOrDigit) c else '_')
+
+  /** The postings TABLE an LSH version dir serves from, re-registered
+    * in THIS session's catalog when absent: the build stamps the table
+    * name into `meta.parquet`, but `saveAsTable` registration lives in
+    * the build session's in-memory catalog — a new JVM resolving an
+    * LSH-live alias would otherwise fail with table-not-found. On a
+    * catalog miss the bucketed table is recreated over the version's
+    * own `postings` location with the build-stamped bucket spec
+    * (CLUSTERED BY (bucket) INTO num_buckets — the reads stay
+    * exchange-free exactly as in the build session); the schema comes
+    * off the parquet footer so a rank-stamped artifact re-registers
+    * `bucket_rank` too. Artifacts from before the num_buckets stamp
+    * fail loudly with the rebuild remedy rather than serving an
+    * unbucketed (silently shuffling) scan. Two readers racing the
+    * CREATE: the loser adopts the winner's identical registration. */
+  private def lshTableOfVersion(spark: SparkSession,
+      versionDir: String): String = {
+    val meta = spark.read.parquet(s"$versionDir/meta.parquet")
+    require(meta.columns.contains("table_name"),
+      s"$versionDir predates the table-name stamp — rebuild the version")
+    val row = meta.head()
+    val name = row.getAs[String]("table_name")
+    if (!spark.catalog.tableExists(name)) {
+      require(meta.columns.contains("num_buckets"),
+        s"LSH postings table '$name' is not in this session's catalog " +
+          s"and $versionDir predates the num_buckets stamp, so the " +
+          "bucket spec cannot be recovered — rebuild the version " +
+          "(buildLshIndex/buildLshIndexProd) to serve it cross-session")
+      val nb = row.getAs[Int]("num_buckets")
+      val postings = s"$versionDir/postings"
+      val ddl = spark.read.parquet(postings).schema.toDDL
+      try
+        spark.sql(s"CREATE TABLE $name ($ddl) USING parquet " +
+          s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $nb BUCKETS " +
+          s"LOCATION '$postings'")
+      catch {
+        case _: org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException => ()
+      }
+    }
+    name
+  }
 
   /** [[retrainIfDrifted]]'s advised sibling (round 16): the maintenance
     * cadence asks [[IndexAdvisor.adviseLiveIndex]] what the LIVE
@@ -2774,28 +2820,56 @@ object Similarity {
     *     [[searchIndexAlias]] migrate families without a URL change.
     *
     * Returns (shipped version, family), or None when the advice is
-    * stay — or when the alias already serves an LSH version: the LSH
-    * artifact records no `_stats` (rebuild-per-corpus-version is its
-    * documented cadence), so there is nothing measured to advise from
-    * and the verb is idempotent after a re-family.
-    * `IndexRefamilySpec` replays a live artifact whose own stats route
-    * to the other family and ends with the alias serving it. */
+    * stay — or when the live version carries no `_stats/build.parquet`
+    * (a pre-stats deployment or a foreign artifact: nothing measured
+    * to advise from, the verb stays idempotently quiet) — or when a
+    * `refamily` verdict AWAY from the IVF-PQ family is DEFERRED because
+    * the alias shows a recent `_ingest_log` routing claim: a streaming
+    * ingest is (or was moments ago) attached, and the LSH family has no
+    * append protocol, so executing the verdict would route the very
+    * next micro-batch into an append-less artifact. The deferral window
+    * is `graft.index.refamilyIngestQuietMs` (default 1 h) since the
+    * newest claim; the verdict re-fires on the next maintenance pass
+    * once the ingest has been quiet that long. (The append side holds
+    * the same line from its end: [[graft.streaming.StreamingIndexAppend
+    * .appendBatchAliased]] family-checks its routed version and fails
+    * with a remedy rather than appending into LSH.)
+    *
+    * The way BACK (round 17): a deployed LSH version is no longer
+    * advice-blind — the re-family build stamps the corpus measurement
+    * its verdict was made on into the LSH version's own
+    * `_stats/build.parquet` ([[writeLshArtifactMeta]]), so
+    * [[IndexAdvisor.adviseLiveIndex]] re-runs the frontier routing on
+    * the LIVE family each pass and a workload or corpus shift that
+    * routes to IVF-PQ ships an IVF-PQ version behind the same alias.
+    * `IndexRefamilySpec` replays both directions end to end. */
   def maintainIndexAlias(spark: SparkSession, aliasDir: String,
       dir: String, workload: AnnWorkload, versionName: String,
       driftRetrainThreshold: Double = 0.05,
       frontierDir: String = "frontier"): Option[(String, String)] = {
     val current = resolveIndexAlias(spark, aliasDir)
-    if (indexFamilyOf(spark, current) != "ivf-pq-index") None
+    val currentFamily = indexFamilyOf(spark, current)
+    val cifs = graft.sources.IndexFs.on(spark, current)
+    if (!cifs.exists(cifs.child("_stats", "build.parquet"))) None
     else {
       val advice = IndexAdvisor.adviseLiveIndex(spark, current, workload,
         driftRetrainThreshold, frontierDir)
       val target = advice.recommendation.family
       advice.action match {
         case "stay" => None
+        case "refamily" if currentFamily == "ivf-pq-index" &&
+            target != "ivf-pq-index" &&
+            recentIngestClaims(spark, aliasDir) =>
+          None // deferred: see scaladoc — re-fires once ingest is quiet
         case other =>
           if (other == "refamily" && target == "lsh-index")
+            // carry the measured concentration forward: it is a CORPUS
+            // property (the IVF-PQ artifact is merely where it was
+            // measured), and stamping it keeps the new LSH version
+            // advisable — the way back
             buildLshIndexProd(spark, dir, s"$aliasDir/$versionName",
-              lshAliasTable(aliasDir, versionName))
+              lshAliasTable(aliasDir, versionName),
+              concentration = advice.measuredConcentration)
           else
             buildIvfPqIndexProdOn(spark, Tables.embeddings(spark, dir),
               s"$aliasDir/$versionName")
@@ -2806,11 +2880,31 @@ object Similarity {
     }
   }
 
+  /** Does the alias's ingest log show a routing claim newer than the
+    * quiet window? A claim is the first durable step of every
+    * [[graft.streaming.StreamingIndexAppend.appendBatchAliased]]
+    * micro-batch, so its modTime is an honest "a stream is attached"
+    * signal without any registration protocol. */
+  private def recentIngestClaims(spark: SparkSession,
+      aliasDir: String): Boolean = {
+    val ifs = graft.sources.IndexFs.on(spark, aliasDir)
+    val quietMs = spark.conf
+      .get("graft.index.refamilyIngestQuietMs", "3600000").toLong
+    val log = ifs.child("_alias", "_ingest_log")
+    ifs.listDir(log).exists { p =>
+      p.getName.startsWith("batch-") &&
+        scala.util.Try(ifs.modTimeOf(p)).toOption
+          .exists(System.currentTimeMillis() - _ <= quietMs)
+    }
+  }
+
   /** Search through an alias, whichever family its live version holds —
     * the reader-side completion of the advised re-family: resolve the
     * pointer, detect the family, dispatch to [[searchIvfPqIndex]] or
-    * [[searchLshIndex]] (the LSH postings table name comes off the
-    * version's meta stamp). Same (query_id, neighbor_id, rnk, cosine)
+    * [[searchLshIndex]] (the LSH postings table re-registered from the
+    * on-disk artifact when this session's catalog doesn't hold it —
+    * [[lshTableOfVersion]], so a reader in a LATER JVM than the build
+    * serves identically). Same (query_id, neighbor_id, rnk, cosine)
     * contract from either path. */
   def searchIndexAlias(spark: SparkSession, queries: DataFrame,
       dir: String, aliasDir: String): DataFrame = {
@@ -2818,11 +2912,29 @@ object Similarity {
     indexFamilyOf(spark, current) match {
       case "ivf-pq-index" => searchIvfPqIndex(spark, queries, dir, current)
       case _ =>
-        val meta = spark.read.parquet(s"$current/meta.parquet")
-        require(meta.columns.contains("table_name"),
-          s"$current predates the table-name stamp — rebuild the version")
-        searchLshIndex(spark, queries, dir,
-          meta.head().getAs[String]("table_name"))
+        searchLshIndex(spark, queries, dir, lshTableOfVersion(spark, current))
+    }
+  }
+
+  /** FILTERED search through an alias — [[searchIndexAlias]]'s twin for
+    * the `WHERE lang = 'de' AND <ann>` call shape: dispatches to
+    * [[searchIvfPqIndexFiltered]] / [[searchLshIndexFiltered]] by the
+    * live version's family, each under its own selectivity-scaled
+    * compensation dial ([[AutoProbes]] / [[AutoRadius]] defaults).
+    * Filtered workloads are exactly the dimension the re-family verdict
+    * weighs (the clustered×filtered frontier quadrant), so they must
+    * migrate families with the alias rather than hard-coding one.
+    * Row-equal to the direct family calls on both families
+    * (`IndexRefamilySpec`). */
+  def searchIndexAliasFiltered(spark: SparkSession, queries: DataFrame,
+      dir: String, aliasDir: String, allowed: DataFrame): DataFrame = {
+    val current = resolveIndexAlias(spark, aliasDir)
+    indexFamilyOf(spark, current) match {
+      case "ivf-pq-index" =>
+        searchIvfPqIndexFiltered(spark, queries, dir, current, allowed)
+      case _ =>
+        searchLshIndexFiltered(spark, queries, dir,
+          lshTableOfVersion(spark, current), allowed)
     }
   }
 
@@ -4140,7 +4252,9 @@ object Similarity {
     * drift); the LSH artifact is rebuild-per-corpus-version. */
   def buildLshIndex(spark: SparkSession, dir: String, indexDir: String,
       tableName: String, numBuckets: Int = 32,
-      planesOverride: Option[Int] = None): Unit = {
+      planesOverride: Option[Int] = None,
+      concentration: Option[Double] = None): Unit = {
+    beginLshRebuild(spark, indexDir)
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val nVec = Tables.embeddings(spark, dir).count()
     val numPlanes = planesOverride.getOrElse(planesFor(nVec))
@@ -4149,21 +4263,18 @@ object Similarity {
     val packed = pqPackedExactOn(pqAssignExactOn(v, cb))
     writeLshPostings(spark, v, packed, numPlanes, indexDir, tableName,
       numBuckets)
-    // meta commits LAST: it is the artifact's completeness marker (the
-    // alias lifecycle's publish/resolve gate — centroids.parquet plays
-    // the same role for the IVF-PQ family), and it stamps the postings
-    // table name so an alias resolution can dispatch the search
-    spark.range(1).select(lit(numPlanes).as("num_planes"),
-        lit(nVec).as("n_vectors"), lit(tableName).as("table_name"))
-      .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+    writeLshArtifactMeta(spark, indexDir, numPlanes, nVec, tableName,
+      numBuckets, concentration)
   }
 
   /** [[buildLshIndex]] with the production trainers: fixed-buffer PQ
     * codebook + native scan-side packed assignment. */
   def buildLshIndexProd(spark: SparkSession, dir: String, indexDir: String,
       tableName: String, numBuckets: Int = 32,
-      planesOverride: Option[Int] = None): Unit = {
+      planesOverride: Option[Int] = None,
+      concentration: Option[Double] = None): Unit = {
     import spark.implicits._
+    beginLshRebuild(spark, indexDir)
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val nVec = Tables.embeddings(spark, dir).count()
     val numPlanes = planesOverride.getOrElse(planesFor(nVec))
@@ -4178,10 +4289,51 @@ object Similarity {
       .select(col("vec_id"), pq.getField("packed").as("b_code"))
     writeLshPostings(spark, v, packed, numPlanes, indexDir, tableName,
       numBuckets)
-    // meta commits LAST — completeness marker + table-name stamp (see
-    // [[buildLshIndex]])
+    writeLshArtifactMeta(spark, indexDir, numPlanes, nVec, tableName,
+      numBuckets, concentration)
+  }
+
+  /** Retire an existing LSH artifact's completeness marker (and its
+    * stats twin) BEFORE a rebuild touches the version dir. meta commits
+    * last, so for a FIRST build "meta exists = build finished" holds by
+    * construction — but an in-place rebuild into an existing indexDir
+    * already has a meta.parquet, and a crash between the postings
+    * overwrite and the new meta write would otherwise leave new
+    * postings paired with STALE meta (old num_planes/table_name) that
+    * publish/resolve still treat as complete: a bucketExpr with the
+    * stale plane count silently degrades recall. Deleting the marker
+    * first restores the invariant — a mid-rebuild crash leaves an
+    * INCOMPLETE artifact that [[resolveIndexAlias]] skips (the previous
+    * version stays live, blue-green) and [[publishIndexVersion]]
+    * refuses, never a torn one. */
+  private[operators] def beginLshRebuild(spark: SparkSession,
+      indexDir: String): Unit = {
+    val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    ifs.deleteRecursive(ifs.child("meta.parquet"))
+    ifs.deleteRecursive(ifs.child("_stats", "build.parquet"))
+  }
+
+  /** Commit an LSH build's metadata: the one-row `_stats/build.parquet`
+    * (n_vectors + the corpus concentration when the builder has one —
+    * the re-family path carries forward the measurement the verdict was
+    * made on; a direct build stamps null and [[indexConcentration]]
+    * reports None) and then, LAST, `meta.parquet` — the completeness
+    * marker, stamping num_planes, the postings table name, and the
+    * bucket count a later session needs to re-register the table
+    * ([[lshTableOfVersion]]). The stats row is what lets
+    * [[IndexAdvisor.adviseLiveIndex]] advise a DEPLOYED LSH version
+    * (the way back to IVF-PQ as the corpus drifts) instead of being
+    * blind to the family. */
+  private def writeLshArtifactMeta(spark: SparkSession, indexDir: String,
+      numPlanes: Int, nVec: Long, tableName: String, numBuckets: Int,
+      concentration: Option[Double]): Unit = {
+    spark.range(1).select(lit(nVec).as("n_vectors"),
+        lit(concentration.map(Double.box).orNull)
+          .cast("double").as("mean_cos"))
+      .write.mode("overwrite").parquet(s"$indexDir/_stats/build.parquet")
     spark.range(1).select(lit(numPlanes).as("num_planes"),
-        lit(nVec).as("n_vectors"), lit(tableName).as("table_name"))
+        lit(nVec).as("n_vectors"), lit(tableName).as("table_name"),
+        lit(numBuckets).as("num_buckets"))
       .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
   }
 

@@ -189,7 +189,32 @@ object StreamingIndexAppend {
     require(version != null,
       s"could not establish a routing claim for batch $batchId under " +
         s"$aliasDir after $attempts attempts")
-    appendBatch(spark, s"$aliasDir/$version")(batch, batchId)
+    // FAMILY GUARD (round 17): only the IVF-PQ lifecycle artifact has
+    // an append protocol — LSH postings live in a bucketed table whose
+    // file names encode the bucket id, so the rename-based exactly-once
+    // append does not transfer (rebuild-per-corpus-version is that
+    // family's documented cadence). An ingest attached across an
+    // automated re-family ([[graft.operators.Similarity
+    // .maintainIndexAlias]] — which itself DEFERS the verdict while
+    // this log shows recent claims, so reaching here takes a re-family
+    // published outside the quiet window) must fail LOUDLY with the
+    // remedy, not crash mid-append inside the LSH artifact. Deleting
+    // the claim is safe precisely because this guard runs before EVERY
+    // append: no batch has ever appended through an LSH-routed claim,
+    // so the claim gates nothing, and removing it lets the retry
+    // re-resolve the alias after the operator re-routes it.
+    val routedDir = s"$aliasDir/$version"
+    val family = graft.operators.Similarity.indexFamilyOf(spark, routedDir)
+    if (family != "ivf-pq-index") {
+      ifs.deleteFile(claim)
+      sys.error(s"batch $batchId is routed to $routedDir, a $family " +
+        "artifact with no append protocol (LSH is rebuild-per-corpus-" +
+        "version). Remedy: publish an ivf-pq-index version behind " +
+        s"$aliasDir (maintainIndexAlias under a continuous-ingest " +
+        "workload routes back), then retry the batch — its routing " +
+        "claim has been released so the retry re-resolves the alias.")
+    }
+    appendBatch(spark, routedDir)(batch, batchId)
   }
 
   /** One MAINTENANCE turn after a committed micro-batch — the last mile
@@ -217,6 +242,17 @@ object StreamingIndexAppend {
     // ([[graft.sources.IndexFs]]) — the maintenance marker must live
     // beside the artifact it guards, also when `indexDir` is remote
     val ifs = graft.sources.IndexFs.on(spark, indexDir)
+    // FAMILY/STATS GUARD (round 17): the maintenance turn is defined
+    // only for the IVF-PQ lifecycle artifact (compaction rewrites cell
+    // postings files, the drift row joins the build baseline). Pointed
+    // at an LSH version dir (an alias re-familied under a cadence that
+    // still calls maintenance) or a foreign pre-stats artifact, it
+    // NO-OPS rather than throwing on the missing centroids/_stats —
+    // the append guard in [[appendBatchAliased]] is the loud failure;
+    // maintenance after a guarded-out append must not add a second
+    // crash site.
+    if (!ifs.exists(ifs.child("centroids.parquet")) ||
+        !ifs.exists(ifs.child("_stats", "build.parquet"))) return
     val live = ifs.child("_stats", "maintenance.parquet")
     ifs.mkdirs(live)
     val mfile = ifs.child("_stats", "maintenance.parquet",

@@ -61,14 +61,124 @@ class IndexRefamilySpec extends AnyFunSuite {
       top1.foreach { case (q, nb) =>
         assert(nb == q - 900000L, s"query $q served top-1 $nb")
       }
-      // idempotent after the re-family: the LSH artifact records no
-      // _stats (rebuild-per-corpus-version is its cadence), so a second
-      // maintenance pass ships nothing instead of crashing
+      // idempotent after the re-family — and no longer blind (round
+      // 17): the LSH version carries the corpus measurement its verdict
+      // was made on in its own _stats/build.parquet, so the second pass
+      // is a measured STAY (the frontier keeps LSH for this workload at
+      // this operating point), not a family-guard short-circuit
       assert(Similarity.maintainIndexAlias(spark, alias.toString, dir,
         AnnWorkload(latencyPinned = true), "v3").isEmpty)
       assert(Similarity.resolveIndexAlias(spark, alias.toString)
         == s"$alias/v2")
     } finally graft.streaming.StreamingStaging.deleteRecursively(alias)
+  }
+
+  test("way back: a deployed LSH version advises from its carried stats and re-families to IVF-PQ on a workload shift") {
+    val alias = java.nio.file.Files.createTempDirectory("graft_refam_wb")
+    try {
+      // same drifted-clustered fixture whose latency-pinned verdict
+      // ships LSH behind the alias
+      val base = graft.StressScale.synthEmbeddingsClustered(spark, 1000L)
+      Similarity.buildIvfPqIndexProdOn(spark, base, s"$alias/v1")
+      Similarity.publishIndexVersion(spark, alias.toString, "v1")
+      val delta = graft.StressScale.synthEmbeddings(spark, 1000L)
+        .select((col("vec_id") + 40000000L).as("vec_id"), col("embedding"))
+      Similarity.appendToIvfPqIndexProd(spark, delta, s"$alias/v1",
+        "ood-batch")
+      assert(Similarity.maintainIndexAlias(spark, alias.toString, dir,
+        AnnWorkload(latencyPinned = true), "v2")
+        .contains(("v2", "lsh-index")))
+      // the shipped LSH version carries its measurement: n_vectors plus
+      // the concentration the verdict was made on (round 16 stamped no
+      // _stats here, leaving the alias advice-blind — the one-way door)
+      val stats = spark.read.parquet(s"$alias/v2/_stats/build.parquet")
+        .collect()
+      assert(stats.length == 1 && stats(0).getAs[Long]("n_vectors") > 0)
+      assert(!stats(0).isNullAt(stats(0).fieldIndex("mean_cos")),
+        "the re-family build must carry the measured concentration")
+      // workload shift: continuous ingest is structurally pinned to the
+      // IVF-PQ lifecycle — the SAME maintenance verb routes the alias
+      // back, from the LSH version's own stats
+      val back = Similarity.maintainIndexAlias(spark, alias.toString, dir,
+        AnnWorkload(continuousIngest = true), "v3")
+      assert(back.contains(("v3", "ivf-pq-index")), s"back=$back")
+      val live = Similarity.resolveIndexAlias(spark, alias.toString)
+      assert(live == s"$alias/v3")
+      assert(Similarity.indexFamilyOf(spark, live) == "ivf-pq-index")
+      assert(Similarity.searchIndexAlias(spark, queries(3), dir,
+        alias.toString).count() > 0)
+    } finally graft.streaming.StreamingStaging.deleteRecursively(alias)
+  }
+
+  test("searchIndexAliasFiltered dispatches by family, row-equal to the direct family calls") {
+    val alias = java.nio.file.Files.createTempDirectory("graft_refam_fl")
+    try {
+      val allowed = graft.sources.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"), col("rnk"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(identity[(Long, Long, Long)])
+      // IVF-PQ live: the alias-routed filtered search ≡ the direct call
+      Similarity.buildIvfPqIndexProdOn(spark,
+        graft.sources.Tables.embeddings(spark, dir), s"$alias/v1")
+      Similarity.publishIndexVersion(spark, alias.toString, "v1")
+      assert(rows(Similarity.searchIndexAliasFiltered(spark, queries(5),
+          dir, alias.toString, allowed))
+        sameElements rows(Similarity.searchIvfPqIndexFiltered(spark,
+          queries(5), dir, s"$alias/v1", allowed)))
+      // LSH live (rotated behind the same alias): same equivalence —
+      // filtered workloads migrate families with the alias instead of
+      // hard-coding one (they are exactly the dimension the re-family
+      // verdict weighs)
+      Similarity.buildLshIndexProd(spark, dir, s"$alias/v2",
+        "graft_test_aliasflt_v2")
+      Similarity.publishIndexVersion(spark, alias.toString, "v2")
+      assert(rows(Similarity.searchIndexAliasFiltered(spark, queries(5),
+          dir, alias.toString, allowed))
+        sameElements rows(Similarity.searchLshIndexFiltered(spark,
+          queries(5), dir, "graft_test_aliasflt_v2", allowed)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_aliasflt_v2")
+      graft.streaming.StreamingStaging.deleteRecursively(alias)
+    }
+  }
+
+  test("an LSH-live alias survives a catalog wipe: the reader re-registers the bucketed postings table (new-JVM read path)") {
+    val alias = java.nio.file.Files.createTempDirectory("graft_refam_xs")
+    try {
+      Similarity.buildLshIndexProd(spark, dir, s"$alias/v1",
+        "graft_test_xsession_tbl")
+      Similarity.publishIndexVersion(spark, alias.toString, "v1")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"), col("rnk"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(identity[(Long, Long, Long)])
+      val before = rows(Similarity.searchIndexAlias(spark, queries(5),
+        dir, alias.toString))
+      // saveAsTable registered the postings in THIS session's in-memory
+      // catalog only — dropping it is exactly what a fresh JVM sees
+      spark.sql("DROP TABLE graft_test_xsession_tbl")
+      assert(!spark.catalog.tableExists("graft_test_xsession_tbl"))
+      val after = rows(Similarity.searchIndexAlias(spark, queries(5),
+        dir, alias.toString))
+      assert(before sameElements after,
+        "the re-registered table must serve identically")
+      // the recovered registration carries the build's bucket spec (the
+      // reads stay exchange-free, not a silently-shuffling plain scan)
+      val nb = spark.sql("DESCRIBE FORMATTED graft_test_xsession_tbl")
+        .filter(col("col_name") === "Num Buckets").head().getString(1)
+      assert(nb.trim == "32", s"Num Buckets=$nb")
+      // the filtered alias read recovers through the same path
+      spark.sql("DROP TABLE graft_test_xsession_tbl")
+      val allowed = graft.sources.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      assert(Similarity.searchIndexAliasFiltered(spark, queries(3), dir,
+        alias.toString, allowed).count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_xsession_tbl")
+      graft.streaming.StreamingStaging.deleteRecursively(alias)
+    }
   }
 
   test("retrain: when the stats keep the family, the advised verb rebuilds IVF-PQ") {

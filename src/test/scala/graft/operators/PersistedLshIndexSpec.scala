@@ -383,4 +383,46 @@ class PersistedLshIndexSpec extends AnyFunSuite {
       graft.streaming.StreamingStaging.deleteRecursively(root)
     }
   }
+
+  test("rebuild marker invariant: an in-place rebuild retires meta first, so a mid-rebuild crash leaves an incomplete artifact, never stale meta") {
+    val alias = java.nio.file.Files.createTempDirectory("graft_lsh_mk")
+    try {
+      // two published LSH versions behind one alias — v2 live
+      Similarity.buildLshIndexProd(spark, dir, s"$alias/v1",
+        "graft_test_marker_v1")
+      Similarity.publishIndexVersion(spark, alias.toString, "v1")
+      Similarity.buildLshIndexProd(spark, dir, s"$alias/v2",
+        "graft_test_marker_v2")
+      Similarity.publishIndexVersion(spark, alias.toString, "v2")
+      assert(Similarity.resolveIndexAlias(spark, alias.toString)
+        == s"$alias/v2")
+      // an in-place REBUILD of v2 begins by retiring the completeness
+      // marker (meta commits LAST — for a first build that makes "meta
+      // exists = build finished" hold by construction, but a rebuild
+      // already HAS meta, so a crash between the postings overwrite and
+      // the new meta write used to leave new postings under stale meta:
+      // old num_planes/table_name, silently degraded recall). Simulate
+      // the crash right after the first step:
+      Similarity.beginLshRebuild(spark, s"$alias/v2")
+      // the torn artifact is INCOMPLETE, not stale-complete: resolution
+      // falls back to the previous published version (blue-green) and
+      // publish refuses it
+      assert(Similarity.resolveIndexAlias(spark, alias.toString)
+        == s"$alias/v1")
+      intercept[IllegalArgumentException] {
+        Similarity.publishIndexVersion(spark, alias.toString, "v2")
+      }
+      // the retried rebuild completes the artifact; the existing pointer
+      // serves it again with no re-publish (the pointer never named an
+      // incomplete artifact to a reader)
+      Similarity.buildLshIndexProd(spark, dir, s"$alias/v2",
+        "graft_test_marker_v2")
+      assert(Similarity.resolveIndexAlias(spark, alias.toString)
+        == s"$alias/v2")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_marker_v1")
+      spark.sql("DROP TABLE IF EXISTS graft_test_marker_v2")
+      graft.streaming.StreamingStaging.deleteRecursively(alias)
+    }
+  }
 }

@@ -60,17 +60,34 @@ def min_merge(sess):
 
 def equal_depth_baseline(deep, depth):
     """Median per-row min-merge over deterministic depth-sized
-    combinations of the deeper arm's sessions."""
-    combos = itertools.islice(
-        itertools.combinations(range(len(deep)), depth), MAX_COMBOS)
+    combinations of the deeper arm's sessions.
+
+    When C(n, depth) exceeds MAX_COMBOS, STRIDE evenly through the
+    enumeration instead of taking the lexicographic prefix: the prefix
+    over-represents the earliest sessions (at 16-deep vs 8-shallow,
+    every one of the first 256 combos contains sessions 0 and 1 since
+    C(14,6) > 256), biasing the median toward early-session timings.
+    An even stride keeps the sample deterministic while spreading it
+    across the whole combination space."""
+    import math
+    total = math.comb(len(deep), depth)
+    if total <= MAX_COMBOS:
+        combos = itertools.combinations(range(len(deep)), depth)
+        n_note = f"all {total}"
+    else:
+        stride = total / MAX_COMBOS
+        wanted = {int(i * stride) for i in range(MAX_COMBOS)}
+        combos = (c for i, c in enumerate(
+            itertools.combinations(range(len(deep)), depth)) if i in wanted)
+        n_note = f"{len(wanted)} evenly-strided of {total}"
     per_row = {}
     n = 0
     for c in combos:
         n += 1
         for q, t in min_merge([deep[i] for i in c]).items():
             per_row.setdefault(q, []).append(t)
-    print(f"NOTE equal-depth: {n} C({len(deep)},{depth}) sub-pools, "
-          f"per-row MEDIAN of sub-pool min-merges")
+    print(f"NOTE equal-depth: {n} ({n_note}) C({len(deep)},{depth}) "
+          f"sub-pools, per-row MEDIAN of sub-pool min-merges")
     return {q: statistics.median(ts) for q, ts in per_row.items()}
 
 

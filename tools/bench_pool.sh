@@ -39,6 +39,8 @@ if ps -ef | grep "[g]raft.Bench" > /dev/null; then
   exit 1
 fi
 
+ok=0
+failed=0
 for i in $(seq 1 "$N"); do
   echo "[pool] session $i/$N sf=$SF runs=$RUNS warmup=$WARM"
   # -Xmx100g: the default heap (25% of RAM = 32 GiB) OOM'd one 30x
@@ -52,11 +54,23 @@ for i in $(seq 1 "$N"); do
     graft.Bench > /dev/null
   rc=$?
   if [ $rc -ne 0 ]; then
+    failed=$((failed + 1))
     echo "[pool] session $i/$N FAILED rc=$rc (partial artifact archived;" \
          "continuing with the remaining sessions)" >&2
   else
+    ok=$((ok + 1))
     echo "[pool] session $i/$N done"
   fi
 done
+echo "[pool] sessions ok=$ok failed=$failed"
+# Continue-past-one-failure is for a flaky SESSION, not a broken build:
+# with zero successes there is no fresh artifact behind $OUT (the
+# headline below would be stale or missing), so the pool itself must
+# fail — campaign scripts log our exit status and an all-failed pool
+# passing silently is exactly how a stale headline gets committed.
+if [ "$ok" -eq 0 ]; then
+  echo "[pool] FATAL: all $N sessions failed — no fresh headline" >&2
+  exit 1
+fi
 echo "[pool] merged headline:"
 tail -c 600 "$OUT"; echo

@@ -30,16 +30,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # This stand-in used to cast object columns to str BEFORE sorting —
     # a permissive drift that passed the struct row the real gate
     # failed in round 15. Fail loudly and identically instead.
+    # Inspect a bounded SAMPLE of non-null values, not just the first:
+    # a column whose first row happens to be scalar but later rows hold
+    # dicts/arrays would bypass this explicit driver-parity TypeError
+    # and surface as an incidental pandas comparison error instead
+    # (or, for homogeneous-looking data, a confusing mismatch).
+    NESTED_SAMPLE = 64
     for c in df.columns:
         if df[c].dtype == object:
-            bad = df[c].dropna().head(1)
-            if len(bad) and (
-                    isinstance(bad.iloc[0], (dict, list, tuple))
-                    or type(bad.iloc[0]).__name__ == "ndarray"):
-                raise TypeError(
-                    f"non-scalar column '{c}' ({type(bad.iloc[0]).__name__})"
-                    " — the driver's comparator cannot sort nested values;"
-                    " register a flattened row shape")
+            for v in df[c].dropna().head(NESTED_SAMPLE):
+                if (isinstance(v, (dict, list, tuple))
+                        or type(v).__name__ == "ndarray"):
+                    raise TypeError(
+                        f"non-scalar column '{c}' ({type(v).__name__})"
+                        " — the driver's comparator cannot sort nested"
+                        " values; register a flattened row shape")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     # AFTER the raw sort, stringify remaining object columns for the
     # value compare only (None vs NaN canonicalization) — scalar
@@ -53,17 +58,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def selftest() -> int:
     """The gate-drift regression test: a struct-shaped (dict) column and
-    an array column must FAIL canon exactly like the driver's sort."""
+    an array column must FAIL canon exactly like the driver's sort —
+    also when the first value of the column is a SCALAR and the nested
+    value appears later (the head(1) blind spot)."""
     for bad in [{"a": 1}, [1, 2]]:
-        df = pd.DataFrame({"k": [2, 1], "p": [bad, bad]})
-        try:
-            canon(df)
-        except TypeError as e:
-            print(f"selftest OK: {type(bad).__name__} column rejected ({e})")
-        else:
-            print(f"selftest FAIL: {type(bad).__name__} column passed canon"
-                  " — the stand-in is more permissive than the driver again")
-            return 1
+        for p in ([bad, bad], ["scalar-first", bad]):
+            df = pd.DataFrame({"k": [2, 1], "p": p})
+            try:
+                canon(df)
+            except TypeError as e:
+                print(f"selftest OK: {type(bad).__name__} column rejected"
+                      f" (first={type(p[0]).__name__}) ({e})")
+            else:
+                print(f"selftest FAIL: {type(bad).__name__} column passed"
+                      f" canon (first={type(p[0]).__name__}) — the stand-in"
+                      " is more permissive than the driver again")
+                return 1
     flat = canon(pd.DataFrame({"k": [2, 1], "s": ["b", None]}))
     assert list(flat["k"]) == [1, 2], "raw sort must still order scalars"
     print("selftest OK: scalar frame sorts")
