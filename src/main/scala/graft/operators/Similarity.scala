@@ -269,9 +269,11 @@ object Similarity {
     val cb = pqCodebookProd(spark, dir)
     val pq = graft.functions.VectorFunctions
       .pq_assign(col("embedding"), cb, PqS)
-    val packed = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), pq.getField("packed").as("b_code"))
-    annLshFrom(spark, dir, packed, cb, capped)
+    // the packed code is a scan-side expression — fuse it into the
+    // shared dataflow's own corpus projection (no separate frame, no
+    // join to re-attach it; round 17)
+    annLshFrom(spark, dir, packed = null, cb, capped,
+      codeExpr = Some(pq.getField("packed")))
   }
 
   /** Shared LSH-ANN dataflow: bucket/probe candidate generation (ids
@@ -283,16 +285,29 @@ object Similarity {
     * word). */
   private def annLshFrom(spark: SparkSession, dir: String,
       packed: DataFrame, cbArr: Array[Array[Array[Double]]],
-      capped: Boolean = false): DataFrame = {
+      capped: Boolean = false,
+      codeExpr: Option[Column] = None): DataFrame = {
     val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    val buckets = v.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
-      .select(col("vec_id"), col("bucket"))
+    // each vector's 8-byte code rides the corpus projection itself
+    // (round 17): the code is attached ONCE, n-scale, on the postings
+    // side — the former candidate-scale join that re-attached codes to
+    // every (probe, posting) pair is gone. Production passes the
+    // scan-side native code expression (zero joins); the exact form
+    // joins its fold-exact (vec_id, b_code) aggregate once.
+    val coded = codeExpr match {
+      case Some(ce) => Tables.embeddings(spark, dir)
+        .select(col("vec_id"), dvec.as("ev"), ce.as("b_code"))
+      case None => v.join(packed, "vec_id")
+    }
+    val buckets = coded
+      .withColumn("bucket", bucketExpr(col("ev"), numPlanes))
+      .select(col("vec_id"), col("bucket"), col("b_code"))
     val probes = buckets.select(col("vec_id"), col("bucket"), explode(array(
       probeMasks(numPlanes).map(m => col("bucket").bitwiseXOR(lit(m))): _*))
       .as("probe"))
-    val postingsAll =
-      buckets.select(col("vec_id").as("neighbor_id"), col("bucket").as("nb"))
+    val postingsAll = buckets.select(col("vec_id").as("neighbor_id"),
+      col("bucket").as("nb"), col("b_code"))
     // the capped neighbor side: ≤ LshBucketCap postings per bucket, kept
     // by LCG(vec_id) — a deterministic uniform sample both engines rank
     // identically (the odd multiplier is injective mod 2^31, so no ties;
@@ -307,19 +322,17 @@ object Similarity {
         .filter(col("brnk") <= LshBucketCap)
         .drop("brnk")
     }
-    val cand = probes.as("x").join(postings,
+    // THE big join — every candidate row carries its neighbor's 8-byte
+    // code word (already on the postings row), not a 512 B embedding;
+    // the subsequent join by vec_id attaches only the QUERY vector
+    // (once per candidate, but the window input drops it before any
+    // further exchange: the select keeps (vec_id, bucket, neighbor_id,
+    // acos) ≈ 32 B rows, and the window reuses the join's vec_id
+    // partitioning — no extra shuffle)
+    val candC = probes.as("x").join(postings,
         col("probe") === col("nb") && col("x.vec_id") =!= col("neighbor_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
-        col("neighbor_id"))
-    // THE big join — every candidate row picks up its neighbor's 8-byte
-    // code word, not a 512 B embedding; the subsequent join by vec_id
-    // attaches only the QUERY vector (once per candidate, but the window
-    // input drops it before any further exchange: the select keeps
-    // (vec_id, bucket, neighbor_id, acos) ≈ 32 B rows, and the window
-    // reuses the join's vec_id partitioning — no extra shuffle)
-    val candC = cand.join(
-      packed.select(col("vec_id").as("neighbor_id"), col("b_code")),
-      "neighbor_id")
+        col("neighbor_id"), col("b_code"))
     lshRankTail(v, candC, cbArr)
   }
 
@@ -699,16 +712,23 @@ object Similarity {
     val k = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
     val seeds = v.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("ev").as("cv"))
-    // --- one Lloyd iteration: home cell under the seeds, then cell sums
-    val wHome = Window.partitionBy(col("vec_id"))
-      .orderBy(col("scos").desc, col("centroid_id"))
-    val home = v.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("centroid_id"),
+    // --- one Lloyd iteration: home cell under the seeds, then cell sums.
+    // Argmax via max_by (round 17): the former ranked-window form
+    // (row_number over partitionBy(vec_id), filter r = 1, join back to v
+    // for the vectors) shuffled every (vector, seed) candidate row and
+    // then both join sides; the aggregate picks the IDENTICAL winner —
+    // the ordering key (scos desc, centroid_id asc) is made a unique
+    // max_by key as (scos, -centroid_id), doubles order NaN-above-all in
+    // both forms — with map-side partial aggregation (one row per vector
+    // crosses the exchange) and carries `ev` so no join-back is needed.
+    val members0 = v.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("centroid_id"), col("ev"),
         cosine(col("ev"), col("cv")).as("scos"))
-      .withColumn("r", row_number().over(wHome))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("centroid_id"))
-    val members0 = home.join(v, "vec_id")
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("ev")),
+        struct(col("scos"), (-col("centroid_id")).as("tb"))).as("h"))
+      .select(col("vec_id"), col("h.centroid_id").as("centroid_id"),
+        col("h.ev").as("ev"))
     if (exactFold)
       members0
         .select(col("centroid_id"), col("vec_id"),
@@ -1310,15 +1330,16 @@ object Similarity {
     var cent = vectors.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("ev").as("cv"))
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("scos").desc, col("centroid_id"))
-      val home = vectors.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("centroid_id"),
+      // argmax home cell via max_by (same winner as the former ranked
+      // window — unique (scos, -centroid_id) key; see ivfCentroidsOn),
+      // carrying ev so the per-iteration join-back to `vectors` is gone
+      cent = vectors.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("centroid_id"), col("ev"),
           cosine(col("ev"), col("cv")).as("scos"))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("vec_id"), col("centroid_id"))
-      cent = home.join(vectors, "vec_id")
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("centroid_id"), col("ev")),
+          struct(col("scos"), (-col("centroid_id")).as("tb"))).as("h"))
+        .select(col("h.centroid_id").as("centroid_id"), col("h.ev").as("ev"))
         .groupBy(col("centroid_id"))
         .agg(graft.functions.SketchFunctions.vector_sum(col("ev"), dim).as("cv"))
     }
@@ -1508,15 +1529,18 @@ object Similarity {
     val subs = pqSubsOf(v)
     val seedSubs = pqSubsOf(v.orderBy(col("vec_id")).limit(PqK))
       .select(col("m"), col("vec_id").as("centroid_id"), col("sub").as("cv"))
-    val wHome = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("sdist").asc, col("centroid_id"))
+    // argmin seed per (vector, subspace) via min_by — identical winner
+    // to the former ranked window (unique (sdist, centroid_id) key),
+    // map-side partial, `sub` carried so the join-back to subs is gone
     val home = subs.join(broadcast(seedSubs), Seq("m"))
-      .select(col("vec_id"), col("m"), col("centroid_id"),
+      .select(col("vec_id"), col("m"), col("centroid_id"), col("sub"),
         l2(col("sub"), col("cv")).as("sdist"))
-      .withColumn("r", row_number().over(wHome))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("m"), col("centroid_id"))
-    val cent = home.join(subs, Seq("vec_id", "m"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("centroid_id"), col("sub")),
+        struct(col("sdist"), col("centroid_id"))).as("h"))
+      .select(col("vec_id"), col("m"), col("h.centroid_id").as("centroid_id"),
+        col("h.sub").as("sub"))
+    val cent = home
       .select(col("m"), col("centroid_id"), col("vec_id"),
         posexplode(col("sub")).as(Seq("dim", "x")))
       .groupBy(col("m"), col("centroid_id"), col("dim"))
@@ -1547,14 +1571,17 @@ object Similarity {
 
   private def pqAssignExactOn(v: DataFrame, cb: DataFrame): DataFrame = {
     val subs = pqSubsOf(v)
-    val wA = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("adist").asc, col("code"))
+    // argmin code per (vector, subspace) via min_by — identical winner
+    // to the former ranked window (unique (adist, code) key), map-side
+    // partial aggregation instead of shuffling every candidate row
     subs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("code"), col("sub"), col("cv"),
         l2(col("sub"), col("cv")).as("adist"))
-      .withColumn("r", row_number().over(wA))
-      .filter(col("r") === 1)
-      .drop("r", "adist")
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("code"), col("sub"), col("cv")),
+        struct(col("adist"), col("code"))).as("h"))
+      .select(col("vec_id"), col("m"), col("h.code").as("code"),
+        col("h.sub").as("sub"), col("h.cv").as("cv"))
   }
 
   /** The fold-exact PQ codebook collected into the dense
@@ -1686,15 +1713,16 @@ object Similarity {
     val subs = pqSubsOf(v)
     val seedSubs = pqSubsOf(v.orderBy(col("vec_id")).limit(PqK))
       .select(col("m"), col("vec_id").as("centroid_id"), col("sub").as("cv"))
-    val wHome = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("sdist").asc, col("centroid_id"))
-    val home = subs.join(broadcast(seedSubs), Seq("m"))
-      .select(col("vec_id"), col("m"), col("centroid_id"),
+    // argmin seed via min_by (same winner as the former ranked window —
+    // unique (sdist, centroid_id) key), `sub` carried: no join-back
+    val rows = subs.join(broadcast(seedSubs), Seq("m"))
+      .select(col("vec_id"), col("m"), col("centroid_id"), col("sub"),
         l2(col("sub"), col("cv")).as("sdist"))
-      .withColumn("r", row_number().over(wHome))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("m"), col("centroid_id"))
-    val rows = home.join(subs, Seq("vec_id", "m"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("centroid_id"), col("sub")),
+        struct(col("sdist"), col("centroid_id"))).as("h"))
+      .select(col("m"), col("h.centroid_id").as("centroid_id"),
+        col("h.sub").as("sub"))
       .groupBy(col("m"), col("centroid_id"))
       .agg(graft.functions.SketchFunctions.vector_sum(col("sub"), PqS).as("sv"),
         count(lit(1)).as("cnt"))
@@ -1857,23 +1885,32 @@ object Similarity {
   def buildIvfPqIndexOn(spark: SparkSession, raw: DataFrame,
       indexDir: String): Unit = {
     val v = raw.select(col("vec_id"), dvec.as("ev"))
-    val cent = ivfCentroidsOn(v, exactFold = true)
-    cent.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
-    val cb = pqCodebookExactOn(v)
-    cb.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
-    val home = homeWithCos(v, cent)
-    home.select(col("vec_id"), col("centroid_id"))
-      .join(pqPackedExactOn(pqAssignExactOn(v, cb)), "vec_id")
-      .select(col("vec_id"), col("b_code"), col("centroid_id"))
-      // co-locate each cell in one task before partitionBy: without
-      // this every task writes a file per cell it holds (tasks × √n
-      // small files — millions at a billion vectors); with it the
-      // layout is ONE file per cell (√n files), one build-time shuffle
-      // of 24 B rows
-      .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$indexDir/postings.parquet")
-    writeBuildStats(spark, home, indexDir)
+    ivfCentroidsOn(v, exactFold = true)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    // ≤ PqM·PqK rows — one output file, one write task (round 17)
+    pqCodebookExactOn(v).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    // encode against the FROZEN artifacts read back from the index —
+    // the postings job no longer replays the centroid/codebook training
+    // subtrees a second time (round 17; parquet round-trips doubles
+    // bit-exactly, and the artifact IS the quantizer the index serves)
+    val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
+    val home = homeWithCos(v, cent).persist()
+    try {
+      home.select(col("vec_id"), col("centroid_id"))
+        .join(pqPackedExactOn(pqAssignExactOn(v, cb)), "vec_id")
+        .select(col("vec_id"), col("b_code"), col("centroid_id"))
+        // co-locate each cell in one task before partitionBy: without
+        // this every task writes a file per cell it holds (tasks × √n
+        // small files — millions at a billion vectors); with it the
+        // layout is ONE file per cell (√n files), one build-time shuffle
+        // of 24 B rows
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$indexDir/postings.parquet")
+      writeBuildStats(spark, home, indexDir)
+    } finally home.unpersist()
     resetAppendLog(spark, indexDir)
   }
 
@@ -1932,27 +1969,44 @@ object Similarity {
       indexDir: String): Unit = {
     import spark.implicits._
     val v = raw.select(col("vec_id"), dvec.as("ev"))
-    val cent = ivfCentroidsOn(v, exactFold = false)
-    cent.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    ivfCentroidsOn(v, exactFold = false)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
     val cbArr = pqCodebookProdOn(v)
     cbArr.zipWithIndex.flatMap { case (codes, m) =>
       codes.zipWithIndex.map { case (cv, code) =>
         (m, code.toLong, cv.toSeq)
       }
     }.toSeq.toDF("m", "code", "cv")
+      .coalesce(1) // ≤ PqM·PqK rows — one file, one write task (round 17)
       .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    // ONE encode pass against the FROZEN artifact (round 17): the home
+    // assignment reads the just-written centroids back (no second replay
+    // of the training subtree) and the scan-side packed code rides the
+    // same projection into the max_by argmax — the former separate
+    // `packed` frame and its join-back by vec_id are gone. The home
+    // frame is persisted across its two consumers (postings write,
+    // build-stats row): n × 32 B rows, bounded at any corpus size.
+    val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     val pq = graft.functions.VectorFunctions
       .pq_assign(col("embedding"), cbArr, PqS)
-    val packed = raw
-      .select(col("vec_id"), pq.getField("packed").as("b_code"))
-    val home = homeWithCos(v, cent)
-    home.select(col("vec_id"), col("centroid_id"))
-      .join(packed, "vec_id")
-      .select(col("vec_id"), col("b_code"), col("centroid_id"))
-      .repartition(col("centroid_id")) // one file per cell (see above)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$indexDir/postings.parquet")
-    writeBuildStats(spark, home, indexDir)
+    val home = raw
+      .select(col("vec_id"), dvec.as("ev"), pq.getField("packed").as("b_code"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("b_code"), col("centroid_id"),
+        cosine(col("ev"), col("cv")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("b_code"), col("centroid_id"), col("ccos")),
+        struct(col("ccos"), (-col("centroid_id")).as("tb"))).as("h"))
+      .select(col("vec_id"), col("h.b_code").as("b_code"),
+        col("h.centroid_id").as("centroid_id"), col("h.ccos").as("ccos"))
+      .persist()
+    try {
+      home.select(col("vec_id"), col("b_code"), col("centroid_id"))
+        .repartition(col("centroid_id")) // one file per cell (see above)
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$indexDir/postings.parquet")
+      writeBuildStats(spark, home, indexDir)
+    } finally home.unpersist()
     resetAppendLog(spark, indexDir)
   }
 
@@ -3210,16 +3264,19 @@ object Similarity {
   /** Home-cell assignment KEEPING the similarity: (vec_id, centroid_id,
     * ccos) — the postings path uses the first two, the drift stats the
     * third, one assignment pass for both. */
-  private def homeWithCos(v: DataFrame, cent: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("centroid_id"))
+  private def homeWithCos(v: DataFrame, cent: DataFrame): DataFrame =
+    // argmax home cell via max_by — identical winner to the former
+    // ranked window (unique (ccos, -centroid_id) key, NaN-above-all in
+    // both forms), with map-side partial aggregation: the exchange
+    // carries one row per vector instead of one per (vector, cell)
     v.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("centroid_id"),
         cosine(col("ev"), col("cv")).as("ccos"))
-      .withColumn("crnk", row_number().over(wAssign))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("ccos"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("ccos")),
+        struct(col("ccos"), (-col("centroid_id")).as("tb"))).as("h"))
+      .select(col("vec_id"), col("h.centroid_id").as("centroid_id"),
+        col("h.ccos").as("ccos"))
 
   /** Persist the build-time assignment-quality baseline: (n_vectors,
     * mean home-cell cosine) of the corpus the quantizer was TRAINED on.
@@ -3287,18 +3344,27 @@ object Similarity {
     * [[deltaPostingsExact]]. */
   private def deltaPostingsProd(spark: SparkSession, rawDelta: DataFrame,
       indexDir: String): (DataFrame, DataFrame) = {
-    val delta = rawDelta.select(col("vec_id"), dvec.as("ev"))
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
     val pq = graft.functions.VectorFunctions
       .pq_assign(col("embedding"), cbArr, PqS)
-    val packed = rawDelta
-      .select(col("vec_id"), pq.getField("packed").as("b_code"))
-    val home = homeWithCos(delta, cent)
-    (home.select(col("vec_id"), col("centroid_id"))
-      .join(packed, "vec_id")
-      .select(col("vec_id"), col("b_code"), col("centroid_id")), home)
+    // one encode pass: the scan-side packed code rides the same
+    // projection into the max_by home argmax (same shape as
+    // [[buildIvfPqIndexProdOn]] — the former separate `packed` frame
+    // and its join-back by vec_id are gone, round 17)
+    val home = rawDelta
+      .select(col("vec_id"), dvec.as("ev"), pq.getField("packed").as("b_code"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("b_code"), col("centroid_id"),
+        cosine(col("ev"), col("cv")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("b_code"), col("centroid_id"), col("ccos")),
+        struct(col("ccos"), (-col("centroid_id")).as("tb"))).as("h"))
+      .select(col("vec_id"), col("h.b_code").as("b_code"),
+        col("h.centroid_id").as("centroid_id"), col("h.ccos").as("ccos"))
+    (home.select(col("vec_id"), col("b_code"), col("centroid_id")),
+      home.select(col("vec_id"), col("centroid_id"), col("ccos")))
   }
 
   /** Compact a persisted index's postings after many delta appends:
@@ -4258,10 +4324,13 @@ object Similarity {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val nVec = Tables.embeddings(spark, dir).count()
     val numPlanes = planesOverride.getOrElse(planesFor(nVec))
-    val cb = pqCodebookExactOn(v)
-    cb.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
-    val packed = pqPackedExactOn(pqAssignExactOn(v, cb))
-    writeLshPostings(spark, v, packed, numPlanes, indexDir, tableName,
+    pqCodebookExactOn(v).coalesce(1) // ≤ PqM·PqK rows — one file (r17)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    // encode against the FROZEN artifact read back from the index — the
+    // postings job no longer replays the codebook training subtree (r17)
+    val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
+    val enc = v.join(pqPackedExactOn(pqAssignExactOn(v, cb)), "vec_id")
+    writeLshPostings(spark, enc, numPlanes, indexDir, tableName,
       numBuckets)
     writeLshArtifactMeta(spark, indexDir, numPlanes, nVec, tableName,
       numBuckets, concentration)
@@ -4275,19 +4344,22 @@ object Similarity {
       concentration: Option[Double] = None): Unit = {
     import spark.implicits._
     beginLshRebuild(spark, indexDir)
-    val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
     val nVec = Tables.embeddings(spark, dir).count()
     val numPlanes = planesOverride.getOrElse(planesFor(nVec))
-    val cbArr = pqCodebookProdOn(v)
+    val cbArr = pqCodebookProdOn(
+      Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev")))
     cbArr.zipWithIndex.flatMap { case (codes, m) =>
       codes.zipWithIndex.map { case (cv, code) => (m, code.toLong, cv.toSeq) }
     }.toSeq.toDF("m", "code", "cv")
+      .coalesce(1) // ≤ PqM·PqK rows — one file, one write task (r17)
       .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
     val pq = graft.functions.VectorFunctions
       .pq_assign(col("embedding"), cbArr, PqS)
-    val packed = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), pq.getField("packed").as("b_code"))
-    writeLshPostings(spark, v, packed, numPlanes, indexDir, tableName,
+    // one encode pass: the scan-side packed code rides the corpus
+    // projection — no separate frame, no join-back by vec_id (r17)
+    val enc = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dvec.as("ev"), pq.getField("packed").as("b_code"))
+    writeLshPostings(spark, enc, numPlanes, indexDir, tableName,
       numBuckets)
     writeLshArtifactMeta(spark, indexDir, numPlanes, nVec, tableName,
       numBuckets, concentration)
@@ -4345,16 +4417,18 @@ object Similarity {
     * postings — every vector queries regardless of cap). The rank
     * window's bucket shuffle coincides with the bucketed write's own
     * clustering, so stamping it is free at build. */
-  private def writeLshPostings(spark: SparkSession, v: DataFrame,
-      packed: DataFrame, numPlanes: Int, indexDir: String,
+  private def writeLshPostings(spark: SparkSession, enc: DataFrame,
+      numPlanes: Int, indexDir: String,
       tableName: String, numBuckets: Int): Unit = {
     val wB = Window.partitionBy(col("bucket")).orderBy(
       (lit(1103515245L) * col("vec_id") + lit(12345L)) % lit(2147483648L),
       col("vec_id"))
+    // `enc` is (vec_id, ev, b_code) — the code already rides the corpus
+    // projection (round 17: the former per-build join of a separate
+    // packed frame is gone; production builds pass a pure scan)
     graft.sources.Layouts.writeBucketedOn(
-      v.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
-        .join(packed, "vec_id")
-        .select(col("vec_id"), col("bucket"), col("b_code"))
+      enc.select(col("vec_id"),
+          bucketExpr(col("ev"), numPlanes).as("bucket"), col("b_code"))
         .withColumn("bucket_rank", row_number().over(wB).cast("long")),
       tableName, s"$indexDir/postings", Seq("bucket"), numBuckets)
     // a rebuild is a new index version: every source vector is

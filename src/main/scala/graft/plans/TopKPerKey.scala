@@ -132,11 +132,25 @@ object RewriteWindowTopK extends Rule[LogicalPlan]
   }
 }
 
-/** Plans [[TopKPerKey]] as [[TopKPerKeyExec]]. */
+/** Plans [[TopKPerKey]] as a PARTIAL [[TopKPerKeyExec]] (map-side, no
+  * distribution requirement — each input partition keeps at most k rows
+  * per key, the ranked-window analogue of partial aggregation) under the
+  * FINAL exec (clustered, assigns ranks). The exchange EnsureRequirements
+  * inserts between them then carries ≤ k rows per (key, map partition)
+  * instead of every candidate row — for the ANN preselect/rerank windows
+  * that is the difference between shuffling the full candidate join
+  * output and shuffling ≤ k·|keys| rows (guide §2.3: aggregate before
+  * you shuffle). When the child is already clustered no exchange is
+  * inserted and the partial pass is a cheap no-op re-heap. Final-over-
+  * partial top-k selects the identical row set as single-pass top-k:
+  * the per-key orderings used here are total (unique tie-break columns),
+  * so the k best of a union of per-partition k-bests are the global k
+  * best. */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(pe, os, k, rank, child) =>
-      TopKPerKeyExec(pe, os, k, rank, planLater(child)) :: Nil
+      TopKPerKeyExec(pe, os, k, rank,
+        TopKPerKeyExec(pe, os, k, rank, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -168,13 +182,21 @@ case class TopKPerKeyExec(
     orderSpec: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partitionExprs.isEmpty) AllTuples :: Nil
+    if (partial)
+      org.apache.spark.sql.catalyst.plans.physical
+        .UnspecifiedDistribution :: Nil
+    else if (partitionExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionExprs) :: Nil
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override def outputPartitioning = child.outputPartitioning
 
@@ -197,6 +219,7 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val partExprs = partitionExprs
     val order = orderSpec
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
@@ -207,16 +230,25 @@ case class TopKPerKeyExec(
         val row = iter.next()
         merger.insert(keyProj(row), row)
       }
-      val outProj = UnsafeProjection.create(
-        childOutput :+ rankAttr, childOutput :+ rankAttr)
-      val joined = new JoinedRow
-      merger.result().flatMap { case (_, heap) =>
-        numKeys += 1
-        val ascending = heap.dequeueAll.reverseIterator
-        ascending.zipWithIndex.map { case (row, i) =>
-          val rank: Any = if (rankIsLong) (i + 1).toLong else i + 1
-          numOutputRows += 1
-          outProj(joined(row, new GenericInternalRow(Array[Any](rank))))
+      if (isPartial) {
+        // map-side pass: emit the retained rows unranked (order within
+        // a key is irrelevant — the final exec re-heaps and ranks)
+        merger.result().flatMap { case (_, heap) =>
+          numKeys += 1
+          heap.iterator.map { row => numOutputRows += 1; row }
+        }
+      } else {
+        val outProj = UnsafeProjection.create(
+          childOutput :+ rankAttr, childOutput :+ rankAttr)
+        val joined = new JoinedRow
+        merger.result().flatMap { case (_, heap) =>
+          numKeys += 1
+          val ascending = heap.dequeueAll.reverseIterator
+          ascending.zipWithIndex.map { case (row, i) =>
+            val rank: Any = if (rankIsLong) (i + 1).toLong else i + 1
+            numOutputRows += 1
+            outProj(joined(row, new GenericInternalRow(Array[Any](rank))))
+          }
         }
       }
     }

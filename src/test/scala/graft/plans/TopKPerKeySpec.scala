@@ -42,6 +42,31 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("partial top-k runs map-side below the exchange (round 17)") {
+    withTopK {
+      val df = ranked()
+      val plan = df.queryExecution.executedPlan.toString
+      // final-over-partial: the map-side pass keeps ≤ k rows per key per
+      // input partition, so the exchange carries the pruned set — the
+      // ranked-window analogue of partial aggregation
+      assert(plan.contains("TopKPerKeyPartial"), plan)
+      // the partial node must sit BELOW the exchange, the final above it
+      val iPartial = plan.indexOf("TopKPerKeyPartial")
+      val iFinal = plan.indexOf("TopKPerKey ")
+      val iExchange = plan.indexOf("Exchange hashpartitioning")
+      assert(iFinal >= 0 && iExchange >= 0 && iPartial >= 0, plan)
+      // toString prints parents before children: final < exchange < partial
+      assert(iFinal < iExchange && iExchange < iPartial, plan)
+      // and the split selects exactly the single-pass rows
+      val expected = TopKPlanning.synchronized {
+        TopKPlanning.unregister(spark)
+        try ranked().collect().map(_.toSeq).toSet
+        finally TopKPlanning.register(spark)
+      }
+      assert(df.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
   test("top-k results equal the window form exactly (rows and ranks)") {
     val expected = ranked().collect().map(_.toSeq).toSet // no rule
     val got = withTopK(ranked().collect().map(_.toSeq).toSet)
