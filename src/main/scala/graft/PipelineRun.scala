@@ -120,15 +120,24 @@ object PipelineRun {
       col("lang"), col("source"),
       TextAnalysis.normalizedExpr.as("norm_text"),
       TextAnalysis.qualityKeepExpr.as("keep"))
-    val wh = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("norm_text")))
-    val w = wh.orderBy(col("doc_id"))
+    // exact-dedup representative + collapse count in ONE aggregation
+    // (round 17): the former pair of windows (rank + count) each
+    // re-derived md5(norm_text) as its own partition expression, so
+    // Spark planned TWO exchanges and two sorts over the surviving
+    // corpus; min_by(doc_id) picks the identical rank-1 row (doc_id is
+    // unique) and count(*) is the window count, with map-side partial
+    // aggregation and no sort
     val survivors = enriched
       .filter(col("keep"))
       .join(broadcast(losers), Seq("doc_id"), "left_anti")
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n_exact_dups", count(lit(1)).over(wh))
-      .filter(col("rnk") === 1)
+      .groupBy(md5(col("norm_text")).as("norm_hash"))
+      .agg(
+        min_by(struct(col("doc_id"), col("raw_text"), col("masked_text"),
+          col("lang"), col("source")), col("doc_id")).as("h"),
+        count(lit(1)).as("n_exact_dups"))
+      .select(col("h.doc_id").as("doc_id"), col("h.raw_text").as("raw_text"),
+        col("h.masked_text").as("masked_text"), col("h.lang").as("lang"),
+        col("h.source").as("source"), col("n_exact_dups"))
       .join(broadcast(repSizes), Seq("doc_id"), "left")
       .select(col("doc_id"), col("raw_text"), col("masked_text"),
         col("lang"), col("source"),

@@ -218,6 +218,13 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "bandHash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // MATERIALIZE before the self-join (round 17): AQE submits the two
+    // join-side exchanges as concurrent query stages, and a lazily
+    // persisted frame is not yet in cache when they race — both sides
+    // (and every later sibling stage) were measured re-running the full
+    // shingle+sketch subtree, ~10 redundant corpus passes per call. One
+    // eager count pins the cache first; everything after reads it.
+    bands.count()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bandHash") === col("y.bandHash") &&
@@ -235,8 +242,14 @@ object Dedup {
     // shuffle) is spent deduplicating the candidate ids first
     val candIds = cand.select(explode(array(col("a_id"), col("b_id")))
       .as("doc_id"))
+    // persisted + materialized for the same reason as `bands`: the a/b
+    // confirm joins below materialize as concurrent AQE stages and would
+    // each re-shingle the candidate docs (and re-run the candidate
+    // self-join feeding the semi-join). Bounded: ∝ candidate pairs.
     val sh = withShingles(docs.join(broadcast(candIds),
       Seq("doc_id"), "leftsemi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val jac = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
       size(array_union(col("a_sh"), col("b_sh"))).cast("double")
     (cand
@@ -882,27 +895,35 @@ object Dedup {
     val positions = spanPositionsOn(docs)
     val owners = positions.groupBy(col("h"))
       .agg(min(col("doc_id")).as("owner"))
-    val covered = positions
+    // per-doc covered word-index SET — a frame ∝ duplicated spans, never
+    // corpus size. The former shape exploded EVERY word of EVERY doc and
+    // shuffled the whole corpus twice (words by (doc_id, widx), then the
+    // collect_list re-assembly aggregate); excising with array
+    // expressions against the aggregated set moves the corpus text
+    // through at most one join (broadcast at fixture scale) and no
+    // word-level shuffle at all (round 17).
+    val covSets = positions
       .join(owners, Seq("h"))
       .filter(col("doc_id") > col("owner"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (SpanW - 1))).as("widx"))
-      .distinct()
-      .withColumn("cov", lit(1))
-    val words = docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("i0", "word")))
-      .select(col("doc_id"), (col("i0") + 1).cast("long").as("widx"),
-        col("word"))
-    (words
-      .join(covered, Seq("doc_id", "widx"), "left")
       .groupBy(col("doc_id"))
-      .agg(
-        concat_ws(" ", transform(
-          sort_array(collect_list(
-            when(col("cov").isNull, struct(col("widx"), col("word"))))),
-          x => x.getField("word"))).as("clean_text"),
-        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed")))
+      .agg(collect_set(col("widx")).as("cov"))
+    val ws = split(col("text"), " ")
+    val indexed = transform(ws,
+      (w, i) => struct((i + 1).cast("long").as("widx"), w.as("word")))
+    // null cov (no duplicated span) → array_contains is null-safe here:
+    // coalesce to an empty set so every word survives, matching the
+    // former left-join's null `cov` marker
+    val covOrEmpty = coalesce(col("cov"), array().cast("array<long>"))
+    val kept = filter(indexed,
+      s => !array_contains(covOrEmpty, s.getField("widx")))
+    (docs
+      .join(covSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", transform(kept, s => s.getField("word")))
+          .as("clean_text"),
+        (size(ws) - size(kept)).cast("long").as("n_removed")))
   }
 
   val spanExciseOracle: String =

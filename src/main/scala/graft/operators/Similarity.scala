@@ -961,7 +961,8 @@ object Similarity {
     val v = withNearDupVecs(spark, dir)
     val cbDf = pqCodebookExactOn(v)
     val packed = pqPackedExactOn(pqAssignExactOn(v, cbDf))
-    nearDupLshFrom(spark, dir, v, packed, pqCodebookArrOf(cbDf))
+    nearDupLshFrom(spark, dir, v, packed, pqCodebookArrOf(cbDf),
+      codeExpr = None)
   }
 
   /** PRODUCTION near-dup pairs ([[graft.SparkEntry.productionOverrides]]):
@@ -977,8 +978,10 @@ object Similarity {
     val cb = pqCodebookProd(spark, dir)
     val pq = graft.functions.VectorFunctions.pq_assign(
       col("ev").cast("array<float>"), cb, PqS)
-    val packed = v.select(col("vec_id"), pq.getField("packed").as("b_code"))
-    nearDupLshFrom(spark, dir, v, packed, cb)
+    // scan-side code expression fused into the candidate dataflow's own
+    // corpus projection — no separate packed frame, no joins (round 17)
+    nearDupLshFrom(spark, dir, v, packed = null, cb,
+      codeExpr = Some(pq.getField("packed")))
   }
 
   /** Shared near-dup dataflow: ids-only candidate generation → 8-byte
@@ -989,27 +992,39 @@ object Similarity {
     * ≥ 0.9 confirm on the survivors. */
   private def nearDupLshFrom(spark: SparkSession, dir: String,
       vIn: DataFrame, packed: DataFrame,
-      cbArr: Array[Array[Array[Double]]]): DataFrame = {
+      cbArr: Array[Array[Array[Double]]],
+      codeExpr: Option[Column]): DataFrame = {
     val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val v = vIn.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
-    // candidate generation and dedup carry ONLY the id pair — the 64-dim
-    // vectors rejoin after dropDuplicates, so the dedup shuffle moves two
-    // longs per candidate instead of two embeddings
-    val buckets = v.select(col("vec_id"), col("bucket"))
-    val probes = buckets.select(col("vec_id"), explode(array(
+    // candidate generation and dedup carry the id pair plus the two
+    // 8-byte code words — the codes ride the bucket projections
+    // themselves (round 17: the former pair of candidate-scale joins
+    // that re-attached codes to every surviving pair is gone; the
+    // production form computes codes scan-side, the exact form joins
+    // its fold-exact aggregate once at n scale). The 64-dim vectors
+    // still rejoin only after the prefilter, so no exchange ever moves
+    // an embedding per candidate.
+    val coded = codeExpr match {
+      case Some(ce) => v.select(col("vec_id"), col("bucket"),
+        ce.as("b_code"))
+      case None => v.select(col("vec_id"), col("bucket"))
+        .join(packed, "vec_id")
+    }
+    val probes = coded.select(col("vec_id"), col("b_code"), explode(array(
       probeMasks(numPlanes).map(m => col("bucket").bitwiseXOR(lit(m))): _*))
       .as("probe"))
-    val cand = probes.as("x").join(buckets.as("y"),
+    // the symmetric-PQ prefilter runs BEFORE the pair-dedup exchange
+    // (deterministic per pair — codes are functions of the ids — so
+    // filter-then-dedup selects exactly the dedup-then-filter pairs):
+    // only margin survivors pay the dropDuplicates shuffle
+    val pf = probes.as("x").join(coded.as("y"),
         col("x.probe") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    val pf = cand
-      .join(packed.select(col("vec_id").as("a_id"), col("b_code").as("a_code")),
-        "a_id")
-      .join(packed.select(col("vec_id").as("b_id"), col("b_code")), "b_id")
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        col("x.b_code").as("a_code"), col("y.b_code").as("b_code"))
       .filter(graft.functions.VectorFunctions.pq_packed_cosine(
         col("a_code"), col("b_code"), cbArr) >= NearDupPqMargin)
       .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
     val ev = vIn.select(col("vec_id"), col("ev"))
     (pf
       .join(ev.select(col("vec_id").as("a_id"), col("ev").as("a_ev")), "a_id")
@@ -2044,17 +2059,17 @@ object Similarity {
       deltaPostingsExact(spark, rawDelta, indexDir))
 
   /** Delta assignment + exact-fold encode against the frozen artifacts:
-    * (postings rows (vec_id, b_code, centroid_id), home assignment with
-    * similarity for the stats row). */
+    * one (vec_id, b_code, centroid_id, ccos) frame — the commit
+    * protocol derives the postings projection and the stats row from it
+    * (and persists it across the two, round 17). */
   private def deltaPostingsExact(spark: SparkSession, rawDelta: DataFrame,
-      indexDir: String): (DataFrame, DataFrame) = {
+      indexDir: String): DataFrame = {
     val delta = rawDelta.select(col("vec_id"), dvec.as("ev"))
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
-    val home = homeWithCos(delta, cent)
-    (home.select(col("vec_id"), col("centroid_id"))
+    homeWithCos(delta, cent)
       .join(pqPackedExactOn(pqAssignExactOn(delta, cb)), "vec_id")
-      .select(col("vec_id"), col("b_code"), col("centroid_id")), home)
+      .select(col("vec_id"), col("b_code"), col("centroid_id"), col("ccos"))
   }
 
   /** The exactly-once batch-append driver — the retry-safe production
@@ -2410,7 +2425,7 @@ object Similarity {
     lease.foreach(ifs.deleteFile)
 
   private def committedAppend(spark: SparkSession, indexDir: String,
-      batchId: String, enc: => (DataFrame, DataFrame)): Unit = {
+      batchId: String, enc: => DataFrame): Unit = {
     require(batchId.nonEmpty && batchId.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"batch id must be filesystem-safe: '$batchId'")
@@ -2429,7 +2444,7 @@ object Similarity {
   /** [[committedAppend]]'s body, run under the writer lease. */
   private def committedAppendHeld(spark: SparkSession,
       ifs: graft.sources.IndexFs, marker: org.apache.hadoop.fs.Path,
-      batchId: String, enc: => (DataFrame, DataFrame)): Unit = {
+      batchId: String, enc: => DataFrame): Unit = {
     // a sequential retry that lost the guard earlier may find the
     // winner's marker by the time its own lease lands
     if (ifs.exists(marker)) return
@@ -2445,8 +2460,14 @@ object Similarity {
     val staging = new org.apache.hadoop.fs.Path(batchStaging,
       java.util.UUID.randomUUID().toString.take(8))
     ifs.deleteRecursive(staging)
-    val (postings, home) = enc
-    postings
+    // the encode frame (vec_id, b_code, centroid_id, ccos) feeds BOTH
+    // the staging postings write and the stats row — persisted so the
+    // delta is encoded once, not once per consumer (round 17; bounded
+    // by batch size, unpersisted before return)
+    val home = enc
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    home.select(col("vec_id"), col("b_code"), col("centroid_id"))
       // one file per touched cell per batch (same rationale as the build)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -2470,6 +2491,7 @@ object Similarity {
     // sweep this batch's staging dir (all attempts' husks) now that
     // the batch is committed — exact directory name, never a prefix
     ifs.deleteRecursive(batchStaging)
+    } finally home.unpersist()
   }
 
   /** Mint this batch's drift-report sequence number: the smallest free
@@ -3343,7 +3365,7 @@ object Similarity {
     * the frozen artifacts — same (postings, home) pair as
     * [[deltaPostingsExact]]. */
   private def deltaPostingsProd(spark: SparkSession, rawDelta: DataFrame,
-      indexDir: String): (DataFrame, DataFrame) = {
+      indexDir: String): DataFrame = {
     val cent = spark.read.parquet(s"$indexDir/centroids.parquet")
     val cbArr = pqCodebookArrOf(
       spark.read.parquet(s"$indexDir/codebook.parquet"))
@@ -3363,8 +3385,7 @@ object Similarity {
         struct(col("ccos"), (-col("centroid_id")).as("tb"))).as("h"))
       .select(col("vec_id"), col("h.b_code").as("b_code"),
         col("h.centroid_id").as("centroid_id"), col("h.ccos").as("ccos"))
-    (home.select(col("vec_id"), col("b_code"), col("centroid_id")),
-      home.select(col("vec_id"), col("centroid_id"), col("ccos")))
+    home
   }
 
   /** Compact a persisted index's postings after many delta appends:

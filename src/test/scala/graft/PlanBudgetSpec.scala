@@ -52,10 +52,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the baseline's nested-loop cartesian (one task per split otherwise)
     "dedup_jaccard_brute" -> (1, 1),
     // semi-join candidate pruning (no id distinct)
-    "dedup_minhash_lsh" -> (2, 5),
+    // r17: bands are persisted AND materialized before the self-join,
+    // so the planner sees the tiny cached relation's stats and
+    // broadcasts one more side (5 -> 6 broadcasts, shuffles unchanged)
+    "dedup_minhash_lsh" -> (2, 6),
     "dedup_semantic" -> (0, 1), // same eager-CC shape as dedup_clusters
     "dedup_simhash" -> (1, 3),
-    "dedup_span_excise" -> (3, 2),
+    // r17: covered word-indices aggregate to a per-doc SET (∝ duplicated
+    // spans) and the excision runs as array expressions — the word-level
+    // explode/re-assembly corpus shuffle is gone (3 -> 2 shuffles)
+    "dedup_span_excise" -> (2, 2),
     "denorm_embed_agg" -> (1, 1),
     "denorm_embed_many" -> (1, 1),
     "denorm_embed_one" -> (0, 1),
@@ -103,7 +109,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // resample-threshold aggregates (curate_mix_resample's audited
     // shape); provenance counters ride existing exchanges (the
     // n_exact_dups count shares the dedup window's partition)
-    "pipeline_curated_lineage" -> (12, 10),
+    // r17: the exact-dedup stage is ONE min_by+count aggregation (the
+    // former rank+count window pair re-derived md5(norm_text) per window
+    // and paid two exchanges), and the span-excise stage lost its
+    // word-level shuffle (12 -> 10 shuffles)
+    "pipeline_curated_lineage" -> (10, 10),
     "q1_stock_lookup" -> (0, 0),
     "q2_brand_filter" -> (0, 0),
     "q3_orders_by_date" -> (0, 0),
@@ -191,7 +201,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // + the two 8-byte packed-code joins of the symmetric-PQ prefilter
     // (round 9) — broadcast at fixture scale; at cluster scale the
     // candidate joins shuffle ~32 B rows, never embeddings
-    "sim_neardup_lsh" -> (1, 5),
+    // r17: the 8-byte codes ride the bucket projections themselves, so
+    // the two candidate-scale code joins are gone (5 -> 3 broadcasts)
+    "sim_neardup_lsh" -> (1, 3),
     "sim_quantize_sq" -> (0, 0),
     "sketch_distinct_hll" -> (1, 0), // native 64-byte register aggregate
     "sketch_distinct_kmv" -> (2, 0),
