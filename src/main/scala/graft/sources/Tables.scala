@@ -35,10 +35,46 @@ object Tables {
     *     ObjectHashAggregateExec, whose default 128-key fallback degrades
     *     to sort-based aggregation on any realistic group count; the
     *     buffers are small (≤512 B/group), so hash aggregation stays the
-    *     right plan well past this bound. */
+    *     right plan well past this bound.
+    *   - `InferFiltersFromGenerate` excluded (round 17): the rule adds
+    *     `size(e) > 0 AND isnotnull(e)` below every non-outer explode,
+    *     and after CollapseProject inlines the projection, `e` is the
+    *     full generator child — so every expensive generator expression
+    *     in the registry (`word_shingles`, `minhash_bands_of`,
+    *     `bloom_shingle_filter(word_shingles(..))`) was evaluated up to
+    *     THREE times per corpus row (plan audit: the inferred Filter
+    *     carried the whole MinHash sketch twice next to the Generate's
+    *     own copy in dedup_incremental / dedup_minhash_lsh /
+    *     text_decontaminate{,_bloom}). Results are identical without
+    *     the rule: a non-outer Generate already emits nothing for
+    *     null/empty arrays, which is exactly the rows the inferred
+    *     filter dropped — it only pre-trims Generate input, it never
+    *     changes output. Scale-independent: at 100 TB the duplicate
+    *     evaluations are full corpus re-scans of the costliest scalar
+    *     work the pipeline does.
+    *   - `canChangeCachedPlanOutputPartitioning` (round 17): by default
+    *     AQE is disabled inside `InMemoryRelation` plans to keep cached
+    *     output partitioning stable, so every persisted intermediate
+    *     (LSH bands, candidate-confirm shingles, the decontamination
+    *     test-shingle set) materialized with the static
+    *     `spark.sql.shuffle.partitions` count regardless of its size —
+    *     at the fixtures that was 32 near-empty cache partitions whose
+    *     concurrent build tasks serialized on block-manager locks
+    *     (measured: the bloom build's cache stage ran 32 tasks at
+    *     Σtask 7.9 s for 10 k rows; with AQE coalescing it is 1 task at
+    *     0.04 s), and every cache READER then paid 32 tasks per stage.
+    *     Letting AQE coalesce cached plans sizes cache partitions from
+    *     the DATA (advisory partition size), which is the
+    *     scale-adaptive behavior: a 100 TB cached frame keeps hundreds
+    *     of advisory-sized partitions, a kilobyte one collapses to a
+    *     handful. Output rows are unaffected — only the partition
+    *     count of cached intermediates changes. */
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1000000")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1000000",
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
 
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
