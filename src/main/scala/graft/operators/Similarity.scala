@@ -269,11 +269,9 @@ object Similarity {
     val cb = pqCodebookProd(spark, dir)
     val pq = graft.functions.VectorFunctions
       .pq_assign(col("embedding"), cb, PqS)
-    // the packed code is a scan-side expression — fuse it into the
-    // shared dataflow's own corpus projection (no separate frame, no
-    // join to re-attach it; round 17)
-    annLshFrom(spark, dir, packed = null, cb, capped,
-      codeExpr = Some(pq.getField("packed")))
+    val packed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), pq.getField("packed").as("b_code"))
+    annLshFrom(spark, dir, packed, cb, capped)
   }
 
   /** Shared LSH-ANN dataflow: bucket/probe candidate generation (ids
@@ -285,29 +283,29 @@ object Similarity {
     * word). */
   private def annLshFrom(spark: SparkSession, dir: String,
       packed: DataFrame, cbArr: Array[Array[Array[Double]]],
-      capped: Boolean = false,
-      codeExpr: Option[Column] = None): DataFrame = {
+      capped: Boolean = false): DataFrame = {
     val numPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), dvec.as("ev"))
-    // each vector's 8-byte code rides the corpus projection itself
-    // (round 17): the code is attached ONCE, n-scale, on the postings
-    // side — the former candidate-scale join that re-attached codes to
-    // every (probe, posting) pair is gone. Production passes the
-    // scan-side native code expression (zero joins); the exact form
-    // joins its fold-exact (vec_id, b_code) aggregate once.
-    val coded = codeExpr match {
-      case Some(ce) => Tables.embeddings(spark, dir)
-        .select(col("vec_id"), dvec.as("ev"), ce.as("b_code"))
-      case None => v.join(packed, "vec_id")
-    }
-    val buckets = coded
-      .withColumn("bucket", bucketExpr(col("ev"), numPlanes))
-      .select(col("vec_id"), col("bucket"), col("b_code"))
+    // candidates are generated IDS-ONLY and the 8-byte codes re-attach
+    // via one broadcast join on the n-scale `packed` frame AFTER the
+    // candidate join (restored in round 17 after a measured regression:
+    // riding `b_code` on the postings projection inflated that side's
+    // size estimate past the probes side's, flipping the candidate
+    // join's build side — the planner broadcast the row-EXPLODING
+    // probes subtree and streamed the postings through their
+    // AQE-coalesced post-window exchange, so the whole candidate ×
+    // preselect computation ran on ONE post-shuffle partition:
+    // sim_ann_lsh_capped 3.0 → 24.0 s min-merged at 10×. Ids-only
+    // candidate sides keep the estimates tied, the postings stay the
+    // build side, and the expensive candidate stream stays at scan
+    // parallelism).
+    val buckets = v.withColumn("bucket", bucketExpr(col("ev"), numPlanes))
+      .select(col("vec_id"), col("bucket"))
     val probes = buckets.select(col("vec_id"), col("bucket"), explode(array(
       probeMasks(numPlanes).map(m => col("bucket").bitwiseXOR(lit(m))): _*))
       .as("probe"))
-    val postingsAll = buckets.select(col("vec_id").as("neighbor_id"),
-      col("bucket").as("nb"), col("b_code"))
+    val postingsAll =
+      buckets.select(col("vec_id").as("neighbor_id"), col("bucket").as("nb"))
     // the capped neighbor side: ≤ LshBucketCap postings per bucket, kept
     // by LCG(vec_id) — a deterministic uniform sample both engines rank
     // identically (the odd multiplier is injective mod 2^31, so no ties;
@@ -329,10 +327,15 @@ object Similarity {
     // further exchange: the select keeps (vec_id, bucket, neighbor_id,
     // acos) ≈ 32 B rows, and the window reuses the join's vec_id
     // partitioning — no extra shuffle)
-    val candC = probes.as("x").join(postings,
+    val cand = probes.as("x").join(postings,
         col("probe") === col("nb") && col("x.vec_id") =!= col("neighbor_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
-        col("neighbor_id"), col("b_code"))
+        col("neighbor_id"))
+    // every candidate row picks up its neighbor's 8-byte code word via
+    // the broadcast-sized packed frame, not a 512 B embedding
+    val candC = cand.join(
+      packed.select(col("vec_id").as("neighbor_id"), col("b_code")),
+      "neighbor_id")
     lshRankTail(v, candC, cbArr)
   }
 

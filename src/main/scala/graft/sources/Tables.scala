@@ -52,29 +52,24 @@ object Tables {
     *     changes output. Scale-independent: at 100 TB the duplicate
     *     evaluations are full corpus re-scans of the costliest scalar
     *     work the pipeline does.
-    *   - `canChangeCachedPlanOutputPartitioning` (round 17): by default
-    *     AQE is disabled inside `InMemoryRelation` plans to keep cached
-    *     output partitioning stable, so every persisted intermediate
-    *     (LSH bands, candidate-confirm shingles, the decontamination
-    *     test-shingle set) materialized with the static
-    *     `spark.sql.shuffle.partitions` count regardless of its size —
-    *     at the fixtures that was 32 near-empty cache partitions whose
-    *     concurrent build tasks serialized on block-manager locks
-    *     (measured: the bloom build's cache stage ran 32 tasks at
-    *     Σtask 7.9 s for 10 k rows; with AQE coalescing it is 1 task at
-    *     0.04 s), and every cache READER then paid 32 tasks per stage.
-    *     Letting AQE coalesce cached plans sizes cache partitions from
-    *     the DATA (advisory partition size), which is the
-    *     scale-adaptive behavior: a 100 TB cached frame keeps hundreds
-    *     of advisory-sized partitions, a kilobyte one collapses to a
-    *     handful. Output rows are unaffected — only the partition
-    *     count of cached intermediates changes. */
+    *   - `canChangeCachedPlanOutputPartitioning` deliberately left at
+    *     its default (false) — round 17 tried `true` (AQE coalescing of
+    *     cached-plan partitions removes ~250 ms/task of block-manager
+    *     lock contention on tiny 32-partition cache builds at 1×) and
+    *     the 10× trend gate rejected it: byte-based coalescing collapses
+    *     a small persisted frame to ONE partition, and every downstream
+    *     consumer whose COMPUTE is amplified past its input bytes (the
+    *     LSH candidate joins — kilobytes of buckets in, tens of millions
+    *     of candidate pairs out) runs single-threaded
+    *     (`sim_ann_lsh_capped` 3.0 → 24.0 s min-merged at 10×,
+    *     session spreads to 59 s). Cached-partition counts here must
+    *     follow the static parallelism knob, which the launcher already
+    *     scales with the core count. */
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1000000",
     "spark.sql.optimizer.excludedRules" ->
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")

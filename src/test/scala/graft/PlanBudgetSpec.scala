@@ -151,21 +151,24 @@ class PlanBudgetSpec extends AnyFunSuite {
     // PQ assignment is ONE scan-side projection against codebook
     // literals (the two bounded codebook-training jobs run beforehand)
     "sim_quantize_pq" -> (0, 0),
-    // bucket self-join + asymmetric preselect + full-precision rerank
-    // pair — all broadcast at fixture scale; at cluster scale the
-    // candidate joins shuffle ~32 B rows, never embeddings (the round-8
-    // stress finding). Round 17: the packed code rides the postings
-    // projection itself, so the former candidate-scale code join (one
-    // broadcast here, a candidate-scale shuffle at cluster scale) is
-    // gone — 5 broadcasts → 4.
-    "sim_ann_lsh" -> (1, 4),
+    // bucket self-join + 8-byte packed-code join + asymmetric preselect
+    // + full-precision rerank pair — all broadcast at fixture scale; at
+    // cluster scale the candidate joins shuffle ~32 B rows, never
+    // embeddings (the round-8 stress finding). Round 17 tried fusing the
+    // packed code onto the postings projection (4 broadcasts) and
+    // measured it back OUT: the wider postings side flipped the
+    // candidate join's build side, broadcasting the row-exploding
+    // probes and streaming the postings through one AQE-coalesced
+    // partition (sim_ann_lsh_capped 3.0 → 24.0 s at 10×) — the
+    // ids-only candidate shape with the post-join code attach is the
+    // scale-proven plan.
+    "sim_ann_lsh" -> (1, 5),
     // + the per-bucket cap window's exchange on bucket (the skew fuse);
     // the candidate joins stay broadcast at fixture scale and the
     // preselect window is the other shuffle — at cluster scale the cap
     // window's bucket partitioning is the SAME key the candidate join
     // shuffles on, so the fuse costs no extra exchange on the big side.
-    // Round 17: same packed-code fuse as sim_ann_lsh (5 → 4 broadcasts).
-    "sim_ann_lsh_capped" -> (2, 4),
+    "sim_ann_lsh_capped" -> (2, 5),
     // persisted-index form: signature+code computation left the query
     // path (one broadcast fewer than the in-query form), bucketed
     // postings side exchange-free
